@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.EventGroups
+import graft.util.Cols
+import graft.operators.{CdcOps, Dedup, Relational, Similarity, TextOps}
+import graft.sources.ChangeLogSource
+import graft.sources.ChangeLogSource.OffsetRange
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (CDC surface over the `events` change-log stand-in),
+ * the t2 relational suite, and the training-data operators (dedup,
+ * similarity search, text analysis). Each SQL-expressible query has a
+ * DuckDB oracle in [[oracleSql]] with identical column names/aliases;
+ * hash-sensitive outputs follow the determinism conventions documented
+ * on [[graft.operators.Relational]] (DECIMAL-exact money, epoch-micros
+ * timestamps, total ORDER BY).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    ChangeLogSource.table(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * extraction pipeline — range scan, table-group filter, commit-ts
+    * enrichment (broadcast), pipe-format rendering. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val log = ChangeLogSource.changeLog(spark, dir)
+    val scanned = ChangeLogSource.rangeScan(
+      log, OffsetRange(0, Long.MaxValue), EventGroups.All)
+    val enriched = CdcOps.enrichCommitTs(scanned, CdcOps.commitTsDim(log))
+    enriched.select(col("event_id"),
+      CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
+        col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)"),
+        Cols.epochUs(col("commit_ts")))).as("line"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CDC surface (SURVEY §2.1-2.3) over the events change-log ----
+    "cdc_offset_discovery" -> ((s, dir) =>
+      ChangeLogSource.latestOffset(t(s, dir, "events"), EventGroups.First)),
+
+    "cdc_range_scan" -> ((s, dir) =>
+      ChangeLogSource.rangeScan(t(s, dir, "events"), OffsetRange(100, 5000),
+          EventGroups.All)
+        .select(col("event_id"), Cols.epochUs(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))),
+
+    "cdc_pipe_format" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
+            col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,2)"), col("props"))).as("line"))
+        .orderBy(col("event_id"))),
+
+    "cdc_distinct_txids" -> ((s, dir) =>
+      CdcOps.distinctTxids(
+          t(s, dir, "events").filter(col("event_type").isin(EventGroups.First: _*)))
+        .orderBy(col("user_id"))),
+
+    "cdc_commit_enrich" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+      CdcOps.enrichCommitTs(log, CdcOps.commitTsDim(log))
+        .select(col("event_id"), col("user_id"),
+          Cols.epochUs(col("commit_ts")).as("commit_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_txids_by_minute" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("minute", col("ts")).as("w"))
+        .agg(array_join(sort_array(collect_set(col("user_id"))), ",").as("txids"))
+        .select(Cols.epochUs(col("w")).as("minute_us"), col("txids"))
+        .orderBy(col("minute_us"))),
+
+    "cdc_watermark" -> ((s, dir) =>
+      CdcOps.watermark(t(s, dir, "events"))
+        .select(Cols.epochUs(col("uptodate")).as("uptodate_us"))),
+
+    "cdc_running_watermark" -> ((s, dir) =>
+      CdcOps.runningWatermark(t(s, dir, "events"))
+        .select(col("event_id"), Cols.epochUs(col("uptodate")).as("uptodate_us"))
+        .orderBy(col("event_id"))),
+
+    "cdc_staleness" -> ((s, dir) =>
+      CdcOps.stalenessProfile(t(s, dir, "events")).orderBy(col("event_id"))),
+
+    "cdc_throughput_minute" -> ((s, dir) =>
+      CdcOps.throughputByMinute(t(s, dir, "events"))
+        .select(Cols.epochUs(col("minute")).as("minute_us"),
+          col("n_events"), col("n_txids"))
+        .orderBy(col("minute_us"))),
+
+    "cdc_rates" -> ((s, dir) =>
+      CdcOps.ratesByStream(t(s, dir, "events")).orderBy(col("event_type"))),
+
+    // ---- relational t2 suite (FIXTURES §C.7) ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      Relational.q1PricingSummary(t(s, dir, "lineitem"))),
+
+    "q3_shipping_priority" -> ((s, dir) =>
+      Relational.q3ShippingPriority(t(s, dir, "customer"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q5_region_revenue" -> ((s, dir) =>
+      Relational.q5RegionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q_top_suppliers" -> ((s, dir) =>
+      Relational.topSuppliers(t(s, dir, "supplier"), t(s, dir, "lineitem"))),
+
+    "q_window_rank" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(t(s, dir, "orders"))),
+
+    "q_rollup" -> ((s, dir) =>
+      Relational.rollupQuantities(t(s, dir, "lineitem"))),
+
+    "q_semi_join" -> ((s, dir) =>
+      Relational.customersWithBigOrders(t(s, dir, "customer"),
+        t(s, dir, "orders"), 400000.0)),
+
+    "q_anti_join" -> ((s, dir) =>
+      Relational.customersWithoutOrders(t(s, dir, "customer"),
+        t(s, dir, "orders"), 450000.0)),
+
+    "q_order_priority" -> ((s, dir) =>
+      Relational.orderPriorityCheck(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q_set_except" -> ((s, dir) =>
+      Relational.segmentExceptBigSpenders(t(s, dir, "customer"),
+        t(s, dir, "orders"), 300000.0)),
+
+    // ---- dedup (training-data pipeline operators) ----
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
+
+    "dedup_exact_survivors" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash64(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // ---- text analysis ----
+    "text_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_lang_id" -> ((s, dir) =>
+      TextOps.langIdHeuristic(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search ----
+    "sim_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_neardup_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb.filter(col("vec_id") < 100), 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // DuckDB oracle equivalents (identical aliases / ordering). Queries
+  // whose Spark plan depends on xxhash64 (minhash/simhash/SRP buckets)
+  // have no SQL oracle → driver records the weaker rows-only check,
+  // except dedup_minhash_lsh whose *verified-pair output* is engine-
+  // independent (threshold 0.1 over full Jaccard) — still omitted
+  // because LSH candidate recall < 1 could legitimately differ.
+  def oracleSql: Map[String, String] = {
+    val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
+    val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
+    val stopIn = TextOps.EnglishStopwords.map(x => s"'$x'").mkString("(", ", ", ")")
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val discPrice = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+    val toks = "regexp_extract_all(text, '\\S+')"
+    val wtoks = "regexp_extract_all(lower(text), '[a-z]+')"
+    val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
+    val cos = "list_dot_product(q, n) / " +
+      "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(n, n)))"
+
+    Map(
+      "cdc_offset_discovery" ->
+        s"SELECT max(event_id) AS max_event_id FROM events WHERE event_type IN $firstIn",
+
+      "cdc_range_scan" ->
+        s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+            FROM events
+            WHERE event_id > 100 AND event_id <= 5000 AND event_type IN $allIn
+            ORDER BY event_id""",
+
+      "cdc_pipe_format" ->
+        """SELECT event_id,
+                  concat_ws('|', event_id, epoch_us(ts), user_id, event_type,
+                            CAST(value AS DECIMAL(18,2)), props) AS line
+           FROM events ORDER BY event_id""",
+
+      "cdc_distinct_txids" ->
+        s"SELECT DISTINCT user_id FROM events WHERE event_type IN $firstIn ORDER BY user_id",
+
+      "cdc_commit_enrich" ->
+        """SELECT e.event_id, e.user_id, epoch_us(d.commit_ts) AS commit_ts_us
+           FROM events e
+           JOIN (SELECT user_id, max(ts) AS commit_ts FROM events GROUP BY user_id) d
+             ON e.user_id = d.user_id
+           ORDER BY e.event_id""",
+
+      "cdc_txids_by_minute" ->
+        """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+                  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS txids
+           FROM events GROUP BY date_trunc('minute', ts) ORDER BY minute_us""",
+
+      "cdc_watermark" ->
+        "SELECT epoch_us(max(ts)) AS uptodate_us FROM events",
+
+      "cdc_running_watermark" ->
+        """SELECT event_id,
+                  epoch_us(max(ts) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS uptodate_us
+           FROM events ORDER BY event_id""",
+
+      "cdc_staleness" ->
+        """SELECT event_id,
+                  (SELECT epoch_us(max(ts)) FROM events)
+                  - epoch_us(max(ts) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS staleness_us
+           FROM events ORDER BY event_id""",
+
+      "cdc_throughput_minute" ->
+        """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+                  count(*) AS n_events, count(DISTINCT user_id) AS n_txids
+           FROM events GROUP BY date_trunc('minute', ts) ORDER BY minute_us""",
+
+      "cdc_rates" ->
+        """SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q1_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST($discPrice * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+
+      "q3_shipping_priority" ->
+        s"""SELECT l_orderkey,
+                   CAST(sum($discPrice) AS DOUBLE) AS revenue,
+                   epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
+
+      "q5_region_revenue" ->
+        s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
+
+      "q_top_suppliers" ->
+        s"""SELECT s_suppkey, s_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY revenue DESC, s_suppkey
+            LIMIT 10""",
+
+      "q_window_rank" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 3
+           ORDER BY o_custkey, rn""",
+
+      "q_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                  coalesce(l_linestatus, 'ALL') AS ls,
+                  count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem
+           GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY rf, ls""",
+
+      "q_semi_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           ORDER BY c_custkey""",
+
+      "q_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+           ORDER BY c_custkey""",
+
+      "q_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "q_set_except" ->
+        """SELECT key FROM (
+             (SELECT c_custkey AS key FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+             EXCEPT
+             (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000))
+           ORDER BY key""",
+
+      "dedup_exact_groups" ->
+        s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5($norm) ORDER BY content_key""",
+
+      "dedup_exact_survivors" ->
+        s"""SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5($norm) ORDER BY doc_id""",
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split($norm, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(string_split($norm, ' ')) - 2),
+                            i -> string_split($norm, ' ')[i] || ' ' ||
+                                 string_split($norm, ' ')[i+1] || ' ' ||
+                                 string_split($norm, ' ')[i+2]))
+                          ELSE [array_to_string(string_split($norm, ' '), ' ')]
+                     END AS s
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+            ORDER BY doc_a, doc_b""",
+
+      "text_token_stats" ->
+        s"""SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_text,
+                   CAST(len($toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform($toks, t -> length(t))), 0) AS DOUBLE)
+                     / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS avg_token_len
+            FROM documents ORDER BY doc_id""",
+
+      "text_quality" ->
+        s"""SELECT doc_id,
+                   CAST(len($wtoks) AS BIGINT) AS n_tokens,
+                   CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) AS stopword_ratio,
+                   CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+                     / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) AS avg_token_len,
+                   ((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+                              / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
+                           THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+            FROM documents ORDER BY doc_id""",
+
+      "text_lang_id" ->
+        s"""SELECT doc_id, lang AS labeled_lang,
+                   CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) AS en_stopword_ratio,
+                   CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) >= 0.08
+                        THEN 'en' ELSE 'other' END AS guessed_lang
+            FROM documents ORDER BY doc_id""",
+
+      "text_fingerprint" ->
+        s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+
+      "sim_brute_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id, $cos AS sim
+                       FROM q CROSS JOIN c WHERE neighbor_id != query_id)
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+            ORDER BY query_id, rank""",
+
+      "sim_neardup_pairs" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id < 100)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+            ORDER BY vec_a, vec_b"""
+    )
+  }
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Cols
+
+/**
+ * The relational surface of the reference extractor (SURVEY.md §2.2),
+ * re-expressed as declarative DataFrame transforms so Catalyst plans
+ * them (pushdown, partial aggregation, broadcast joins) instead of the
+ * reference's row-at-a-time Java loops.
+ *
+ * Column conventions follow the change-log stand-in (`events`):
+ * `event_id` = offset, `ts` = event time / commit timestamp,
+ * `user_id` = transaction id, `event_type` = table name.
+ */
+object CdcOps {
+
+  /**
+   * Distinct transaction ids in a batch — the reference's `HashSet<Long>`
+   * dedup before the N+1 commit-timestamp lookups
+   * (`WorkerRunnable.java:87,120,130-131`). Map-side partial distinct
+   * keeps the shuffle tiny (txid cardinality, not row count).
+   */
+  def distinctTxids(log: DataFrame, txidCol: String = "user_id"): DataFrame =
+    log.select(col(txidCol)).distinct()
+
+  /**
+   * Commit-timestamp dimension `(txid, commit_ts)`: the set-oriented
+   * replacement for the reference's per-txid point query
+   * `pg_xact_commit_timestamp(xid)` (`WorkerRunnable.java:134-136`).
+   * With no PostgreSQL in the fixture, a transaction's commit timestamp
+   * is the max event time observed for it.
+   */
+  def commitTsDim(log: DataFrame, txidCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame =
+    log.groupBy(col(txidCol)).agg(max(col(tsCol)).as("commit_ts"))
+
+  /**
+   * Enrich change rows with their transaction's commit timestamp —
+   * the implicit equi-join the reference performs as N+1 point queries
+   * (`WorkerRunnable.java:130-144`, SURVEY §2.2 R9). The dimension side
+   * is txid-cardinality small, so it is broadcast: no shuffle of the
+   * (100 TB-scale) fact side.
+   */
+  def enrichCommitTs(log: DataFrame, dim: DataFrame,
+                     txidCol: String = "user_id"): DataFrame =
+    log.join(broadcast(dim), txidCol)
+
+  /**
+   * Group transactions by commit timestamp with set semantics —
+   * the reference's `Map<Timestamp, HashSet<Long>>`
+   * (`WorkerRunnable.java:37,58,137-144`). Emitted sorted and joined to
+   * a string so results are deterministic across partition orders.
+   */
+  def txidsByCommitTs(log: DataFrame, txidCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame =
+    log.groupBy(col(tsCol).as("commit_ts"))
+      .agg(sort_array(collect_set(col(txidCol))).as("txids"))
+
+  /**
+   * Freshness watermark `uptodate` = max commit timestamp fully
+   * extracted (`WorkerRunnable.java:145-150`). A single partial-agg max:
+   * each partition contributes one value, no data movement beyond that.
+   */
+  def watermark(log: DataFrame, tsCol: String = "ts"): DataFrame =
+    log.agg(max(col(tsCol)).as("uptodate"))
+
+  /**
+   * Running watermark in offset order: what `uptodate` was after each
+   * event was applied — the cross-partition running max the reference
+   * maintains under a broken lock (`WorkerRunnable.java:146-150`,
+   * SURVEY §3.4). NOTE a global `ORDER BY` window is single-partition;
+   * fine for per-batch audit at micro-batch sizes (a batch is one poll
+   * interval of changes, bounded by rate limiting), but at 100 TB use
+   * [[watermark]] per batch + the streaming engine's watermark instead.
+   */
+  def runningWatermark(log: DataFrame, offsetCol: String = "event_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val w = Window.orderBy(col(offsetCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    log.select(col(offsetCol), max(col(tsCol)).over(w).as("uptodate"))
+  }
+
+  /**
+   * Staleness profile: for each event (in offset order), how far behind
+   * the final watermark the extracted copy was — the batch analogue of
+   * the sampler's `now − uptodate` (`QueryRequestRunnable.java:35-37`).
+   */
+  def stalenessProfile(log: DataFrame, offsetCol: String = "event_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val now = log.agg(max(Cols.epochUs(col(tsCol))).as("now_us"))
+    runningWatermark(log, offsetCol, tsCol)
+      .crossJoin(broadcast(now))
+      .select(col(offsetCol),
+        (col("now_us") - Cols.epochUs(col("uptodate"))).as("staleness_us"))
+  }
+
+  /**
+   * Per-minute tumbling-window throughput: tasks/rows per minute
+   * (`WorkerRunnable.java:158-179`, `QueryRequestRunnable.java:39-42`)
+   * as an event-time `window()` aggregation (SURVEY §2.2 R11).
+   */
+  def throughputByMinute(log: DataFrame, tsCol: String = "ts",
+                         txidCol: String = "user_id"): DataFrame =
+    log.groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(txidCol)).as("n_txids"))
+      .select(col("w.start").as("minute"), col("n_events"), col("n_txids"))
+
+  /**
+   * Per-stream rate metrics (`avg`/`count` running aggregates,
+   * SURVEY §2.2 R10). Monetary doubles go through DECIMAL so the sums
+   * are exact and order-independent (audit-grade determinism); the final
+   * values surface as doubles.
+   */
+  def ratesByStream(log: DataFrame, streamCol: String = "event_type",
+                    valueCol: String = "value"): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,2)")
+    log.groupBy(col(streamCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("sum_value"),
+        (sum(dec).cast("double") / count(lit(1))).as("avg_value"))
+  }
+
+  /**
+   * Pipe-delimited rendering of the change row — sink fidelity with the
+   * reference's `chunk<i>` format (`WorkerRunnable.java:202-216`): all
+   * columns stringified and `|`-joined. Timestamps are rendered as epoch
+   * microseconds and floating values through DECIMAL(18,2) so the line
+   * is bit-stable across engines. Nulls render as literal `"null"`
+   * (JDBC `getString` fidelity).
+   */
+  def pipeLine(cols: Seq[Column]): Column =
+    concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("null"))): _*)
+}

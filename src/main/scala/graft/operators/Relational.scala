@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Cols
+
+/**
+ * Relational query suite over the TPC-H-ish star schema (FIXTURES.md §B)
+ * — the t2 query surface (FIXTURES.md §C.7): filters, multi-way joins,
+ * aggregates, windows, rollup, set ops, semi/anti joins.
+ *
+ * Determinism convention (DuckDB-oracle hash matching): monetary doubles
+ * are routed through explicit DECIMAL casts so sums are exact and
+ * order-independent; final values are cast back to DOUBLE. Every query
+ * ends with a total ORDER BY.
+ *
+ * Scale notes: dimension sides (region, nation, customer at TPC-H
+ * ratios, supplier) are broadcast; fact-fact joins (orders⋈lineitem)
+ * shuffle on the join key — the partition-count/AQE knobs live in the
+ * session, not the query. Filters sit directly on the scan so Catalyst
+ * pushes them into parquet (`PushedFilters`).
+ */
+object Relational {
+
+  /** Exact decimal view of a 2-decimal monetary double column. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** `l_extendedprice * (1 - l_discount)` with exact decimal math. */
+  private def discPrice: Column =
+    (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast("decimal(18,4)")
+
+  /** TPC-H Q1: pricing summary report. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame = {
+    val cnt = count(lit(1))
+    lineitem
+      .filter(col("l_shipdate") <= Cols.tsLit(lineitem, "l_shipdate", "1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum((discPrice * (lit(1) + dec(col("l_tax")))).cast("decimal(22,6)"))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / cnt).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / cnt).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / cnt).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: top unshipped orders by revenue for one market segment. */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = orders.filter(
+      col("o_orderdate") < Cols.tsLit(orders, "o_orderdate", "1998-06-01 00:00:00"))
+    val l = lineitem.filter(
+      col("l_shipdate") > Cols.tsLit(lineitem, "l_shipdate", "1998-06-01 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        Cols.epochUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation within one region. */
+  def q5RegionRevenue(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Top suppliers by lineitem revenue (broadcast dimension join). */
+  def topSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                   k: Int = 10): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(k)
+
+  /** Ranking window: top-3 orders per customer by total price. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** ROLLUP aggregate over return flag / line status. */
+  def rollupQuantities(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Semi join: customers having at least one order above `minTotal`. */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame,
+                             minTotal: Double): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join: customers with no order above `minTotal`. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             minTotal: Double = 0.0): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** TPC-H Q4-style: order-priority counts for late-shipping orders. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.filter(
+      col("o_orderdate") >= Cols.tsLit(orders, "o_orderdate", "1997-01-01 00:00:00") &&
+        col("o_orderdate") < Cols.tsLit(orders, "o_orderdate", "1998-01-01 00:00:00"))
+    val late = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Set difference: target-segment customers that lack a big order. */
+  def segmentExceptBigSpenders(customer: DataFrame, orders: DataFrame,
+                               minTotal: Double): DataFrame =
+    customer.filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey").as("key"))
+      .except(orders.filter(col("o_totalprice") > minTotal)
+        .select(col("o_custkey").as("key")))
+      .orderBy(col("key"))
+}

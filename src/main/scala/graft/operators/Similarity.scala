@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`embeddings` table:
+ * `vec_id, embedding: array<float>, label`).
+ *
+ * All vector math is higher-order column expressions (`zip_with` +
+ * `aggregate`) in double precision — codegen'd, no UDF, deterministic.
+ *
+ * Scale design:
+ *  - [[bruteForceTopK]] broadcasts the (small) query set and streams the
+ *    corpus once: per-executor work is |corpus_partition| × |queries|,
+ *    no corpus shuffle. This is the exact baseline.
+ *  - [[lshTopK]] is the approximate scale path: sign-random-projection
+ *    buckets (deterministic hyperplanes derived from hashes), join on
+ *    bucket id, rank within bucket. Corpus shuffles once on the 4-byte
+ *    bucket key; pair work only within buckets.
+ */
+object Similarity {
+
+  /** Dot product of two numeric arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each query vector. `queries` must
+   * be small (it is broadcast); the corpus side is scanned in place.
+   * Rank is taken on the similarity rounded to 1e-6 with vec_id
+   * tie-break, so results are stable across partitionings and engines.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val sim = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
+   * `threshold` within `sample`. Exact O(n²) — use on a sampled or
+   * LSH-bucketed subset; the full-corpus path is [[lshTopK]]'s
+   * bucketing with a threshold filter.
+   */
+  def cosineNearDupPairs(sample: DataFrame, threshold: Double): DataFrame = {
+    val l = sample.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = sample.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.crossJoin(broadcast(r))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane, dim):
+   * uniform in [-1, 1), derived from xxhash64 — reproducible across
+   * runs and engines, no stored model.
+   */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-random-projection bucket id over `planes` hyperplanes. */
+  def srpBucket(emb: Column, planes: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    // bucket = sum of 2^p over planes whose projection is positive
+    aggregate(
+      zip_with(
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          aggregate(zip_with(emb, dims,
+            (x, d) => x.cast("double") * planeComponent(p, d)),
+            lit(0.0), (acc, v) => acc + v)),
+        sequence(lit(0), lit(planes - 1)),
+        (proj, p) => when(proj > 0, lit(1L) * pow(lit(2.0), p).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /**
+   * Approximate top-k: queries and corpus are bucketed by [[srpBucket]];
+   * ranking happens within the query's bucket only. Trades recall for a
+   * single bucket-key shuffle — the standard SRP-LSH ANN layout.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"),
+      srpBucket(col("embedding"), planes).as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      srpBucket(col("embedding"), planes).as("bucket")))
+    val sim = c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+}

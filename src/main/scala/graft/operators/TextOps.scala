@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines over
+ * the `documents` table (`doc_id, text, lang, source, n_chars`).
+ *
+ * All operators are built from codegen'd `functions._` / higher-order
+ * array expressions — no Scala UDFs — so they stay inside whole-stage
+ * codegen and scale linearly with a parquet scan: at 100 TB each is a
+ * single narrow map stage (no shuffle).
+ */
+object TextOps {
+
+  /** Tokens = maximal runs of non-whitespace. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Lower-cased alphabetic word tokens (for language/stopword stats). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Whitespace-normalized text: lower, collapse runs, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Count of tokens that are in `stop` (each occurrence counts). */
+  def stopwordCount(toks: Column, stop: Seq[String] = EnglishStopwords): Column =
+    size(filter(toks, t => t.isin(stop: _*)))
+
+  /** Sum of token lengths (exact integer arithmetic). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /**
+   * Per-document token statistics: token count, character count,
+   * average token length. Integer counts divided as doubles — exact
+   * inputs, deterministic output.
+   */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      size(toks).cast("long").as("n_tokens"),
+      (totalTokenLen(toks).cast("double") /
+        greatest(size(toks).cast("double"), lit(1.0))).as("avg_token_len"))
+  }
+
+  /**
+   * Heuristic quality score in [0,1]: blend of length sanity, stopword
+   * presence and mean token length — the shape of public quality
+   * filters (C4/Gopher-style rules) expressed as pure column math.
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = wordTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = stopwordCount(toks).cast("double")
+    val avgLen = totalTokenLen(toks).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = nStop / greatest(nTok, lit(1.0))
+    val lenOk = when(length(col("text")).between(20, 100000), lit(1.0))
+      .otherwise(lit(0.0))
+    val tokOk = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      avgLen.as("avg_token_len"),
+      ((lenOk + tokOk + stopOk) / lit(3.0)).as("quality"))
+  }
+
+  /**
+   * N-gram-free language-ID heuristic: English stopword density vs. the
+   * labeled `lang` column. (A full char-n-gram profile model is layered
+   * on the same token machinery; the gate here is the deterministic
+   * stopword-density classifier.)
+   */
+  def langIdHeuristic(docs: DataFrame): DataFrame = {
+    val toks = wordTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = stopwordCount(toks).cast("double")
+    val ratio = nStop / greatest(nTok, lit(1.0))
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      ratio.as("en_stopword_ratio"),
+      when(ratio >= 0.08, lit("en")).otherwise(lit("other")).as("guessed_lang"))
+  }
+}
