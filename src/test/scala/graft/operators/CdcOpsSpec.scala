@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CdcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val log = Seq(
+    (1L, 100L, ts("2024-01-01 00:00:05"), "click", 1.0),
+    (2L, 100L, ts("2024-01-01 00:00:09"), "view", 2.0),
+    (3L, 200L, ts("2024-01-01 00:00:03"), "click", 3.0), // out of order
+    (4L, 300L, ts("2024-01-01 00:01:01"), "click", 4.0),
+    (5L, 200L, ts("2024-01-01 00:00:04"), "view", 5.5))
+    .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("distinctTxids dedups per batch (reference HashSet semantics)") {
+    val got = CdcOps.distinctTxids(log).as[Long].collect().sorted
+    assert(got.toSeq == Seq(100L, 200L, 300L))
+  }
+
+  test("commitTsDim takes max event time per transaction") {
+    val got = CdcOps.commitTsDim(log).as[(Long, Timestamp)].collect().toMap
+    assert(got(100L) == ts("2024-01-01 00:00:09"))
+    assert(got(200L) == ts("2024-01-01 00:00:04"))
+  }
+
+  test("enrichCommitTs joins every change row to its commit timestamp") {
+    val enriched = CdcOps.enrichCommitTs(log, CdcOps.commitTsDim(log))
+    assert(enriched.count() == 5)
+    val row3 = enriched.filter($"event_id" === 3L)
+      .select($"commit_ts").as[Timestamp].head()
+    assert(row3 == ts("2024-01-01 00:00:04"))
+  }
+
+  test("watermark = global max commit ts; never regresses across prefixes") {
+    // reference `WorkerRunnable.java:145-150`: running max only
+    val wm = CdcOps.watermark(log).as[Timestamp].head()
+    assert(wm == ts("2024-01-01 00:01:01"))
+    val running = CdcOps.runningWatermark(log)
+      .orderBy($"event_id").as[(Long, Timestamp)].collect().map(_._2)
+    assert(running.toSeq == running.sorted.toSeq, "watermark regressed")
+    // out-of-order event 3 must not pull the watermark back
+    assert(running(2) == ts("2024-01-01 00:00:09"))
+  }
+
+  test("stalenessProfile is now - running watermark, non-negative") {
+    val st = CdcOps.stalenessProfile(log)
+      .orderBy($"event_id").as[(Long, Long)].collect()
+    assert(st.forall(_._2 >= 0))
+    assert(st.last._2 == 0L) // once everything is extracted, staleness 0
+  }
+
+  test("throughputByMinute buckets counts into tumbling windows") {
+    val got = CdcOps.throughputByMinute(log)
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (m, n, u) => m.toString -> ((n, u)) }.toMap
+    // window [00:00, 00:01): events 1,2,3,5 over txids 100,200
+    assert(got.contains("2024-01-01 00:00:00.0"))
+    assert(got("2024-01-01 00:00:00.0") == ((4L, 2L)))
+    assert(got("2024-01-01 00:01:00.0") == ((1L, 1L)))
+  }
+
+  test("pipeLine renders null as literal 'null' (JDBC getString fidelity)") {
+    val df = Seq((1L, Some("a"), Some(2.5)), (2L, None, None))
+      .toDF("id", "s", "v")
+    val lines = df.select(CdcOps.pipeLine(Seq($"id", $"s", $"v")).as("line"))
+      .orderBy($"id").as[String].collect()
+    assert(lines.toSeq == Seq("1|a|2.5", "2|null|null"))
+  }
+
+  test("ratesByStream: exact decimal sums surfaced as doubles") {
+    val got = CdcOps.ratesByStream(log)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click")._2 == 3L)
+    assert(got("click")._3 == 8.0)
+    assert(got("view")._3 == 7.5)
+    assert(math.abs(got("view")._4 - 3.75) < 1e-12)
+  }
+}

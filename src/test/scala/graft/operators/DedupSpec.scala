@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // ws/case dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (4L, "completely different words entirely here now today"),
+    (5L, "the quick brown fox jumps over the lazy dog"))   // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses normalized duplicates, keeps min doc_id") {
+    val groups = Dedup.exactGroups(docs)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => keep -> n }.toMap
+    assert(groups(1L) == 3L) // docs 1, 2, 5
+    assert(groups(3L) == 1L)
+    assert(groups(4L) == 1L)
+  }
+
+  test("exactDedup keeps one survivor per content, min doc_id wins") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("shingleSets: n-k+1 distinct shingles; short docs fall back whole") {
+    val sh = Dedup.shingleSets(docs, k = 3)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).size == 7) // 9 tokens -> 7 tri-grams
+    assert(sh(1L).contains("the quick brown"))
+    val short = Dedup.shingleSets(Seq((9L, "just two")).toDF("doc_id", "text"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(short(9L) == Seq("just two"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("a", "b", "c")
+    val (same, disj) = df.select(
+      Dedup.jaccard($"a", $"b"), Dedup.jaccard($"a", $"c"))
+      .as[(Double, Double)].head()
+    assert(same == 1.0 && disj == 0.0)
+  }
+
+  test("ngramJaccardPairs finds the near-dup family above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // 1,2,5 identical after normalization -> jaccard 1.0
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((2L, 5L)) == 1.0)
+    // 1 vs 3: 7 trigrams each, only the final one differs -> 6/8
+    assert(math.abs(pairs((1L, 3L)) - 0.75) < 1e-12)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds exact duplicates as candidates and verifies them") {
+    val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // identical docs always collide in every band
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash signature: identical inputs agree, length = perms") {
+    val sigs = Dedup.shingleSets(docs, 3)
+      .select($"doc_id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).size == 16)
+    assert(sigs(1L) == sigs(2L)) // same normalized content
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash64: equal for identical docs, close for near-dups") {
+    val fps = Dedup.simhash64(docs.withColumn("text", lower($"text")))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(5L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(3L)) < hamming(fps(1L), fps(4L)))
+  }
+}

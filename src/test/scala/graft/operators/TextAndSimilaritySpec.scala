@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.TableGroups
+
+class TextAndSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: counts, empty and multi-space edge cases") {
+    val docs = Seq(
+      (1L, "a bb  ccc"), (2L, ""), (3L, "   "), (4L, "single"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenStats(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 3L)
+    assert(got(1L)._4 == 2.0) // (1+2+3)/3
+    assert(got(2L)._3 == 0L)
+    assert(got(3L)._3 == 0L)
+    assert(got(4L)._3 == 1L)
+  }
+
+  test("langIdHeuristic flags stopword-dense text as en") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "zzz qqq www rrr ttt yyy uuu iii ooo"))
+      .toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val got = TextOps.langIdHeuristic(docs)
+      .select("doc_id", "guessed_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "other")
+  }
+
+  test("qualityScore rewards normal prose, penalizes degenerate text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "x"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val q = TextOps.qualityScore(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q(1L) == 1.0)
+    assert(q(2L) < q(1L))
+    assert(q(3L) < q(1L))
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("cosine: identity 1, orthogonal 0, computed in double") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c"))
+      .as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self, respects k") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 2)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    assert(got.length == 2)
+    assert(got(0)._3 == 1L) // closest direction
+    assert(got(1)._3 == 2L)
+    assert(got.forall(_._1 == 0L))
+  }
+
+  test("srp bucket: identical vectors share a bucket") {
+    val emb = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val buckets = emb.select(Similarity.srpBucket($"embedding", 8))
+      .as[Long].collect()
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("table groups: the reference's missing-comma bug is fixed") {
+    // reference `Config.java:16-17` fuses order_line/stock into one
+    // literal; the rebuilt group `all` must contain all 9 real tables
+    assert(TableGroups.All.size == 9)
+    assert(TableGroups.All.contains("bmsql_order_line"))
+    assert(TableGroups.All.contains("bmsql_stock"))
+    assert(TableGroups.resolve("all").toSet == TableGroups.All.toSet)
+    intercept[IllegalArgumentException](TableGroups.resolve("nope"))
+  }
+}
