@@ -1,0 +1,85 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.EventGroups
+import graft.sources.ChangeLogSource
+import graft.streaming.{ChangeEvent, ChangeLogBuffers, ExtractionPipeline, StalenessListener}
+import graft.util.Cols
+
+/**
+ * The reference `Client.main` (`Client.java:11-49`) re-expressed: same
+ * four knobs, Spark semantics.
+ *
+ * | reference `-D` knob | here (arg or -D)   | maps to                    |
+ * |---------------------|--------------------|----------------------------|
+ * | numberOfThread      | graft.partitions   | source numPartitions       |
+ * | sleepDuration (ms)  | graft.triggerMs    | Trigger.ProcessingTime     |
+ * | runDuration (min)   | graft.runMs        | awaitTermination timeout   |
+ * | tables (group name) | graft.tables       | source IN-list pushdown    |
+ *
+ * A feeder thread replays the driver `events` table into the change
+ * log at a steady rate (the TPC-C writer stand-in); the extraction
+ * query tails it; the listener prints staleness/throughput at the end
+ * (replacing the reference's three CSV writers).
+ */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val partitions = sys.props.getOrElse("graft.partitions", "4").toInt
+    val triggerMs = sys.props.getOrElse("graft.triggerMs", "500").toLong
+    val runMs = sys.props.getOrElse("graft.runMs", "15000").toLong
+    val group = sys.props.getOrElse("graft.tables", "all")
+    val sfDir = sys.props.getOrElse("graft.sfDir", "/root/testdata/sf0.001")
+    val outDir = sys.props.getOrElse("graft.outDir", "target/extract_out")
+    val tables = group match {
+      case "all" => EventGroups.All
+      case "first" => EventGroups.First
+      case "second" => EventGroups.Second
+      case "third" => EventGroups.Third
+      case other => other.split(",").toSeq
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$partitions]")
+      .appName("graft-extractor")
+      .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val listener = new StalenessListener()
+    spark.streams.addListener(listener)
+
+    // Feeder: replay the events table into the buffer in batches.
+    val rows = ChangeLogSource.table(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      .sortBy(_.eventId)
+    val bufName = s"main-${System.nanoTime()}"
+    val buffer = ChangeLogBuffers.get(bufName)
+    val feeder = new Thread(() => {
+      rows.grouped(math.max(1, rows.length / 20)).foreach { chunk =>
+        buffer.append(chunk.toSeq)
+        Thread.sleep(triggerMs / 2)
+      }
+    }, "changelog-feeder")
+    feeder.setDaemon(true)
+
+    val stream = ExtractionPipeline.readChangeLog(spark, bufName,
+      Some(tables), numPartitions = partitions)
+    val query = ExtractionPipeline.start(stream, outDir,
+      s"$outDir-checkpoint", triggerMs)
+
+    feeder.start()
+    query.awaitTermination(runMs) // runDuration ≙ `Client.java:34-42`
+    query.stop()
+
+    val extracted = spark.read.text(outDir).count()
+    println(s"EXTRACTED rows=$extracted of=${rows.length} tables=$group")
+    listener.samples.takeRight(3).foreach(s => println(s"METRIC $s"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.CdcOps
+import graft.util.Cols
+
+/**
+ * The end-to-end extraction pipeline — the reference's `Client.main`
+ * dataflow (SURVEY.md §3.1) as one Structured Streaming job:
+ *
+ *   changelog source → (watermark) → per-batch commit-ts enrichment
+ *   (broadcast join, replacing the N+1 lookups) → pipe-delimited files.
+ *
+ * The coordinator thread, the bounded queue, N worker threads, and the
+ * per-worker chunk files all disappear into the engine: trigger
+ * interval ≙ `sleepDuration`, source partitions ≙ `numberOfThread`,
+ * one output file per partition ≙ `chunk<i>`, checkpointed offsets ≙
+ * the (previously unpersisted) `maxSeqID` ledger.
+ */
+object ExtractionPipeline {
+
+  /** Open the streaming change log (see [[ChangeLogStream]] options). */
+  def readChangeLog(spark: SparkSession, buffer: String,
+                    tables: Option[Seq[String]] = None,
+                    numPartitions: Int = 4,
+                    maxEventsPerTrigger: Long = Long.MaxValue,
+                    startAt: String = "earliest"): DataFrame = {
+    val r = spark.readStream.format(ChangeLogStream.FormatName)
+      .option("buffer", buffer)
+      .option("numPartitions", numPartitions)
+      .option("maxEventsPerTrigger", maxEventsPerTrigger)
+      .option("startAt", startAt)
+    tables.foldLeft(r)((b, t) => b.option("tables", t.mkString(",")))
+      .load()
+  }
+
+  /** The streamed rows rendered in `chunk` pipe format (S5 fidelity):
+    * keyed by offset, timestamps as epoch micros, money via DECIMAL. */
+  def pipeFormat(stream: DataFrame): DataFrame =
+    stream.select(col("event_id"),
+      CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
+        col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)"), col("props"))).as("line"))
+
+  /**
+   * Start the extraction: every micro-batch is enriched with the
+   * transaction commit timestamp (distinct txids → broadcast join —
+   * the set-oriented replacement for `WorkerRunnable.java:130-144`)
+   * and appended as pipe-delimited text, one file per partition.
+   * Exactly-once comes from the checkpointed offsets + Spark's
+   * transactional file sink.
+   */
+  def start(stream: DataFrame, outDir: String, checkpointDir: String,
+            triggerMs: Long = 1000L,
+            watermarkDelay: String = "10 seconds"): StreamingQuery =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim = CdcOps.commitTsDim(batch)
+        val enriched = CdcOps.enrichCommitTs(batch, dim)
+        enriched.select(
+            CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
+              col("user_id"), col("event_type"),
+              col("value").cast("decimal(18,2)"), col("props"),
+              Cols.epochUs(col("commit_ts")))).as("line"))
+          .write.mode("append").text(outDir)
+        ()
+      }
+      .start()
+
+  /** Streaming per-minute throughput aggregation (T6) with watermarked
+    * state eviction — the windowed counters of `WorkerRunnable
+    * .java:158-179` without the unbounded maps. */
+  def throughputQuery(stream: DataFrame, outputMode: String = "update")
+      : DataFrame =
+    stream
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_txids"))
+      .select(col("window.start").as("minute"), col("n_events"),
+        col("n_txids"))
+}
