@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.EventGroups
 import graft.util.Cols
-import graft.operators.{CdcOps, Dedup, Relational, Similarity, TextOps}
+import graft.operators.{CdcOps, Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.sources.ChangeLogSource
 import graft.sources.ChangeLogSource.OffsetRange
 
@@ -169,6 +169,66 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+
+    // ---- scalar-function surface: JSON + cube (SURVEY §2.4 upgrades) ----
+    "cdc_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_total"))
+        .orderBy(col("prio"), col("status"))),
+
+    // ---- text: BPE-ish tokens + rolling-hash fingerprints ----
+    "text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws"))
+        .orderBy(col("doc_id"))),
+
+    "text_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.rollingFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_join(transform(sort_array(col("fps")),
+            x => x.cast("string")), ",").as("fp_set"))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal columns (stub decode, real plumbing) ----
+    "mm_media_metadata" -> ((s, dir) =>
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+          col("text").cast("binary"), "image")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"))
+        .orderBy(col("doc_id"))),
+
+    "mm_decode_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        col("text").cast("binary"), "image")
+      media.select(col("doc_id"),
+          Multimodal.decodeImageStub(col("payload")).as("img"),
+          Multimodal.extractFeaturesStub(col("payload"), 8).as("features"))
+        .select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"),
+          array_join(transform(col("features"), f => round(f, 4).cast("string")),
+            ",").as("features_csv"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- similarity search ----
     "sim_brute_topk" -> ((s, dir) => {
@@ -359,6 +419,35 @@ object SparkEntry {
              EXCEPT
              (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000))
            ORDER BY key""",
+
+      "cdc_json_props" ->
+        """SELECT event_type, count(*) AS n,
+                  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q_cube" ->
+        """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                  coalesce(o_orderstatus, 'ALL') AS status,
+                  count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+           FROM orders
+           GROUP BY CUBE (o_orderpriority, o_orderstatus)
+           ORDER BY prio, status""",
+
+      "text_bpe_tokens" ->
+        ("SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(text, " +
+          "'''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')) AS BIGINT) AS n_bpe, " +
+          "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws " +
+          "FROM documents ORDER BY doc_id"),
+
+      "mm_media_metadata" ->
+        """SELECT doc_id, 'image' AS media_type,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  md5(text) AS checksum
+           FROM documents ORDER BY doc_id""",
 
       "dedup_exact_groups" ->
         s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,

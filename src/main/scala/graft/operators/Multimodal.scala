@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column operators: image/audio/video as opaque `binary`
+ * payloads with typed, columnar metadata.
+ *
+ * The 100 TB layout rule: payload bytes stay opaque and are never
+ * parsed by the engine; everything filterable (type, size, checksum,
+ * decoded dims) lives in ordinary columns so parquet stats prune scans
+ * and the payload column is only read by stages that decode.
+ *
+ * The decode/resize/frame-sample kernels are deterministic STUBS — no
+ * image/audio codecs exist in this container. Each stub derives its
+ * output from XXH64 of the payload, so tests are exact and the
+ * Spark-side plumbing (schema, partition iteration, batch shape) is
+ * real. A production deployment swaps [[MediaCodecStub]] for a JNI or
+ * vectorized codec without touching any plan shape.
+ */
+object Multimodal {
+
+  /** Wrap a binary payload column into the media envelope:
+    * `(id, meta{media_type, n_bytes, checksum}, payload)`. */
+  def asMedia(df: DataFrame, idCol: String, payload: Column,
+              mediaType: String): DataFrame =
+    df.select(col(idCol),
+      struct(lit(mediaType).as("media_type"),
+        length(payload).cast("long").as("n_bytes"),
+        md5(payload).as("checksum")).as("meta"),
+      payload.as("payload"))
+
+  /** STUB image decode (expression form): deterministic fake dims from
+    * the payload hash. Codegen'd column math — no shuffle, no UDF. */
+  def decodeImageStub(payload: Column): Column = {
+    val h = xxhash64(payload)
+    struct(
+      (pmod(h, lit(1920L)) + 32L).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080L)) + 32L).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** STUB feature extraction: `dims` pseudo-embedding floats derived
+    * from seeded payload hashes — the plumbing for "model inference
+    * over binary columns" with a deterministic kernel. */
+  def extractFeaturesStub(payload: Column, dims: Int = 16): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => ((pmod(xxhash64(payload, i), lit(2000001L)) - 1000000L)
+        .cast("double") / 1000000.0).cast("float"))
+
+  /** STUB resize plan: target dims + scale factors vs decoded dims. */
+  def resizeStub(decoded: Column, targetW: Int, targetH: Int): Column =
+    struct(lit(targetW).as("width"), lit(targetH).as("height"),
+      (lit(targetW).cast("double") / decoded.getField("width")).as("scale_x"),
+      (lit(targetH).cast("double") / decoded.getField("height")).as("scale_y"))
+
+  /** STUB video frame sampling: every `everyN`-th frame index of a
+    * fake frame count derived from the payload hash. */
+  def frameSampleStub(payload: Column, everyN: Int = 10): Column = {
+    val nFrames = pmod(xxhash64(payload, lit(7)), lit(240L)) + 1L
+    sequence(lit(0L), nFrames - 1L, lit(everyN.toLong))
+  }
+
+  // ---- batch-shaped decode (the mapInPandas analogue in Scala) ----
+
+  final case class MediaRow(id: Long, payload: Array[Byte])
+  final case class DecodedRow(id: Long, width: Int, height: Int,
+                              channels: Int, batchId: Int, batchSize: Int)
+
+  /** The stub "codec": one call per batch of payloads, mirroring how a
+    * vectorized codec (or model) wants its input. Replace me. */
+  object MediaCodecStub {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int)] =
+      batch.map { bytes =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L) // seed 42 = Spark's xxhash64() default
+        ((math.floorMod(h, 1920L) + 32L).toInt,
+          (math.floorMod(h >> 16, 1080L) + 32L).toInt, 3)
+      }
+  }
+
+  /**
+   * Partition-iterator decode in fixed-size batches — the Scala
+   * equivalent of a pandas-batch UDF: payloads are buffered `batchSize`
+   * at a time and handed to the codec in one call. The batch shape
+   * (id, batchId, batchSize) is surfaced so tests can assert it.
+   */
+  def decodeBatched(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[DecodedRow] = {
+    implicit val enc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val decoded = MediaCodecStub.decodeBatch(batch.map(_.payload))
+        batch.zip(decoded).map { case (m, (w, h, c)) =>
+          DecodedRow(m.id, w, h, c, bi, batch.size)
+        }
+      }
+    }
+  }
+}

@@ -28,6 +28,30 @@ object TextOps {
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** BPE-ish pre-tokenizer (GPT-2-style pattern, lookahead-free so the
+    * same pattern runs on Java regex and RE2): contractions, letter
+    * runs, digit runs, punctuation runs, whitespace runs. */
+  val BpePattern: String =
+    "'(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** BPE-ish sub-word-ready tokens of the raw text. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /**
+   * Rolling-hash document fingerprints: XXH64 over character `k`-grams,
+   * mod-sampled (hash % mod == 0, winnowing-style) and deduplicated —
+   * a compact sketch for containment/overlap detection. Narrow map
+   * stage; at 100 TB the fingerprint set (~len/mod values) is what
+   * shuffles, never the text.
+   */
+  def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => xxhash64(call_function("substring", text, i, lit(k))))
+    array_distinct(filter(grams, h => pmod(h, lit(mod)) === 0))
+  }
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{DecodedRow, MediaRow}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a small payload"), (2L, "another payload"), (3L, "третий"))
+    .toDF("doc_id", "text")
+
+  test("asMedia: typed metadata, byte-accurate lengths (incl. UTF-8)") {
+    val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "image")
+    val meta = m.select($"doc_id", $"meta.media_type", $"meta.n_bytes")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(meta(1L)._2 == "image")
+    assert(meta(1L)._3 == 15L)
+    assert(meta(3L)._3 == 12L) // 6 cyrillic chars = 12 UTF-8 bytes
+  }
+
+  test("decode stub is deterministic and in-range") {
+    val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "image")
+    val d1 = m.select(Multimodal.decodeImageStub($"payload").as("i"))
+      .select("i.width", "i.height", "i.channels")
+      .as[(Int, Int, Int)].collect()
+    val d2 = m.select(Multimodal.decodeImageStub($"payload").as("i"))
+      .select("i.width", "i.height", "i.channels")
+      .as[(Int, Int, Int)].collect()
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.forall { case (w, h, c) =>
+      w >= 32 && w < 1952 && h >= 32 && h < 1112 && c == 3 })
+  }
+
+  test("feature stub yields dims floats in [-1, 1]") {
+    val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "image")
+    val f = m.select(Multimodal.extractFeaturesStub($"payload", 8))
+      .as[Seq[Float]].collect()
+    assert(f.forall(_.size == 8))
+    assert(f.flatten.forall(v => v >= -1.0f && v <= 1.0f))
+  }
+
+  test("batched decode processes partitions in fixed-size batches") {
+    val media = (1L to 150L)
+      .map(i => MediaRow(i, s"payload-$i".getBytes("UTF-8")))
+      .toDS().repartition(2)
+    val decoded: Seq[DecodedRow] =
+      Multimodal.decodeBatched(media, batchSize = 32).collect().toSeq
+    assert(decoded.size == 150)
+    assert(decoded.map(_.id).distinct.size == 150)
+    assert(decoded.forall(_.batchSize <= 32))
+    // at least one full batch per partition (75 rows -> batches of 32)
+    assert(decoded.count(_.batchSize == 32) >= 64)
+    // stub decode must agree with the expression-form stub
+    val exprDims = Multimodal
+      .asMedia(media.toDF(), "id", $"payload", "image")
+      .select($"id", Multimodal.decodeImageStub($"payload").as("i"))
+      .select($"id", $"i.width", $"i.height").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    decoded.foreach(d => assert(exprDims(d.id) == ((d.width, d.height))))
+  }
+
+  test("resize and frame-sample stubs") {
+    val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "video")
+    val r = m.select(Multimodal.resizeStub(
+        Multimodal.decodeImageStub($"payload"), 224, 224).as("r"))
+      .select("r.width", "r.height").as[(Int, Int)].collect()
+    assert(r.forall(_ == ((224, 224))))
+    val frames = m.select(Multimodal.frameSampleStub($"payload", 10))
+      .as[Seq[Long]].collect()
+    assert(frames.forall(fs => fs.nonEmpty && fs.head == 0L))
+    assert(frames.forall(_.sliding(2).forall {
+      case Seq(a, b) => b - a == 10; case _ => true }))
+  }
+
+  test("bpe-ish tokens and rolling fingerprints") {
+    val df = Seq((1L, "Hello world, it's 42 times!")).toDF("doc_id", "text")
+    val n = df.select(size(TextOps.bpeishTokens($"text"))).as[Int].head()
+    assert(n == 8)
+    val fps = df.select(TextOps.rollingFingerprints($"text")).as[Seq[Long]].head()
+    assert(fps.nonEmpty)
+    assert(fps.forall(_ % 4 == 0))
+    val fps2 = df.select(TextOps.rollingFingerprints($"text")).as[Seq[Long]].head()
+    assert(fps == fps2)
+  }
+}
