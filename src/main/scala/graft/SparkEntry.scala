@@ -248,6 +248,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.buildIvf(emb, nCentroids = 16)
+      Similarity.ivfTopK(index, emb.filter(col("vec_id") < 20), 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 

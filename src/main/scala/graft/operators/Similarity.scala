@@ -97,6 +97,67 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) index: a KMeans coarse quantizer over the
+   * corpus. Centroid count ~ sqrt(corpus) keeps buckets balanced; the
+   * centroid table is tiny and rides along broadcast. At 100 TB the
+   * assignment is a narrow map stage over the corpus (one pass), and
+   * the `assigned` frame is what you persist, partitioned by bucket.
+   */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])],
+                            assigned: DataFrame)
+
+  def buildIvf(corpus: DataFrame, nCentroids: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("fv",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("bucket").fit(featured)
+    val assigned = model.transform(featured).drop("fv")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    IvfIndex(centroids, assigned)
+  }
+
+  /**
+   * IVF search: each query probes its `nprobe` nearest centroids and
+   * ranks only within those buckets. The centroid distance pass is a
+   * broadcast cross join against the (tiny) centroid table; the corpus
+   * side is filtered by bucket before any similarity math — at scale,
+   * with `assigned` partitioned by bucket, that's partition pruning.
+   */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int,
+              nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toDF("bucket", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    // nearest nprobe centroids per query (query side is small)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("bucket"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("bucket"),
+        (lit(1.0) - cosine(col("q_emb"), col("centroid"))).as("cdist"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("bucket"))
+    val sim = index.assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+      .join(broadcast(probes), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /**
    * Approximate top-k: queries and corpus are bucketed by [[srpBucket]];
    * ranking happens within the query's bucket only. Trades recall for a
    * single bucket-key shuffle — the standard SRP-LSH ANN layout.
