@@ -170,7 +170,29 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "cdc_sessionize" -> ((s, dir) =>
+      CdcOps.sessionize(t(s, dir, "events"))
+        .select(col("user_id"),
+          Cols.epochUs(col("session_start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
     // ---- scalar-function surface: JSON + cube (SURVEY §2.4 upgrades) ----
+    "q_scalar_functions" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          dayofmonth(col("l_shipdate")).cast("long").as("ship_day"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus"))
+            .as("flag_status"),
+          upper(col("l_linestatus")).as("ls_upper"),
+          length(col("l_returnflag")).cast("long").as("rf_len"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "cdc_json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -426,6 +448,36 @@ object SparkEntry {
              EXCEPT
              (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000))
            ORDER BY key""",
+
+      "cdc_sessionize" ->
+        """WITH d AS (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (
+             SELECT user_id, ts,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM d)
+           SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                  count(*) AS n_events
+           FROM s GROUP BY user_id, sid
+           ORDER BY user_id, session_start_us""",
+
+      "q_scalar_functions" ->
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+                  CAST(day(l_shipdate) AS BIGINT) AS ship_day,
+                  CAST(date_diff('day', DATE '1995-01-01',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since,
+                  l_returnflag || '-' || l_linestatus AS flag_status,
+                  upper(l_linestatus) AS ls_upper,
+                  CAST(length(l_returnflag) AS BIGINT) AS rf_len
+           FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
       "cdc_json_props" ->
         """SELECT event_type, count(*) AS n,

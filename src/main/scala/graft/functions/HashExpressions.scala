@@ -69,6 +69,38 @@ object HashExpressions {
     fp
   }
 
+  /**
+   * Rolling fingerprints: XXH64 over every k-byte sliding window of
+   * the string's UTF-8 bytes, mod-sampled (h % mod == 0) and
+   * deduplicated. Zero-copy: windows hash straight out of the
+   * UTF8String's backing memory.
+   */
+  def rollingFingerprints(s: UTF8String, k: Int, mod: Int): ArrayData = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    if (n <= k) {
+      val h = XXH64.hashUnsafeBytes(base, off, n, 0L)
+      if (java.lang.Math.floorMod(h, mod.toLong) == 0L) seen.add(h)
+    } else {
+      var i = 0
+      while (i <= n - k) {
+        val h = XXH64.hashUnsafeBytes(base, off + i, k, 0L)
+        if (java.lang.Math.floorMod(h, mod.toLong) == 0L) seen.add(h)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def rollingFpEval(input: Any, k: Int, mod: Int): ArrayData =
+    rollingFingerprints(input.asInstanceOf[UTF8String], k, mod)
+
   private def toUtf8Array(input: Any): Array[UTF8String] = {
     val arr = input.asInstanceOf[ArrayData]
     val out = new Array[UTF8String](arr.numElements())
@@ -125,6 +157,26 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** `rolling_fingerprints(string, k, mod) -> array<long>` (sorted set) */
+case class RollingFingerprintsExpr(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression {
+  require(k > 0 && mod > 0, s"invalid k=$k mod=$mod")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprints expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.rollingFpEval(input, k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressions.rollingFpEval($c, $k, $mod);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fingerprints"
+}
+
 /** Column-API front door for the custom expressions. */
 object functions {
 
@@ -135,4 +187,8 @@ object functions {
   /** 64-bit SimHash of a string-array column. */
   def simhash64(c: Column): Column =
     GraftBridge.toColumn(SimHash64Expr(GraftBridge.toExpression(c)))
+
+  /** Sorted set of mod-sampled rolling k-byte-gram hashes. */
+  def rolling_fingerprints(c: Column, k: Int, mod: Int): Column =
+    GraftBridge.toColumn(RollingFingerprintsExpr(GraftBridge.toExpression(c), k, mod))
 }

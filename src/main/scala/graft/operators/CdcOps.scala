@@ -126,6 +126,18 @@ object CdcOps {
   }
 
   /**
+   * Gap-based sessionization per transaction/user — `session_window`
+   * (a capability absent from the reference, SURVEY §2.4; state is
+   * bounded by the gap + watermark in streaming mode).
+   */
+  def sessionize(log: DataFrame, gap: String = "30 minutes",
+                 txidCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    log.groupBy(col(txidCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(txidCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /**
    * Pipe-delimited rendering of the change row — sink fidelity with the
    * reference's `chunk<i>` format (`WorkerRunnable.java:202-216`): all
    * columns stringified and `|`-joined. Timestamps are rendered as epoch

@@ -39,18 +39,16 @@ object TextOps {
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
   /**
-   * Rolling-hash document fingerprints: XXH64 over character `k`-grams,
-   * mod-sampled (hash % mod == 0, winnowing-style) and deduplicated —
-   * a compact sketch for containment/overlap detection. Narrow map
-   * stage; at 100 TB the fingerprint set (~len/mod values) is what
-   * shuffles, never the text.
+   * Rolling-hash document fingerprints: XXH64 over every `k`-byte
+   * sliding window, mod-sampled (hash % mod == 0, winnowing-style) and
+   * deduplicated — a compact sketch for containment/overlap detection.
+   * Custom zero-copy expression ([[graft.functions.RollingFingerprintsExpr]]):
+   * windows hash straight out of the UTF8String bytes, no per-window
+   * substring allocation. At 100 TB the fingerprint set (~len/mod
+   * values) is what shuffles, never the text.
    */
-  def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
-      i => xxhash64(call_function("substring", text, i, lit(k))))
-    array_distinct(filter(grams, h => pmod(h, lit(mod)) === 0))
-  }
+  def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column =
+    graft.functions.functions.rolling_fingerprints(text, k, mod)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
