@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * Session extension registering the engine's custom expressions in the
+ * SQL function registry, so `spark.sql("SELECT simhash64(...)")` works
+ * alongside the Column API:
+ *
+ * {{{
+ * SparkSession.builder()
+ *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+ * }}}
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName,
+        "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => MinHashSignatureExpr(child, 32)
+        case Seq(child, p) => MinHashSignatureExpr(child, intArg(p, "perms"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(array<string>[, perms])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimHash64Expr(child)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(array<string>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fingerprints"),
+      new ExpressionInfo(classOf[RollingFingerprintsExpr].getName,
+        "rolling_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => RollingFingerprintsExpr(child, 8, 4)
+        case Seq(child, k, m) =>
+          RollingFingerprintsExpr(child, intArg(k, "k"), intArg(m, "mod"))
+        case _ => throw new IllegalArgumentException(
+          "rolling_fingerprints(string[, k, mod])")
+      }))
+  }
+}
