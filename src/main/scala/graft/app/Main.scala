@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.model.EventGroups
 import graft.sources.ChangeLogSource
-import graft.streaming.{ChangeEvent, ChangeLogBuffers, ExtractionPipeline, StalenessListener}
+import graft.streaming.{ChangeEvent, ChangeLogBuffers, ExtractionPipeline, FileChangeLogStream, StalenessListener}
 import graft.util.Cols
 
 /**
@@ -39,6 +39,10 @@ object Main {
       case other => other.split(",").toSeq
     }
 
+    // -Dgraft.sourceDir=<dir of parquet segments> switches from the
+    // in-process buffer to the file-backed source (production shape).
+    val sourceDir = sys.props.get("graft.sourceDir")
+
     val spark = SparkSession.builder()
       .master(s"local[$partitions]")
       .appName("graft-extractor")
@@ -51,34 +55,43 @@ object Main {
     val listener = new StalenessListener()
     spark.streams.addListener(listener)
 
-    // Feeder: replay the events table into the buffer in batches.
-    val rows = ChangeLogSource.table(spark, sfDir, "events")
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .collect()
-      .map(r => ChangeEvent(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
-        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
-      .sortBy(_.eventId)
-    val bufName = s"main-${System.nanoTime()}"
-    val buffer = ChangeLogBuffers.get(bufName)
-    val feeder = new Thread(() => {
-      rows.grouped(math.max(1, rows.length / 20)).foreach { chunk =>
-        buffer.append(chunk.toSeq)
-        Thread.sleep(triggerMs / 2)
-      }
-    }, "changelog-feeder")
-    feeder.setDaemon(true)
-
-    val stream = ExtractionPipeline.readChangeLog(spark, bufName,
-      Some(tables), numPartitions = partitions)
+    val total = ChangeLogSource.table(spark, sfDir, "events").count()
+    val stream = sourceDir match {
+      case Some(d) =>
+        val r = spark.readStream.format(FileChangeLogStream.FormatName)
+          .option("path", d)
+        (if (tables != EventGroups.All)
+          r.option("tables", tables.mkString(",")) else r).load()
+      case None =>
+        // Feeder: replay the events table into the buffer in batches.
+        val rows = ChangeLogSource.table(spark, sfDir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .collect()
+          .map(r => ChangeEvent(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+          .sortBy(_.eventId)
+        val bufName = s"main-${System.nanoTime()}"
+        val buffer = ChangeLogBuffers.get(bufName)
+        val feeder = new Thread(() => {
+          rows.grouped(math.max(1, rows.length / 20)).foreach { chunk =>
+            buffer.append(chunk.toSeq)
+            Thread.sleep(triggerMs / 2)
+          }
+        }, "changelog-feeder")
+        feeder.setDaemon(true)
+        feeder.start()
+        ExtractionPipeline.readChangeLog(spark, bufName, Some(tables),
+          numPartitions = partitions)
+    }
     val query = ExtractionPipeline.start(stream, outDir,
       s"$outDir-checkpoint", triggerMs)
 
-    feeder.start()
     query.awaitTermination(runMs) // runDuration ≙ `Client.java:34-42`
     query.stop()
 
     val extracted = spark.read.text(outDir).count()
-    println(s"EXTRACTED rows=$extracted of=${rows.length} tables=$group")
+    println(s"EXTRACTED rows=$extracted of=$total tables=$group" +
+      s" source=${sourceDir.fold("buffer")(_ => "files")}")
     listener.samples.takeRight(3).foreach(s => println(s"METRIC $s"))
     spark.stop()
   }
