@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.EventGroups
+import graft.model.{EventGroups, TableGroups}
 import graft.util.Cols
 import graft.operators.{CdcOps, Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.sources.ChangeLogSource
@@ -169,6 +169,11 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+
+    "cdc_audit_envelope" -> ((s, dir) =>
+      graft.sources.AuditLogGenerator.pipeFormat(
+          graft.sources.AuditLogGenerator.auditEvents(s, dir))
+        .orderBy(col("event_id"))),
 
     "cdc_sessionize" -> ((s, dir) =>
       CdcOps.sessionize(t(s, dir, "events"))
@@ -448,6 +453,29 @@ object SparkEntry {
              EXCEPT
              (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000))
            ORDER BY key""",
+
+      "cdc_audit_envelope" -> {
+        val tbls = TableGroups.All.map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""SELECT event_id, concat_ws('|',
+                  event_id, 'audit',
+                  ($tbls)[CAST(event_id % 9 AS INT) + 1],
+                  (event_id * 2654435761) % 100000,
+                  'benchmarksql',
+                  epoch_us(ts), epoch_us(ts) + 1000, epoch_us(ts) + 2000,
+                  user_id, 'graft',
+                  '10.0.0.' || (user_id % 256),
+                  5432 + (user_id % 100),
+                  'INSERT INTO ' || ($tbls)[CAST(event_id % 9 AS INT) + 1],
+                  CASE WHEN event_type IN ('signup', 'purchase') THEN 'I'
+                       WHEN event_type IN ('click', 'view') THEN 'U'
+                       ELSE 'D' END,
+                  '"k"=>"' || json_extract_string(props, '$$.k') || '", "v"=>"'
+                    || CAST(value AS DECIMAL(18,2)) || '"',
+                  CASE WHEN event_type IN ('signup', 'purchase') THEN 'null'
+                       ELSE '"v"=>"' || CAST(value AS DECIMAL(18,2)) || '"' END,
+                  'false') AS line
+            FROM events ORDER BY event_id"""
+      },
 
       "cdc_sessionize" ->
         """WITH d AS (
