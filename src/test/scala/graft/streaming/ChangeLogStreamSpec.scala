@@ -119,6 +119,29 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(cols(6) == (1700000000000000L + 2000000L).toString)
   }
 
+  test("streaming throughput query aggregates per-minute with watermark") {
+    val name = freshName()
+    val base = 1700000040000L // minute-aligned epoch millis
+    ChangeLogBuffers.get(name).append(Seq(
+      ChangeEvent(1L, base * 1000L, 1L, "click", 1.0, "p"),
+      ChangeEvent(2L, (base + 10000) * 1000L, 2L, "view", 1.0, "p"),
+      ChangeEvent(3L, (base + 70000) * 1000L, 1L, "click", 1.0, "p"),
+      ChangeEvent(4L, (base + 200000) * 1000L, 3L, "view", 1.0, "p")))
+    val q = ExtractionPipeline
+      .throughputQuery(ExtractionPipeline.readChangeLog(spark, name))
+      .writeStream.format("memory").queryName(s"m$name")
+      .outputMode("update").option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(s"m$name")
+        .select($"minute", $"n_events").as[(java.sql.Timestamp, Long)]
+        .collect().map { case (m, n) => m.getTime -> n }.toMap
+      assert(got(base) == 2L)          // minute 0: events 1, 2
+      assert(got(base + 60000) == 1L)  // minute 1: event 3
+      assert(got(base + 180000) == 1L) // minute 3: event 4
+    } finally q.stop()
+  }
+
   test("staleness listener derives now - eventTime.max with running avg") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     val fixedNow = 1700000100000L // event ts + 100 s
