@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + codegen + parquet-footer caches cost 5-20s
+    // on the first job of a JVM; without this the alphabetically-first
+    // query absorbs it all.
+    try spark.range(1000000).selectExpr("sum(id)").write
+      .mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every output column
     // (count() would let Catalyst prune the projection and undercount
     // the real work).

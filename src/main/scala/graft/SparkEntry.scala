@@ -295,11 +295,11 @@ object SparkEntry {
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
     val stopIn = TextOps.EnglishStopwords.map(x => s"'$x'").mkString("(", ", ", ")")
-    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val norm = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
     val discPrice = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
-    val toks = "regexp_extract_all(text, '\\S+')"
-    val wtoks = "regexp_extract_all(lower(text), '[a-z]+')"
+    val toks = "regexp_extract_all(coalesce(text, ''), '\\S+')"
+    val wtoks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')"
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
     val cos = "list_dot_product(q, n) / " +
       "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(n, n)))"

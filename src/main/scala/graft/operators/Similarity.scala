@@ -111,7 +111,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("fv",
       array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("bucket").fit(featured)
     val assigned = model.transform(featured).drop("fv")
     val centroids = model.clusterCenters.zipWithIndex

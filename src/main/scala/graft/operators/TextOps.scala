@@ -14,16 +14,21 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
+  // All text entry points coalesce null -> "" so null documents flow
+  // through every operator as empty (0 tokens, empty fingerprint)
+  // instead of poisoning downstream expressions with SQL nulls.
+
   /** Tokens = maximal runs of non-whitespace. */
-  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+  def tokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit("\\S+"), lit(0))
 
   /** Lower-cased alphabetic word tokens (for language/stopword stats). */
   def wordTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    regexp_extract_all(lower(coalesce(text, lit(""))), lit("[a-z]+"), lit(0))
 
   /** Whitespace-normalized text: lower, collapse runs, trim. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "))
 
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
@@ -36,7 +41,7 @@ object TextOps {
 
   /** BPE-ish sub-word-ready tokens of the raw text. */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(text, lit(BpePattern), lit(0))
+    regexp_extract_all(coalesce(text, lit("")), lit(BpePattern), lit(0))
 
   /**
    * Rolling-hash document fingerprints: XXH64 over every `k`-byte
@@ -48,7 +53,7 @@ object TextOps {
    * values) is what shuffles, never the text.
    */
   def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column =
-    graft.functions.functions.rolling_fingerprints(text, k, mod)
+    graft.functions.functions.rolling_fingerprints(coalesce(text, lit("")), k, mod)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -70,7 +75,7 @@ object TextOps {
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_text"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("n_chars_text"),
       size(toks).cast("long").as("n_tokens"),
       (totalTokenLen(toks).cast("double") /
         greatest(size(toks).cast("double"), lit(1.0))).as("avg_token_len"))
@@ -87,8 +92,8 @@ object TextOps {
     val nStop = stopwordCount(toks).cast("double")
     val avgLen = totalTokenLen(toks).cast("double") / greatest(nTok, lit(1.0))
     val stopRatio = nStop / greatest(nTok, lit(1.0))
-    val lenOk = when(length(col("text")).between(20, 100000), lit(1.0))
-      .otherwise(lit(0.0))
+    val lenOk = when(length(coalesce(col("text"), lit("")))
+      .between(20, 100000), lit(1.0)).otherwise(lit(0.0))
     val tokOk = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
     val stopOk = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
     docs.select(

@@ -22,6 +22,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(4L)._3 == 1L)
   }
 
+  test("null documents flow through all text/dedup operators as empty") {
+    val docs = Seq((1L, Option("real text here with words")),
+        (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ts = TextOps.tokenStats(docs).as[(Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ts(2L)._2 == 0L && ts(2L)._3 == 0L && ts(2L)._4 == 0.0)
+    val fp = docs.select($"doc_id", TextOps.fingerprint($"text").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(2L) != null && fp(2L).nonEmpty) // md5 of "", not null
+    val q = TextOps.qualityScore(docs).select("doc_id", "quality")
+      .as[(Long, Double)].collect().toMap
+    assert(q(2L) == 0.0)
+    val groups = Dedup.exactGroups(docs).count()
+    assert(groups == 2L)
+    val rfp = docs.select(TextOps.rollingFingerprints($"text"))
+      .as[Seq[Long]].collect()
+    assert(rfp.forall(_ != null))
+    val sh = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    assert(sh.contains(2L))
+  }
+
   test("langIdHeuristic flags stopword-dense text as en") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog"),
