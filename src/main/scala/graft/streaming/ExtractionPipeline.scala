@@ -61,15 +61,18 @@ object ExtractionPipeline {
       .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dim = CdcOps.commitTsDim(batch)
         val enriched = CdcOps.enrichCommitTs(batch, dim)
+        // batchId-keyed overwrite => idempotent on micro-batch retry
+        // (append would double-write a replayed batch); the directory
+        // reads back as a partitioned text table.
         enriched.select(
             CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
               col("user_id"), col("event_type"),
               col("value").cast("decimal(18,2)"), col("props"),
               Cols.epochUs(col("commit_ts")))).as("line"))
-          .write.mode("append").text(outDir)
+          .write.mode("overwrite").text(s"$outDir/batch=$batchId")
         ()
       }
       .start()

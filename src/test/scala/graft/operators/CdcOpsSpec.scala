@@ -83,4 +83,17 @@ class CdcOpsSpec extends SparkSpec {
     assert(got("view")._3 == 7.5)
     assert(math.abs(got("view")._4 - 3.75) < 1e-12)
   }
+
+  test("typed Dataset[AuditEvent] round-trips the envelope") {
+    val ds = graft.model.AuditDataset.auditEvents(spark, "/root/testdata/sf0.001")
+    val e = ds.filter(_.eventId == 1L).head()
+    assert(e.schemaName == "audit")
+    assert(e.tableName == "bmsql_warehouse")
+    assert(e.transactionId >= 0)
+    assert(Seq("I", "U", "D").contains(e.action))
+    assert(e.rowData.contains("k") && e.rowData.contains("v"))
+    assert(e.actionTstampStm.getTime - e.actionTstampTx.getTime == 1L)
+    assert(!e.statementOnly)
+    assert(ds.count() == 1000L)
+  }
 }

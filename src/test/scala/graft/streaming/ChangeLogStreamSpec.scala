@@ -110,7 +110,7 @@ class ChangeLogStreamSpec extends SparkSpec {
     val stream = ExtractionPipeline.readChangeLog(spark, name)
     val q = ExtractionPipeline.start(stream, out, tmp(), triggerMs = 100L)
     try q.processAllAvailable() finally q.stop()
-    val lines = spark.read.text(out).as[String].collect().sorted
+    val lines = spark.read.text(out).select("value").as[String].collect().sorted
     assert(lines.length == 2)
     val cols = lines.head.split('|')
     assert(cols.length == 7)
