@@ -175,6 +175,22 @@ object SparkEntry {
           graft.sources.AuditLogGenerator.auditEvents(s, dir))
         .orderBy(col("event_id"))),
 
+    "cdc_snapshot_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      CdcOps.snapshotAsOf(ev, Cols.tsLit(ev, "ts", "2024-01-15 00:00:00"))
+        .select(col("user_id"), col("event_id"),
+          Cols.epochUs(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "cdc_changes_between" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      CdcOps.changesBetween(ev,
+          Cols.tsLit(ev, "ts", "2024-01-10 00:00:00"),
+          Cols.tsLit(ev, "ts", "2024-01-20 00:00:00"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc_sessionize" -> ((s, dir) =>
       CdcOps.sessionize(t(s, dir, "events"))
         .select(col("user_id"),
@@ -476,6 +492,29 @@ object SparkEntry {
                   'false') AS line
             FROM events ORDER BY event_id"""
       },
+
+      "cdc_snapshot_asof" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1 ORDER BY user_id""",
+
+      "cdc_changes_between" ->
+        """WITH r AS (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS rn_first,
+                     row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn_last
+             FROM events
+             WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+               AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+           SELECT user_id, count(*) AS n_changes,
+                  min(event_id) AS first_event_id,
+                  max(event_id) AS last_event_id,
+                  max(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+                  max(CASE WHEN rn_last = 1 THEN value END) AS last_value
+           FROM r GROUP BY user_id ORDER BY user_id""",
 
       "cdc_sessionize" ->
         """WITH d AS (

@@ -126,6 +126,49 @@ object CdcOps {
   }
 
   /**
+   * Snapshot-as-of: reconstruct each entity's latest change at or
+   * before `asOf` — the state a consumer of the extracted change log
+   * materializes (what the reference's downstream "query" would read
+   * at freshness point `uptodate`, `QueryRequestRunnable.java:30-53`).
+   * One window per entity; at scale the window partitions by the
+   * entity key, so it shuffles once on that key — no global sort.
+   */
+  def snapshotAsOf(log: DataFrame, asOf: Column,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   offsetCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(offsetCol).desc)
+    log.filter(col(tsCol) <= asOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Time-travel diff: per-entity change summary over `(from, to]` —
+   * how many changes landed and the value movement between two
+   * freshness points.
+   */
+  def changesBetween(log: DataFrame, from: Column, to: Column,
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     offsetCol: String = "event_id"): DataFrame = {
+    val inRange = log.filter(col(tsCol) > from && col(tsCol) <= to)
+    val wAsc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(offsetCol).asc)
+    inRange
+      .withColumn("__rn_first", row_number().over(wAsc))
+      .withColumn("__rn_last", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col(offsetCol).desc)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_changes"),
+        min(col(offsetCol)).as("first_event_id"),
+        max(col(offsetCol)).as("last_event_id"),
+        max(when(col("__rn_first") === 1, col("value"))).as("first_value"),
+        max(when(col("__rn_last") === 1, col("value"))).as("last_value"))
+  }
+
+  /**
    * Gap-based sessionization per transaction/user — `session_window`
    * (a capability absent from the reference, SURVEY §2.4; state is
    * bounded by the gap + watermark in streaming mode).
