@@ -273,6 +273,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus-level sketches (mergeable aggregate) ----
+    "sketch_lang_minhash" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        idCol = "doc_id")
+      val withLang = sh.join(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      withLang
+        .select(col("lang"), Dedup.minhashSignature(col("sh"), 32).as("sig"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.MinHashUnion.minhash_union(col("sig")).as("u"))
+        .select(col("lang"),
+          array_join(transform(col("u"), x => x.cast("string")), ",").as("sig_csv"))
+        .orderBy(col("lang"))
+    }),
+
+    "sketch_lang_similarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleSets(
+        docs.select(col("doc_id"), col("text")), idCol = "doc_id")
+      val sketches = sh.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), Dedup.minhashSignature(col("sh"), 32).as("sig"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.MinHashUnion.minhash_union(col("sig")).as("u"))
+      val a = sketches.select(col("lang").as("lang_a"), col("u").as("u_a"))
+      val b = sketches.select(col("lang").as("lang_b"), col("u").as("u_b"))
+      a.crossJoin(broadcast(b)).filter(col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          graft.functions.MinHashUnion.estimatedJaccard(col("u_a"), col("u_b"))
+            .as("est_jaccard"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // ---- similarity search ----
     "sim_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -87,4 +87,21 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(fps(1L), fps(3L)) < hamming(fps(1L), fps(4L)))
   }
+
+  test("minhash-union sketch: group signature = elementwise min; estimator sane") {
+    import graft.functions.MinHashUnion
+    val sh = Dedup.shingleSets(docs, 3)
+      .select($"doc_id", Dedup.minhashSignature($"sh", 16).as("sig"))
+    val perDoc = sh.as[(Long, Seq[Long])].collect().toMap
+    val unioned = sh.agg(MinHashUnion.minhash_union($"sig", 16))
+      .as[Seq[Long]].head()
+    val expected = perDoc.values.reduce((a, b) =>
+      a.zip(b).map { case (x, y) => math.min(x, y) })
+    assert(unioned == expected)
+    // estimator: identical sketches -> 1.0
+    val est = sh.limit(1)
+      .select(MinHashUnion.estimatedJaccard($"sig", $"sig"))
+      .as[Double].head()
+    assert(est == 1.0)
+  }
 }
