@@ -97,12 +97,15 @@ object Dedup {
    */
   def lshCandidatePairs(docs: DataFrame, perms: Int = 32, bands: Int = 8,
                         k: Int = 3): DataFrame = {
+    // Self-join with IDENTICAL child plans (alias only at the join) so
+    // ReuseExchange evaluates the bucket subtree once instead of twice.
     val b = lshBuckets(docs, perms, bands, k)
-    val l = b.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
