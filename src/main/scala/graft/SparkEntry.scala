@@ -136,6 +136,15 @@ object SparkEntry {
       Relational.segmentExceptBigSpenders(t(s, dir, "customer"),
         t(s, dir, "orders"), 300000.0)),
 
+    "q17_small_quantity" -> ((s, dir) =>
+      Relational.q17SmallQuantity(t(s, dir, "part"), t(s, dir, "lineitem"),
+        "Brand#1")),
+
+    "profile_lineitem" -> ((s, dir) =>
+      graft.operators.Profiler.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("col_name"))),
+
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
@@ -607,6 +616,30 @@ object SparkEntry {
                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   md5(text) AS checksum
            FROM documents ORDER BY doc_id""",
+
+      "q17_small_quantity" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN (SELECT l_partkey AS pk,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*) AS avg_qty
+                 FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+           WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty""",
+
+      "profile_lineitem" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name,
+                     count(*) - count($c) AS n_nulls,
+                     count(DISTINCT $c) AS n_distinct,
+                     CAST(min($c) AS VARCHAR) AS min_value,
+                     CAST(max($c) AS VARCHAR) AS max_value,
+                     count($c) AS n_nonnull
+              FROM lineitem"""
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+          .map(one).mkString("SELECT * FROM (", " UNION ALL ",
+            ") ORDER BY col_name")
+      },
 
       "dedup_exact_groups" ->
         s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,

@@ -144,6 +144,27 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /**
+   * TPC-H Q17-style: revenue impact of small-quantity orders — a
+   * correlated scalar subquery (`l_quantity < 0.2 * avg(qty) per
+   * part`). Catalyst decorrelates it into an aggregate + join; the
+   * per-part average is exact decimal math so the threshold compare is
+   * engine-stable.
+   */
+  def q17SmallQuantity(part: DataFrame, lineitem: DataFrame,
+                       brand: String = "BRAND_1"): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === brand)),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
   /** Set difference: target-segment customers that lack a big order. */
   def segmentExceptBigSpenders(customer: DataFrame, orders: DataFrame,
                                minTotal: Double): DataFrame =
