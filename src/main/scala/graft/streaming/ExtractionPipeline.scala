@@ -77,6 +77,18 @@ object ExtractionPipeline {
       }
       .start()
 
+  /**
+   * Deduplicate redelivered change events by offset within the
+   * watermark window — upgrades an at-least-once upstream (e.g. a
+   * connector that replays on reconnect) to exactly-once downstream
+   * without unbounded state: `dropDuplicatesWithinWatermark` evicts
+   * seen-offset state once the event-time watermark passes.
+   */
+  def dedupRedeliveries(stream: DataFrame,
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming per-minute throughput aggregation (T6) with watermarked
     * state eviction — the windowed counters of `WorkerRunnable
     * .java:158-179` without the unbounded maps. */

@@ -119,6 +119,31 @@ class ChangeLogStreamSpec extends SparkSpec {
     assert(cols(6) == (1700000000000000L + 2000000L).toString)
   }
 
+  test("dedupRedeliveries drops replayed offsets within the watermark") {
+    val input = MemoryStream[ChangeEvent](spark)
+    val deduped = ExtractionPipeline.dedupRedeliveries(
+      input.toDS().toDF(
+        "event_id", "tsMicros", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_micros(tsMicros)")).drop("tsMicros"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData(
+        ChangeEvent(1, t0, 1, "click", 1.0, "p"),
+        ChangeEvent(2, t0 + 1000000, 1, "view", 1.0, "p"),
+        ChangeEvent(1, t0, 1, "click", 1.0, "p")) // redelivery, same batch
+      q.processAllAvailable()
+      // redelivery across batches, still inside the watermark window
+      input.addData(ChangeEvent(2, t0 + 1000000, 1, "view", 1.0, "p"),
+        ChangeEvent(3, t0 + 2000000, 1, "click", 1.0, "p"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id")
+        .as[Long].collect()
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming throughput query aggregates per-minute with watermark") {
     val name = freshName()
     val base = 1700000040000L // minute-aligned epoch millis
