@@ -145,6 +145,16 @@ object SparkEntry {
           Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         .orderBy(col("col_name"))),
 
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("q"))
+        .select(col("l_returnflag"),
+          array_join(transform(col("q"), x => round(x, 4).cast("string")), ",")
+            .as("quantiles"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
@@ -640,6 +650,13 @@ object SparkEntry {
           .map(one).mkString("SELECT * FROM (", " UNION ALL ",
             ") ORDER BY col_name")
       },
+
+      "q_percentiles" ->
+        """SELECT l_returnflag,
+                  array_to_string(list_transform(
+                    quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                    x -> CAST(round(x, 4) AS VARCHAR)), ',') AS quantiles
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
       "dedup_exact_groups" ->
         s"""SELECT md5($norm) AS content_key, min(doc_id) AS keep_id,
