@@ -49,6 +49,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object FileChangeLogStream {
   val FormatName: String = classOf[FileChangeLogTableProvider].getName
 
+  /**
+   * Land a change-log batch as one immutable parquet segment (the
+   * producer side of this source): micros timestamps, one file per
+   * call. Segment files must cover non-overlapping, monotonically
+   * increasing `event_id` spans for offset discovery to be meaningful.
+   */
+  def writeSegment(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.coalesce(1).write.mode("append").parquet(dir)
+  }
+
   /** (minId, maxId) span of one segment file, from footer stats only. */
   private[streaming] def fileSpan(conf: Configuration, f: Path): (Long, Long) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))

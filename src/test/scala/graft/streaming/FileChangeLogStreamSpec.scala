@@ -12,14 +12,12 @@ class FileChangeLogStreamSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("fcl").toString
 
-  private def writeSegment(dir: String, ids: Range, baseMs: Long): Unit = {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    ids.map(i => (i.toLong, new Timestamp(baseMs + i * 1000L), i.toLong % 5,
-        if (i % 2 == 0) "click" else "purchase", i + 0.5, s"p$i"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1)
-      .write.mode("append").parquet(dir)
-  }
+  private def writeSegment(dir: String, ids: Range, baseMs: Long): Unit =
+    FileChangeLogStream.writeSegment(
+      ids.map(i => (i.toLong, new Timestamp(baseMs + i * 1000L), i.toLong % 5,
+          if (i % 2 == 0) "click" else "purchase", i + 0.5, s"p$i"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      dir)
 
   test("streams the driver's nanos-timestamp parquet byte-for-byte") {
     val dir = tmp()
