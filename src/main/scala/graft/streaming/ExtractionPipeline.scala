@@ -89,6 +89,29 @@ object ExtractionPipeline {
     stream.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Stream-stream interval join: correlate two change streams on a
+   * key within an event-time window (e.g. "purchase within 1 hour of
+   * a click by the same user"). Both sides carry watermarks so the
+   * join state is bounded — buffered rows are evicted once the
+   * watermark passes the interval.
+   */
+  def correlate(left: DataFrame, right: DataFrame,
+                keyCol: String = "user_id",
+                within: String = "1 hour",
+                watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming per-minute throughput aggregation (T6) with watermarked
     * state eviction — the windowed counters of `WorkerRunnable
     * .java:158-179` without the unbounded maps. */

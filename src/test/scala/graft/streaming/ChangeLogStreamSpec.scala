@@ -144,6 +144,28 @@ class ChangeLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates events within the window") {
+    val name = freshName()
+    val t0 = 1700000000000000L
+    ChangeLogBuffers.get(name).append(Seq(
+      ChangeEvent(1, t0, 7, "click", 1.0, "p"),
+      ChangeEvent(2, t0 + 600L * 1000000, 7, "purchase", 9.0, "p"),   // +10 min
+      ChangeEvent(3, t0 + 7200L * 1000000, 7, "purchase", 9.0, "p"),  // +2 h: outside
+      ChangeEvent(4, t0 + 300L * 1000000, 8, "purchase", 9.0, "p")))  // other user
+    val src = ExtractionPipeline.readChangeLog(spark, name)
+    val joined = ExtractionPipeline.correlate(
+      src.filter($"event_type" === "click"),
+      src.filter($"event_type" === "purchase"))
+    val q = joined.writeStream.format("memory").queryName(s"m$name")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(s"m$name")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect()
+      assert(got.toSeq == Seq((1L, 2L))) // only the within-window same-user pair
+    } finally q.stop()
+  }
+
   test("streaming throughput query aggregates per-minute with watermark") {
     val name = freshName()
     val base = 1700000040000L // minute-aligned epoch millis
