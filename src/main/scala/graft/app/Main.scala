@@ -93,6 +93,9 @@ object Main {
     println(s"EXTRACTED rows=$extracted of=$total tables=$group" +
       s" source=${sourceDir.fold("buffer")(_ => "files")}")
     listener.samples.takeRight(3).foreach(s => println(s"METRIC $s"))
+    // S6: the staleness/throughput CSV the reference's sampler wrote
+    graft.sinks.Sinks.writeMetricsCsv(listener, spark, s"$outDir-metrics")
+    println(s"METRICS_CSV $outDir-metrics")
     spark.stop()
   }
 }
