@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Dev-only profiling harness: runs the named queries (or all) `reps`
+ * times in one warm session and prints per-run timings, so real
+ * per-query cost is visible without JVM/codegen warmup noise.
+ *
+ * Usage: runMain graft.BenchProfile [reps] [query ...]
+ */
+object BenchProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try spark.range(1000000).selectExpr("sum(id)").write
+      .mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name%-28s ${ts.map(t => f"$t%8.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

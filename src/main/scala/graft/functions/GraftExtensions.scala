@@ -54,5 +54,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "rolling_fingerprints(string[, k, mod])")
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(array<float|double>, array<float|double>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_product(array<float|double>, array<float|double>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucketExpr].getName, "srp_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(emb) => SrpBucketExpr(emb, 8)
+        case Seq(emb, p) => SrpBucketExpr(emb, intArg(p, "planes"))
+        case _ => throw new IllegalArgumentException(
+          "srp_bucket(array<float|double>[, planes])")
+      }))
   }
 }

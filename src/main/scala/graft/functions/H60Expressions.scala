@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * The cross-engine "h60" hash family: the first 15 hex digits of MD5
+ * parsed as a 60-bit non-negative long — chosen because BOTH Spark and
+ * DuckDB can compute it from SQL builtins
+ * (`conv(substr(md5(s),1,15),16,10)` / `('0x'||substr(md5(s),1,15))::BIGINT`),
+ * which turns the sketch operators built on it (SimHash, MinHash + LSH,
+ * rolling fingerprints) into fully DuckDB-oracle-verifiable queries.
+ *
+ * The expressions below are the fast JVM path: one MessageDigest call
+ * (or none — the rolling fingerprint is pure arithmetic) and a tight
+ * loop per row, no interpreted higher-order lambdas. xxhash64-based
+ * siblings in [[HashExpressions]] remain the rawest-throughput option;
+ * the engine's verified surface uses h60.
+ */
+object H60 {
+
+  /** 2³¹−1, the Mersenne prime used for MinHash permutations and the
+    * rolling polynomial hash: products of two values < P stay < 2⁶²,
+    * so plain BIGINT arithmetic is exact in both engines. */
+  val P: Long = 2147483647L
+
+  /** Rolling-hash base (prime, < 2²¹ so base·P < 2⁶³). */
+  val B: Long = 1000003L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** h60 of raw bytes: first 15 hex digits of MD5 as a long. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** h60 of a string's UTF-8 bytes (plain Scala — usable at oracle-SQL
+    * generation time with no session). */
+  def hash(s: String): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** MinHash permutation coefficients, derived from h60 itself so the
+    * identical literals can be embedded in oracle SQL:
+    * aⱼ = h60("a:j") mod (P−1) + 1 (non-zero), bⱼ = h60("b:j") mod P. */
+  def permA(j: Int): Long = hash(s"a:$j") % (P - 1) + 1
+  def permB(j: Int): Long = hash(s"b:$j") % P
+
+  /** SimHash over 60-bit token hashes: bit-vote majority (ties → 0). */
+  def simhash(elems: Array[UTF8String]): Long = {
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < elems.length) {
+      val s = elems(i)
+      if (s != null) {
+        val h = hash(s)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature: sigⱼ = min over elems of (aⱼ·x + bⱼ) mod P,
+    * x = h60(elem) mod P. Empty input → all-P sentinel (P is above any
+    * real value, so it is the identity for elementwise-min union). */
+  def minhash(elems: Array[UTF8String], perms: Int): ArrayData = {
+    val mins = Array.fill(perms)(P)
+    var i = 0
+    while (i < elems.length) {
+      val s = elems(i)
+      if (s != null) {
+        val x = hash(s) % P
+        var j = 0
+        while (j < perms) {
+          val v = (permA(j) * x + permB(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /**
+   * Rolling polynomial fingerprints over every `k`-byte window:
+   * h = fold(h·B + byte mod P), mod-sampled (h % mod == 0, winnowing
+   * style), deduplicated, sorted. O(1) per window via the rolling
+   * update; a text shorter than `k` (including empty → h 0) hashes
+   * whole. Byte == character for ASCII, which is what makes the DuckDB
+   * `ord(substr(...))`-based oracle equivalent.
+   */
+  def rollingFingerprints(s: UTF8String, k: Int, mod: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    if (n <= k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+      if (h % mod == 0L) seen.add(h)
+    } else {
+      // B^(k-1) mod P, for removing the outgoing byte
+      var bk = 1L
+      var e = 0
+      while (e < k - 1) { bk = (bk * B) % P; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+      if (h % mod == 0L) seen.add(h)
+      while (i < n) {
+        val out = (bytes(i - k) & 0xffL) * bk % P
+        h = ((h - out + P) % P * B + (bytes(i) & 0xffL)) % P
+        if (h % mod == 0L) seen.add(h)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def toUtf8Array(input: Any): Array[UTF8String] = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[UTF8String](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    out
+  }
+
+  def simhashEval(input: Any): Long = simhash(toUtf8Array(input))
+  def minhashEval(input: Any, perms: Int): ArrayData =
+    minhash(toUtf8Array(input), perms)
+  def rollingFpEval(input: Any, k: Int, mod: Int): ArrayData =
+    rollingFingerprints(input.asInstanceOf[UTF8String], k, mod)
+}
+
+/** `simhash60(array<string>) -> long` (60-bit, oracle-verifiable) */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = H60.simhashEval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.H60.simhashEval($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash60"
+}
+
+/** `minhash60(array<string>, perms) -> array<long>` (oracle-verifiable) */
+case class MinHash60Expr(child: Expression, perms: Int) extends UnaryExpression {
+  require(perms > 0 && perms <= 512, s"perms out of range: $perms")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash60 expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = H60.minhashEval(input, perms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.H60.minhashEval($c, $perms);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash60"
+}
+
+/** `rolling_poly_fp(string, k, mod) -> array<long>` (sorted set,
+  * oracle-verifiable polynomial rolling hash) */
+case class RollingPolyFpExpr(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression {
+  require(k > 0 && mod > 0, s"invalid k=$k mod=$mod")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_poly_fp expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = H60.rollingFpEval(input, k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.H60.rollingFpEval($c, $k, $mod);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_poly_fp"
+}

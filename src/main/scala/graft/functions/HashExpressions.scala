@@ -191,4 +191,18 @@ object functions {
   /** Sorted set of mod-sampled rolling k-byte-gram hashes. */
   def rolling_fingerprints(c: Column, k: Int, mod: Int): Column =
     GraftBridge.toColumn(RollingFingerprintsExpr(GraftBridge.toExpression(c), k, mod))
+
+  /** Cosine similarity of two float/double array columns (double). */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.toColumn(CosineSimExpr(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Dot product of two float/double array columns (double). */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.toColumn(DotProductExpr(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Sign-random-projection bucket id over deterministic hyperplanes. */
+  def srp_bucket(emb: Column, planes: Int): Column =
+    GraftBridge.toColumn(SrpBucketExpr(GraftBridge.toExpression(emb), planes))
 }

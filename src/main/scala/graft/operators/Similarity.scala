@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (`embeddings` table:
  * `vec_id, embedding: array<float>, label`).
  *
- * All vector math is higher-order column expressions (`zip_with` +
- * `aggregate`) in double precision — codegen'd, no UDF, deterministic.
+ * All vector math runs through the custom codegen expressions in
+ * [[graft.functions.VectorExpressions]] (one tight JVM loop per row, no
+ * interpreted higher-order lambdas) in double precision, accumulating
+ * in element order so results are bit-identical to the DuckDB oracle's
+ * `list_dot_product`.
  *
  * Scale design:
  *  - [[bruteForceTopK]] broadcasts the (small) query set and streams the
@@ -24,14 +27,15 @@ object Similarity {
 
   /** Dot product of two numeric arrays, accumulated in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.functions.dot_product(a, b)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision (single pass over both
+    * arrays; same accumulation order as the dot/norm composition). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.functions.cosine_sim(a, b)
 
   /**
    * Exact top-k cosine neighbors for each query vector. `queries` must
@@ -73,28 +77,13 @@ object Similarity {
   }
 
   /**
-   * Deterministic pseudo-random hyperplane component for (plane, dim):
-   * uniform in [-1, 1), derived from xxhash64 — reproducible across
-   * runs and engines, no stored model.
+   * Sign-random-projection bucket id over `planes` deterministic
+   * hyperplanes (components derived from xxhash64(plane, dim) — see
+   * [[graft.functions.VectorExpressions.planeComponent]]; reproducible
+   * across runs and engines, no stored model).
    */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
-
-  /** Sign-random-projection bucket id over `planes` hyperplanes. */
-  def srpBucket(emb: Column, planes: Int): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
-    // bucket = sum of 2^p over planes whose projection is positive
-    aggregate(
-      zip_with(
-        transform(sequence(lit(0), lit(planes - 1)), p =>
-          aggregate(zip_with(emb, dims,
-            (x, d) => x.cast("double") * planeComponent(p, d)),
-            lit(0.0), (acc, v) => acc + v)),
-        sequence(lit(0), lit(planes - 1)),
-        (proj, p) => when(proj > 0, lit(1L) * pow(lit(2.0), p).cast("long"))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def srpBucket(emb: Column, planes: Int): Column =
+    graft.functions.functions.srp_bucket(emb, planes)
 
   /**
    * IVF (inverted-file) index: a KMeans coarse quantizer over the

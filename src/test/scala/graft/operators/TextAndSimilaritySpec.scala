@@ -97,6 +97,38 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.forall(_._1 == 0L))
   }
 
+  test("vector expressions match the higher-order formulation bit-exactly") {
+    // the codegen loop must reproduce aggregate(zip_with(...)) exactly
+    // (same element order, double accumulation) — the oracle depends on it
+    val df = Seq(
+      (Seq(0.1f, -2.5f, 3.75f, 0.004f), Seq(1.5f, 0.25f, -0.125f, 9.0f)))
+      .toDF("a", "b")
+    val hofDot = aggregate(zip_with($"a", $"b",
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofCos = hofDot / (sqrt(aggregate(zip_with($"a", $"a",
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)) * sqrt(aggregate(zip_with($"b", $"b",
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)))
+    val (gotDot, wantDot, gotCos, wantCos) = df.select(
+      Similarity.dot($"a", $"b"), hofDot,
+      Similarity.cosine($"a", $"b"), hofCos)
+      .as[(Double, Double, Double, Double)].head()
+    assert(gotDot == wantDot)
+    assert(gotCos == wantCos)
+  }
+
+  test("srp plane components are reproducible from plain Scala") {
+    // the oracle embeds VectorExpressions.planeMatrix literals — every
+    // component must be on the k/1e6 - 1 lattice in [-1, 1)
+    val m = graft.functions.VectorExpressions.planeMatrix(8, 64)
+    assert(m.length == 8 && m.forall(_.length == 64))
+    assert(m.flatten.forall(c => c >= -1.0 && c < 1.0))
+    assert(m.flatten.forall(c =>
+      math.abs((c + 1.0) * 1000000.0 - math.rint((c + 1.0) * 1000000.0)) < 1e-3))
+  }
+
   test("srp bucket: identical vectors share a bucket") {
     val emb = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
