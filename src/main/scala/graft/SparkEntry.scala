@@ -172,7 +172,7 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash64(t(s, dir, "documents")).orderBy(col("doc_id"))),
+      Dedup.simhashFp(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -265,7 +265,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.rollingFingerprints(col("text")).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
           array_join(transform(sort_array(col("fps")),
             x => x.cast("string")), ",").as("fp_set"))
         .orderBy(col("doc_id"))),
@@ -284,10 +284,10 @@ object SparkEntry {
         col("text").cast("binary"), "image")
       media.select(col("doc_id"),
           Multimodal.decodeImageStub(col("payload")).as("img"),
-          Multimodal.extractFeaturesStub(col("payload"), 8).as("features"))
+          Multimodal.quantizedFeaturesStub(col("payload"), 8).as("features"))
         .select(col("doc_id"), col("img.width").as("width"),
           col("img.height").as("height"),
-          array_join(transform(col("features"), f => round(f, 4).cast("string")),
+          array_join(transform(col("features"), f => f.cast("string")),
             ",").as("features_csv"))
         .orderBy(col("doc_id"))
     }),
@@ -353,12 +353,13 @@ object SparkEntry {
     })
   )
 
-  // DuckDB oracle equivalents (identical aliases / ordering). Queries
-  // whose Spark plan depends on xxhash64 (minhash/simhash/SRP buckets)
-  // have no SQL oracle → driver records the weaker rows-only check,
-  // except dedup_minhash_lsh whose *verified-pair output* is engine-
-  // independent (threshold 0.1 over full Jaccard) — still omitted
-  // because LSH candidate recall < 1 could legitimately differ.
+  // DuckDB oracle equivalents (identical aliases / ordering). The
+  // sketch family (simhash/minhash/LSH/rolling fingerprints/stub
+  // features) hashes through h60 — the first 15 md5 hex digits as a
+  // 60-bit long — precisely so these queries are recomputable from
+  // DuckDB builtins and fully hash-verified. The one remaining
+  // rows-only query is sim_ivf_topk: its coarse quantizer is learned
+  // (KMeans), which no SQL oracle can replay.
   def oracleSql: Map[String, String] = {
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -371,6 +372,32 @@ object SparkEntry {
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
     val cos = "list_dot_product(q, n) / " +
       "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(n, n)))"
+
+    // h60: first 15 md5 hex digits as a 60-bit long (= Spark's
+    // conv(substr(md5(x),1,15),16,10) and graft.functions.H60.hash)
+    def h60(x: String) = s"('0x'||substr(md5($x),1,15))::BIGINT"
+    // word-3-shingle set of the normalized text (matches Dedup.shingleSets)
+    val shingles =
+      s"""CASE WHEN len(string_split($norm, ' ')) >= 3
+               THEN list_distinct(list_transform(
+                 generate_series(1, len(string_split($norm, ' ')) - 2),
+                 i -> string_split($norm, ' ')[i] || ' ' ||
+                      string_split($norm, ' ')[i+1] || ' ' ||
+                      string_split($norm, ' ')[i+2]))
+               ELSE [array_to_string(string_split($norm, ' '), ' ')]
+          END"""
+    // MinHash permutation coefficients (identical to H60.permA/permB)
+    val permA = (0 until 32).map(graft.functions.H60.permA).mkString("[", ", ", "]")
+    val permB = (0 until 32).map(graft.functions.H60.permB).mkString("[", ", ", "]")
+    // sigⱼ = min over shingles of (aⱼ·(h60(e) mod P) + bⱼ) mod P, P = 2³¹−1
+    def sigExpr(s: String) =
+      s"""list_transform(range(32), j -> list_min(list_transform($s,
+            e -> (($permA)[CAST(j AS INT)+1] * (${h60("e")} % 2147483647)
+                  + ($permB)[CAST(j AS INT)+1]) % 2147483647)))"""
+    // SRP hyperplane matrix literal (identical to
+    // VectorExpressions.planeMatrix(8, 64))
+    val srpMat = graft.functions.VectorExpressions.planeMatrix(8, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
     Map(
       "cdc_offset_discovery" ->
@@ -742,7 +769,116 @@ object SparkEntry {
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-            ORDER BY vec_a, vec_b"""
+            ORDER BY vec_a, vec_b""",
+
+      "dedup_simhash" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+                 h AS (SELECT doc_id, ${h60("tok")} AS h FROM t),
+                 v AS (SELECT doc_id, b,
+                         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                       FROM h, (SELECT unnest(range(60)) AS b) bits
+                       GROUP BY doc_id, b),
+                 f AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN vote > 0
+                           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS fp
+                       FROM v GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(f.fp, 0) AS simhash
+            FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+            ORDER BY d.doc_id""",
+
+      "dedup_minhash_lsh" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+                 sigs AS (SELECT doc_id, ${sigExpr("s")} AS sig FROM sh),
+                 bk AS (SELECT doc_id, b,
+                          ${h60("CAST(b AS VARCHAR) || ':' || array_to_string(" +
+                            "list_transform(list_slice(sig, CAST(b*4+1 AS INT), " +
+                            "CAST(b*4+4 AS INT)), z -> CAST(z AS VARCHAR)), ',')")} AS bucket
+                        FROM sigs, (SELECT unnest(range(8)) AS b) bands),
+                 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                          FROM bk x JOIN bk y
+                            ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+            ORDER BY doc_a, doc_b""",
+
+      "sketch_lang_minhash" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+                 sigs AS (SELECT d.lang, ${sigExpr("s")} AS sig
+                          FROM sh JOIN documents d USING (doc_id)),
+                 u AS (SELECT lang, j, min(sig[CAST(j AS INT)+1]) AS m
+                       FROM sigs, (SELECT unnest(range(32)) AS j) js
+                       GROUP BY lang, j)
+            SELECT lang,
+                   array_to_string(list(CAST(m AS VARCHAR) ORDER BY j), ',') AS sig_csv
+            FROM u GROUP BY lang ORDER BY lang""",
+
+      "sketch_lang_similarity" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+                 sigs AS (SELECT d.lang, ${sigExpr("s")} AS sig
+                          FROM sh JOIN documents d USING (doc_id)),
+                 u AS (SELECT lang, j, min(sig[CAST(j AS INT)+1]) AS m
+                       FROM sigs, (SELECT unnest(range(32)) AS j) js
+                       GROUP BY lang, j),
+                 us AS (SELECT lang, list(m ORDER BY j) AS u FROM u GROUP BY lang)
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(list_sum(list_transform(range(32),
+                     j -> CASE WHEN a.u[CAST(j AS INT)+1] = b.u[CAST(j AS INT)+1]
+                               THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS est_jaccard
+            FROM us a JOIN us b ON a.lang < b.lang
+            ORDER BY lang_a, lang_b""",
+
+      "text_rolling_fp" ->
+        """WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+                w AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+                        CASE WHEN length(t) <= 8 THEN
+                          [CASE WHEN length(t) = 0 THEN 0
+                                ELSE list_reduce(list_transform(range(1, length(t)+1),
+                                       i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
+                                     (a, c) -> (a * 1000003 + c) % 2147483647) END]
+                        ELSE list_transform(range(1, length(t) - 8 + 2),
+                               s -> list_reduce(list_transform(range(8),
+                                      o -> CAST(ord(substr(t, CAST(s + o AS INT), 1)) AS BIGINT)),
+                                    (a, c) -> (a * 1000003 + c) % 2147483647))
+                        END, h -> h % 4 = 0))) AS fps
+                      FROM t)
+           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                  array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp_set
+           FROM w ORDER BY doc_id""",
+
+      "mm_decode_features" ->
+        s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),
+                 h AS (SELECT doc_id, ck, ('0x'||substr(ck,1,15))::BIGINT AS h FROM m)
+            SELECT doc_id,
+                   CAST(h % 1920 + 32 AS INT) AS width,
+                   CAST((h >> 16) % 1080 + 32 AS INT) AS height,
+                   array_to_string(list_transform(range(8),
+                     i -> CAST(${h60("ck || ':' || CAST(i AS VARCHAR)")} % 20001 - 10000
+                          AS VARCHAR)), ',') AS features_csv
+            FROM h ORDER BY doc_id""",
+
+      "sim_lsh_topk" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 b AS (SELECT vec_id, v,
+                         CAST(list_sum(list_transform(range(8), p ->
+                           CASE WHEN list_dot_product(v, ($srpMat)[CAST(p AS INT)+1]) > 0
+                                THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+                       FROM e),
+                 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM b),
+                 s AS (SELECT query_id, neighbor_id,
+                         list_dot_product(qv, nv) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+                       FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+            ORDER BY query_id, rank"""
     )
   }
 }

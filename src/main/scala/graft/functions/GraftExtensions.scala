@@ -56,6 +56,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimHash60Expr(child)
+        case _ => throw new IllegalArgumentException(
+          "simhash60(array<string>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash60"),
+      new ExpressionInfo(classOf[MinHash60Expr].getName, "minhash60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => MinHash60Expr(child, 32)
+        case Seq(child, p) => MinHash60Expr(child, intArg(p, "perms"))
+        case _ => throw new IllegalArgumentException(
+          "minhash60(array<string>[, perms])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_poly_fp"),
+      new ExpressionInfo(classOf[RollingPolyFpExpr].getName,
+        "rolling_poly_fp"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => RollingPolyFpExpr(child, 8, 4)
+        case Seq(child, k, m) =>
+          RollingPolyFpExpr(child, intArg(k, "k"), intArg(m, "mod"))
+        case _ => throw new IllegalArgumentException(
+          "rolling_poly_fp(string[, k, mod])")
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (args: Seq[Expression]) => args match {

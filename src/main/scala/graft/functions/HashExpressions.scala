@@ -205,4 +205,25 @@ object functions {
   /** Sign-random-projection bucket id over deterministic hyperplanes. */
   def srp_bucket(emb: Column, planes: Int): Column =
     GraftBridge.toColumn(SrpBucketExpr(GraftBridge.toExpression(emb), planes))
+
+  // ---- the h60 (md5-derived, DuckDB-reproducible) sketch family ----
+
+  /** h60 from SQL builtins: first 15 hex digits of md5 as a long.
+    * Oracle equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
+  /** 60-bit SimHash of a string-array column (h60 token hashes). */
+  def simhash60(c: Column): Column =
+    GraftBridge.toColumn(SimHash60Expr(GraftBridge.toExpression(c)))
+
+  /** MinHash signature over affine permutations of h60 element hashes. */
+  def minhash60(c: Column, perms: Int): Column =
+    GraftBridge.toColumn(MinHash60Expr(GraftBridge.toExpression(c), perms))
+
+  /** Sorted set of mod-sampled rolling polynomial k-gram hashes. */
+  def rolling_poly_fp(c: Column, k: Int, mod: Int): Column =
+    GraftBridge.toColumn(RollingPolyFpExpr(GraftBridge.toExpression(c), k, mod))
 }

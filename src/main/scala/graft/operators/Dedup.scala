@@ -61,14 +61,17 @@ object Dedup {
       .select(col(idCol), array_distinct(col("raw_sh")).as("sh"))
 
   /**
-   * MinHash signature from a shingle-set column: for each of `perms`
-   * seeded hash functions, the min XXH64 over the shingles. One narrow
-   * map stage via the custom [[graft.functions.MinHashSignatureExpr]]
-   * expression — a single JVM loop per row instead of `perms`
-   * interpreted higher-order passes (~30× faster measured).
+   * MinHash signature from a shingle-set column: sigⱼ = min over
+   * shingles of (aⱼ·h60(s) + bⱼ) mod 2³¹−1 — the h60 family, so a
+   * DuckDB oracle can recompute the identical signature from SQL
+   * builtins. One narrow map stage via the custom
+   * [[graft.functions.MinHash60Expr]] expression — a single JVM loop
+   * per row instead of `perms` interpreted higher-order passes.
+   * (The raw-throughput xxhash64 variant remains available as
+   * [[graft.functions.functions.minhash_signature]].)
    */
   def minhashSignature(sh: Column, perms: Int = 32): Column =
-    graft.functions.functions.minhash_signature(sh, perms)
+    graft.functions.functions.minhash60(sh, perms)
 
   /**
    * LSH banding: split the signature into `bands` bands of
@@ -82,9 +85,10 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col("sh"), perms).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
-              x => x.cast("string"))), b))))
+          b => graft.functions.functions.h60(
+            concat(b.cast("string"), lit(":"), concat_ws(",",
+              transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
+                x => x.cast("string"))))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
@@ -161,15 +165,17 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash fingerprint: weighted majority vote of token-hash
-   * bits (+1 per set bit, -1 per clear bit, sign packs the
-   * fingerprint), via the custom [[graft.functions.SimHash64Expr]]
-   * expression — one tight loop per row. Documents whose fingerprints
-   * differ in few bits are near-duplicates; at scale, candidate search
-   * is a band-join on fingerprint chunks.
+   * 60-bit SimHash fingerprint: weighted majority vote of h60
+   * token-hash bits (+1 per set bit, -1 per clear bit, sign packs the
+   * fingerprint), via the custom [[graft.functions.SimHash60Expr]]
+   * expression — one tight loop per row, and DuckDB-oracle-verifiable
+   * because h60 is md5-derived. Documents whose fingerprints differ in
+   * few bits are near-duplicates; at scale, candidate search is a
+   * band-join on fingerprint chunks. (The 64-bit xxhash64 variant
+   * remains as [[graft.functions.functions.simhash64]].)
    */
-  def simhash64(docs: DataFrame): DataFrame =
+  def simhashFp(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.functions.simhash64(TextOps.tokens(col("text")))
+      graft.functions.functions.simhash60(TextOps.tokens(col("text")))
         .as("simhash"))
 }

@@ -32,22 +32,34 @@ object Multimodal {
       payload.as("payload"))
 
   /** STUB image decode (expression form): deterministic fake dims from
-    * the payload hash. Codegen'd column math — no shuffle, no UDF. */
+    * the payload's h60 (md5-derived — recomputable by the DuckDB
+    * oracle). Codegen'd column math — no shuffle, no UDF. */
   def decodeImageStub(payload: Column): Column = {
-    val h = xxhash64(payload)
+    val h = graft.functions.functions.h60(payload)
     struct(
-      (pmod(h, lit(1920L)) + 32L).cast("int").as("width"),
-      (pmod(shiftright(h, 16), lit(1080L)) + 32L).cast("int").as("height"),
+      (h % 1920L + 32L).cast("int").as("width"),
+      (shiftright(h, 16) % 1080L + 32L).cast("int").as("height"),
       lit(3).as("channels"))
   }
 
-  /** STUB feature extraction: `dims` pseudo-embedding floats derived
-    * from seeded payload hashes — the plumbing for "model inference
-    * over binary columns" with a deterministic kernel. */
-  def extractFeaturesStub(payload: Column, dims: Int = 16): Column =
+  /** STUB feature extraction, quantized: `dims` lattice integers in
+    * [-10000, 10000] derived from seeded hashes of the payload's md5
+    * checksum. Integer-exact, so the oracle compare has no
+    * float-rounding edge cases. */
+  def quantizedFeaturesStub(payload: Column, dims: Int = 16): Column = {
+    val ck = md5(payload)
     transform(sequence(lit(0), lit(dims - 1)),
-      i => ((pmod(xxhash64(payload, i), lit(2000001L)) - 1000000L)
-        .cast("double") / 1000000.0).cast("float"))
+      i => graft.functions.functions.h60(
+        concat(ck, lit(":"), i.cast("string"))) % 20001L - 10000L)
+  }
+
+  /** STUB feature extraction: the quantized lattice scaled to
+    * `dims` pseudo-embedding floats in [-1, 1] — the plumbing for
+    * "model inference over binary columns" with a deterministic
+    * kernel. */
+  def extractFeaturesStub(payload: Column, dims: Int = 16): Column =
+    transform(quantizedFeaturesStub(payload, dims),
+      q => (q.cast("double") / 10000.0).cast("float"))
 
   /** STUB resize plan: target dims + scale factors vs decoded dims. */
   def resizeStub(decoded: Column, targetW: Int, targetH: Int): Column =
@@ -69,15 +81,13 @@ object Multimodal {
                               channels: Int, batchId: Int, batchSize: Int)
 
   /** The stub "codec": one call per batch of payloads, mirroring how a
-    * vectorized codec (or model) wants its input. Replace me. */
+    * vectorized codec (or model) wants its input. Replace me. Must
+    * agree with [[decodeImageStub]] (same h60 of the payload). */
   object MediaCodecStub {
     def decodeBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int)] =
       batch.map { bytes =>
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, 42L) // seed 42 = Spark's xxhash64() default
-        ((math.floorMod(h, 1920L) + 32L).toInt,
-          (math.floorMod(h >> 16, 1080L) + 32L).toInt, 3)
+        val h = graft.functions.H60.hashBytes(bytes)
+        ((h % 1920L + 32L).toInt, ((h >> 16) % 1080L + 32L).toInt, 3)
       }
   }
 

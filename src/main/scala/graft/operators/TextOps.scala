@@ -44,16 +44,19 @@ object TextOps {
     regexp_extract_all(coalesce(text, lit("")), lit(BpePattern), lit(0))
 
   /**
-   * Rolling-hash document fingerprints: XXH64 over every `k`-byte
-   * sliding window, mod-sampled (hash % mod == 0, winnowing-style) and
-   * deduplicated — a compact sketch for containment/overlap detection.
-   * Custom zero-copy expression ([[graft.functions.RollingFingerprintsExpr]]):
-   * windows hash straight out of the UTF8String bytes, no per-window
-   * substring allocation. At 100 TB the fingerprint set (~len/mod
-   * values) is what shuffles, never the text.
+   * Rolling-hash document fingerprints: a polynomial hash (base 1000003
+   * mod 2³¹−1) over every `k`-byte sliding window, mod-sampled
+   * (hash % mod == 0, winnowing-style) and deduplicated — a compact
+   * sketch for containment/overlap detection. Custom zero-copy
+   * expression ([[graft.functions.RollingPolyFpExpr]]): O(1) rolling
+   * update per window, no per-window substring allocation, and the same
+   * arithmetic is recomputable in DuckDB SQL for the oracle. At 100 TB
+   * the fingerprint set (~len/mod values) is what shuffles, never the
+   * text. (The raw-throughput XXH64 variant remains as
+   * [[graft.functions.functions.rolling_fingerprints]].)
    */
   def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column =
-    graft.functions.functions.rolling_fingerprints(coalesce(text, lit("")), k, mod)
+    graft.functions.functions.rolling_poly_fp(coalesce(text, lit("")), k, mod)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")

@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash64: equal for identical docs, close for near-dups") {
-    val fps = Dedup.simhash64(docs.withColumn("text", lower($"text")))
+    val fps = Dedup.simhashFp(docs.withColumn("text", lower($"text")))
       .as[(Long, Long)].collect().toMap
     assert(fps(1L) == fps(5L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -40,7 +40,7 @@ class TextAndSimilaritySpec extends SparkSpec {
     val rfp = docs.select(TextOps.rollingFingerprints($"text"))
       .as[Seq[Long]].collect()
     assert(rfp.forall(_ != null))
-    val sh = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    val sh = Dedup.simhashFp(docs).as[(Long, Long)].collect().toMap
     assert(sh.contains(2L))
   }
 
