@@ -325,6 +325,32 @@ object SparkEntry {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    // ---- as-of / range joins (temporal lookup + interval matching) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asofJoin(ev, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          Cols.epochUs(col("ts")).as("ts_us"),
+          Cols.epochUs(col("asof.ts")).as("purchase_ts_us"),
+          col("asof.value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("end_ts"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev.select(col("event_id"), col("ts")), "ts",
+          intervals, "start_ts", "end_ts")
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("signup_id"))
+    }),
+
     // ---- similarity search ----
     "sim_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -770,6 +796,21 @@ object SparkEntry {
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
+
+      "q_asof_join" ->
+        """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                  epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+           FROM events l ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.event_id""",
+
+      "q_range_join" ->
+        """SELECT r.event_id AS signup_id, count(*) AS n_events
+           FROM events l JOIN
+             (SELECT event_id, ts FROM events WHERE event_type = 'signup') r
+             ON l.ts >= r.ts AND l.ts < r.ts + INTERVAL 15 MINUTE
+           GROUP BY signup_id ORDER BY signup_id""",
 
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

@@ -38,10 +38,27 @@ object Similarity {
     graft.functions.functions.cosine_sim(a, b)
 
   /**
+   * Rank scored (query_id, neighbor_id, sim) pairs to top-k per query
+   * via the bounded [[graft.functions.TopKByScore]] aggregate: map-side
+   * partial aggregation ships at most k candidates per partition per
+   * query across the shuffle, where the window-function formulation
+   * would shuffle and sort EVERY scored pair. Rank is taken on the
+   * similarity rounded to 1e-6 with neighbor_id tie-break, so results
+   * are stable across partitionings and engines.
+   */
+  private def topKRank(sim: DataFrame, k: Int): DataFrame =
+    sim.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        round(col("sim"), 6), col("neighbor_id"), col("sim"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.sim"), 4).as("sim"))
+
+  /**
    * Exact top-k cosine neighbors for each query vector. `queries` must
-   * be small (it is broadcast); the corpus side is scanned in place.
-   * Rank is taken on the similarity rounded to 1e-6 with vec_id
-   * tie-break, so results are stable across partitionings and engines.
+   * be small (it is broadcast); the corpus side is scanned in place —
+   * per-executor work is |corpus partition| × |queries| with no corpus
+   * shuffle, and only k candidates per partition reach the reducer.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
@@ -52,12 +69,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    topKRank(sim, k)
   }
 
   /**
@@ -138,12 +150,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    topKRank(sim, k)
   }
 
   /**
@@ -163,11 +170,6 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    topKRank(sim, k)
   }
 }

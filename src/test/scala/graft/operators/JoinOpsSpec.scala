@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TopKByScore
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val facts = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (1L, ts("2024-01-01 09:00:00"), "early"),
+      (2L, ts("2024-01-01 11:00:00"), "other-key"))
+      .toDF("k", "t", "tag")
+    val dim = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 20.0), // same-instant: must match
+      (2L, ts("2024-01-01 23:00:00"), 99.0)) // only after the fact
+      .toDF("k", "t", "v")
+    val got = AsofJoin.asofJoin(facts, dim, "k", "t")
+      .select($"tag", $"asof.v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("a") == Some(10.0))
+    assert(got("b") == Some(20.0)) // <= semantics: equal ts matches
+    assert(got("early").isEmpty) // nothing at or before
+    assert(got("other-key").isEmpty) // right row is later
+  }
+
+  test("asofJoin preserves every left row and all left columns") {
+    val facts = Seq((1L, ts("2024-01-01 10:00:00"), "x", 42))
+      .toDF("k", "t", "s", "n")
+    val dim = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(facts, dim, "k", "t")
+    assert(out.columns.toSeq == Seq("k", "t", "s", "n", "asof"))
+    assert(out.count() == 1)
+  }
+
+  test("intervalJoin: containment is [start, end), no dup matches across buckets") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:14:59")),
+      (3L, ts("2024-01-01 10:15:00")), // == end: excluded
+      (4L, ts("2024-01-01 09:59:59")))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00")))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.intervalJoin(points, "t", ivs, "s", "e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 100L), (2L, 100L)))
+  }
+
+  test("intervalJoin agrees with the naive cross-join formulation") {
+    val points = (0 until 200)
+      .map(i => (i.toLong, new Timestamp(1700000000000L + i * 97000L)))
+      .toDF("pid", "t")
+    val ivs = (0 until 20)
+      .map(i => (i.toLong, new Timestamp(1700000000000L + i * 930000L),
+        new Timestamp(1700000000000L + i * 930000L + 1800000L)))
+      .toDF("iid", "s", "e")
+    val fast = RangeJoin.intervalJoin(points, "t", ivs, "s", "e",
+        bucketWidthUs = 600000000L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = points.crossJoin(ivs)
+      .filter($"t" >= $"s" && $"t" < $"e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("top_k aggregate equals the window row_number formulation") {
+    val n = 500
+    val scored = (0 until n).map { i =>
+      val q = i % 3
+      // deliberate tie groups via the mod-7 score lattice
+      val s = (i % 7).toDouble / 7.0
+      (q.toLong, i.toLong, s)
+    }.toDF("query_id", "neighbor_id", "sim").repartition(8)
+    val viaAgg = scored.groupBy($"query_id")
+      .agg(TopKByScore.top_k(round($"sim", 6), $"neighbor_id", $"sim", 5)
+        .as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"col.id".as("neighbor_id"), round($"col.sim", 4).as("sim"))
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id")
+      .orderBy(round($"sim", 6).desc, $"neighbor_id")
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", round($"sim", 4).as("sim"))
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 15)
+  }
+}
