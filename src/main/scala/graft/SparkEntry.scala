@@ -189,6 +189,16 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "text_hash_sample" -> ((s, dir) =>
+      TextOps.hashSample(t(s, dir, "documents"), "doc_id", 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "text_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     "cdc_audit_envelope" -> ((s, dir) =>
       graft.sources.AuditLogGenerator.pipeFormat(
           graft.sources.AuditLogGenerator.auditEvents(s, dir))
@@ -370,6 +380,11 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    "sim_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -797,6 +812,19 @@ object SparkEntry {
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
 
+      "text_hash_sample" ->
+        s"""SELECT doc_id, lang FROM documents
+            WHERE ${h60("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 < 10
+            ORDER BY doc_id""",
+
+      "text_stratified_sample" ->
+        s"""SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ${h60("CAST(doc_id AS VARCHAR) || ':graft'")}, doc_id) AS rn
+              FROM documents) WHERE rn <= 20
+            ORDER BY lang, doc_id""",
+
       "q_asof_join" ->
         """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
                   epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
@@ -900,6 +928,21 @@ object SparkEntry {
                      i -> CAST(${h60("ck || ':' || CAST(i AS VARCHAR)")} % 20001 - 10000
                           AS VARCHAR)), ',') AS features_csv
             FROM h ORDER BY doc_id""",
+
+      "sim_lsh_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 b AS (SELECT vec_id, v,
+                         CAST(list_sum(list_transform(range(8), p ->
+                           CASE WHEN list_dot_product(v, ($srpMat)[CAST(p AS INT)+1]) > 0
+                                THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+                       FROM e)
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   round(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS sim
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE list_dot_product(x.v, y.v) /
+                  (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+            ORDER BY vec_a, vec_b""",
 
       "sim_lsh_topk" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

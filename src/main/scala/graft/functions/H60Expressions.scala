@@ -62,6 +62,15 @@ object H60 {
   def permA(j: Int): Long = hash(s"a:$j") % (P - 1) + 1
   def permB(j: Int): Long = hash(s"b:$j") % P
 
+  // Coefficients cached per perm count: deriving them is itself an md5
+  // each, which must happen once per signature width — NOT inside the
+  // per-element hot loop (measured 10× on the whole minhash stage).
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def permTables(n: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(n, m =>
+      (Array.tabulate(m)(permA), Array.tabulate(m)(permB)))
+
   /** SimHash over 60-bit token hashes: bit-vote majority (ties → 0). */
   def simhash(elems: Array[UTF8String]): Long = {
     val votes = new Array[Int](60)
@@ -91,6 +100,7 @@ object H60 {
     * x = h60(elem) mod P. Empty input → all-P sentinel (P is above any
     * real value, so it is the identity for elementwise-min union). */
   def minhash(elems: Array[UTF8String], perms: Int): ArrayData = {
+    val (pa, pb) = permTables(perms)
     val mins = Array.fill(perms)(P)
     var i = 0
     while (i < elems.length) {
@@ -99,7 +109,7 @@ object H60 {
         val x = hash(s) % P
         var j = 0
         while (j < perms) {
-          val v = (permA(j) * x + permB(j)) % P
+          val v = (pa(j) * x + pb(j)) % P
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -148,6 +158,37 @@ object H60 {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  /**
+   * All LSH band buckets in one pass: band b's bucket is
+   * h60("b:sig[b·r+1],…,sig[b·r+r]") with r = |sig|/bands — the exact
+   * string `concat(b, ':', concat_ws(',', slice(sig, …)))` builds, but
+   * with the signature child evaluated ONCE per row. (Composing this
+   * from a per-band `transform` lambda re-evaluates everything inside
+   * the lambda — including the minhash signature — once per band.)
+   */
+  def lshBands(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder()
+      sb.append(b).append(':')
+      var i = 0
+      while (i < rows) {
+        if (i > 0) sb.append(',')
+        sb.append(sig.getLong(b * rows + i))
+        i += 1
+      }
+      out(b) = hash(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lshBandsEval(input: Any, bands: Int): ArrayData =
+    lshBands(input.asInstanceOf[ArrayData], bands)
 
   private def toUtf8Array(input: Any): Array[UTF8String] = {
     val arr = input.asInstanceOf[ArrayData]
@@ -200,6 +241,24 @@ case class MinHash60Expr(child: Expression, perms: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash60"
+}
+
+/** `lsh_bands(array<long>, bands) -> array<long>` (h60 band buckets) */
+case class LshBandsExpr(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands > 0 && bands <= 256, s"bands out of range: $bands")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bands expects array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = H60.lshBandsEval(input, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.H60.lshBandsEval($c, $bands);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bands"
 }
 
 /** `rolling_poly_fp(string, k, mod) -> array<long>` (sorted set,

@@ -226,4 +226,8 @@ object functions {
   /** Sorted set of mod-sampled rolling polynomial k-gram hashes. */
   def rolling_poly_fp(c: Column, k: Int, mod: Int): Column =
     GraftBridge.toColumn(RollingPolyFpExpr(GraftBridge.toExpression(c), k, mod))
+
+  /** All h60 LSH band buckets of a minhash signature, one pass. */
+  def lsh_bands(sig: Column, bands: Int): Column =
+    GraftBridge.toColumn(LshBandsExpr(GraftBridge.toExpression(sig), bands))
 }

@@ -80,15 +80,10 @@ object Dedup {
    */
   def lshBuckets(docs: DataFrame, perms: Int = 32, bands: Int = 8,
                  k: Int = 3): DataFrame = {
-    val rows = perms / bands
     shingleSets(docs, k)
       .select(col("doc_id"), minhashSignature(col("sh"), perms).as("sig"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => graft.functions.functions.h60(
-            concat(b.cast("string"), lit(":"), concat_ws(",",
-              transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
-                x => x.cast("string"))))))))
+        posexplode(graft.functions.functions.lsh_bands(col("sig"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }

@@ -154,6 +154,27 @@ object Similarity {
   }
 
   /**
+   * Full-corpus approximate near-duplicate pairs: SRP-bucket the corpus
+   * once, self-join on the bucket id (identical child plans, so the
+   * exchange is computed once and reused), verify candidates with exact
+   * cosine ≥ `threshold`. The O(n²) pair space never materializes —
+   * only same-bucket collisions do — and the single shuffle key is an
+   * 8-byte bucket id. This is the scale path for
+   * [[cosineNearDupPairs]]'s exact-but-quadratic formulation.
+   */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+                      planes: Int = 8): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), planes).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
    * Approximate top-k: queries and corpus are bucketed by [[srpBucket]];
    * ranking happens within the query's bucket only. Trades recall for a
    * single bucket-key shuffle — the standard SRP-LSH ANN layout.

@@ -58,6 +58,37 @@ object TextOps {
   def rollingFingerprints(text: Column, k: Int = 8, mod: Int = 4): Column =
     graft.functions.functions.rolling_poly_fp(coalesce(text, lit("")), k, mod)
 
+  /**
+   * Deterministic hash sampling: keep a row iff
+   * h60(id || ':' || salt) mod 100 < pct. The training-pipeline way to
+   * cut a reproducible p% corpus slice — no RNG state, stable under
+   * re-partitioning and re-runs, composable across engines (the oracle
+   * recomputes the identical predicate), and at 100 TB it is a pure
+   * narrow filter pushed into the scan.
+   */
+  def hashSample(df: DataFrame, idCol: String, pct: Int,
+                 salt: String = "graft"): DataFrame =
+    df.filter(graft.functions.functions.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 100 < pct)
+
+  /**
+   * Stratified quota sampling: the `quota` hash-smallest rows per
+   * stratum — a balanced per-group sample whose membership is a pure
+   * function of the data. One shuffle on the stratum key; the
+   * window-free alternative at scale is [[graft.functions.TopKByScore]]
+   * with negated keys.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       quota: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(graft.functions.functions.h60(
+        concat(col(idCol).cast("string"), lit(":"), lit(salt))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 

@@ -75,6 +75,42 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("hashSample: deterministic, id-stable slice of roughly pct percent") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.hashSample(docs, "doc_id", 10).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = TextOps.hashSample(docs.repartition(7), "doc_id", 10)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b) // partitioning-independent membership
+    assert(a.size > 50 && a.size < 200) // ~10% of 1000
+    val bigger = TextOps.hashSample(docs, "doc_id", 50).count()
+    assert(bigger > a.size)
+  }
+
+  test("stratifiedSample: at most quota rows per stratum, deterministic") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "lang")
+    val s1 = TextOps.stratifiedSample(docs, "lang", "doc_id", 20)
+    val counts = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 20L))
+    val s2 = TextOps.stratifiedSample(docs.repartition(5), "lang", "doc_id", 20)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(s1.select($"doc_id").as[Long].collect().sorted.toSeq == s2)
+  }
+
+  test("lsh_bands equals the composed concat/h60 per-band formulation") {
+    val sig = (1L to 32L).toSeq
+    val df = Seq(Tuple1(sig)).toDF("sig")
+    val viaExpr = df.select(graft.functions.functions.lsh_bands($"sig", 8))
+      .as[Seq[Long]].head()
+    val viaCompose = df.select(transform(sequence(lit(0), lit(7)),
+        b => graft.functions.functions.h60(concat(b.cast("string"), lit(":"),
+          concat_ws(",", transform(slice($"sig", b * 4 + lit(1), lit(4)),
+            x => x.cast("string")))))))
+      .as[Seq[Long]].head()
+    assert(viaExpr == viaCompose)
+    assert(viaExpr.size == 8)
+  }
+
   test("top_k aggregate equals the window row_number formulation") {
     val n = 500
     val scored = (0 until n).map { i =>
