@@ -174,6 +174,18 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFp(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    "dedup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))),
+
+    "text_vocab_topn" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.bpeishTokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(50)),
+
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -439,6 +451,27 @@ object SparkEntry {
     // VectorExpressions.planeMatrix(8, 64))
     val srpMat = graft.functions.VectorExpressions.planeMatrix(8, 64)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    // the full MinHash-LSH near-dup pipeline as shared CTEs ending in
+    // `pairs` (candidates from 8 band buckets, verified with exact
+    // shingle Jaccard >= 0.1) — used by dedup_minhash_lsh and the
+    // connected-components clustering on top of it
+    val lshPairCtes =
+      s"""sh AS (SELECT doc_id, $shingles AS s FROM documents),
+          sigs AS (SELECT doc_id, ${sigExpr("s")} AS sig FROM sh),
+          bk AS (SELECT doc_id, b,
+                   ${h60("CAST(b AS VARCHAR) || ':' || array_to_string(" +
+                     "list_transform(list_slice(sig, CAST(b*4+1 AS INT), " +
+                     "CAST(b*4+4 AS INT)), z -> CAST(z AS VARCHAR)), ',')")} AS bucket
+                 FROM sigs, (SELECT unnest(range(8)) AS b) bands),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM bk x JOIN bk y
+                     ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+          pairs AS (SELECT doc_a, doc_b,
+                      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+                    FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+                    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1)"""
 
     Map(
       "cdc_offset_discovery" ->
@@ -856,23 +889,26 @@ object SparkEntry {
             ORDER BY d.doc_id""",
 
       "dedup_minhash_lsh" ->
-        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
-                 sigs AS (SELECT doc_id, ${sigExpr("s")} AS sig FROM sh),
-                 bk AS (SELECT doc_id, b,
-                          ${h60("CAST(b AS VARCHAR) || ':' || array_to_string(" +
-                            "list_transform(list_slice(sig, CAST(b*4+1 AS INT), " +
-                            "CAST(b*4+4 AS INT)), z -> CAST(z AS VARCHAR)), ',')")} AS bucket
-                        FROM sigs, (SELECT unnest(range(8)) AS b) bands),
-                 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                          FROM bk x JOIN bk y
-                            ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-            SELECT doc_a, doc_b,
-                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-            FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+        s"""WITH $lshPairCtes
+            SELECT doc_a, doc_b, jaccard FROM pairs
             ORDER BY doc_a, doc_b""",
+
+      "dedup_components" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src ORDER BY doc_id""",
+
+      "text_vocab_topn" ->
+        ("SELECT tok, count(*) AS n FROM (SELECT unnest(regexp_extract_all(" +
+          "coalesce(text, ''), " +
+          "'''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')) AS tok " +
+          "FROM documents) GROUP BY tok ORDER BY n DESC, tok LIMIT 50"),
 
       "sketch_lang_minhash" ->
         s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),

@@ -160,6 +160,46 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-duplicate pair graph — the dedup
+   * CLUSTERS: every document in a component is transitively a near-dup
+   * of the others, and min(doc_id) per component is the canonical
+   * survivor. Iterative min-label propagation: each round every vertex
+   * takes the smallest label among itself and its neighbors, converging
+   * in O(component diameter) rounds (each round one shuffle). The
+   * driver loop stops when a round changes nothing — the same
+   * fixed-point a recursive-CTE oracle computes. At 100 TB swap the
+   * per-round full propagation for the large-star/small-star variant;
+   * the round structure and convergence test are identical.
+   */
+  def nearDupComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // localCheckpoint each round: iterative self-reference would
+    // otherwise double the logical plan every iteration (exponential
+    // lineage -> analyzer OOM). Production clusters would use
+    // reliable checkpointing to a checkpoint dir instead.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      round += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /**
    * 60-bit SimHash fingerprint: weighted majority vote of h60
    * token-hash bits (+1 per set bit, -1 per clear bit, sign packs the
    * fingerprint), via the custom [[graft.functions.SimHash60Expr]]

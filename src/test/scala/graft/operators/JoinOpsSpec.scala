@@ -75,6 +75,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("nearDupComponents: transitive clusters labeled by min doc_id") {
+    // two chains and a singleton pair: {1,2,3}, {10,11}, {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDupComponents converges on a long path graph") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupComponents(pairs, maxRounds = 30)
+      .as[(Long, Long)].collect()
+    assert(got.length == 13)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("hashSample: deterministic, id-stable slice of roughly pct percent") {
     val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextOps.hashSample(docs, "doc_id", 10).select($"doc_id")
