@@ -100,6 +100,11 @@ object SparkEntry {
     "cdc_rates" -> ((s, dir) =>
       CdcOps.ratesByStream(t(s, dir, "events")).orderBy(col("event_type"))),
 
+    "cdc_gap_detection" -> ((s, dir) =>
+      CdcOps.gapDetection(
+          t(s, dir, "events").filter(col("event_type").isin(EventGroups.First: _*)))
+        .orderBy(col("before_id"))),
+
     // ---- relational t2 suite (FIXTURES §C.7) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.q1PricingSummary(t(s, dir, "lineitem"))),
@@ -144,6 +149,35 @@ object SparkEntry {
       graft.operators.Profiler.profile(t(s, dir, "lineitem"),
           Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         .orderBy(col("col_name"))),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "text_trigram_familiarity" -> ((s, dir) => {
+      val lowered = lower(coalesce(col("text"), lit("")))
+      val tg = t(s, dir, "documents").select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(lowered) - 2, lit(1))),
+          i => lowered.substr(i, lit(3)))).as("tg"))
+      val freq = tg.groupBy(col("tg")).agg(count(lit(1)).as("freq"))
+      tg.join(freq, "tg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          (sum(col("freq")).cast("double") / count(lit(1)).cast("double"))
+            .as("familiarity"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -844,6 +878,35 @@ object SparkEntry {
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
+
+      "cdc_gap_detection" ->
+        s"""SELECT event_id AS before_id, next_id AS after_id,
+                   next_id - event_id - 1 AS n_missing
+            FROM (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS next_id
+                  FROM events WHERE event_type IN $firstIn)
+            WHERE next_id > event_id + 1
+            ORDER BY before_id""",
+
+      "q_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                  coalesce(l_linestatus, 'ALL') AS ls,
+                  count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY rf, ls""",
+
+      "text_trigram_familiarity" ->
+        """WITH tg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    generate_series(1, greatest(length(lower(coalesce(text, ''))) - 2, 1)),
+                    i -> substr(lower(coalesce(text, '')), CAST(i AS INT), 3))) AS tg
+                FROM documents),
+                freq AS (SELECT tg, count(*) AS freq FROM tg GROUP BY tg)
+           SELECT doc_id, count(*) AS n_trigrams,
+                  CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
+           FROM tg JOIN freq USING (tg)
+           GROUP BY doc_id ORDER BY doc_id""",
 
       "text_hash_sample" ->
         s"""SELECT doc_id, lang FROM documents

@@ -230,4 +230,8 @@ object functions {
   /** All h60 LSH band buckets of a minhash signature, one pass. */
   def lsh_bands(sig: Column, bands: Int): Column =
     GraftBridge.toColumn(LshBandsExpr(GraftBridge.toExpression(sig), bands))
+
+  /** PG hstore text form of a map column (keys sorted, one pass). */
+  def hstore_render(m: Column): Column =
+    GraftBridge.toColumn(HstoreRenderExpr(GraftBridge.toExpression(m)))
 }

@@ -190,4 +190,44 @@ object CdcOps {
    */
   def pipeLine(cols: Seq[Column]): Column =
     concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("null"))): _*)
+
+  /**
+   * Offset-sequence gap detection — the integrity check behind the
+   * reference's `(min, max]` extraction contract
+   * (`CoordinatorRunnable.java:87-92`): every id between consecutive
+   * extracted offsets must exist, or changes were lost. Returns one row
+   * per gap: `(before_id, after_id, n_missing)`.
+   *
+   * Scalable shape: ids are bucketed (`id div bucket`); a per-bucket
+   * aggregate finds intra-bucket gaps ONLY in buckets whose count ≠
+   * max−min+1, a windowed `lead` runs per-bucket (partitioned — never a
+   * single global sort), and inter-bucket gaps come from joining each
+   * bucket's max to the next non-empty bucket's min. At 100 TB the
+   * common all-contiguous case costs one scan + one tiny aggregate.
+   */
+  def gapDetection(log: DataFrame, offsetCol: String = "event_id",
+                   bucket: Long = 8192L): DataFrame = {
+    val ids = log.select(col(offsetCol).as("id"))
+      .withColumn("b", (col("id") / bucket).cast("long") * bucket)
+    val stats = ids.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+    // intra-bucket gaps: lead() only inside flagged buckets
+    val gappy = stats.filter(col("n") =!= col("hi") - col("lo") + 1)
+      .select(col("b").as("gb"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("id"))
+    val intra = ids.join(broadcast(gappy), col("b") === col("gb"))
+      .withColumn("next_id", lead(col("id"), 1).over(wb))
+      .filter(col("next_id") > col("id") + 1)
+      .select(col("id").as("before_id"), col("next_id").as("after_id"))
+    // inter-bucket gaps: this bucket's max vs the next bucket's min
+    val wn = Window.orderBy(col("b")) // one row per NON-EMPTY bucket: tiny
+    val inter = stats
+      .withColumn("next_lo", lead(col("lo"), 1).over(wn))
+      .filter(col("next_lo") > col("hi") + 1)
+      .select(col("hi").as("before_id"), col("next_lo").as("after_id"))
+    intra.union(inter)
+      .select(col("before_id"), col("after_id"),
+        (col("after_id") - col("before_id") - 1).as("n_missing"))
+  }
 }

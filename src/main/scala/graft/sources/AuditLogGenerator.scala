@@ -29,14 +29,13 @@ object AuditLogGenerator {
   /**
    * PostgreSQL-hstore text rendering of a string map:
    * `"k"=>"v", "k2"=>"v2"`, keys sorted for determinism; null map
-   * stays null (pipe sink then renders the literal `null`).
+   * stays null (pipe sink then renders the literal `null`). One-pass
+   * custom expression ([[graft.functions.HstoreRenderExpr]]) — the
+   * higher-order composition ran three interpreted array passes plus a
+   * map probe per key on the envelope hot path.
    */
   def hstoreString(m: Column): Column =
-    when(m.isNull, lit(null).cast(StringType))
-      .otherwise(array_join(
-        transform(array_sort(map_keys(m)),
-          k => concat(lit("\""), k, lit("\"=>\""), element_at(m, k), lit("\""))),
-        ", "))
+    graft.functions.functions.hstore_render(m)
 
   /**
    * The 17-column envelope as a DataFrame (map-typed hstore columns —

@@ -75,6 +75,18 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("gapDetection finds intra- and inter-bucket gaps, none when contiguous") {
+    val ids = ((0L to 50L) ++ (53L to 99L) ++ (220L to 260L)).map(Tuple1(_))
+    val df = ids.toDF("event_id").repartition(4)
+    // bucket 32 forces the 51/52 gap intra-bucket and 100..219 across buckets
+    val got = CdcOps.gapDetection(df, bucket = 32L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((50L, 53L, 2L), (99L, 220L, 120L)))
+    val clean = CdcOps.gapDetection((0L to 500L).map(Tuple1(_)).toDF("event_id"),
+      bucket = 64L)
+    assert(clean.count() == 0)
+  }
+
   test("nearDupComponents: transitive clusters labeled by min doc_id") {
     // two chains and a singleton pair: {1,2,3}, {10,11}, {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L))
@@ -113,6 +125,27 @@ class JoinOpsSpec extends SparkSpec {
     val s2 = TextOps.stratifiedSample(docs.repartition(5), "lang", "doc_id", 20)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(s1.select($"doc_id").as[Long].collect().sorted.toSeq == s2)
+  }
+
+  test("hstore_render equals the higher-order composition (incl. nulls)") {
+    val df = Seq(1).toDF("x").select(
+      map(lit("b"), lit("2"), lit("a"), lit("1")).as("m"),
+      map(lit("k"), lit(null).cast("string"), lit("v"), lit("x")).as("mn"),
+      lit(null).cast("map<string,string>").as("mnull"))
+    def composed(m: org.apache.spark.sql.Column) =
+      when(m.isNull, lit(null).cast("string"))
+        .otherwise(array_join(transform(array_sort(map_keys(m)),
+          k => concat(lit("\""), k, lit("\"=>\""), element_at(m, k), lit("\""))),
+          ", "))
+    val got = df.select(
+      graft.functions.functions.hstore_render($"m"), composed($"m"),
+      graft.functions.functions.hstore_render($"mn"), composed($"mn"),
+      graft.functions.functions.hstore_render($"mnull"), composed($"mnull"))
+      .as[(String, String, String, String, Option[String], Option[String])]
+      .head()
+    assert(got._1 == got._2 && got._1 == "\"a\"=>\"1\", \"b\"=>\"2\"")
+    assert(got._3 == got._4 && got._3 == "\"v\"=>\"x\"")
+    assert(got._5 == got._6 && got._5.isEmpty)
   }
 
   test("lsh_bands equals the composed concat/h60 per-band formulation") {
