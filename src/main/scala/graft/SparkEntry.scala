@@ -165,13 +165,14 @@ object SparkEntry {
     }),
 
     "text_trigram_familiarity" -> ((s, dir) => {
-      val lowered = lower(coalesce(col("text"), lit("")))
+      // one explode pass; corpus frequency via a window count on the
+      // trigram key (one shuffle) instead of a freq-table self-join
+      // that would recompute the explode subtree twice
       val tg = t(s, dir, "documents").select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), greatest(length(lowered) - 2, lit(1))),
-          i => lowered.substr(i, lit(3)))).as("tg"))
-      val freq = tg.groupBy(col("tg")).agg(count(lit(1)).as("freq"))
-      tg.join(freq, "tg")
+        explode(graft.functions.functions.char_ngrams(
+          lower(coalesce(col("text"), lit(""))), 3)).as("tg"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tg"))
+      tg.withColumn("freq", count(lit(1)).over(w))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_trigrams"),
           (sum(col("freq")).cast("double") / count(lit(1)).cast("double"))

@@ -243,6 +243,48 @@ case class MinHash60Expr(child: Expression, perms: Int) extends UnaryExpression 
   override def prettyName: String = "minhash60"
 }
 
+/** `char_ngrams(string, n) -> array<string>`: every length-n character
+  * window; a string shorter than n (including empty) yields itself as
+  * the single element — mirroring `substr(text, i, n)` over
+  * `generate_series(1, greatest(len-n+1, 1))`. One JVM pass; the
+  * `transform(sequence(...), i -> substr(...))` composition evaluates
+  * an interpreted lambda per window. (Char = UTF-16 code unit here;
+  * identical to SQL substr semantics for BMP text.) */
+case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 64, s"n out of range: $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CharNgramsExpr.eval(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgramsExpr.eval($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngrams"
+}
+
+object CharNgramsExpr {
+  def eval(s: UTF8String, n: Int): ArrayData = {
+    val t = s.toString
+    if (t.length <= n) new GenericArrayData(Array[Any](UTF8String.fromString(t)))
+    else {
+      val count = t.length - n + 1
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(t.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 /** `lsh_bands(array<long>, bands) -> array<long>` (h60 band buckets) */
 case class LshBandsExpr(child: Expression, bands: Int) extends UnaryExpression {
   require(bands > 0 && bands <= 256, s"bands out of range: $bands")

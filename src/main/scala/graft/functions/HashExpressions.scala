@@ -234,4 +234,8 @@ object functions {
   /** PG hstore text form of a map column (keys sorted, one pass). */
   def hstore_render(m: Column): Column =
     GraftBridge.toColumn(HstoreRenderExpr(GraftBridge.toExpression(m)))
+
+  /** All length-n character windows of a string column, one pass. */
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftBridge.toColumn(CharNgramsExpr(GraftBridge.toExpression(c), n))
 }

@@ -176,15 +176,18 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // localCheckpoint each round: iterative self-reference would
     // otherwise double the logical plan every iteration (exponential
-    // lineage -> analyzer OOM). Production clusters would use
-    // reliable checkpointing to a checkpoint dir instead.
-    var labels = edges.select(col("src").as("id")).distinct()
+    // lineage -> analyzer OOM), and the (possibly expensive) pair
+    // pipeline feeding `edges` must run once, not once per round.
+    // Production clusters would use reliable checkpointing to a
+    // checkpoint dir instead.
+    val edgesCk = edges.localCheckpoint(true)
+    var labels = edgesCk.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val viaNeighbor = edges
+      val viaNeighbor = edgesCk
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
       val next = labels.union(viaNeighbor)
