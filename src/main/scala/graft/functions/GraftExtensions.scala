@@ -113,5 +113,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "srp_bucket(array<float|double>[, planes])")
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[LshBandsExpr].getName, "lsh_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sig) => LshBandsExpr(sig, 8)
+        case Seq(sig, b) => LshBandsExpr(sig, intArg(b, "bands"))
+        case _ => throw new IllegalArgumentException(
+          "lsh_bands(array<long>[, bands])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hstore_render"),
+      new ExpressionInfo(classOf[HstoreRenderExpr].getName, "hstore_render"),
+      (args: Seq[Expression]) => args match {
+        case Seq(m) => HstoreRenderExpr(m)
+        case _ => throw new IllegalArgumentException(
+          "hstore_render(map<string,string>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CharNgramsExpr(s, 3)
+        case Seq(s, n) => CharNgramsExpr(s, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "char_ngrams(string[, n])")
+      }))
   }
 }

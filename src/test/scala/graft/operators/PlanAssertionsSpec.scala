@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.EventGroups
+import graft.sources.ChangeLogSource
+import graft.sources.ChangeLogSource.OffsetRange
+
+/**
+ * Physical-plan assertions: the scale claims in the README — pushdown,
+ * broadcast enrichment, map-side partial top-k — must be visible in the
+ * plans, not just intended. Loose `contains` checks so minor plan
+ * formatting changes across Spark versions don't break them.
+ */
+class PlanAssertionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("range scan pushes offset predicates into the parquet scan") {
+    val df = ChangeLogSource.rangeScan(
+      ChangeLogSource.table(spark, sfDir, "events"),
+      OffsetRange(100, 5000), EventGroups.All)
+    val p = plan(df)
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(event_id,100)"),
+      s"offset lower bound not pushed:\n$p")
+    assert(p.contains("LessThanOrEqual(event_id,5000)"),
+      s"offset upper bound not pushed:\n$p")
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = ChangeLogSource.table(spark, sfDir, "events")
+      .select($"event_id", $"user_id")
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id"))
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+  }
+
+  test("commit-ts enrichment is a broadcast join (fact side never shuffles)") {
+    val log = ChangeLogSource.table(spark, sfDir, "events")
+    val df = CdcOps.enrichCommitTs(log, CdcOps.commitTsDim(log))
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("brute-force top-k runs partial aggregation before the shuffle") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val df = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 2)
+    val p = plan(df)
+    // TopKByScore is an ObjectHashAggregate: partial + final around one
+    // exchange, i.e. at most k candidates per partition cross the wire
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("asof join shuffles each side exactly once") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val dim = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val df = AsofJoin.asofJoin(ev, dim, "user_id", "ts")
+    val p = plan(df)
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof join must not degenerate into a pair join:\n$p")
+  }
+}
