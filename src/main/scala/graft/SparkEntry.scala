@@ -221,6 +221,21 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(50)),
 
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), minShared = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "text_clean" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.cleaned(col("text")).as("c"))
+        .select(col("doc_id"),
+          length(col("c")).cast("long").as("n_chars_clean"),
+          md5(col("c")).as("clean_fp"))
+        .orderBy(col("doc_id"))),
+
+    "text_pii_flags" -> ((s, dir) =>
+      TextOps.piiFlags(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -486,6 +501,21 @@ object SparkEntry {
     // VectorExpressions.planeMatrix(8, 64))
     val srpMat = graft.functions.VectorExpressions.planeMatrix(8, 64)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    // winnowing fingerprints of an aliased text column `t` (matches
+    // RollingPolyFpExpr: poly hash base 1000003 mod 2^31-1 over 8-byte
+    // windows, sampled h % 4 == 0, distinct, sorted)
+    val rollingFps =
+      """list_sort(list_distinct(list_filter(
+           CASE WHEN length(t) <= 8 THEN
+             [CASE WHEN length(t) = 0 THEN 0
+                   ELSE list_reduce(list_transform(range(1, length(t)+1),
+                          i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
+                        (a, c) -> (a * 1000003 + c) % 2147483647) END]
+           ELSE list_transform(range(1, length(t) - 8 + 2),
+                  s -> list_reduce(list_transform(range(8),
+                         o -> CAST(ord(substr(t, CAST(s + o AS INT), 1)) AS BIGINT)),
+                       (a, c) -> (a * 1000003 + c) % 2147483647))
+           END, h -> h % 4 = 0)))"""
     // the full MinHash-LSH near-dup pipeline as shared CTEs ending in
     // `pairs` (candidates from 8 band buckets, verified with exact
     // shingle Jaccard >= 0.1) — used by dedup_minhash_lsh and the
@@ -1001,22 +1031,46 @@ object SparkEntry {
             ORDER BY lang_a, lang_b""",
 
       "text_rolling_fp" ->
-        """WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-                w AS (SELECT doc_id, list_sort(list_distinct(list_filter(
-                        CASE WHEN length(t) <= 8 THEN
-                          [CASE WHEN length(t) = 0 THEN 0
-                                ELSE list_reduce(list_transform(range(1, length(t)+1),
-                                       i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
-                                     (a, c) -> (a * 1000003 + c) % 2147483647) END]
-                        ELSE list_transform(range(1, length(t) - 8 + 2),
-                               s -> list_reduce(list_transform(range(8),
-                                      o -> CAST(ord(substr(t, CAST(s + o AS INT), 1)) AS BIGINT)),
-                                    (a, c) -> (a * 1000003 + c) % 2147483647))
-                        END, h -> h % 4 = 0))) AS fps
-                      FROM t)
-           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-                  array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp_set
-           FROM w ORDER BY doc_id""",
+        s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+                 w AS (SELECT doc_id, $rollingFps AS fps FROM t)
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                   array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp_set
+            FROM w ORDER BY doc_id""",
+
+      "dedup_containment" ->
+        s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+                 w AS (SELECT doc_id, $rollingFps AS fps FROM t),
+                 ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+                 sizes AS (SELECT doc_id, len(fps) AS n FROM w),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                       GROUP BY doc_a, doc_b HAVING count(*) >= 8)
+            SELECT doc_a, doc_b, shared,
+                   CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+            FROM p JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+            ORDER BY doc_a, doc_b""",
+
+      "text_clean" ->
+        s"""SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars_clean,
+                   md5(c) AS clean_fp
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      coalesce(text, ''),
+                      '${TextOps.UrlPattern}', '', 'g'),
+                      '${TextOps.EmailPattern}', '', 'g'),
+                      '[\\x00-\\x1f]', ' ', 'g'),
+                      '\\s+', ' ', 'g')) AS c
+                  FROM documents)
+            ORDER BY doc_id""",
+
+      "text_pii_flags" ->
+        s"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ipv4
+            FROM documents ORDER BY doc_id""",
 
       "mm_decode_features" ->
         s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),

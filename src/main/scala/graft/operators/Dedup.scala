@@ -160,6 +160,34 @@ object Dedup {
   }
 
   /**
+   * Containment / overlap pairs from winnowing fingerprints: documents
+   * sharing ≥ `minShared` sampled rolling-hash fingerprints, scored by
+   * `shared / min(|fps_a|, |fps_b|)` — 1.0 means the smaller document's
+   * sampled content is fully contained in the other (the
+   * Schleimer-Wilkerson-Aiken winnowing use case: clone and
+   * quote-inclusion detection, which whole-document Jaccard misses).
+   * Joins 8-byte fingerprints, so pair work tracks true fingerprint
+   * collisions, and the text itself never moves.
+   */
+  def containmentPairs(docs: DataFrame, k: Int = 8, mod: Int = 4,
+                       minShared: Int = 8): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      TextOps.rollingFingerprints(col("text"), k, mod).as("fps"))
+    val sizes = fps.select(col("doc_id"), size(col("fps")).as("n"))
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    ex.as("a").join(ex.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
+  /**
    * Connected components over a near-duplicate pair graph — the dedup
    * CLUSTERS: every document in a component is transitively a near-dup
    * of the others, and min(doc_id) per component is the canonical

@@ -89,6 +89,36 @@ object TextOps {
       .drop("__rn")
   }
 
+  // Cleaning / PII patterns kept to a regex subset with identical
+  // semantics in Java regex and DuckDB's RE2 (no lookaround, no
+  // backrefs) so the oracle can replay them.
+  val UrlPattern: String = "https?://\\S+"
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern: String = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+  val Ipv4Pattern: String =
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** C4-style cleaning: strip URLs and e-mail addresses, drop control
+    * characters, collapse whitespace runs, trim. A pure narrow map —
+    * the canonical first stage of a pretraining-data pipeline. */
+  def cleaned(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      coalesce(text, lit("")),
+      UrlPattern, ""), EmailPattern, ""), "[\\x00-\\x1f]", " "), "\\s+", " "))
+
+  /** PII signal counts per document (URL / e-mail / phone / IPv4
+    * matches) — the filter inputs a safety pass needs. */
+  def piiFlags(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"))
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
