@@ -145,6 +145,81 @@ object SparkEntry {
       Relational.q17SmallQuantity(t(s, dir, "part"), t(s, dir, "lineitem"),
         "Brand#1")),
 
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: order-count histogram over a left join
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q16_part_suppliers" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct supplier counts per part attribute
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+      p.join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q22_idle_balances" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average balances with no orders,
+      // grouped by nation. DECIMAL-exact average (order-independent).
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("ab"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "cdc_funnel" -> ((s, dir) => {
+      // signup -> purchase conversion per user (event-sequence funnel)
+      val ev = t(s, dir, "events")
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstSignup, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      firstSignup.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), Cols.epochUs(col("signup_ts")).as("signup_us"),
+          Cols.epochUs(col("purchase_ts")).as("purchase_us"),
+          col("purchase_ts").isNotNull.as("converted"),
+          (Cols.epochUs(col("purchase_ts")) - Cols.epochUs(col("signup_ts")))
+            .as("us_to_convert"))
+        .orderBy(col("user_id"))
+    }),
+
+    "cdc_retention" -> ((s, dir) => {
+      // cohort retention: distinct users active D days after first seen
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("ts").cast("date"), col("cohort_day").cast("date"))
+            .cast("long").as("day_offset"))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(Cols.epochUs(col("cohort_day")).as("cohort_us"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_us"), col("day_offset"))
+    }),
+
     "profile_lineitem" -> ((s, dir) =>
       graft.operators.Profiler.profile(t(s, dir, "lineitem"),
           Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
@@ -802,6 +877,58 @@ object SparkEntry {
                           / count(*) AS avg_qty
                  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
            WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty""",
+
+      "q13_custdist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN
+               (SELECT * FROM orders WHERE o_orderpriority != '1-URGENT') o
+               ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+           GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+      "q16_part_suppliers" ->
+        """SELECT p_brand, p_type, p_size,
+                  count(DISTINCT l_suppkey) AS supplier_cnt
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           WHERE p_brand != 'Brand#1'
+           GROUP BY p_brand, p_type, p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+      "q22_idle_balances" ->
+        """SELECT c_nationkey, count(*) AS numcust,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           FROM customer c
+           WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*)
+                              FROM customer WHERE c_acctbal > 0)
+             AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+      "cdc_funnel" ->
+        """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                       WHERE event_type = 'signup' GROUP BY user_id),
+                conv AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+                         FROM events e JOIN fs USING (user_id)
+                         WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+                         GROUP BY e.user_id)
+           SELECT fs.user_id, epoch_us(signup_ts) AS signup_us,
+                  epoch_us(purchase_ts) AS purchase_us,
+                  purchase_ts IS NOT NULL AS converted,
+                  epoch_us(purchase_ts) - epoch_us(signup_ts) AS us_to_convert
+           FROM fs LEFT JOIN conv ON fs.user_id = conv.user_id
+           ORDER BY fs.user_id""",
+
+      "cdc_retention" ->
+        """WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                      FROM events GROUP BY user_id)
+           SELECT epoch_us(cohort_day) AS cohort_us,
+                  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(ts AS DATE)) AS BIGINT) AS day_offset,
+                  count(DISTINCT e.user_id) AS n_users
+           FROM events e JOIN c USING (user_id)
+           WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(ts AS DATE)) BETWEEN 0 AND 7
+           GROUP BY cohort_day, day_offset
+           ORDER BY cohort_us, day_offset""",
 
       "profile_lineitem" -> {
         def one(c: String) =
