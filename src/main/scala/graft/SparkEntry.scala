@@ -1168,9 +1168,11 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
                  w AS (SELECT doc_id, $rollingFps AS fps FROM t),
                  ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-                 sizes AS (SELECT doc_id, len(fps) AS n FROM w),
+                 keptfp AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 50),
+                 kept AS (SELECT ex.doc_id, ex.fp FROM ex JOIN keptfp USING (fp)),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
                  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-                       FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
                        GROUP BY doc_a, doc_b HAVING count(*) >= 8)
             SELECT doc_a, doc_b, shared,
                    CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment

@@ -170,12 +170,20 @@ object Dedup {
    * collisions, and the text itself never moves.
    */
   def containmentPairs(docs: DataFrame, k: Int = 8, mod: Int = 4,
-                       minShared: Int = 8): DataFrame = {
+                       minShared: Int = 8, maxDf: Int = 50): DataFrame = {
     val fps = docs.select(col("doc_id"),
       TextOps.rollingFingerprints(col("text"), k, mod).as("fps"))
-    val sizes = fps.select(col("doc_id"), size(col("fps")).as("n"))
     val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    ex.as("a").join(ex.as("b"),
+    // Stop-gram removal: a fingerprint present in more than `maxDf`
+    // documents (boilerplate, common phrases) is non-discriminative
+    // and would alone contribute O(df²) pairs — the standard winnowing
+    // cap that keeps pair volume proportional to real overlap.
+    // Containment is then measured over discriminative fingerprints.
+    val w = Window.partitionBy(col("fp"))
+    val kept = ex.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
