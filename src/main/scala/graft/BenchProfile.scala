@@ -13,9 +13,17 @@ object BenchProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = args.headOption.map(_.toInt).getOrElse(2)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg is reps only if numeric; `BenchProfile q1 q2` works too
+    val (reps, rest) = args.headOption.flatMap(a => a.toIntOption) match {
+      case Some(n) => (n, args.drop(1).toSeq)
+      case None => (2, args.toSeq)
+    }
+    val names = if (rest.nonEmpty) rest
                 else SparkEntry.queries.keys.toSeq.sorted
+    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
+      sys.error(s"unknown query '$bad'; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -169,6 +169,9 @@ object H60 {
    */
   def lshBands(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    require(n >= bands && n % bands == 0,
+      s"signature length $n must be a positive multiple of bands=$bands" +
+        " (rows = 0 would give every row the identical bucket)")
     val rows = n / bands
     val out = new Array[Long](bands)
     var b = 0

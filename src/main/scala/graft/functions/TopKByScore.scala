@@ -27,8 +27,13 @@ case class TopKByScore(k: Int)
 
   override def zero: Seq[ScoredNeighbor] = Vector.empty
 
-  private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
-    a.key > b.key || (a.key == b.key && a.id < b.id)
+  // Double.compare ordering (not raw >): NaN sorts greatest and -0 < 0,
+  // matching Spark's sort order — raw comparisons would let a NaN entry
+  // admitted early block every later finite candidate.
+  private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean = {
+    val c = java.lang.Double.compare(a.key, b.key)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def reduce(buf: Seq[ScoredNeighbor], x: ScoredNeighbor): Seq[ScoredNeighbor] = {
     if (x == null) buf

@@ -22,10 +22,20 @@ import org.apache.spark.sql.types._
  */
 object VectorExpressions {
 
+  private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    // refuse rather than silently truncate: a 63-dim row scored against
+    // 64-dim queries would return a plausible-looking wrong similarity
+    // (DuckDB's list_dot_product errors on the same input)
+    require(n == b.numElements(),
+      s"vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Single-pass (dot, |a|², |b|²) → cosine. Accumulation order matches
     * sequential `aggregate`: acc = ((0 + p₀) + p₁) + … */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -38,7 +48,7 @@ object VectorExpressions {
   }
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {

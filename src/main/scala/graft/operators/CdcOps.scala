@@ -207,10 +207,14 @@ object CdcOps {
    */
   def gapDetection(log: DataFrame, offsetCol: String = "event_id",
                    bucket: Long = 8192L): DataFrame = {
+    // pure long arithmetic (id - id mod bucket): `/` would go through
+    // double and misbucket offsets above 2^53
     val ids = log.select(col(offsetCol).as("id"))
-      .withColumn("b", (col("id") / bucket).cast("long") * bucket)
+      .withColumn("b", col("id") - pmod(col("id"), lit(bucket)))
+    // distinct count: redelivered duplicate offsets must not mask a
+    // missing id (count(*) could equal hi-lo+1 with a real gap)
     val stats = ids.groupBy(col("b"))
-      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+      .agg(countDistinct(col("id")).as("n"), min(col("id")).as("lo"),
         max(col("id")).as("hi"))
     // intra-bucket gaps: lead() only inside flagged buckets
     val gappy = stats.filter(col("n") =!= col("hi") - col("lo") + 1)
@@ -220,13 +224,26 @@ object CdcOps {
       .withColumn("next_id", lead(col("id"), 1).over(wb))
       .filter(col("next_id") > col("id") + 1)
       .select(col("id").as("before_id"), col("next_id").as("after_id"))
-    // inter-bucket gaps: this bucket's max vs the next bucket's min
-    val wn = Window.orderBy(col("b")) // one row per NON-EMPTY bucket: tiny
-    val inter = stats
-      .withColumn("next_lo", lead(col("lo"), 1).over(wn))
+    // inter-bucket gaps, two-level so no window ever sees the full
+    // bucket list in one partition: lead(lo) within a super-bucket of
+    // 4096 buckets, then a tiny super-level window for boundaries
+    // (bucket-count/4096 rows — fine even at trillions of offsets)
+    val superW = bucket * 4096L
+    val statsS = stats.withColumn("sb", col("b") - pmod(col("b"), lit(superW)))
+    val wIn = Window.partitionBy(col("sb")).orderBy(col("b"))
+    val interIn = statsS
+      .withColumn("next_lo", lead(col("lo"), 1).over(wIn))
       .filter(col("next_lo") > col("hi") + 1)
       .select(col("hi").as("before_id"), col("next_lo").as("after_id"))
-    intra.union(inter)
+    val superStats = statsS.groupBy(col("sb"))
+      .agg(min(col("lo")).as("first_lo"), max(col("hi")).as("last_hi"))
+    val wSuper = Window.orderBy(col("sb"))
+    val interSuper = superStats
+      .withColumn("next_first_lo", lead(col("first_lo"), 1).over(wSuper))
+      .filter(col("next_first_lo") > col("last_hi") + 1)
+      .select(col("last_hi").as("before_id"),
+        col("next_first_lo").as("after_id"))
+    intra.union(interIn).union(interSuper)
       .select(col("before_id"), col("after_id"),
         (col("after_id") - col("before_id") - 1).as("n_missing"))
   }

@@ -151,8 +151,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      // per-document aggregate: sized like the corpus, so no broadcast
+      // hint — AQE picks broadcast only when it genuinely fits
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
@@ -188,8 +190,11 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      // no broadcast hint: `sizes` is one row per document — corpus
+      // cardinality — so forcing it driver-side would not survive
+      // scale; AQE broadcasts automatically when it actually fits
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
@@ -207,7 +212,7 @@ object Dedup {
    * per-round full propagation for the large-star/small-star variant;
    * the round structure and convergence test are identical.
    */
-  def nearDupComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // localCheckpoint each round: iterative self-reference would
@@ -235,6 +240,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a silent partial result would split clusters undetectably —
+    // refuse rather than return wrong labels
+    if (changed > 0) throw new IllegalStateException(
+      s"nearDupComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds")
     labels.withColumnRenamed("label", "component")
   }
 

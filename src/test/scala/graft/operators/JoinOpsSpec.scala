@@ -87,6 +87,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(clean.count() == 0)
   }
 
+  test("gapDetection: duplicate (redelivered) offsets do not mask a gap") {
+    // {0,1,1,3}: count(*) == hi-lo+1 == 4 but id 2 is missing
+    val df = Seq(0L, 1L, 1L, 3L).map(Tuple1(_)).toDF("event_id")
+    val got = CdcOps.gapDetection(df, bucket = 32L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L)))
+  }
+
+  test("top_k orders NaN scores greatest and never wedges on them") {
+    val scored = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, 0.7), (1L, 14L, Double.NaN))
+      .toDF("query_id", "neighbor_id", "sim").repartition(3)
+    val got = scored.groupBy($"query_id")
+      .agg(TopKByScore.top_k($"sim", $"neighbor_id", $"sim", 3).as("top"))
+      .select(posexplode($"top"))
+      .select($"col.id").as[Long].collect().toSeq
+    // NaN sorts greatest (Spark semantics), ties broken by id asc
+    assert(got == Seq(10L, 14L, 11L))
+  }
+
   test("nearDupComponents: transitive clusters labeled by min doc_id") {
     // two chains and a singleton pair: {1,2,3}, {10,11}, {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L))
