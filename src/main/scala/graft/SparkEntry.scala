@@ -145,6 +145,26 @@ object SparkEntry {
       Relational.q17SmallQuantity(t(s, dir, "part"), t(s, dir, "lineitem"),
         "Brand#1")),
 
+    "q_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape: per-part argmin via a struct-min aggregate
+      // (map-side partial, deterministic (price, suppkey) tie-break) —
+      // no per-part window sort
+      val li = t(s, dir, "lineitem")
+      val best = li.groupBy(col("l_partkey"))
+        .agg(min(struct(col("l_extendedprice").as("p"),
+          col("l_suppkey").as("s"))).as("m"))
+        .select(col("l_partkey"), col("m.p").as("min_price"),
+          col("m.s").as("best_suppkey"))
+      best
+        .join(t(s, dir, "part").filter(col("p_brand") === "Brand#2"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"),
+          col("best_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("min_price"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q13_custdist" -> ((s, dir) => {
       // TPC-H Q13 shape: order-count histogram over a left join
       val c = t(s, dir, "customer")
@@ -877,6 +897,17 @@ object SparkEntry {
                           / count(*) AS avg_qty
                  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
            WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty""",
+
+      "q_min_cost_supplier" ->
+        """SELECT p_partkey, p_name, s_name, min_price FROM (
+             SELECT l_partkey, l_extendedprice AS min_price, l_suppkey,
+                    row_number() OVER (PARTITION BY l_partkey
+                      ORDER BY l_extendedprice, l_suppkey) AS rn
+             FROM lineitem) b
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           WHERE rn = 1 AND p_brand = 'Brand#2'
+           ORDER BY p_partkey""",
 
       "q13_custdist" ->
         """SELECT c_count, count(*) AS custdist FROM (

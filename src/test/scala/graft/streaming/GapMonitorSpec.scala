@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.GapMonitor.{GapEvent, Offset}
+
+class GapMonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[Offset]], maxTracked: Int = 10000)
+      : Seq[GapEvent] = {
+    val input = MemoryStream[Offset](spark)
+    val q = GapMonitor.monitor(input.toDS(), maxTracked)
+      .writeStream.format("memory").queryName("gap_events")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table("gap_events").as[GapEvent].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("contiguous offsets emit nothing; a jump emits the gap range") {
+    val got = run(Seq(
+      Seq(Offset("t", 1), Offset("t", 2), Offset("t", 3)),
+      Seq(Offset("t", 4), Offset("t", 7)))) // 5,6 skipped
+    assert(got == Seq(GapEvent("t", "gap", 5, 6)))
+  }
+
+  test("late arrival of a missing offset emits a fill; state is per-source") {
+    val got = run(Seq(
+      Seq(Offset("a", 1), Offset("a", 5), Offset("b", 10)),
+      Seq(Offset("a", 3), Offset("b", 11)),
+      Seq(Offset("a", 2), Offset("a", 4))))
+    val a = got.filter(_.source == "a")
+    assert(a.head == GapEvent("a", "gap", 2, 4))
+    assert(a.tail.toSet == Set(GapEvent("a", "fill", 3, 3),
+      GapEvent("a", "fill", 2, 2), GapEvent("a", "fill", 4, 4)))
+    assert(got.filter(_.source == "b").isEmpty)
+  }
+
+  test("duplicate redelivery below the high-water mark is ignored") {
+    val got = run(Seq(
+      Seq(Offset("t", 1), Offset("t", 2)),
+      Seq(Offset("t", 2), Offset("t", 1), Offset("t", 3))))
+    assert(got.isEmpty)
+  }
+
+  test("missing-set stays bounded: overflow evicts oldest as lost") {
+    val got = run(Seq(
+      Seq(Offset("t", 0), Offset("t", 10))), // 9 missing, cap 5
+      maxTracked = 5)
+    val lost = got.filter(_.kind == "lost").map(_.fromId)
+    assert(got.count(_.kind == "gap") == 1)
+    assert(lost == Seq(1L, 2L, 3L, 4L)) // 9 missing - cap 5 = 4 evicted
+  }
+}
