@@ -230,14 +230,19 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val viaNeighbor = edgesCk
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      // carry the previous label through the aggregation so
+      // convergence is read off `next` directly — no per-round
+      // compare join
+      val next = labels.select(col("id"), col("label"),
+          col("label").as("old"))
+        .union(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     // a silent partial result would split clusters undetectably —
