@@ -459,6 +459,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize_plan" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        col("text").cast("binary"), "image")
+      media.select(col("doc_id"),
+          Multimodal.resizeStub(
+            Multimodal.decodeImageStub(col("payload")), 224, 224).as("r"))
+        .select(col("doc_id"), col("r.width").as("width"),
+          col("r.height").as("height"), col("r.scale_x").as("scale_x"),
+          col("r.scale_y").as("scale_y"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        col("text").cast("binary"), "video")
+      media.select(col("doc_id"),
+          Multimodal.frameSampleStub(col("payload"), 10).as("frames"))
+        .select(col("doc_id"),
+          size(col("frames")).cast("long").as("n_sampled"),
+          array_join(transform(col("frames"), f => f.cast("string")), ",")
+            .as("frames_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-level sketches (mergeable aggregate) ----
     "sketch_lang_minhash" -> ((s, dir) => {
       val sh = Dedup.shingleSets(
@@ -1242,6 +1266,24 @@ object SparkEntry {
                      i -> CAST(${h60("ck || ':' || CAST(i AS VARCHAR)")} % 20001 - 10000
                           AS VARCHAR)), ',') AS features_csv
             FROM h ORDER BY doc_id""",
+
+      "mm_resize_plan" ->
+        """WITH h AS (SELECT doc_id,
+                  ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents)
+           SELECT doc_id, 224 AS width, 224 AS height,
+                  224.0 / CAST(h % 1920 + 32 AS INT) AS scale_x,
+                  224.0 / CAST((h >> 16) % 1080 + 32 AS INT) AS scale_y
+           FROM h ORDER BY doc_id""",
+
+      "mm_frame_sample" ->
+        """WITH h AS (SELECT doc_id,
+                  ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+                f AS (SELECT doc_id, (h >> 32) % 240 + 1 AS nf FROM h)
+           SELECT doc_id,
+                  CAST(len(range(0, nf, 10)) AS BIGINT) AS n_sampled,
+                  array_to_string(list_transform(range(0, nf, 10),
+                    x -> CAST(x AS VARCHAR)), ',') AS frames_csv
+           FROM f ORDER BY doc_id""",
 
       "sim_lsh_neardup" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -68,9 +68,11 @@ object Multimodal {
       (lit(targetH).cast("double") / decoded.getField("height")).as("scale_y"))
 
   /** STUB video frame sampling: every `everyN`-th frame index of a
-    * fake frame count derived from the payload hash. */
+    * fake frame count derived from the payload's h60 (bits 32+, so it
+    * varies independently of the decode dims; md5-derived —
+    * recomputable by the DuckDB oracle). */
   def frameSampleStub(payload: Column, everyN: Int = 10): Column = {
-    val nFrames = pmod(xxhash64(payload, lit(7)), lit(240L)) + 1L
+    val nFrames = shiftright(graft.functions.functions.h60(payload), 32) % 240L + 1L
     sequence(lit(0L), nFrames - 1L, lit(everyN.toLong))
   }
 
