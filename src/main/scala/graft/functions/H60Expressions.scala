@@ -169,7 +169,7 @@ object H60 {
    */
   def lshBands(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
-    require(n >= bands && n % bands == 0,
+    require(bands > 0 && n >= bands && n % bands == 0,
       s"signature length $n must be a positive multiple of bands=$bands" +
         " (rows = 0 would give every row the identical bucket)")
     val rows = n / bands

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
  *
  * The decode/resize/frame-sample kernels are deterministic STUBS — no
  * image/audio codecs exist in this container. Each stub derives its
- * output from XXH64 of the payload, so tests are exact and the
- * Spark-side plumbing (schema, partition iteration, batch shape) is
- * real. A production deployment swaps [[MediaCodecStub]] for a JNI or
- * vectorized codec without touching any plan shape.
+ * output from the payload's h60 (md5-based) hash, so tests are exact,
+ * the DuckDB oracle can recompute every value, and the Spark-side
+ * plumbing (schema, partition iteration, batch shape) is real. Keep it
+ * h60 — an xxhash64-derived stub would silently de-oracle the mm_*
+ * queries. A production deployment swaps [[MediaCodecStub]] for a JNI
+ * or vectorized codec without touching any plan shape.
  */
 object Multimodal {
 

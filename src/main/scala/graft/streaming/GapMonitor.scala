@@ -15,9 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *  - `gap` when an offset arrives above `highWater + 1` (the skipped
  *    ids join the missing set),
  *  - `fill` when a previously-missing offset arrives late,
- *  - `lost` when the missing set exceeds `maxTracked` and the oldest
- *    ids are evicted (state stays bounded no matter how broken the
- *    upstream is — unlike the reference's unbounded maps, §3.4).
+ *  - `lost` when ids stop being tracked: a jump wider than `maxTracked`
+ *    records the untracked prefix as one `lost` RANGE immediately, and
+ *    overflow of the accumulated missing set evicts oldest ids
+ *    individually. Work and state per batch are O(maxTracked) no
+ *    matter how broken the upstream is (an offset-scheme reset jumping
+ *    by 2⁵⁰ costs one event, not 2⁵⁰ insertions) — unlike the
+ *    reference's unbounded maps, §3.4.
  */
 object GapMonitor {
 
@@ -43,7 +47,14 @@ object GapMonitor {
             if (high == Long.MinValue) high = off // first offset = baseline
             else if (off > high + 1) {
               out += GapEvent(source, "gap", high + 1, off - 1)
-              ((high + 1) until off).foreach(missing.add)
+              // track at most the newest maxTracked missing ids of this
+              // gap; a wider jump records the rest as lost outright
+              // (never materialize an arbitrary-width range)
+              val trackFrom = math.max(high + 1, off - maxTracked)
+              if (trackFrom > high + 1)
+                out += GapEvent(source, "lost", high + 1, trackFrom - 1)
+              var i = trackFrom
+              while (i < off) { missing.add(i); i += 1 }
               high = off
             } else if (off > high) {
               high = off

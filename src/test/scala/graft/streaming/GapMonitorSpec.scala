@@ -46,12 +46,25 @@ class GapMonitorSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
-  test("missing-set stays bounded: overflow evicts oldest as lost") {
+  test("missing-set stays bounded: a wide jump records the prefix as one lost range") {
     val got = run(Seq(
       Seq(Offset("t", 0), Offset("t", 10))), // 9 missing, cap 5
       maxTracked = 5)
-    val lost = got.filter(_.kind == "lost").map(_.fromId)
     assert(got.count(_.kind == "gap") == 1)
-    assert(lost == Seq(1L, 2L, 3L, 4L)) // 9 missing - cap 5 = 4 evicted
+    // ids 1..4 are never tracked (one range event); 5..9 are tracked
+    assert(got.filter(_.kind == "lost") == Seq(GapEvent("t", "lost", 1, 4)))
+    val fills = run(Seq(
+      Seq(Offset("t", 0), Offset("t", 10)),
+      Seq(Offset("t", 7))), maxTracked = 5)
+    assert(fills.contains(GapEvent("t", "fill", 7, 7))) // tracked tail fillable
+  }
+
+  test("a pathological offset jump costs O(maxTracked), not O(jump)") {
+    // would OOM / overflow a materialized range if the jump were realized
+    val got = run(Seq(
+      Seq(Offset("t", 0), Offset("t", Long.MaxValue - 1))), maxTracked = 10)
+    assert(got.count(_.kind == "gap") == 1)
+    assert(got.filter(_.kind == "lost") ==
+      Seq(GapEvent("t", "lost", 1, Long.MaxValue - 12)))
   }
 }
