@@ -100,6 +100,25 @@ object SparkEntry {
     "cdc_rates" -> ((s, dir) =>
       CdcOps.ratesByStream(t(s, dir, "events")).orderBy(col("event_type"))),
 
+    "cdc_task_plan" -> ((s, dir) => {
+      // the coordinator's poll loop as data (SURVEY §2.1 S2 / §2.3 T2,
+      // CoordinatorRunnable.java:84-94): one poll tick per minute
+      // observes max(event_id); every advance becomes the half-open
+      // extraction task (prev_max, tick_max]
+      val ticks = t(s, dir, "events")
+        .groupBy(date_trunc("minute", col("ts")).as("tick"))
+        .agg(max(col("event_id")).as("tick_max"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("tick"))
+      ticks.withColumn("prev_max", lag(col("tick_max"), 1).over(w))
+        .filter(col("prev_max").isNull || col("tick_max") > col("prev_max"))
+        .select(Cols.epochUs(col("tick")).as("tick_us"),
+          coalesce(col("prev_max"), lit(-1L)).as("min_seq"),
+          col("tick_max").as("max_seq"),
+          (col("tick_max") - coalesce(col("prev_max"), lit(-1L)))
+            .as("n_ids"))
+        .orderBy(col("tick_us"))
+    }),
+
     "cdc_gap_detection" -> ((s, dir) =>
       CdcOps.gapDetection(
           t(s, dir, "events").filter(col("event_type").isin(EventGroups.First: _*)))
@@ -1091,6 +1110,20 @@ object SparkEntry {
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
+
+      "cdc_task_plan" ->
+        """WITH ticks AS (SELECT date_trunc('minute', ts) AS tick,
+                                 max(event_id) AS tick_max
+                          FROM events GROUP BY date_trunc('minute', ts)),
+                r AS (SELECT tick, tick_max,
+                             lag(tick_max) OVER (ORDER BY tick) AS prev_max
+                      FROM ticks)
+           SELECT epoch_us(tick) AS tick_us,
+                  coalesce(prev_max, -1) AS min_seq,
+                  tick_max AS max_seq,
+                  tick_max - coalesce(prev_max, -1) AS n_ids
+           FROM r WHERE prev_max IS NULL OR tick_max > prev_max
+           ORDER BY tick_us""",
 
       "cdc_gap_detection" ->
         s"""SELECT event_id AS before_id, next_id AS after_id,
