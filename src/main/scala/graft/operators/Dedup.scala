@@ -137,7 +137,10 @@ object Dedup {
    * shingle — the explicit (non-MinHash) near-dup path. Shingles are
    * exploded to 8-byte digests; shared-shingle counts come from a
    * digest-keyed join + count aggregation, so the per-pair cost is a
-   * counter, not an array intersection.
+   * counter, not an array intersection. (A collect_list-per-digest
+   * variant benchmarks ~5% faster warm but buffers each digest's full
+   * document list in one aggregation buffer — a hot digest OOMs it at
+   * scale, while this join streams its pairs; measured and rejected.)
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         k: Int = 3): DataFrame = {

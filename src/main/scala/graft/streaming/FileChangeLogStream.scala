@@ -122,17 +122,21 @@ class FileChangeLogScanBuilder(options: CaseInsensitiveStringMap)
   private val tables: Option[Set[String]] =
     Option(options.get("tables")).map(_.split(",").map(_.trim).toSet)
   private val startAt = options.getOrDefault("startAt", "earliest")
+  private val maxIdsPerPartition: Long =
+    options.getLong("maxIdsPerPartition", Long.MaxValue)
 
   override def build(): Scan = this
   override def readSchema(): StructType = ChangeLogStream.Schema
   override def description(): String = s"graft_file_changelog(path=$dir)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FileChangeLogMicroBatchStream(dir, maxEventsPerTrigger, tables, startAt)
+    new FileChangeLogMicroBatchStream(dir, maxEventsPerTrigger, tables,
+      startAt, maxIdsPerPartition)
 }
 
 class FileChangeLogMicroBatchStream(dir: String, maxEventsPerTrigger: Long,
                                     tables: Option[Set[String]],
-                                    startAt: String)
+                                    startAt: String,
+                                    maxIdsPerPartition: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val conf = new Configuration()
@@ -188,9 +192,20 @@ class FileChangeLogMicroBatchStream(dir: String, maxEventsPerTrigger: Long,
     if (hi <= lo) Array.empty
     else spans()
       .filter { case (_, (mn, mx)) => mx > lo && mn <= hi }
-      .map { case (p, (mn, mx)) =>
-        FileChangeLogPartition(p.toString, math.max(lo, mn - 1),
-          math.min(hi, mx), tables): InputPartition
+      .flatMap { case (p, (mn, mx)) =>
+        // a single large segment (backfill, compaction output) must not
+        // cap parallelism at one task: split its intersected id span
+        // into sub-ranges of at most maxIdsPerPartition. Each sub-range
+        // re-opens the file but the offset predicate prunes row groups
+        // by statistics, so a sorted segment reads each row group once.
+        val fLo = math.max(lo, mn - 1)
+        val fHi = math.min(hi, mx)
+        val width = math.max(1L, maxIdsPerPartition)
+        (fLo until fHi by width).map { s =>
+          // saturating add: s + width overflows Long when unsplit
+          val e = if (width > fHi - s) fHi else s + width
+          FileChangeLogPartition(p.toString, s, e, tables): InputPartition
+        }
       }.toArray
   }
 

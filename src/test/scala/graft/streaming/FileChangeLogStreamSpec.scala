@@ -38,6 +38,34 @@ class FileChangeLogStreamSpec extends SparkSpec {
     assert(got == exp) // same rows, same micros truncation as batch path
   }
 
+  test("maxIdsPerPartition splits a large segment into covering sub-ranges") {
+    val dir = tmp()
+    writeSegment(dir, 0 until 500, 1700000000000L)
+    // plan level: one 500-id segment must yield ceil(500/64) tasks
+    val stream = new FileChangeLogMicroBatchStream(dir, Long.MaxValue,
+      None, "earliest", maxIdsPerPartition = 64L)
+    val parts = stream
+      .planInputPartitions(ChangeLogOffset(-1L), ChangeLogOffset(499L))
+      .map(_.asInstanceOf[FileChangeLogPartition])
+    assert(parts.length == 8)
+    // half-open ranges tile (-1, 499] with no gap or overlap
+    val sorted = parts.sortBy(_.min)
+    assert(sorted.head.min == -1L && sorted.last.max == 499L)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a.max == b.min; case _ => true })
+    // data level: split read returns exactly the same rows
+    val q = spark.readStream.format(FileChangeLogStream.FormatName)
+      .option("path", dir).option("maxIdsPerPartition", 64)
+      .load()
+      .writeStream.format("memory").queryName("fcl_split")
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fcl_split")
+      .agg(count(lit(1)), countDistinct($"event_id"), max($"event_id"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((500L, 500L, 499L)))
+  }
+
   test("incremental segments + restart: exactly once, footer-stat offsets") {
     val dir = tmp()
     val ckpt = tmp()
