@@ -70,4 +70,28 @@ class ChangeLogSourceSpec extends SparkSpec {
       .as[Long].head()
     assert(got == 5L)
   }
+
+  test("schema evolution: old and new changelog segments read together") {
+    import spark.implicits._
+    // a CDC landing zone gains a column mid-stream; the batch reader
+    // must union old + new segments with nulls for the missing column
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString
+    Seq((1L, "click", 1.0)).toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/seg0")
+    Seq((2L, "click", 2.0, "eu-west"))
+      .toDF("event_id", "event_type", "value", "region")
+      .write.parquet(s"$dir/seg1")
+    val merged = spark.read.option("mergeSchema", true)
+      .parquet(s"$dir/seg0", s"$dir/seg1")
+    assert(merged.columns.toSet ==
+      Set("event_id", "event_type", "value", "region"))
+    val rows = merged.orderBy("event_id")
+      .select($"event_id", $"region").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some("eu-west"))))
+    // downstream operators keep working over the evolved union
+    val wm = graft.operators.CdcOps.distinctTxids(
+      merged.withColumnRenamed("event_id", "user_id")).count()
+    assert(wm == 2L)
+  }
 }
