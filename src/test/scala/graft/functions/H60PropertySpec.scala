@@ -1,0 +1,94 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Property tests pinning the h60 tight-loop expressions to their
+ * builtin-composition equivalents on random inputs — the same
+ * compositions the DuckDB oracles use, so agreement here is agreement
+ * with the oracle on inputs far beyond the fixed test corpus.
+ * (Hand-rolled seeded loops; the scalatestplus-scalacheck bridge is
+ * not available offline.)
+ */
+class H60PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  private def randomString(maxLen: Int): String = {
+    val n = rnd.nextInt(maxLen + 1)
+    // printable ASCII plus some multi-byte chars for the UTF-8 paths
+    val chars = "abcdefghijklmnop qrstuvwxyz0123456789!@# é¢ω"
+    (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  test("h60 column == plain-Scala H60.hash on 200 random strings") {
+    val strs = (1 to 200).map(_ => randomString(50)).distinct
+    val viaCol = strs.toDF("s")
+      .select($"s", graft.functions.functions.h60($"s"))
+      .as[(String, Long)].collect().toMap
+    strs.foreach(s => assert(viaCol(s) == H60.hash(s), s"h60('$s')"))
+  }
+
+  test("minhash60 == md5/conv builtin composition on 50 random shingle sets") {
+    val perms = 8
+    val pa = (0 until perms).map(H60.permA)
+    val pb = (0 until perms).map(H60.permB)
+    val sets = (1 to 50).map(_ =>
+      (1 to rnd.nextInt(12) + 1).map(_ => randomString(20)))
+    val df = sets.toDF("sh")
+    val composed = transform(sequence(lit(0), lit(perms - 1)), j =>
+      array_min(transform($"sh", e =>
+        (element_at(lit(pa.toArray), j + 1) *
+          (graft.functions.functions.h60(e) % 2147483647L) +
+          element_at(lit(pb.toArray), j + 1)) % 2147483647L)))
+    val rows = df.select(
+      graft.functions.functions.minhash60($"sh", perms), composed)
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("rolling_poly_fp == direct per-window recompute on 100 random ASCII strings") {
+    def reference(s: String, k: Int, mod: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      def h(lo: Int, hi: Int): Long = {
+        var acc = 0L
+        (lo until hi).foreach(i => acc = (acc * H60.B + (bytes(i) & 0xffL)) % H60.P)
+        acc
+      }
+      val all = if (bytes.length <= k) Seq(h(0, bytes.length))
+                else (0 to bytes.length - k).map(i => h(i, i + k))
+      all.filter(_ % mod == 0).distinct.sorted
+    }
+    val strs = (1 to 100).map(_ => randomString(80).filter(_ < 128))
+    val viaExpr = strs.toDF("s")
+      .select($"s", graft.functions.functions.rolling_poly_fp($"s", 8, 4))
+      .as[(String, Seq[Long])].collect().toMap
+    strs.foreach(s => assert(viaExpr(s) == reference(s, 8, 4), s"rfp('$s')"))
+  }
+
+  test("simhash60 bit-votes match a reference recompute on 50 random token sets") {
+    def reference(toks: Seq[String]): Long = {
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val h = H60.hash(t)
+        (0 until 60).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 60).foldLeft(0L)((fp, b) =>
+        if (votes(b) > 0) fp | (1L << b) else fp)
+    }
+    val sets = (1 to 50).map(_ =>
+      (0 to rnd.nextInt(15)).map(_ => randomString(12)))
+    val got = sets.toDF("toks")
+      .select(graft.functions.functions.simhash60($"toks"))
+      .as[Long].collect()
+    sets.zip(got).foreach { case (toks, fp) =>
+      assert(fp == reference(toks))
+    }
+  }
+}
