@@ -375,6 +375,63 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: duplicate- and top-token
+      // fractions per document, via explode + two aggregations (never
+      // an O(distinct×tokens) per-row lambda)
+      val docs = t(s, dir, "documents")
+      val perTok = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val stats = perTok.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+      docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens").cast("double"), lit(0.0)).as("dup_token_frac"),
+          coalesce(col("top_c").cast("double") /
+            col("n_tokens").cast("double"), lit(0.0)).as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_filter_verdict" -> ((s, dir) => {
+      // the composed C4-style keep/drop decision over quality, language
+      // and length signals — the end of the filter pipeline as data
+      val toks = TextOps.wordTokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nStop = TextOps.stopwordCount(toks).cast("double")
+      val ratio = nStop / greatest(nTok, lit(1.0))
+      val len = length(coalesce(col("text"), lit("")))
+      val avgLen = TextOps.totalTokenLen(toks).cast("double") /
+        greatest(nTok, lit(1.0))
+      t(s, dir, "documents").select(col("doc_id"),
+          len.cast("long").as("n_chars"),
+          ratio.as("en_stopword_ratio"),
+          (len.between(20, 100000) && avgLen.between(2.0, 12.0) &&
+            ratio > 0.01).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_pack_chunks" -> ((s, dir) => {
+      // sequence packing: assign documents to fixed token-budget
+      // training chunks by running prefix sum in doc_id order. (At
+      // scale: range-partition by doc_id, per-partition sums, then a
+      // broadcast of partition offsets — same arithmetic, no global
+      // window.)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, -1)
+      docs.withColumn("pc", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(pc div 2048 AS BIGINT)").as("chunk_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "cdc_audit_envelope" -> ((s, dir) =>
       graft.sources.AuditLogGenerator.pipeFormat(
           graft.sources.AuditLogGenerator.auditEvents(s, dir))
@@ -825,6 +882,44 @@ object SparkEntry {
              EXCEPT
              (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000))
            ORDER BY key""",
+
+      "text_repetition" ->
+        s"""WITH pt AS (SELECT doc_id, tok, count(*) AS c
+                        FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+                        GROUP BY doc_id, tok),
+                 st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                               count(*) AS n_distinct, max(c) AS top_c
+                        FROM pt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(st.n_tokens, 0) AS n_tokens,
+                   coalesce(st.n_distinct, 0) AS n_distinct,
+                   coalesce(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.0)
+                     AS dup_token_frac,
+                   coalesce(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.0)
+                     AS top_token_frac
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+            ORDER BY d.doc_id""",
+
+      "text_filter_verdict" ->
+        s"""SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0)
+                     AS en_stopword_ratio,
+                   (length(coalesce(text, '')) BETWEEN 20 AND 100000
+                    AND CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+                        / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
+                    AND CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01)
+                     AS keep
+            FROM documents ORDER BY doc_id""",
+
+      "text_pack_chunks" ->
+        s"""SELECT doc_id, n_tokens, CAST(pc // 2048 AS BIGINT) AS chunk_id FROM (
+              SELECT doc_id, n_tokens,
+                     coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pc
+              FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id""",
 
       "cdc_audit_envelope" -> {
         val tbls = TableGroups.All.map(t => s"'$t'").mkString("[", ", ", "]")
