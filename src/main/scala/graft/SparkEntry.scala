@@ -605,6 +605,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoinWithin(ev, purchases, "user_id", "ts", "1 HOUR")
+        .select(col("event_id"), col("user_id"),
+          Cols.epochUs(col("ts")).as("ts_us"),
+          Cols.epochUs(col("asof.ts")).as("purchase_ts_us"),
+          col("asof.value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val intervals = ev.filter(col("event_type") === "signup")
@@ -1265,6 +1278,17 @@ object SparkEntry {
       "q_asof_join" ->
         """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
                   epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+           FROM events l ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.event_id""",
+
+      "q_asof_tolerance" ->
+        """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                  CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR
+                       THEN epoch_us(r.ts) END AS purchase_ts_us,
+                  CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR
+                       THEN r.value END AS purchase_value
            FROM events l ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
              ON l.user_id = r.user_id AND l.ts >= r.ts

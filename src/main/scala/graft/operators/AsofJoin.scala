@@ -48,4 +48,21 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__asof").as("asof"))
   }
+
+  /**
+   * As-of join with a staleness tolerance: a matched right row older
+   * than `tolerance` before the left timestamp is treated as no match
+   * (the market-data contract — a quote from last week must not price
+   * today's trade). Same single-shuffle plan as [[asofJoin]]; the
+   * tolerance is a post-filter on the matched struct, whose `tsCol`
+   * field carries the right row's timestamp.
+   */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, key: String,
+                     tsCol: String, tolerance: String): DataFrame = {
+    val joined = asofJoin(left, right, key, tsCol)
+    val rType = joined.schema("asof").dataType
+    joined.withColumn("asof",
+      when(col(s"asof.$tsCol") >= col(tsCol) - expr(s"INTERVAL $tolerance"),
+        col("asof")).otherwise(lit(null).cast(rType)))
+  }
 }

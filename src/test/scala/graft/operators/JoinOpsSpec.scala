@@ -33,6 +33,19 @@ class JoinOpsSpec extends SparkSpec {
     assert(got("other-key").isEmpty) // right row is later
   }
 
+  test("asofJoinWithin nulls out matches older than the tolerance") {
+    val facts = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),
+      (1L, ts("2024-01-01 23:00:00"), "stale"))
+      .toDF("k", "t", "tag")
+    val dim = Seq((1L, ts("2024-01-01 09:30:00"), 10.0)).toDF("k", "t", "v")
+    val got = AsofJoin.asofJoinWithin(facts, dim, "k", "t", "1 HOUR")
+      .select($"tag", $"asof.v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("fresh") == Some(10.0)) // 30 min old: within tolerance
+    assert(got("stale").isEmpty) // 13.5 h old: tolerance exceeded
+  }
+
   test("asofJoin preserves every left row and all left columns") {
     val facts = Seq((1L, ts("2024-01-01 10:00:00"), "x", 42))
       .toDF("k", "t", "s", "n")
