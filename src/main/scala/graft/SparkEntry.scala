@@ -370,6 +370,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "text_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(
+          TextOps.qualityScore(t(s, dir, "documents"))
+            .select(col("doc_id"), col("quality")),
+          "doc_id", col("quality"))
+        .orderBy(col("doc_id"))),
+
     "text_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 20)
         .select(col("lang"), col("doc_id"))
@@ -1261,6 +1268,20 @@ object SparkEntry {
                   CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
            FROM tg JOIN freq USING (tg)
            GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_weighted_sample" -> {
+        val qual =
+          s"""((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+                         / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
+                      THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
+                      THEN 1.0 ELSE 0.0 END)) / 3.0"""
+        s"""SELECT doc_id, $qual AS quality FROM documents
+            WHERE ${h60("CAST(doc_id AS VARCHAR) || ':graft'")} % 1000000
+                  < CAST(floor(($qual) * 1000000.0) AS BIGINT)
+            ORDER BY doc_id"""
+      },
 
       "text_hash_sample" ->
         s"""SELECT doc_id, lang FROM documents

@@ -72,6 +72,19 @@ object TextOps {
       concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 100 < pct)
 
   /**
+   * Deterministic WEIGHTED sampling: keep a row with probability equal
+   * to its weight ∈ [0,1] — keep iff h60(id:salt) mod 10⁶ is below
+   * floor(weight·10⁶). Reproducible Bernoulli per row with no RNG
+   * state (quality-proportional corpus downsampling); a pure narrow
+   * filter at any scale.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     salt: String = "graft"): DataFrame =
+    df.filter(graft.functions.functions.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 1000000L <
+      floor(weight * 1000000.0).cast("long"))
+
+  /**
    * Stratified quota sampling: the `quota` hash-smallest rows per
    * stratum — a balanced per-group sample whose membership is a pure
    * function of the data. One shuffle on the stratum key; the

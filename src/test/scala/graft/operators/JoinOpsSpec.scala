@@ -151,6 +151,17 @@ class JoinOpsSpec extends SparkSpec {
     assert(bigger > a.size)
   }
 
+  test("weightedSample: weight 1 keeps all, 0 none, mid-weights proportional") {
+    val df = (0L until 1000L).map(i => (i, i % 2 == 0)).toDF("doc_id", "good")
+    assert(TextOps.weightedSample(df, "doc_id", lit(1.0)).count() == 1000L)
+    assert(TextOps.weightedSample(df, "doc_id", lit(0.0)).count() == 0L)
+    val half = TextOps.weightedSample(df, "doc_id", lit(0.5)).count()
+    assert(half > 400L && half < 600L)
+    val byCol = TextOps.weightedSample(df, "doc_id",
+      when($"good", 1.0).otherwise(0.0))
+    assert(byCol.count() == 500L && byCol.filter(!$"good").count() == 0L)
+  }
+
   test("stratifiedSample: at most quota rows per stratum, deterministic") {
     val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "lang")
     val s1 = TextOps.stratifiedSample(docs, "lang", "doc_id", 20)
