@@ -26,6 +26,28 @@ class IvfAndSkewSpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("IVF index persisted by bucket prunes partitions on probe") {
+    // the scale claim on IvfIndex: persist `assigned` partitioned by
+    // bucket, and a probe's bucket filter becomes partition pruning —
+    // unprobed buckets are never read
+    val rnd = new Random(7)
+    val emb = (0L until 80L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(emb, nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    index.assigned.write.partitionBy("bucket").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"bucket".isin(0, 1))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("bucket"), plan)
+    // pruned read returns exactly the probed buckets' vectors
+    val expected = index.assigned.filter($"bucket".isin(0, 1))
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val got = back.select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("IVF with narrow probe still returns k ranked neighbors per query") {
     val rnd = new Random(2)
     val emb = (0L until 80L)
