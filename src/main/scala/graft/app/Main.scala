@@ -86,8 +86,26 @@ object Main {
     val query = ExtractionPipeline.start(stream, outDir,
       s"$outDir-checkpoint", triggerMs)
 
+    // Live (min,max] integrity check alongside extraction: every
+    // extracted offset feeds the gap monitor; gap/fill/lost events
+    // surface in the gap_events table (the check the reference never
+    // had — a crashed worker's range loss was silent, SURVEY §3.4).
+    import spark.implicits._
+    val gapQuery = graft.streaming.GapMonitor.monitor(
+        stream.select(org.apache.spark.sql.functions.lit("events").as("source"),
+          org.apache.spark.sql.functions.col("event_id").as("offset"))
+          .as[graft.streaming.GapMonitor.Offset])
+      .writeStream.format("memory").queryName("gap_events")
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir-gap-checkpoint")
+      .start()
+
     query.awaitTermination(runMs) // runDuration ≙ `Client.java:34-42`
     query.stop()
+    gapQuery.processAllAvailable()
+    gapQuery.stop()
+    val gaps = spark.table("gap_events").count()
+    println(s"GAP_EVENTS n=$gaps")
 
     val extracted = spark.read.text(outDir).count()
     println(s"EXTRACTED rows=$extracted of=$total tables=$group" +
