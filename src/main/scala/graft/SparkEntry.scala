@@ -663,6 +663,27 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "sim_recall_report" -> ((s, dir) => {
+      // ANN quality evaluation as a query: recall@5 of the SRP-LSH
+      // index against exact brute-force ground truth, per query vector
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(emb, queries, 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val hits = brute.join(lsh,
+          col("query_id") === col("qid") && col("neighbor_id") === col("nid"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = Similarity.buildIvf(emb, nCentroids = 16)
@@ -1472,6 +1493,45 @@ object SparkEntry {
             WHERE list_dot_product(x.v, y.v) /
                   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
+
+      "sim_recall_report" ->
+        s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 bkt AS (SELECT vec_id, v,
+                           CAST(list_sum(list_transform(range(8), p ->
+                             CASE WHEN list_dot_product(v, ($srpMat)[CAST(p AS INT)+1]) > 0
+                                  THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+                         FROM ev),
+                 lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bkt WHERE vec_id < 20),
+                 lc AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM bkt),
+                 ls AS (SELECT query_id, neighbor_id,
+                          list_dot_product(qv, nv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+                        FROM lc JOIN lq USING (bucket) WHERE neighbor_id != query_id),
+                 lsh AS (SELECT query_id, neighbor_id FROM (
+                           SELECT query_id, neighbor_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+                           FROM ls) WHERE rank <= 5),
+                 bq AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 20),
+                 bsim AS (SELECT query_id, vec_id AS neighbor_id,
+                            list_dot_product(qv, v) /
+                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+                          FROM bq CROSS JOIN ev WHERE vec_id != query_id),
+                 brute AS (SELECT query_id, neighbor_id FROM (
+                             SELECT query_id, neighbor_id,
+                                    row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+                             FROM bsim) WHERE rank <= 5),
+                 hits AS (SELECT b.query_id, count(*) AS n
+                          FROM brute b JOIN lsh l
+                            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+                          GROUP BY b.query_id)
+            SELECT q.query_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(n, 0) AS DOUBLE) / 5.0 AS recall_at_5
+            FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) q
+            LEFT JOIN hits USING (query_id)
+            ORDER BY q.query_id""",
 
       "sim_lsh_topk" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
