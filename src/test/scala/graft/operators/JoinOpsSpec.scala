@@ -88,6 +88,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("edge cases: empty inputs and oversized k degrade gracefully") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.nearDupComponents(emptyPairs).count() == 0)
+    assert(CdcOps.gapDetection(
+      Seq.empty[Tuple1[Long]].toDF("event_id")).count() == 0)
+    val facts = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "s")
+    val emptyDim = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("k", "t", "v")
+    val asof = AsofJoin.asofJoin(facts, emptyDim, "k", "t")
+    assert(asof.count() == 1 && asof.filter($"asof".isNotNull).count() == 0)
+    // k larger than the candidate pool: return what exists, ranked
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 10)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(topk.length == 1 && topk.head._2 == 1)
+  }
+
   test("gapDetection finds intra- and inter-bucket gaps, none when contiguous") {
     val ids = ((0L to 50L) ++ (53L to 99L) ++ (220L to 260L)).map(Tuple1(_))
     val df = ids.toDF("event_id").repartition(4)
