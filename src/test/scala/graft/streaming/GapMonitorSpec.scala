@@ -46,6 +46,33 @@ class GapMonitorSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("integration: file-source segments with a hole surface the gap") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("gapint").toString
+    def seg(ids: Range): Unit = FileChangeLogStream.writeSegment(
+      ids.map(i => (i.toLong, new Timestamp(1700000000000L + i * 1000L),
+          i.toLong % 5, "click", i + 0.5, s"p$i"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      dir)
+    seg(0 until 40)
+    seg(45 until 80) // ids 40..44 never landed
+    val offsets = spark.readStream.format(FileChangeLogStream.FormatName)
+      .option("path", dir).load()
+      .select(org.apache.spark.sql.functions.lit("t").as("source"),
+        $"event_id".as("offset"))
+      .as[GapMonitor.Offset]
+    val q = GapMonitor.monitor(offsets)
+      .writeStream.format("memory").queryName("gap_int")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gapck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gap_int").as[GapMonitor.GapEvent].collect().toSeq
+      assert(got == Seq(GapMonitor.GapEvent("t", "gap", 40, 44)))
+    } finally q.stop()
+  }
+
   test("missing-set stays bounded: a wide jump records the prefix as one lost range") {
     val got = run(Seq(
       Seq(Offset("t", 0), Offset("t", 10))), // 9 missing, cap 5
