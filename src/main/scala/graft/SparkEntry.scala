@@ -703,10 +703,12 @@ object SparkEntry {
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
     val stopIn = TextOps.EnglishStopwords.map(x => s"'$x'").mkString("(", ", ", ")")
-    val norm = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    val norm = s"trim(regexp_replace(lower(coalesce(text, '')), '${TextOps.SpaceRun}', ' ', 'g'))"
     val discPrice = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
-    val toks = "regexp_extract_all(coalesce(text, ''), '\\S+')"
+    val toks = s"regexp_extract_all(coalesce(text, ''), '${TextOps.NonSpace}+')"
+    // BPE pattern quoted for SQL (leading ' doubled)
+    val bpeSql = "'" + TextOps.BpePattern.replace("'", "''") + "'"
     val wtoks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')"
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
     val cos = "list_dot_product(q, n) / " +
@@ -1056,9 +1058,8 @@ object SparkEntry {
 
       "text_bpe_tokens" ->
         ("SELECT doc_id, " +
-          "CAST(len(regexp_extract_all(text, " +
-          "'''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')) AS BIGINT) AS n_bpe, " +
-          "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws " +
+          s"CAST(len(regexp_extract_all(text, $bpeSql)) AS BIGINT) AS n_bpe, " +
+          s"CAST(len(regexp_extract_all(text, '${TextOps.NonSpace}+')) AS BIGINT) AS n_ws " +
           "FROM documents ORDER BY doc_id"),
 
       "mm_media_metadata" ->
@@ -1376,8 +1377,7 @@ object SparkEntry {
 
       "text_vocab_topn" ->
         ("SELECT tok, count(*) AS n FROM (SELECT unnest(regexp_extract_all(" +
-          "coalesce(text, ''), " +
-          "'''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')) AS tok " +
+          s"coalesce(text, ''), $bpeSql)) AS tok " +
           "FROM documents) GROUP BY tok ORDER BY n DESC, tok LIMIT 50"),
 
       "sketch_lang_minhash" ->
@@ -1438,7 +1438,7 @@ object SparkEntry {
                       '${TextOps.UrlPattern}', '', 'g'),
                       '${TextOps.EmailPattern}', '', 'g'),
                       '[\\x00-\\x1f]', ' ', 'g'),
-                      '\\s+', ' ', 'g')) AS c
+                      '${TextOps.SpaceRun}', ' ', 'g')) AS c
                   FROM documents)
             ORDER BY doc_id""",
 

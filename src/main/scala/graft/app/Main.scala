@@ -56,12 +56,21 @@ object Main {
     spark.streams.addListener(listener)
 
     val total = ChangeLogSource.table(spark, sfDir, "events").count()
-    val stream = sourceDir match {
+    // `stream` is the (possibly table-filtered) extraction input;
+    // `monitorStream` is a second, UNFILTERED reader of the same log —
+    // a filtered stream legitimately has event_id holes, so feeding it
+    // to the gap monitor would report spurious gaps for any subgroup
+    // run. Each streaming query checkpoints its own offsets, so two
+    // readers over one log are independent.
+    val (stream, monitorStream) = sourceDir match {
       case Some(d) =>
         val r = spark.readStream.format(FileChangeLogStream.FormatName)
           .option("path", d)
-        (if (tables != EventGroups.All)
+        val filtered = (if (tables != EventGroups.All)
           r.option("tables", tables.mkString(",")) else r).load()
+        val unfiltered = spark.readStream
+          .format(FileChangeLogStream.FormatName).option("path", d).load()
+        (filtered, unfiltered)
       case None =>
         // Feeder: replay the events table into the buffer in batches.
         val rows = ChangeLogSource.table(spark, sfDir, "events")
@@ -80,8 +89,10 @@ object Main {
         }, "changelog-feeder")
         feeder.setDaemon(true)
         feeder.start()
-        ExtractionPipeline.readChangeLog(spark, bufName, Some(tables),
-          numPartitions = partitions)
+        (ExtractionPipeline.readChangeLog(spark, bufName, Some(tables),
+          numPartitions = partitions),
+         ExtractionPipeline.readChangeLog(spark, bufName, None,
+          numPartitions = partitions))
     }
     val query = ExtractionPipeline.start(stream, outDir,
       s"$outDir-checkpoint", triggerMs)
@@ -92,7 +103,7 @@ object Main {
     // had — a crashed worker's range loss was silent, SURVEY §3.4).
     import spark.implicits._
     val gapQuery = graft.streaming.GapMonitor.monitor(
-        stream.select(org.apache.spark.sql.functions.lit("events").as("source"),
+        monitorStream.select(org.apache.spark.sql.functions.lit("events").as("source"),
           org.apache.spark.sql.functions.col("event_id").as("offset"))
           .as[graft.streaming.GapMonitor.Offset])
       .writeStream.format("memory").queryName("gap_events")

@@ -219,8 +219,12 @@ object CdcOps {
     // intra-bucket gaps: lead() only inside flagged buckets
     val gappy = stats.filter(col("n") =!= col("hi") - col("lo") + 1)
       .select(col("b").as("gb"))
+    // no broadcast hint: gappy is empty on a healthy log but grows
+    // with corpus badness (up to bucket-count rows on a heavily gapped
+    // log) — let AQE pick broadcast vs shuffle from its runtime size;
+    // the bucket-id key shapes a shuffled join fine when it's large
     val wb = Window.partitionBy(col("b")).orderBy(col("id"))
-    val intra = ids.join(broadcast(gappy), col("b") === col("gb"))
+    val intra = ids.join(gappy, col("b") === col("gb"))
       .withColumn("next_id", lead(col("id"), 1).over(wb))
       .filter(col("next_id") > col("id") + 1)
       .select(col("id").as("before_id"), col("next_id").as("after_id"))

@@ -18,9 +18,18 @@ object TextOps {
   // through every operator as empty (0 tokens, empty fingerprint)
   // instead of poisoning downstream expressions with SQL nulls.
 
+  /** Explicit non-whitespace class. Java's `\S` and RE2's `\S`
+    * disagree on `\x0B` (vertical tab: whitespace to Java, not to
+    * RE2); spelling the class out makes both engines tokenize
+    * identically, keeping the DuckDB oracle exact. */
+  val NonSpace: String = "[^ \\t\\n\\x0B\\f\\r]"
+
+  /** A run of whitespace, same explicit class (Java/RE2-identical). */
+  val SpaceRun: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Tokens = maximal runs of non-whitespace. */
   def tokens(text: Column): Column =
-    regexp_extract_all(coalesce(text, lit("")), lit("\\S+"), lit(0))
+    regexp_extract_all(coalesce(text, lit("")), lit(NonSpace + "+"), lit(0))
 
   /** Lower-cased alphabetic word tokens (for language/stopword stats). */
   def wordTokens(text: Column): Column =
@@ -28,16 +37,18 @@ object TextOps {
 
   /** Whitespace-normalized text: lower, collapse runs, trim. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "))
+    trim(regexp_replace(lower(coalesce(text, lit(""))), SpaceRun, " "))
 
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** BPE-ish pre-tokenizer (GPT-2-style pattern, lookahead-free so the
     * same pattern runs on Java regex and RE2): contractions, letter
-    * runs, digit runs, punctuation runs, whitespace runs. */
+    * runs, digit runs, punctuation runs, whitespace runs. Whitespace is
+    * spelled as an explicit class (see [[NonSpace]]) so Java and RE2
+    * agree on `\x0B`. */
   val BpePattern: String =
-    "'(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    "'(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\x0B\\f\\ra-zA-Z0-9]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** BPE-ish sub-word-ready tokens of the raw text. */
   def bpeishTokens(text: Column): Column =
@@ -105,7 +116,7 @@ object TextOps {
   // Cleaning / PII patterns kept to a regex subset with identical
   // semantics in Java regex and DuckDB's RE2 (no lookaround, no
   // backrefs) so the oracle can replay them.
-  val UrlPattern: String = "https?://\\S+"
+  val UrlPattern: String = "https?://" + NonSpace + "+"
   val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PhonePattern: String = "\\+?[0-9][0-9() .-]{7,}[0-9]"
   val Ipv4Pattern: String =
@@ -117,7 +128,7 @@ object TextOps {
   def cleaned(text: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       coalesce(text, lit("")),
-      UrlPattern, ""), EmailPattern, ""), "[\\x00-\\x1f]", " "), "\\s+", " "))
+      UrlPattern, ""), EmailPattern, ""), "[\\x00-\\x1f]", " "), SpaceRun, " "))
 
   /** PII signal counts per document (URL / e-mail / phone / IPv4
     * matches) — the filter inputs a safety pass needs. */

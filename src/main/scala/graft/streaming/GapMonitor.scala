@@ -18,10 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *  - `lost` when ids stop being tracked: a jump wider than `maxTracked`
  *    records the untracked prefix as one `lost` RANGE immediately, and
  *    overflow of the accumulated missing set evicts oldest ids
- *    individually. Work and state per batch are O(maxTracked) no
- *    matter how broken the upstream is (an offset-scheme reset jumping
- *    by 2⁵⁰ costs one event, not 2⁵⁰ insertions) — unlike the
- *    reference's unbounded maps, §3.4.
+ *    individually. Persistent STATE per key is O(maxTracked) no matter
+ *    how broken the upstream is (an offset-scheme reset jumping by 2⁵⁰
+ *    costs one event, not 2⁵⁰ insertions) — unlike the reference's
+ *    unbounded maps, §3.4. Transient work per micro-batch is
+ *    O(batch·log batch) for the key's offsets (they are buffered and
+ *    sorted so an in-order batch emits no spurious gap+fill pairs); if
+ *    single-key batches big enough to strain one task's memory are
+ *    expected, cap them at the source (`maxEventsPerTrigger`) — rate
+ *    limiting is the backpressure knob here, exactly as in the Kafka
+ *    source.
  */
 object GapMonitor {
 
@@ -43,7 +49,9 @@ object GapMonitor {
           var high = st.highWater
           var missing = scala.collection.mutable.SortedSet(st.missing: _*)
           val out = scala.collection.mutable.ListBuffer[GapEvent]()
-          for (off <- rows.map(_.offset).toSeq.sorted) {
+          val offs = rows.map(_.offset).toArray
+          java.util.Arrays.sort(offs)
+          for (off <- offs) {
             if (high == Long.MinValue) high = off // first offset = baseline
             else if (off > high + 1) {
               out += GapEvent(source, "gap", high + 1, off - 1)
