@@ -304,6 +304,36 @@ object SparkEntry {
             .as("quantiles"))
         .orderBy(col("l_returnflag"))),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Relational.q6ForecastRevenue(t(s, dir, "lineitem"))),
+
+    "q7_nation_volume" -> ((s, dir) =>
+      Relational.q7NationVolume(t(s, dir, "nation"), t(s, dir, "customer"),
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q8_market_share" -> ((s, dir) =>
+      Relational.q8MarketShare(t(s, dir, "region"), t(s, dir, "nation"),
+        t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"))),
+
+    "q9_profit_nation" -> ((s, dir) =>
+      Relational.q9ProfitByNation(t(s, dir, "nation"), t(s, dir, "supplier"),
+        t(s, dir, "part"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q10_returned_items" -> ((s, dir) =>
+      Relational.q10ReturnedItems(t(s, dir, "nation"), t(s, dir, "customer"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    "q14_promo_revenue" -> ((s, dir) =>
+      Relational.q14PromoRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))),
+
+    "q18_large_orders" -> ((s, dir) =>
+      Relational.q18LargeOrders(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"))),
+
+    "q19_brand_revenue" -> ((s, dir) =>
+      Relational.q19BrandRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))),
+
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
@@ -328,6 +358,24 @@ object SparkEntry {
           Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1))
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))),
+
+    "dedup_neardup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupSurvivors(
+        Dedup.nearDupComponents(
+            Dedup.nearDuplicatePairs(docs, threshold = 0.1))
+          .select(col("id").as("doc_id"), col("component")),
+        docs)
+    }),
+
+    "text_contamination" -> ((s, dir) =>
+      TextOps.contamination(t(s, dir, "documents"))),
+
+    "text_shard_assign" -> ((s, dir) =>
+      TextOps.shardAssign(t(s, dir, "documents"))),
+
+    "sim_knn_label_agreement" -> ((s, dir) =>
+      Similarity.knnLabelAgreement(t(s, dir, "embeddings"))),
 
     "text_vocab_topn" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -356,6 +404,12 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_source_mix" -> ((s, dir) =>
+      TextOps.sourceMix(t(s, dir, "documents"))),
+
+    "text_quality_deciles" -> ((s, dir) =>
+      TextOps.qualityDeciles(t(s, dir, "documents"))),
 
     "text_lang_id" -> ((s, dir) =>
       TextOps.langIdHeuristic(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -711,6 +765,15 @@ object SparkEntry {
     val bpeSql = "'" + TextOps.BpePattern.replace("'", "''") + "'"
     val wtoks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')"
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
+    // quality score (matches TextOps.qualityScore): length gate +
+    // mean-token-length gate + stopword-density gate, averaged
+    val qualityExpr =
+      s"""((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+                              / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
+                           THEN 1.0 ELSE 0.0 END)) / 3.0"""
     val cos = "list_dot_product(q, n) / " +
       "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(n, n)))"
 
@@ -727,6 +790,18 @@ object SparkEntry {
                       string_split($norm, ' ')[i+2]))
                ELSE [array_to_string(string_split($norm, ' '), ' ')]
           END"""
+    // word-k-shingle set for arbitrary k (matches Dedup.shingleSets(k))
+    def shinglesSql(k: Int): String = {
+      val terms = (0 until k).map(j => s"string_split($norm, ' ')[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""CASE WHEN len(string_split($norm, ' ')) >= $k
+               THEN list_distinct(list_transform(
+                 generate_series(1, len(string_split($norm, ' ')) - ${k - 1}),
+                 i -> $terms))
+               ELSE [array_to_string(string_split($norm, ' '), ' ')]
+          END"""
+    }
+
     // MinHash permutation coefficients (identical to H60.permA/permB)
     val permA = (0 until 32).map(graft.functions.H60.permA).mkString("[", ", ", "]")
     val permB = (0 until 32).map(graft.functions.H60.permB).mkString("[", ", ", "]")
@@ -873,6 +948,107 @@ object SparkEntry {
             WHERE r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name""",
+
+      "q6_forecast_revenue" ->
+        """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24""",
+
+      "q7_nation_volume" ->
+        s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+
+      "q8_market_share" ->
+        s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN $discPrice
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                   CAST(sum($discPrice) AS DOUBLE) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY o_year
+            ORDER BY o_year""",
+
+      "q9_profit_nation" ->
+        s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST($discPrice -
+                     CAST(CAST(p_retailprice AS DECIMAL(12,2)) *
+                          CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+                     AS DECIMAL(22,4))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%1%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC""",
+
+      "q10_returned_items" ->
+        s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
+
+      "q14_promo_revenue" ->
+        s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                   CAST(sum($discPrice) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+
+      "q18_large_orders" ->
+        """SELECT c_name, c_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, sum_qty
+            FROM (SELECT l_orderkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE sum_qty > 120.0
+            ORDER BY o_totalprice DESC, o_orderkey""",
+
+      "q19_brand_revenue" ->
+        s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 1 AND l_quantity <= 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity >= 10 AND l_quantity <= 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity >= 20 AND l_quantity <= 40)""",
 
       "q_top_suppliers" ->
         s"""SELECT s_suppkey, s_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
@@ -1205,13 +1381,21 @@ object SparkEntry {
                    CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) AS stopword_ratio,
                    CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
                      / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) AS avg_token_len,
-                   ((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
-                    + (CASE WHEN CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
-                              / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
-                           THEN 1.0 ELSE 0.0 END)
-                    + (CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
-                           THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+                   $qualityExpr AS quality
             FROM documents ORDER BY doc_id""",
+
+      "text_source_mix" ->
+        """SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+                   quantile_cont(n_chars, 0.5) AS median_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source ORDER BY source""",
+
+      "text_quality_deciles" ->
+        s"""SELECT doc_id, CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS INT) AS decile
+            FROM (SELECT doc_id, $qualityExpr AS q FROM documents)
+            ORDER BY doc_id""",
 
       "text_lang_id" ->
         s"""SELECT doc_id, lang AS labeled_lang,
@@ -1374,6 +1558,65 @@ object SparkEntry {
                            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src ORDER BY doc_id""",
+
+      "dedup_neardup_survivors" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                 comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                          FROM reach GROUP BY src),
+                 sel AS (SELECT c.component, c.doc_id,
+                           row_number() OVER (PARTITION BY c.component
+                             ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+                           count(*) OVER (PARTITION BY c.component) AS n_members
+                         FROM comp c JOIN documents d USING (doc_id))
+            SELECT component, doc_id AS survivor_id, n_members
+            FROM sel WHERE rn = 1 ORDER BY component""",
+
+      "text_contamination" ->
+        s"""WITH sh AS (SELECT doc_id, ${shinglesSql(8)} AS s FROM documents),
+                 train AS (SELECT doc_id, unnest(s) AS gram FROM sh
+                           WHERE doc_id % 50 != 0),
+                 held AS (SELECT DISTINCT unnest(s) AS gram FROM sh
+                          WHERE doc_id % 50 = 0)
+            SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
+            FROM train t JOIN held h ON t.gram = h.gram
+            GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+      "text_shard_assign" ->
+        s"""WITH h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh
+                       FROM documents)
+            SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hh % 8
+                     ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM h ORDER BY shard, pos""",
+
+      "sim_knn_label_agreement" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, label AS own,
+                              embedding::DOUBLE[] AS q
+                       FROM embeddings WHERE vec_id % 10 = 0),
+                 c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+                              embedding::DOUBLE[] AS n
+                       FROM embeddings),
+                 s AS (SELECT query_id, own, neighbor_id, n_label, $cos AS sim
+                       FROM q CROSS JOIN c WHERE neighbor_id != query_id),
+                 topk AS (SELECT query_id, own, n_label FROM (
+                            SELECT query_id, own, n_label,
+                                   row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+                            FROM s) WHERE rank <= 10),
+                 per AS (SELECT query_id, own, n_label, count(*) AS cnt
+                         FROM topk GROUP BY query_id, own, n_label)
+            SELECT query_id AS vec_id, own AS label,
+                   CAST(-(max([cnt, -CAST(n_label AS BIGINT)]))[2] AS INT)
+                     AS majority_label,
+                   CAST(sum(CASE WHEN n_label = own THEN cnt ELSE 0 END)
+                     AS BIGINT) AS n_agree
+            FROM per GROUP BY query_id, own ORDER BY vec_id""",
 
       "text_vocab_topn" ->
         ("SELECT tok, count(*) AS n FROM (SELECT unnest(regexp_extract_all(" +

@@ -142,5 +142,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "char_ngrams(string[, n])")
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => WordShinglesExpr(s, 3)
+        case Seq(s, k) => WordShinglesExpr(s, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(string[, k])")
+      }))
   }
 }

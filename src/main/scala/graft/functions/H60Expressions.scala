@@ -288,6 +288,68 @@ object CharNgramsExpr {
   }
 }
 
+/** `word_shingles(normalized_string, k) -> array<string>`: the DISTINCT
+  * word k-grams of a single-space-separated string, first-occurrence
+  * order — one JVM pass replacing the
+  * `array_distinct(transform(sequence(...), i -> concat_ws(slice(...))))`
+  * composition, whose interpreted per-window lambda dominated every
+  * shingle-based operator's runtime. Fewer than k words (including the
+  * empty string) yield the whole input as the single shingle —
+  * identical to the SQL fallback branch and to DuckDB's
+  * `list_distinct(list_transform(generate_series(...), ...))` replay. */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 64, s"k out of range: $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.eval(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShinglesExpr.eval($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShinglesExpr {
+  def eval(s: UTF8String, k: Int): ArrayData = {
+    val t = s.toString
+    // single-space tokenization (the input contract: normalized text);
+    // limit -1 matches Spark's split(str, " ") on trailing empties
+    val toks = t.split(" ", -1)
+    if (toks.length < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(t)))
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    // token start offsets let each shingle be one substring, not k
+    // joins: shingle i spans [start(i), end(i+k-1))
+    val starts = new Array[Int](toks.length)
+    var pos = 0
+    var i = 0
+    while (i < toks.length) {
+      starts(i) = pos
+      pos += toks(i).length + 1
+      i += 1
+    }
+    i = 0
+    val count = toks.length - k + 1
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(i + k - 1) + toks(i + k - 1).length
+      seen.add(t.substring(from, until))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** `lsh_bands(array<long>, bands) -> array<long>` (h60 band buckets) */
 case class LshBandsExpr(child: Expression, bands: Int) extends UnaryExpression {
   require(bands > 0 && bands <= 256, s"bands out of range: $bands")

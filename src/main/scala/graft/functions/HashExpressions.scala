@@ -238,4 +238,8 @@ object functions {
   /** All length-n character windows of a string column, one pass. */
   def char_ngrams(c: Column, n: Int): Column =
     GraftBridge.toColumn(CharNgramsExpr(GraftBridge.toExpression(c), n))
+
+  /** Distinct word k-grams of normalized text, one pass. */
+  def word_shingles(c: Column, k: Int): Column =
+    GraftBridge.toColumn(WordShinglesExpr(GraftBridge.toExpression(c), k))
 }

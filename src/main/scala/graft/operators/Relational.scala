@@ -173,4 +173,142 @@ object Relational {
       .except(orders.filter(col("o_totalprice") > minTotal)
         .select(col("o_custkey").as("key")))
       .orderBy(col("key"))
+
+  /** TPC-H Q6: forecast revenue change — one tight scan-side filter
+    * feeding a scalar aggregate; every predicate pushes into parquet. */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= Cols.tsLit(lineitem, "l_shipdate", "1996-01-01 00:00:00") &&
+        col("l_shipdate") < Cols.tsLit(lineitem, "l_shipdate", "1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** TPC-H Q7-style: shipping volume between two nations by year —
+    * both parties' nations resolved through broadcast dims, the
+    * fact-fact join shuffles on orderkey only. */
+  def q7NationVolume(nation: DataFrame, customer: DataFrame,
+                     supplier: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= Cols.tsLit(lineitem, "l_shipdate", "1996-01-01 00:00:00") &&
+        col("l_shipdate") < Cols.tsLit(lineitem, "l_shipdate", "1998-01-01 00:00:00"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8-style: one nation's market share inside a region's
+    * order volume, by order year. Share = exact-decimal conditional
+    * sum over exact-decimal total, divided as doubles at the end. */
+  def q8MarketShare(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    shareNation: String = "NATION_3",
+                    regionName: String = "ASIA"): DataFrame = {
+    val custNation = nation.join(broadcast(
+        region.filter(col("r_name") === regionName)),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = nation.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === shareNation, discPrice)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(discPrice).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-style: profit by supplier nation and year. The schema has
+    * no partsupp, so product cost is proxied by `p_retailprice` (the
+    * deterministic stand-in): profit = disc price − retailprice·qty. */
+  def q9ProfitByNation(nation: DataFrame, supplier: DataFrame,
+                       part: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.filter(col("p_name").contains("1"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum((discPrice - (dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("decimal(18,4)")).cast("decimal(22,4)"))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q10: top customers by returned-item revenue in a quarter. */
+  def q10ReturnedItems(nation: DataFrame, customer: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame,
+                       k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= Cols.tsLit(orders, "o_orderdate", "1996-01-01 00:00:00") &&
+          col("o_orderdate") < Cols.tsLit(orders, "o_orderdate", "1996-04-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q14: promotion revenue share for one ship month. */
+  def q14PromoRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= Cols.tsLit(lineitem, "l_shipdate", "1996-03-01 00:00:00") &&
+        col("l_shipdate") < Cols.tsLit(lineitem, "l_shipdate", "1996-04-01 00:00:00"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(discPrice).cast("double")).as("promo_revenue"))
+
+  /** TPC-H Q18: large-volume orders — customers whose single order
+    * exceeds `minQty` total quantity. The having-filter runs on the
+    * pre-aggregated (orderkey) side before the dimension joins. */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Double = 120.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey").as("lk"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("lk"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        Cols.epochUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q19: disjunctive brand/size/quantity predicate revenue —
+    * the classic OR-of-ANDs filter Catalyst pushes as one conjunctive
+    * superset (partkey join + residual disjunction). */
+  def q19BrandRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 40))
+      .agg(sum(discPrice).cast("double").as("revenue"))
 }

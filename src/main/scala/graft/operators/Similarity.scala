@@ -193,4 +193,35 @@ object Similarity {
         cosine(col("q_emb"), col("n_emb")).as("sim"))
     topKRank(sim, k)
   }
+
+  /**
+   * kNN label agreement — embedding-based label-error detection: for a
+   * deterministic sample of vectors (`vec_id % sampleMod == 0`), find
+   * the exact top-`k` cosine neighbors and compare each vector's label
+   * with its neighborhood's majority label (ties break toward the
+   * smaller label id). Rows where `label != majority_label` or
+   * `n_agree` is low are mislabel/outlier candidates — the curation
+   * pass run before training on labeled data. Cost is the
+   * [[bruteForceTopK]] scan (sample is broadcast; corpus never
+   * shuffles) plus two tiny aggregations on the k·|sample| pairs.
+   */
+  def knnLabelAgreement(emb: DataFrame, k: Int = 10,
+                        sampleMod: Long = 10): DataFrame = {
+    val labels = emb.select(col("vec_id").as("lid"), col("label").as("l"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val top = bruteForceTopK(emb, queries, k)
+    val nb = top.join(broadcast(labels), col("neighbor_id") === col("lid"))
+      .select(col("query_id"), col("l").as("n_label"))
+    val own = labels.select(col("lid").as("qid"), col("l").as("own_label"))
+    nb.join(broadcast(own), col("query_id") === col("qid"))
+      .groupBy(col("query_id"), col("own_label"), col("n_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("query_id"), col("own_label"))
+      .agg(max(struct(col("cnt"), (-col("n_label")).as("negl"))).as("m"),
+        sum(when(col("n_label") === col("own_label"), col("cnt"))
+          .otherwise(lit(0L))).as("n_agree"))
+      .select(col("query_id").as("vec_id"), col("own_label").as("label"),
+        (-col("m.negl")).as("majority_label"), col("n_agree"))
+      .orderBy(col("vec_id"))
+  }
 }

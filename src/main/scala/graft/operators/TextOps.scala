@@ -209,4 +209,100 @@ object TextOps {
       ratio.as("en_stopword_ratio"),
       when(ratio >= 0.08, lit("en")).otherwise(lit("other")).as("guessed_lang"))
   }
+
+  /**
+   * Corpus-composition report: per `source`, document count, char
+   * volume, mean/median length, language spread — the mix dashboard a
+   * data curator reads before weighting sources. One shuffle on the
+   * (low-cardinality) source key; exact median via `percentile`
+   * (per-group sort of that group's values only).
+   */
+  def sourceMix(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        expr("percentile(n_chars, 0.5D)").as("median_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
+  /**
+   * Curriculum binning: exact `ntile(n)` over (quality DESC, doc_id)
+   * WITHOUT a global sort. The total order is decomposed into a tiny
+   * per-quality-value offset dimension (quality takes 4 distinct
+   * values here; any low-cardinality score works) plus per-quality
+   * `row_number` windows, which partition evenly — then the standard
+   * ntile bucket formula maps the reconstructed global rank to its
+   * decile. Bit-identical to SQL `ntile` given the same order, but
+   * every shuffle is keyed and balanced, so it survives 100 TB where
+   * `Window.orderBy` (single partition) cannot.
+   */
+  def qualityDeciles(docs: DataFrame, n: Int = 10): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+    val wCum = w.orderBy(col("quality").desc)
+    val offsets = q.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          wCum.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        wCum.rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .select(col("quality"), col("offset"), col("total"))
+    val wq = w.partitionBy(col("quality")).orderBy(col("doc_id"))
+    // ntile(n): the first (total mod n) buckets hold ceil(total/n)
+    // rows; DIV keeps the rank arithmetic integral end to end
+    q.join(broadcast(offsets), "quality")
+      .withColumn("r", col("offset") + row_number().over(wq).cast("long") - 1)
+      .select(col("doc_id"),
+        expr(s"""CAST(CASE WHEN r < (total % $n) * (total DIV $n + 1)
+                 THEN r DIV (total DIV $n + 1) + 1
+                 ELSE (total % $n) + (r - (total % $n) * (total DIV $n + 1))
+                      DIV (total DIV $n) + 1 END AS INT)""").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Benchmark-contamination check: training documents that share at
+   * least one word `k`-gram with a held-out (benchmark) subset.
+   * Returns `(doc_id, n_shared)` for contaminated docs only — the
+   * decontamination filter of a pretraining pipeline. The held-out
+   * side is the distinct gram set of a benchmark-sized corpus (tiny
+   * relative to training data), so at 100 TB the join is a broadcast
+   * of the benchmark grams against the exploded training grams — AQE
+   * picks that up from the runtime size; no hint needed.
+   */
+  def contamination(docs: DataFrame, heldoutMod: Long = 50,
+                    k: Int = 8): DataFrame = {
+    val sh = Dedup.shingleSets(docs, k)
+    val train = sh.filter(pmod(col("doc_id"), lit(heldoutMod)) =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val held = sh.filter(pmod(col("doc_id"), lit(heldoutMod)) === 0)
+      .select(explode(col("sh")).as("gram")).distinct()
+    train.join(held, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Deterministic global shuffle for training order: each document is
+   * assigned a shard (`h60(doc_id:salt) mod nShards`) and a position
+   * within it (rank of the hash). A pure function of the data — re-runs
+   * and engines agree — and shard-parallel at any scale: one shuffle
+   * keyed by shard, each shard's sort is independent (at 100 TB,
+   * `repartitionByRange` + `sortWithinPartitions` shape; never a
+   * single global sort).
+   */
+  def shardAssign(docs: DataFrame, nShards: Int = 8,
+                  salt: String = "graft"): DataFrame = {
+    val h = graft.functions.functions.h60(
+      concat(col("doc_id").cast("string"), lit(":"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"), pmod(h, lit(nShards.toLong)).cast("int").as("shard"),
+        h.as("__h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+      .orderBy(col("shard"), col("pos"))
+  }
 }

@@ -104,4 +104,16 @@ class DedupSpec extends SparkSpec {
       .as[Double].head()
     assert(est == 1.0)
   }
+
+  test("nearDupSurvivors keeps the longest member, min doc_id on ties") {
+    val components = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (7L, 3L))
+      .toDF("doc_id", "component")
+    val docMeta = Seq((1L, 40L), (2L, 44L), (5L, 44L), (3L, 10L), (7L, 10L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.nearDupSurvivors(components, docMeta)
+      .as[(Long, Long, Long)].collect().toSeq
+    // component 1: 2 and 5 tie at 44 chars -> min doc_id 2 survives
+    // component 3: 3 and 7 tie at 10 chars -> 3 survives
+    assert(got == Seq((1L, 2L, 3L), (3L, 3L, 2L)))
+  }
 }

@@ -68,4 +68,34 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"asof join must not degenerate into a pair join:\n$p")
   }
+
+  test("q6 pushes every scalar predicate into the parquet scan") {
+    val df = Relational.q6ForecastRevenue(
+      ChangeLogSource.table(spark, sfDir, "lineitem"))
+    val pushed = plan(df).linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    // the plan string elides long filter lists ("...") — assert on the
+    // filters visible before the cut and on the scan having data filters
+    assert(pushed.contains("PushedFilters: [IsNotNull"), s"nothing pushed: $pushed")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed: $pushed")
+    assert(pushed.contains("DataFilters: [isnotnull(l_shipdate"),
+      s"scan-level data filters missing: $pushed")
+  }
+
+  test("q19's dimension join broadcasts part; lineitem never shuffles") {
+    val df = Relational.q19BrandRevenue(
+      ChangeLogSource.table(spark, sfDir, "part"),
+      ChangeLogSource.table(spark, sfDir, "lineitem"))
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("knn label agreement never shuffles the corpus scan") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val df = Similarity.knnLabelAgreement(emb, k = 3, sampleMod = 100)
+    val p = plan(df)
+    // corpus reaches the scorer via broadcast of the sampled queries:
+    // the only exchanges are the tiny post-top-k aggregations
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

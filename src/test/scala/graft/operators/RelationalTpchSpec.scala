@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the round-3 TPC-H-shape queries on hand-built rows. */
+class RelationalTpchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (orderkey, partkey, suppkey, linenumber, qty, extprice, discount,
+  //  tax, returnflag, linestatus, shipdate)
+  private lazy val lineitem = Seq(
+    (1L, 1L, 1L, 1, 10.0, 1000.0, 0.05, 0.0, "N", "O", ts("1996-02-01 00:00:00")),
+    (1L, 2L, 2L, 2, 30.0, 2000.0, 0.06, 0.0, "R", "O", ts("1996-03-15 00:00:00")),
+    (2L, 1L, 1L, 1, 24.0, 500.0, 0.06, 0.0, "N", "O", ts("1996-06-01 00:00:00")),
+    (2L, 2L, 2L, 2, 5.0, 800.0, 0.10, 0.0, "R", "F", ts("1997-01-01 00:00:00")),
+    (3L, 1L, 2L, 1, 100.0, 9000.0, 0.07, 0.0, "N", "O", ts("1996-03-20 00:00:00")))
+    .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private lazy val orders = Seq(
+    (1L, 10L, "O", 3000.0, ts("1996-01-15 00:00:00"), "1-URGENT"),
+    (2L, 11L, "F", 1300.0, ts("1996-05-20 00:00:00"), "2-HIGH"),
+    (3L, 10L, "O", 9000.0, ts("1996-02-01 00:00:00"), "3-MEDIUM"))
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  private lazy val customer = Seq(
+    (10L, "CUST_A", 1, 100.0, "BUILDING"),
+    (11L, "CUST_B", 2, 200.0, "AUTOMOBILE"))
+    .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  private lazy val supplier = Seq(
+    (1L, "SUPP_1", 2, 0.0), (2L, "SUPP_2", 1, 0.0))
+    .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  private lazy val nation = Seq(
+    (1, "NATION_1", 0), (2, "NATION_2", 1))
+    .toDF("n_nationkey", "n_name", "n_regionkey")
+
+  private lazy val part = Seq(
+    (1L, "part one 1", "Brand#1", "PROMO", 10, 10.0),
+    (2L, "part two 1", "Brand#2", "STANDARD", 20, 20.0))
+    .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+  test("q6: half-open shipdate window, inclusive discount band, qty bound") {
+    // qualifying: row 1 (0.05, qty 10 < 24, 1996) and row 5 (0.07, qty
+    // 100 -> excluded by qty), row 2 (0.06, qty 30 -> excluded), row 3
+    // (qty 24 not < 24 -> excluded), row 4 (1997 -> excluded)
+    val rev = Relational.q6ForecastRevenue(lineitem).as[Double].head()
+    assert(math.abs(rev - 1000.0 * 0.05) < 1e-9)
+  }
+
+  test("q7: keeps both nation directions, groups by ship year") {
+    val rows = Relational.q7NationVolume(nation, customer, supplier,
+        orders, lineitem)
+      .select("supp_nation", "cust_nation", "l_year", "revenue")
+      .as[(String, String, Int, Double)].collect()
+    // supplier nation = s_nationkey -> NATION_x; customer via o_custkey
+    // cust 10 -> nation 1, cust 11 -> nation 2; supp 1 -> nation 2,
+    // supp 2 -> nation 1. All five rows ship 1996/1997 inside the window.
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, c, _, _) =>
+      (s == "NATION_1" && c == "NATION_2") || (s == "NATION_2" && c == "NATION_1") })
+    // directions present both ways
+    assert(rows.exists(_._1 == "NATION_1") && rows.exists(_._1 == "NATION_2"))
+  }
+
+  test("q10: only returned lineitems in the order-date window count") {
+    val rows = Relational.q10ReturnedItems(nation, customer, orders, lineitem)
+      .select("c_custkey", "revenue").as[(Long, Double)].collect().toMap
+    // 'R' rows: (o1, 2000@0.06) and (o2, 800@0.10); o2 orderdate
+    // 1996-05-20 is outside [1996-01-01, 1996-04-01) -> only order 1
+    assert(rows.keySet == Set(10L))
+    assert(math.abs(rows(10L) - 2000.0 * 0.94) < 1e-9)
+  }
+
+  test("q14: promo share of the ship-month revenue") {
+    val share = Relational.q14PromoRevenue(part, lineitem).as[Double].head()
+    // March 1996 rows: o1/l2 (part 2, STANDARD, 1880) + o3/l1 (part 1,
+    // PROMO, 8370); share = 100 * 8370 / (8370+1880)
+    assert(math.abs(share - 100.0 * 8370.0 / 10250.0) < 1e-9)
+  }
+
+  test("q18: only orders whose total quantity exceeds the threshold") {
+    val rows = Relational.q18LargeOrders(customer, orders, lineitem,
+        minQty = 40.0)
+      .select("o_orderkey", "sum_qty").as[(Long, Double)].collect().toMap
+    assert(rows == Map(3L -> 100.0)) // o1=40 (not >40), o2=29, o3=100
+  }
+
+  test("q19: disjunctive brand/size/quantity arms are independent") {
+    val rev = Relational.q19BrandRevenue(part, lineitem).as[Double].head()
+    // arm1 (Brand#1, size 10 in [1,15], qty in [1,21]): row 1 qty 10 ✓
+    //   (row 3 qty 24 out, row 5 qty 100 out)
+    // arm2 (Brand#2, size 20 in [1,25], qty in [10,30]): row 2 qty 30 ✓
+    //   (row 4 qty 5 out)
+    assert(math.abs(rev - (1000.0 * 0.95 + 2000.0 * 0.94)) < 1e-9)
+  }
+
+  test("q9: profit = disc price minus retail-cost proxy, by supp nation/year") {
+    val rows = Relational.q9ProfitByNation(nation, supplier, part, orders, lineitem)
+      .select("nation", "o_year", "sum_profit")
+      .as[(String, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    // supplier 1 (NATION_2) sells part 1 rows (o1/l1 1996, o2/l1 1996):
+    // profit rows exist for both supplier nations, grouped by order year
+    val byNation = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expectedN2 = (1000.0 * 0.95 - 10.0 * 10.0) + (500.0 * 0.94 - 10.0 * 24.0)
+    assert(math.abs(byNation("NATION_2") - expectedN2) < 1e-9)
+  }
+}

@@ -97,6 +97,76 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.forall(_._1 == 0L))
   }
 
+  test("sourceMix aggregates per-source composition with exact median") {
+    val docs = Seq(
+      (1L, "t", "en", "web", 10L), (2L, "t", "de", "web", 30L),
+      (3L, "t", "en", "web", 20L), (4L, "t", "en", "books", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.sourceMix(docs)
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("books", 1L, 100L, 100.0, 100.0, 1L),
+      ("web", 3L, 60L, 20.0, 20.0, 2L)))
+  }
+
+  test("qualityDeciles matches exact ntile semantics without a global sort") {
+    val w = org.apache.spark.sql.expressions.Window
+    val prose = "the quick brown fox jumps over a lazy dog and it is fine today"
+    val docs = (0L until 37L)
+      .map(i => (i, if (i % 3 == 0) "short" else prose, "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.qualityDeciles(docs).as[(Long, Int)].collect().toMap
+    val expected = TextOps.qualityScore(docs)
+      .select($"doc_id", ntile(10)
+        .over(w.orderBy($"quality".desc, $"doc_id")).as("decile"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("contamination flags only train docs sharing an 8-gram with heldout") {
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"prefix $eight suffix"),            // heldout (0 % 50 == 0)
+      (7L, s"other words then $eight and more"), // shares the 8-gram
+      (8L, "completely unrelated text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(docs, heldoutMod = 50, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(7L))
+    assert(got(7L) >= 1L)
+  }
+
+  test("shardAssign: deterministic, complete, contiguous positions per shard") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.shardAssign(docs, nShards = 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    val b = TextOps.shardAssign(docs, nShards = 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(a == b)                                   // pure function of data
+    assert(a.map(_._1).sorted == (0L until 100L))    // every doc placed once
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rows) =>      // positions 1..n dense
+      assert(rows.map(_._3).sorted == (1L to rows.size))
+    }
+  }
+
+  test("knnLabelAgreement: clustered labels agree, a planted mislabel doesn't") {
+    // two tight clusters in 2-D; vec 0 sits in cluster A but is labeled 9
+    val emb = (Seq((0L, Seq(1.0f, 0.01f), 9)) ++
+        (1L to 6L).map(i => (i, Seq(1.0f, 0.01f * i), 0)) ++
+        (7L to 12L).map(i => (i, Seq(0.01f * i, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(emb, k = 3, sampleMod = 10)
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, l, m, n) => id -> ((l, m, n)) }.toMap
+    // queries: vec 0 and vec 10 (vec_id % 10 == 0)
+    assert(got.keySet == Set(0L, 10L))
+    val (l0, m0, n0) = got(0L)
+    assert(l0 == 9 && m0 == 0 && n0 == 0L) // mislabel: neighborhood says 0
+    val (l10, m10, n10) = got(10L)
+    assert(l10 == 1 && m10 == 1 && n10 == 3L) // clean: full agreement
+  }
+
   test("vector expressions match the higher-order formulation bit-exactly") {
     // the codegen loop must reproduce aggregate(zip_with(...)) exactly
     // (same element order, double accumulation) — the oracle depends on it
