@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.sources.ChangeLogSource
+
+/**
+ * Dev-only scale probe: replicates the sf0.1 tables in memory (ids
+ * offset per copy so keys stay unique) and times the round-3 operators
+ * on the inflated corpus — the "would this survive 100×?" smoke the
+ * README's scale section quotes. Not part of the driver contract.
+ *
+ * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [docCopies] [embCopies]
+ */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docCopies = args.lift(0).flatMap(_.toIntOption).getOrElse(20)
+    val embCopies = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+      val n = df.count()
+      df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
+        .withColumn(idCol, col(idCol) + col("__copy") * lit(n * 2))
+        .drop("__copy")
+    }
+
+    val docs = replicate(
+      ChangeLogSource.table(spark, sfDir, "documents"), "doc_id", docCopies)
+      .localCheckpoint(true)
+    val emb = replicate(
+      ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", embCopies)
+      .localCheckpoint(true)
+    println(s"SCALE docs=${docs.count()} embeddings=${emb.count()}")
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      out.write.mode("overwrite").format("noop").save()
+      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    time("text_contamination") { TextOps.contamination(docs) }
+    time("text_shard_assign") { TextOps.shardAssign(docs) }
+    time("text_quality_deciles") { TextOps.qualityDeciles(docs) }
+    time("text_source_mix") { TextOps.sourceMix(docs) }
+    time("dedup_neardup_survivors") {
+      val comp = Dedup.nearDupComponents(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1))
+        .select(col("id").as("doc_id"), col("component"))
+      Dedup.nearDupSurvivors(comp, docs)
+    }
+    time("sim_knn_label_agreement") {
+      Similarity.knnLabelAgreement(emb, k = 10, sampleMod = 100)
+    }
+    spark.stop()
+  }
+}

@@ -288,6 +288,85 @@ object CharNgramsExpr {
   }
 }
 
+/** `array_total_strlen(array<string>) -> long`: sum of element
+  * character counts (codepoints, = SQL `length`) — one pass replacing
+  * the interpreted `aggregate(toks, 0, (acc, t) -> acc + length(t))`
+  * lambda; identical to DuckDB's
+  * `list_sum(list_transform(l, t -> length(t)))`. */
+case class ArrayTotalStrlenExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_total_strlen expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ArrayTotalStrlenExpr.eval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayTotalStrlenExpr.eval($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "array_total_strlen"
+}
+
+object ArrayTotalStrlenExpr {
+  def eval(arr: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) total += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    total
+  }
+}
+
+/** `count_in_set(array<string>, set...) -> int`: occurrences of array
+  * elements that belong to a fixed string set — one hash probe per
+  * element, replacing the interpreted `size(filter(toks, t ->
+  * t.isin(...)))` lambda (set-size × array-size interpreted compares).
+  * Identical to DuckDB's `len(list_filter(l, t -> t IN (...)))`. */
+case class CountInSetExpr(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+  require(set.nonEmpty, "count_in_set needs a non-empty set")
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_in_set expects array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    CountInSetExpr.eval(input.asInstanceOf[ArrayData], lookup)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSet", lookup, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountInSetExpr.eval($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "count_in_set"
+}
+
+object CountInSetExpr {
+  def eval(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var count = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+}
+
 /** `word_shingles(normalized_string, k) -> array<string>`: the DISTINCT
   * word k-grams of a single-space-separated string, first-occurrence
   * order — one JVM pass replacing the

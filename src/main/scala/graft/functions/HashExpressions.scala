@@ -242,4 +242,12 @@ object functions {
   /** Distinct word k-grams of normalized text, one pass. */
   def word_shingles(c: Column, k: Int): Column =
     GraftBridge.toColumn(WordShinglesExpr(GraftBridge.toExpression(c), k))
+
+  /** Sum of element character counts of a string array, one pass. */
+  def array_total_strlen(c: Column): Column =
+    GraftBridge.toColumn(ArrayTotalStrlenExpr(GraftBridge.toExpression(c)))
+
+  /** Occurrences of array elements belonging to a fixed set, one pass. */
+  def count_in_set(c: Column, set: Seq[String]): Column =
+    GraftBridge.toColumn(CountInSetExpr(GraftBridge.toExpression(c), set))
 }

@@ -146,13 +146,16 @@ object TextOps {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
-  /** Count of tokens that are in `stop` (each occurrence counts). */
+  /** Count of tokens that are in `stop` (each occurrence counts).
+    * One-pass hash-probe expression — the `size(filter(toks, isin))`
+    * composition it replaces ran an interpreted lambda doing
+    * |stop| string compares per token. */
   def stopwordCount(toks: Column, stop: Seq[String] = EnglishStopwords): Column =
-    size(filter(toks, t => t.isin(stop: _*)))
+    graft.functions.functions.count_in_set(toks, stop).cast("int")
 
-  /** Sum of token lengths (exact integer arithmetic). */
+  /** Sum of token lengths (exact integer arithmetic, one pass). */
   def totalTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    graft.functions.functions.array_total_strlen(toks)
 
   /**
    * Per-document token statistics: token count, character count,
@@ -160,8 +163,11 @@ object TextOps {
    * inputs, deterministic output.
    */
   def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
+    // stage the extract once (see qualityScore)
+    val staged = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("__toks"))
+    val toks = col("__toks")
+    staged.select(
       col("doc_id"),
       length(coalesce(col("text"), lit(""))).cast("long").as("n_chars_text"),
       size(toks).cast("long").as("n_tokens"),
@@ -175,7 +181,13 @@ object TextOps {
    * filters (C4/Gopher-style rules) expressed as pure column math.
    */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = wordTokens(col("text"))
+    // stage the token array once: every downstream expression
+    // referencing an inline wordTokens() would re-run the regex extract
+    // per reference (~4× per row); a named non-cheap alias survives
+    // CollapseProject, so the extract happens exactly once
+    val staged = docs.select(col("doc_id"), col("text"),
+      wordTokens(col("text")).as("__toks"))
+    val toks = col("__toks")
     val nTok = size(toks).cast("double")
     val nStop = stopwordCount(toks).cast("double")
     val avgLen = totalTokenLen(toks).cast("double") / greatest(nTok, lit(1.0))
@@ -184,7 +196,7 @@ object TextOps {
       .between(20, 100000), lit(1.0)).otherwise(lit(0.0))
     val tokOk = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
     val stopOk = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
-    docs.select(
+    staged.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       stopRatio.as("stopword_ratio"),
@@ -199,11 +211,14 @@ object TextOps {
    * stopword-density classifier.)
    */
   def langIdHeuristic(docs: DataFrame): DataFrame = {
-    val toks = wordTokens(col("text"))
+    // same staging as qualityScore: one regex extract per row
+    val staged = docs.select(col("doc_id"), col("lang"),
+      wordTokens(col("text")).as("__toks"))
+    val toks = col("__toks")
     val nTok = size(toks).cast("double")
     val nStop = stopwordCount(toks).cast("double")
     val ratio = nStop / greatest(nTok, lit(1.0))
-    docs.select(
+    staged.select(
       col("doc_id"),
       col("lang").as("labeled_lang"),
       ratio.as("en_stopword_ratio"),
@@ -228,31 +243,52 @@ object TextOps {
 
   /**
    * Curriculum binning: exact `ntile(n)` over (quality DESC, doc_id)
-   * WITHOUT a global sort. The total order is decomposed into a tiny
-   * per-quality-value offset dimension (quality takes 4 distinct
-   * values here; any low-cardinality score works) plus per-quality
-   * `row_number` windows, which partition evenly — then the standard
-   * ntile bucket formula maps the reconstructed global rank to its
-   * decile. Bit-identical to SQL `ntile` given the same order, but
-   * every shuffle is keyed and balanced, so it survives 100 TB where
-   * `Window.orderBy` (single partition) cannot.
+   * WITHOUT a global sort. The global rank decomposes into
+   * (1) a per-quality-value offset (quality takes few distinct values;
+   * any low-cardinality score works), (2) a per-(quality, id-range
+   * bucket) cumulative offset — range buckets align with the doc_id
+   * order, so lower buckets strictly precede higher ones — and
+   * (3) `row_number` inside each (quality, bucket) partition. The
+   * offset dimension has corpus/rankBucket rows (aggregate it with the
+   * two-level window trick of `CdcOps.gapDetection` if even that is
+   * huge); the per-row work shuffles on (quality, bucket), which is as
+   * fine-grained as you choose. Bit-identical to SQL `ntile` given the
+   * same order, but no stage ever sees more than one bucket in one
+   * sort, so it survives 100 TB where `Window.orderBy` (single
+   * partition) — or even a per-quality window over a 4-value key —
+   * cannot.
    */
-  def qualityDeciles(docs: DataFrame, n: Int = 10): DataFrame = {
+  def qualityDeciles(docs: DataFrame, n: Int = 10,
+                     rankBucket: Long = 1000000L): DataFrame = {
     val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+      .withColumn("bkt", col("doc_id") - pmod(col("doc_id"), lit(rankBucket)))
     val w = org.apache.spark.sql.expressions.Window
-    val wCum = w.orderBy(col("quality").desc)
-    val offsets = q.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          wCum.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total", sum(col("cnt")).over(
-        wCum.rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
-      .select(col("quality"), col("offset"), col("total"))
-    val wq = w.partitionBy(col("quality")).orderBy(col("doc_id"))
-    // ntile(n): the first (total mod n) buckets hold ceil(total/n)
+    // per-(quality, bucket) counts -> cumulative start of each bucket
+    // within its quality, plus each quality's global offset and the
+    // grand total (the offset dimension is small; windows here run
+    // over bucket counts, never over rows)
+    val counts = q.groupBy(col("quality"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wInQ = w.partitionBy(col("quality")).orderBy(col("bkt"))
+    val wAllQ = w.orderBy(col("quality").desc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val qTotals = counts.groupBy(col("quality")).agg(sum(col("cnt")).as("qcnt"))
+      .withColumn("qoffset", coalesce(sum(col("qcnt")).over(wAllQ), lit(0L)))
+      .withColumn("total", sum(col("qcnt")).over(
+        w.orderBy(col("quality"))
+          .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .select(col("quality"), col("qoffset"), col("total"))
+    val offsets = counts
+      .withColumn("boffset", coalesce(sum(col("cnt")).over(
+        wInQ.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .join(qTotals, "quality")
+      .select(col("quality"), col("bkt"),
+        (col("qoffset") + col("boffset")).as("offset"), col("total"))
+    val wqb = w.partitionBy(col("quality"), col("bkt")).orderBy(col("doc_id"))
+    // ntile(n): the first (total mod n) deciles hold ceil(total/n)
     // rows; DIV keeps the rank arithmetic integral end to end
-    q.join(broadcast(offsets), "quality")
-      .withColumn("r", col("offset") + row_number().over(wq).cast("long") - 1)
+    q.join(broadcast(offsets), Seq("quality", "bkt"))
+      .withColumn("r", col("offset") + row_number().over(wqb).cast("long") - 1)
       .select(col("doc_id"),
         expr(s"""CAST(CASE WHEN r < (total % $n) * (total DIV $n + 1)
                  THEN r DIV (total DIV $n + 1) + 1

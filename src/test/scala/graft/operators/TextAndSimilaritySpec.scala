@@ -115,7 +115,10 @@ class TextAndSimilaritySpec extends SparkSpec {
     val docs = (0L until 37L)
       .map(i => (i, if (i % 3 == 0) "short" else prose, "en", "web", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = TextOps.qualityDeciles(docs).as[(Long, Int)].collect().toMap
+    // rankBucket = 7 forces many id-range buckets, exercising the
+    // (quality, bucket) rank decomposition, not just the quality split
+    val got = TextOps.qualityDeciles(docs, rankBucket = 7L)
+      .as[(Long, Int)].collect().toMap
     val expected = TextOps.qualityScore(docs)
       .select($"doc_id", ntile(10)
         .over(w.orderBy($"quality".desc, $"doc_id")).as("decile"))
