@@ -334,6 +334,9 @@ object SparkEntry {
     "q19_brand_revenue" -> ((s, dir) =>
       Relational.q19BrandRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))),
 
+    "q_moving_avg" -> ((s, dir) =>
+      Relational.movingAvgRevenue(t(s, dir, "lineitem"))),
+
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
@@ -1039,6 +1042,18 @@ object SparkEntry {
             JOIN customer ON o_custkey = c_custkey
             WHERE sum_qty > 120.0
             ORDER BY o_totalprice DESC, o_orderkey""",
+
+      "q_moving_avg" ->
+        s"""WITH daily AS (
+              SELECT CAST(datediff('day', DATE '1995-01-01',
+                       CAST(l_shipdate AS DATE)) AS INT) AS day_no,
+                     sum($discPrice) AS rev
+              FROM lineitem GROUP BY day_no)
+            SELECT day_no, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+            FROM daily
+            WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day_no""",
 
       "q19_brand_revenue" ->
         s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue

@@ -297,6 +297,26 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Trailing 7-day moving average of daily revenue — the RANGE-frame
+    * window shape (frame = value range on the day number, so calendar
+    * gaps shrink the frame instead of sliding over them like a ROWS
+    * frame would). The window input is the per-day aggregate (a few
+    * thousand rows for years of data), so the unpartitioned frame scan
+    * is trivially small; the heavy lifting is the daily groupBy, which
+    * shuffles once on the day key. */
+  def movingAvgRevenue(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+        .as("day_no"))
+      .agg(sum(discPrice).as("rev"))
+    val w = Window.orderBy(col("day_no")).rangeBetween(-6, 0)
+    daily.select(col("day_no"),
+        col("rev").cast("double").as("revenue"),
+        (sum(col("rev")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("ma7"))
+      .orderBy(col("day_no"))
+  }
+
   /** TPC-H Q19: disjunctive brand/size/quantity predicate revenue —
     * the classic OR-of-ANDs filter Catalyst pushes as one conjunctive
     * superset (partkey join + residual disjunction). */

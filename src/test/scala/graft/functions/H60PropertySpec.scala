@@ -91,4 +91,47 @@ class H60PropertySpec extends SparkSpec {
       assert(fp == reference(toks))
     }
   }
+
+  test("word_shingles == transform/slice/concat_ws composition, k in 1..9") {
+    // normalized-shaped inputs: the expression's contract is
+    // single-space-separated trimmed text (shingleSets normalizes first)
+    def randomNormalized(): String =
+      (0 until rnd.nextInt(20))
+        .map(_ => randomString(8).replace(" ", ""))
+        .filter(_.nonEmpty).mkString(" ")
+    val inputs = (1 to 60).map(_ => (randomNormalized(), rnd.nextInt(9) + 1))
+    inputs.foreach { case (s, k) =>
+      val df = Seq(s).toDF("t")
+      val composed = df
+        .select(split($"t", " ").as("toks"))
+        .select(array_distinct(
+          when(size($"toks") >= k,
+            transform(sequence(lit(0), size($"toks") - lit(k)),
+              i => concat_ws(" ", slice($"toks", i + lit(1), lit(k)))))
+            .otherwise(array(concat_ws(" ", $"toks")))).as("sh"))
+        .as[Seq[String]].head()
+      val fast = df.select(
+          graft.functions.functions.word_shingles($"t", k))
+        .as[Seq[String]].head()
+      assert(fast == composed, s"k=$k input='$s'")
+    }
+  }
+
+  test("count_in_set / array_total_strlen == filter/aggregate compositions") {
+    val stop = Seq("the", "a", "of", "ω")
+    val sets = (1 to 60).map(_ =>
+      (0 to rnd.nextInt(12)).map(_ =>
+        if (rnd.nextBoolean()) stop(rnd.nextInt(stop.size))
+        else randomString(6)))
+    val df = sets.toDF("toks")
+    val rows = df.select(
+        graft.functions.functions.count_in_set($"toks", stop),
+        size(filter($"toks", t => t.isin(stop: _*))),
+        graft.functions.functions.array_total_strlen($"toks"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t).cast("long")))
+      .as[(Int, Int, Long, Long)].collect()
+    rows.foreach { case (fastCnt, refCnt, fastLen, refLen) =>
+      assert(fastCnt == refCnt && fastLen == refLen)
+    }
+  }
 }

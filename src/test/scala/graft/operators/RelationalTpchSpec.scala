@@ -104,6 +104,22 @@ class RelationalTpchSpec extends SparkSpec {
     assert(math.abs(rev - (1000.0 * 0.95 + 2000.0 * 0.94)) < 1e-9)
   }
 
+  test("moving average uses a RANGE frame: calendar gaps shrink it") {
+    val rows = Relational.movingAvgRevenue(lineitem)
+      .select("day_no", "revenue", "ma7")
+      .as[(Int, Double, Double)].collect()
+    assert(rows.length == 5)
+    val byDay = rows.map(r => r._1 -> r).toMap
+    // 1996-03-15 and 1996-03-20 are 5 days apart -> one frame; every
+    // other day is isolated, so its ma7 equals its own revenue
+    val d0315 = byDay.keys.toSeq.sorted.apply(1)
+    val d0320 = byDay.keys.toSeq.sorted.apply(2)
+    assert(d0320 - d0315 == 5)
+    assert(math.abs(byDay(d0320)._3 - (1880.0 + 8370.0) / 2) < 1e-9)
+    rows.filter(r => r._1 != d0320)
+      .foreach(r => assert(math.abs(r._3 - r._2) < 1e-9, r))
+  }
+
   test("q9: profit = disc price minus retail-cost proxy, by supp nation/year") {
     val rows = Relational.q9ProfitByNation(nation, supplier, part, orders, lineitem)
       .select("nation", "o_year", "sum_profit")
