@@ -374,6 +374,30 @@ object SparkEntry {
     "text_contamination" -> ((s, dir) =>
       TextOps.contamination(t(s, dir, "documents"))),
 
+    // The flagship composition: the whole curation pipeline as ONE
+    // declarative plan — exact dedup -> near-dup survivor selection ->
+    // quality gate -> deterministic shard manifest. Every stage is the
+    // operator verified on its own above; Catalyst fuses and plans the
+    // composition (this is the point of a library of DataFrame
+    // transforms over a zoo of scripts).
+    "pipeline_training_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.exactDedup(docs)
+      val comps = Dedup.nearDupComponents(
+          Dedup.nearDuplicatePairs(exact, threshold = 0.1))
+        .select(col("id").as("doc_id"), col("component"))
+      val survivors = Dedup.nearDupSurvivors(comps, exact)
+        .select(col("survivor_id"))
+      val dropped = comps.join(survivors,
+          comps("doc_id") === survivors("survivor_id"), "left_anti")
+        .select(col("doc_id"))
+      val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+      val gated = kept.join(
+        TextOps.qualityScore(kept).filter(col("quality") >= 0.5)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      TextOps.shardAssign(gated)
+    }),
+
     "text_shard_assign" -> ((s, dir) =>
       TextOps.shardAssign(t(s, dir, "documents"))),
 
@@ -836,8 +860,8 @@ object SparkEntry {
     // `pairs` (candidates from 8 band buckets, verified with exact
     // shingle Jaccard >= 0.1) — used by dedup_minhash_lsh and the
     // connected-components clustering on top of it
-    val lshPairCtes =
-      s"""sh AS (SELECT doc_id, $shingles AS s FROM documents),
+    def lshPairCtesFrom(src: String) =
+      s"""sh AS (SELECT doc_id, $shingles AS s FROM $src),
           sigs AS (SELECT doc_id, ${sigExpr("s")} AS sig FROM sh),
           bk AS (SELECT doc_id, b,
                    ${h60("CAST(b AS VARCHAR) || ':' || array_to_string(" +
@@ -853,6 +877,7 @@ object SparkEntry {
                     FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
                     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1)"""
+    val lshPairCtes = lshPairCtesFrom("documents")
 
     Map(
       "cdc_offset_discovery" ->
@@ -1605,6 +1630,36 @@ object SparkEntry {
       "text_shard_assign" ->
         s"""WITH h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh
                        FROM documents)
+            SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hh % 8
+                     ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM h ORDER BY shard, pos""",
+
+      "pipeline_training_manifest" ->
+        s"""WITH RECURSIVE
+                 kept0 AS (SELECT * FROM documents WHERE doc_id IN
+                   (SELECT min(doc_id) FROM documents GROUP BY md5($norm))),
+                 ${lshPairCtesFrom("kept0")},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                 comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                          FROM reach GROUP BY src),
+                 surv AS (SELECT component, doc_id AS survivor_id FROM (
+                            SELECT c.component, c.doc_id,
+                                   row_number() OVER (PARTITION BY c.component
+                                     ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                            FROM comp c JOIN kept0 d USING (doc_id))
+                          WHERE rn = 1),
+                 kept1 AS (SELECT * FROM kept0 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM comp WHERE doc_id NOT IN
+                      (SELECT survivor_id FROM surv))),
+                 gated AS (SELECT doc_id FROM kept1 WHERE $qualityExpr >= 0.5),
+                 h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh
+                       FROM gated)
             SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
                    CAST(row_number() OVER (PARTITION BY hh % 8
                      ORDER BY hh, doc_id) AS BIGINT) AS pos

@@ -126,6 +126,36 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("training-manifest composition: exact dedup, near-dup, gate, shard") {
+    val prose = "the quick brown fox jumps over a lazy dog and it is fine today"
+    val proseB = prose.replace("today", "tomorrow") // near-dup of prose
+    val docs = Seq(
+      (1L, prose, "en", "web", prose.length.toLong),
+      (2L, prose, "en", "web", prose.length.toLong),     // exact dup of 1
+      (3L, proseB + " x", "en", "web", proseB.length + 2L), // near-dup, longer
+      (4L, "short", "en", "web", 5L),                    // fails quality gate
+      (5L, "a completely different document with plenty of reasonable " +
+        "english words in it to pass the quality gate", "en", "web", 104L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Dedup.exactDedup(docs)
+    val comps = Dedup.nearDupComponents(
+        Dedup.nearDuplicatePairs(exact, threshold = 0.1))
+      .select(col("id").as("doc_id"), col("component"))
+    val survivors = Dedup.nearDupSurvivors(comps, exact).select("survivor_id")
+    val dropped = comps.join(survivors,
+        comps("doc_id") === survivors("survivor_id"), "left_anti")
+      .select("doc_id")
+    val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val gated = kept.join(
+      TextOps.qualityScore(kept).filter(col("quality") >= 0.5)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val manifest = TextOps.shardAssign(gated)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 drops as an exact dup of 1; {1,3} form a near-dup component and
+    // 3 (longer) survives it; 4 fails the quality gate; 5 passes clean
+    assert(manifest == Set(3L, 5L))
+  }
+
   test("contamination flags only train docs sharing an 8-gram with heldout") {
     val eight = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
