@@ -337,6 +337,15 @@ object SparkEntry {
     "q_moving_avg" -> ((s, dir) =>
       Relational.movingAvgRevenue(t(s, dir, "lineitem"))),
 
+    "q_pivot" -> ((s, dir) =>
+      Relational.pivotQuantities(t(s, dir, "lineitem"))),
+
+    "cdc_table_checksums" -> ((s, dir) =>
+      CdcOps.tableChecksums(t(s, dir, "events"))),
+
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(t(s, dir, "documents"))),
+
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("content_key"))),
@@ -1079,6 +1088,34 @@ object SparkEntry {
             FROM daily
             WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY day_no""",
+
+      "q_pivot" ->
+        """SELECT l_linestatus,
+                   CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+                   CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+      "cdc_table_checksums" ->
+        s"""SELECT event_type, count(*) AS n_events,
+                   min(event_id) AS min_id, max(event_id) AS max_id,
+                   bit_xor(${h60("concat_ws('|', event_id, epoch_us(ts), " +
+                     "user_id, event_type, CAST(value AS DECIMAL(18,2)), props)")})
+                     AS checksum
+            FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "text_ngram_novelty" ->
+        s"""WITH sh AS (SELECT doc_id, ${shinglesSql(8)} AS s FROM documents),
+                 g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+                 f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel
+            FROM g JOIN f USING (gram)
+            GROUP BY doc_id ORDER BY doc_id""",
 
       "q19_brand_revenue" ->
         s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue

@@ -192,6 +192,27 @@ object CdcOps {
     concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("null"))): _*)
 
   /**
+   * Per-stream content checksum — the end-to-end integrity check a
+   * CDC consumer runs against the source after an extraction window:
+   * `bit_xor` of the h60 hash of each rendered change line is
+   * order-independent and overflow-free, so the checksum is stable
+   * under any partitioning and comparable across engines (the source
+   * database can compute the same aggregate). One narrow map + one
+   * shuffle keyed by stream; combine-safe at any scale.
+   */
+  def tableChecksums(log: DataFrame): DataFrame =
+    log.select(col("event_type"), col("event_id"),
+        graft.functions.functions.h60(pipeLine(Seq(col("event_id"),
+          Cols.epochUs(col("ts")), col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("props")))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("event_type"))
+
+  /**
    * Offset-sequence gap detection — the integrity check behind the
    * reference's `(min, max]` extraction contract
    * (`CoordinatorRunnable.java:87-92`): every id between consecutive

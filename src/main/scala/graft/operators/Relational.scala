@@ -297,6 +297,17 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Quantity cross-tab: line status × return flag via `pivot` — the
+    * relational PIVOT surface. Spark rewrites it to one aggregation
+    * with a conditional sum per pivot value (the explicit value list
+    * avoids the extra distinct-scan pass), identical in shape to the
+    * CASE-sum formulation a SQL engine runs. */
+  def pivotQuantities(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy(col("l_linestatus"))
+
   /** Trailing 7-day moving average of daily revenue — the RANGE-frame
     * window shape (frame = value range on the day number, so calendar
     * gaps shrink the frame instead of sliding over them like a ROWS

@@ -321,6 +321,27 @@ object TextOps {
   }
 
   /**
+   * N-gram novelty: per document, how many of its distinct word
+   * `k`-grams appear here FIRST (no earlier doc_id contains them) —
+   * the "how much new content does this doc add" curve that drives
+   * crawl-dedup priority and corpus-growth analysis. One shuffle keyed
+   * by gram for the global first-occurrence aggregate, one keyed by
+   * doc for the rollup; gram keys are text but could hash to h60 at
+   * scale (kept as text so the oracle compares exact strings).
+   */
+  def ngramNovelty(docs: DataFrame, k: Int = 8): DataFrame = {
+    val g = Dedup.shingleSets(docs, k)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Deterministic global shuffle for training order: each document is
    * assigned a shard (`h60(doc_id:salt) mod nShards`) and a position
    * within it (rank of the hash). A pure function of the data — re-runs

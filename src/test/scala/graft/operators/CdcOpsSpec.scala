@@ -96,4 +96,26 @@ class CdcOpsSpec extends SparkSpec {
     assert(!e.statementOnly)
     assert(ds.count() == 1000L)
   }
+
+  test("tableChecksums: partition-order independent, content-sensitive") {
+    val withProps = log.withColumn("props", lit("""{"k":1}"""))
+    val a = CdcOps.tableChecksums(withProps)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // same rows, different partitioning/order -> identical checksums
+    val b = CdcOps.tableChecksums(
+        withProps.repartition(7, col("event_id")).sortWithinPartitions("value"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._1) == Seq("click", "view"))
+    assert(a.find(_._1 == "click").get._2 == 3L) // n_events
+    // one changed value flips that stream's checksum, not the other's
+    val mutated = CdcOps.tableChecksums(
+        withProps.withColumn("value",
+          when(col("event_id") === 1L, lit(9.9)).otherwise(col("value"))))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(mutated.find(_._1 == "click").get._5 !=
+      a.find(_._1 == "click").get._5)
+    assert(mutated.find(_._1 == "view").get._5 ==
+      a.find(_._1 == "view").get._5)
+  }
 }

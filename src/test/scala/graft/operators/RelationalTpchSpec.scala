@@ -120,6 +120,15 @@ class RelationalTpchSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r._3 - r._2) < 1e-9, r))
   }
 
+  test("pivot cross-tab: conditional sums per (status, flag) cell") {
+    val byStatus = Relational.pivotQuantities(lineitem)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // O rows: N-flag qty 10+24+100=134, R-flag qty 30; F rows: R-flag 5
+    assert(byStatus("O") == ((None, Some(134.0), Some(30.0))))
+    assert(byStatus("F") == ((None, None, Some(5.0))))
+  }
+
   test("q9: profit = disc price minus retail-cost proxy, by supp nation/year") {
     val rows = Relational.q9ProfitByNation(nation, supplier, part, orders, lineitem)
       .select("nation", "o_year", "sum_profit")

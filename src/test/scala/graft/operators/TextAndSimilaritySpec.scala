@@ -169,6 +169,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(7L) >= 1L)
   }
 
+  test("ngramNovelty: duplicate doc adds nothing, fresh doc all novel") {
+    val prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, prose, "en", "web", 10L),
+      (2L, prose, "en", "web", 10L),  // exact duplicate: zero novelty
+      (3L, "one two three four five six seven eight nine ten", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.ngramNovelty(docs, k = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 3L))) // 10 tokens -> 3 distinct 8-grams, all first
+    assert(got(2L) == ((3L, 0L))) // same grams, doc 1 owns them
+    assert(got(3L) == ((3L, 3L)))
+  }
+
   test("shardAssign: deterministic, complete, contiguous positions per shard") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextOps.shardAssign(docs, nShards = 8)
