@@ -340,6 +340,17 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
 
+    "q_set_intersect" -> ((s, dir) => {
+      // INTERSECT surface: customers present in BOTH priority groups'
+      // order streams (partial-distinct each side before the shuffle)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("key")))
+        .orderBy(col("key"))
+    }),
+
     "cdc_table_checksums" -> ((s, dir) =>
       CdcOps.tableChecksums(t(s, dir, "events"))),
 
@@ -1088,6 +1099,12 @@ object SparkEntry {
             FROM daily
             WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY day_no""",
+
+      "q_set_intersect" ->
+        """SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '5-LOW'
+            ORDER BY key""",
 
       "q_pivot" ->
         """SELECT l_linestatus,

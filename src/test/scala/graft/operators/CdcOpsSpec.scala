@@ -118,4 +118,22 @@ class CdcOpsSpec extends SparkSpec {
     assert(mutated.find(_._1 == "view").get._5 ==
       a.find(_._1 == "view").get._5)
   }
+
+  test("tableChecksums merge across batches: xor of batch sums = whole") {
+    // bit_xor is associative/commutative, so per-micro-batch checksums
+    // fold into the whole-log checksum — the streaming accumulation
+    // property a foreachBatch consumer relies on
+    val withProps = log.withColumn("props", lit("p"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      CdcOps.tableChecksums(df)
+        .select("event_type", "checksum")
+        .as[(String, Long)].collect().toMap
+    val whole = sums(withProps)
+    val b1 = sums(withProps.filter($"event_id" <= 2L))
+    val b2 = sums(withProps.filter($"event_id" > 2L))
+    val merged = (b1.keySet ++ b2.keySet).map { k =>
+      k -> (b1.getOrElse(k, 0L) ^ b2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole)
+  }
 }
