@@ -144,8 +144,11 @@ object Dedup {
                         k: Int = 3): DataFrame = {
     val sh = shingleSets(docs, k)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // explode first, hash after: xxhash64 on the exploded column runs
+    // inside whole-stage codegen, where hashing inside a transform()
+    // lambda would evaluate interpreted per element
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("g"))
     val inter = ex.as("a")
       .join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
