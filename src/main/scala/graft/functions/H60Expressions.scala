@@ -262,17 +262,17 @@ case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    CharNgramsExpr.eval(input.asInstanceOf[UTF8String], n)
+    CharNgramsExpr.compute(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CharNgramsExpr.eval($c, $n);")
+      s"${ev.value} = graft.functions.CharNgramsExpr.compute($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "char_ngrams"
 }
 
 object CharNgramsExpr {
-  def eval(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int): ArrayData = {
     val t = s.toString
     if (t.length <= n) new GenericArrayData(Array[Any](UTF8String.fromString(t)))
     else {
@@ -301,17 +301,17 @@ case class ArrayTotalStrlenExpr(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    ArrayTotalStrlenExpr.eval(input.asInstanceOf[ArrayData])
+    ArrayTotalStrlenExpr.compute(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ArrayTotalStrlenExpr.eval($c);")
+      s"${ev.value} = graft.functions.ArrayTotalStrlenExpr.compute($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "array_total_strlen"
 }
 
 object ArrayTotalStrlenExpr {
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     var total = 0L
     var i = 0
     val n = arr.numElements()
@@ -343,11 +343,11 @@ case class CountInSetExpr(child: Expression, set: Seq[String])
   }
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    CountInSetExpr.eval(input.asInstanceOf[ArrayData], lookup)
+    CountInSetExpr.compute(input.asInstanceOf[ArrayData], lookup)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("countInSet", lookup, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CountInSetExpr.eval($c, $ref);")
+      s"${ev.value} = graft.functions.CountInSetExpr.compute($c, $ref);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -355,7 +355,7 @@ case class CountInSetExpr(child: Expression, set: Seq[String])
 }
 
 object CountInSetExpr {
-  def eval(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+  def compute(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
     var count = 0
     var i = 0
     val n = arr.numElements()
@@ -385,17 +385,17 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    WordShinglesExpr.eval(input.asInstanceOf[UTF8String], k)
+    WordShinglesExpr.compute(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShinglesExpr.eval($c, $k);")
+      s"${ev.value} = graft.functions.WordShinglesExpr.compute($c, $k);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
 }
 
 object WordShinglesExpr {
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  def compute(s: UTF8String, k: Int): ArrayData = {
     val t = s.toString
     // single-space tokenization (the input contract: normalized text);
     // limit -1 matches Spark's split(str, " ") on trailing empties
