@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{EventGroups, TableGroups}
 import graft.util.Cols
-import graft.operators.{CdcOps, Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{CdcOps, Dedup, Multimodal, Relational, Similarity, SkewJoin, TextOps}
 import graft.sources.ChangeLogSource
 import graft.sources.ChangeLogSource.OffsetRange
 
@@ -339,6 +339,22 @@ object SparkEntry {
 
     "q_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
+
+    "q_skew_salted_join" -> ((s, dir) => {
+      // the pathological hot-key join shape, via explicit salting:
+      // results must equal the plain join (the oracle) exactly
+      val dim = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      SkewJoin.saltedInnerJoin(t(s, dir, "lineitem"), dim, "l_partkey")
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_skew_two_phase" -> ((s, dir) =>
+      SkewJoin.twoPhaseCount(t(s, dir, "lineitem"), "l_suppkey")
+        .orderBy(col("l_suppkey"))),
 
     "q_set_intersect" -> ((s, dir) => {
       // INTERSECT surface: customers present in BOTH priority groups'
@@ -1099,6 +1115,16 @@ object SparkEntry {
             FROM daily
             WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY day_no""",
+
+      "q_skew_salted_join" ->
+        """SELECT p_brand,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand""",
+
+      "q_skew_two_phase" ->
+        """SELECT l_suppkey, count(*) AS n FROM lineitem
+            GROUP BY l_suppkey ORDER BY l_suppkey""",
 
       "q_set_intersect" ->
         """SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
