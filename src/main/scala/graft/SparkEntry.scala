@@ -340,6 +340,13 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) =>
       Relational.pivotQuantities(t(s, dir, "lineitem"))),
 
+    "q11_important_parts" -> ((s, dir) =>
+      Relational.importantParts(t(s, dir, "lineitem"))),
+
+    "q20_dominant_suppliers" -> ((s, dir) =>
+      Relational.dominantSuppliers(t(s, dir, "lineitem"),
+        t(s, dir, "part"), t(s, dir, "supplier"))),
+
     "q_skew_salted_join" -> ((s, dir) => {
       // the pathological hot-key join shape, via explicit salting:
       // results must equal the plain join (the oracle) exactly
@@ -372,6 +379,27 @@ object SparkEntry {
 
     "text_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(t(s, dir, "documents"))),
+
+    "text_rare_bigrams" -> ((s, dir) =>
+      TextOps.rareBigrams(t(s, dir, "documents"))),
+
+    "text_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(t(s, dir, "documents"))),
+
+    "text_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(t(s, dir, "documents"))),
+
+    "text_diversity" -> ((s, dir) =>
+      TextOps.diversity(t(s, dir, "documents"))),
+
+    "text_source_temperature" -> ((s, dir) =>
+      TextOps.sourceTemperature(t(s, dir, "documents"))),
+
+    "sim_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"))),
+
+    "cdc_transition_matrix" -> ((s, dir) =>
+      CdcOps.transitionMatrix(t(s, dir, "events"))),
 
     // ---- dedup (training-data pipeline operators) ----
     "dedup_exact_groups" -> ((s, dir) =>
@@ -1159,6 +1187,135 @@ object SparkEntry {
                      AS BIGINT) AS n_novel
             FROM g JOIN f USING (gram)
             GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_rare_bigrams" ->
+        s"""WITH sh AS (SELECT doc_id, ${shinglesSql(2)} AS s FROM documents),
+                 g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+                 f AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY gram)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN dfreq < 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rare
+            FROM g JOIN f USING (gram)
+            GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_source_overlap" ->
+        s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+                 g AS (SELECT DISTINCT source, gram FROM
+                        (SELECT d.source, unnest(sh.s) AS gram
+                         FROM sh JOIN documents d USING (doc_id)))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY source_a, source_b
+            ORDER BY source_a, source_b""",
+
+      "q11_important_parts" ->
+        s"""WITH per AS (SELECT l_partkey,
+                           CAST(sum($discPrice) AS DECIMAL(28,4)) AS value_dec
+                         FROM lineitem GROUP BY l_partkey),
+                 tot AS (SELECT CAST(sum(value_dec) AS DECIMAL(38,4))
+                           AS total_dec FROM per)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM per, tot WHERE value_dec * 1000 > total_dec
+            ORDER BY part_value DESC, l_partkey""",
+
+      "q20_dominant_suppliers" ->
+        """WITH sp AS (SELECT l_suppkey, l_partkey,
+                         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       WHERE p_name LIKE 'red%'
+                       GROUP BY l_suppkey, l_partkey),
+                pt AS (SELECT l_partkey, sum(qty) AS part_total
+                       FROM sp GROUP BY l_partkey)
+           SELECT s_suppkey, s_name, count(*) AS n_dominated
+           FROM sp JOIN pt USING (l_partkey)
+                   JOIN supplier ON l_suppkey = s_suppkey
+           WHERE qty * 2 > part_total
+           GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
+
+      "text_top_terms" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($wtoks) AS term FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM tok GROUP BY doc_id, term),
+                 df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+                 r AS (SELECT doc_id, term, tf, dfreq,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY CAST(tf AS DOUBLE) / dfreq DESC, term)
+                           AS rnk
+                       FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, dfreq, rnk FROM r
+            WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+      "text_diversity" ->
+        s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all($norm, '.'))
+                          AS u FROM documents),
+                 chc AS (SELECT doc_id, u, count(*) AS c
+                         FROM ch GROUP BY doc_id, u),
+                 chs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                                count(*) AS n_chars_distinct,
+                                CAST(sum(c*c) AS BIGINT) AS ss
+                         FROM chc GROUP BY doc_id),
+                 tk AS (SELECT doc_id, unnest($toks) AS u FROM documents),
+                 tkc AS (SELECT doc_id, u, count(*) AS c
+                         FROM tk GROUP BY doc_id, u),
+                 tks AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                                count(*) AS n_tokens_distinct,
+                                CAST(sum(c*c) AS BIGINT) AS ss
+                         FROM tkc GROUP BY doc_id)
+            SELECT doc_id, n_chars, n_chars_distinct,
+                   1.0 - CAST(chs.ss AS DOUBLE) / (n_chars * n_chars)
+                     AS chars_simpson,
+                   n_tokens, n_tokens_distinct,
+                   1.0 - CAST(tks.ss AS DOUBLE) / (n_tokens * n_tokens)
+                     AS tokens_simpson
+            FROM chs JOIN tks USING (doc_id) ORDER BY doc_id""",
+
+      "text_source_temperature" ->
+        s"""WITH per AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+                         FROM documents GROUP BY source),
+                 w AS (SELECT source, n_docs, n_tokens,
+                         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576)
+                           AS BIGINT) AS w_q20
+                       FROM per),
+                 tot AS (SELECT CAST(sum(w_q20) AS BIGINT) AS w_total FROM w)
+            SELECT source, n_docs, n_tokens, w_q20,
+                   (w_q20 * 1000000) // w_total AS share_ppm,
+                   (w_q20 * 10000000) // w_total AS target_tokens
+            FROM w, tot ORDER BY source""",
+
+      "sim_centroid_outliers" ->
+        """WITH q AS (SELECT vec_id, label,
+                        generate_subscripts(embedding, 1) AS d,
+                        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+                          AS BIGINT) AS qx
+                      FROM embeddings),
+                cent AS (SELECT label, d, CAST(sum(qx) AS BIGINT) AS s,
+                                count(*) AS n
+                         FROM q GROUP BY label, d),
+                dist AS (SELECT vec_id, q.label,
+                                CAST(sum((qx*n - s)*(qx*n - s)) AS BIGINT)
+                                  AS dist2_xn2,
+                                max(n) AS n_label
+                         FROM q JOIN cent ON q.label = cent.label
+                                         AND q.d = cent.d
+                         GROUP BY vec_id, q.label),
+                r AS (SELECT vec_id, label, dist2_xn2, n_label,
+                        row_number() OVER (PARTITION BY label
+                          ORDER BY dist2_xn2 DESC, vec_id) AS rnk
+                      FROM dist)
+           SELECT vec_id, label, dist2_xn2, n_label, rnk FROM r
+           WHERE rnk <= 5 ORDER BY label, rnk""",
+
+      "cdc_transition_matrix" ->
+        """WITH s AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_type
+                      FROM events)
+           SELECT from_type, event_type AS to_type, count(*) AS n
+           FROM s WHERE from_type IS NOT NULL
+           GROUP BY from_type, to_type
+           ORDER BY from_type, to_type""",
 
       "q19_brand_revenue" ->
         s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue

@@ -181,6 +181,30 @@ object CdcOps {
         col("w.end").as("session_end"), col("n_events"))
 
   /**
+   * Event-type transition matrix: counts of consecutive
+   * (from_type → to_type) steps per user, ordered by event time with
+   * the offset as tie-break — the Markov view of user behavior a
+   * product pipeline derives from the same change log it extracts
+   * (complements [[sessionize]]'s where-time-goes view with
+   * what-follows-what). One per-user window (partitioned, never a
+   * global sort) + one tiny aggregate keyed by the type pair; at
+   * 100 TB the window shuffle is the only data-sized exchange.
+   */
+  def transitionMatrix(log: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       offsetCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(offsetCol))
+    log.select(col(userCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /**
    * Pipe-delimited rendering of the change row — sink fidelity with the
    * reference's `chunk<i>` format (`WorkerRunnable.java:202-216`): all
    * columns stringified and `|`-joined. Timestamps are rendered as epoch

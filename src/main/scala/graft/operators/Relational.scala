@@ -94,6 +94,51 @@ object Relational {
       .orderBy(col("revenue").desc, col("s_suppkey"))
       .limit(k)
 
+  /**
+   * TPC-H Q11 shape (adapted: the synthetic schema has no partsupp, so
+   * "value" is the shipped discounted revenue per part): parts whose
+   * revenue exceeds `1/perMille` of the whole corpus. The global total
+   * is one extra scalar aggregate of the ALREADY per-part-aggregated
+   * frame (tiny), broadcast back — and the threshold compare stays in
+   * exact DECIMAL via an integer multiplier (value·perMille > total),
+   * never a decimal/decimal division.
+   */
+  def importantParts(lineitem: DataFrame, perMille: Int = 1000): DataFrame = {
+    val per = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("value_dec"))
+    val tot = per.agg(sum(col("value_dec")).as("total_dec"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("value_dec") * perMille > col("total_dec"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /**
+   * TPC-H Q20 shape (adapted, no partsupp): suppliers who DOMINATE a
+   * name-filtered part — shipped more than half of its total quantity.
+   * The name filter pushes into the part scan; part is broadcast; the
+   * per-(supplier, part) and per-part aggregates reuse one shuffle key
+   * prefix; the >½ test is exact decimal via doubling.
+   */
+  def dominantSuppliers(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame,
+                        namePrefix: String = "red"): DataFrame = {
+    val parts = part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val sp = lineitem.join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val perPart = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("part_total"))
+    sp.join(perPart, "l_partkey")
+      .filter(col("qty") * 2 > col("part_total"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_dominated"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Ranking window: top-3 orders per customer by total price. */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -224,4 +224,45 @@ object Similarity {
         (-col("m.negl")).as("majority_label"), col("n_agree"))
       .orderBy(col("vec_id"))
   }
+
+  /**
+   * Centroid-distance outliers per label: the vectors farthest from
+   * their own class centroid — the other half of mislabel/outlier
+   * curation next to [[knnLabelAgreement]] (kNN finds *locally*
+   * inconsistent points; this finds *globally* eccentric ones).
+   *
+   * Exactness without floating-point drift: components are quantized
+   * onto a 2⁻¹⁰ lattice (`floor(x·1024)` — a power-of-two scale of a
+   * float is exact in double, so quantization is deterministic), and
+   * the squared distance to the centroid is kept in integers as
+   * `Σ_d (q_d·n − S_d)²` (distance² scaled by n², avoiding the
+   * non-integer mean). Magnitudes stay far below 2⁶³ for |x| ≤ 2⁴ and
+   * n ≤ 10⁸ vectors per label at dim ≤ 64·16.
+   *
+   * Scale shape: posexplode → (label, dim) aggregate (tiny result:
+   * labels × dims), broadcast join back, per-vector aggregate, one
+   * per-label window over top candidates. The corpus shuffles once,
+   * keyed by (label, dim) — balanced regardless of label skew.
+   */
+  def centroidOutliers(emb: DataFrame, topK: Int = 5,
+                       scaleBits: Int = 10): DataFrame = {
+    val scale = math.pow(2.0, scaleBits)
+    val q = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"), col("d"),
+        floor(col("x").cast("double") * scale).cast("long").as("qx"))
+    val cent = q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+    val dist = q.join(broadcast(cent), Seq("label", "d"))
+      .select(col("vec_id"), col("label"),
+        (col("qx") * col("n") - col("s")).as("t"), col("n"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("t") * col("t")).as("dist2_xn2"), max(col("n")).as("n_label"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_xn2").desc, col("vec_id"))
+    dist.select(col("vec_id"), col("label"), col("dist2_xn2"),
+        col("n_label"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= topK)
+      .orderBy(col("label"), col("rnk"))
+  }
 }

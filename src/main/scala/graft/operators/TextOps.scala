@@ -342,6 +342,136 @@ object TextOps {
   }
 
   /**
+   * Rare-bigram fraction inputs: per document, its distinct word
+   * bigrams and how many have corpus document-frequency below
+   * `minDf` — the "made-up word sequences" signal (high rare share =
+   * OCR noise, boilerplate mangling, or generated gibberish). Integer
+   * outputs, so the oracle comparison is exact. Same two-shuffle shape
+   * as [[ngramNovelty]] (gram key, then doc key).
+   */
+  def rareBigrams(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    val g = Dedup.shingleSets(docs, 2)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    // shingle sets are distinct per doc, so count(*) = doc frequency
+    val freq = g.groupBy(col("gram")).agg(count(lit(1)).as("dfreq"))
+    g.join(freq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("dfreq") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Cross-source overlap matrix: for every source pair, how many
+   * distinct word 3-grams they share — the dashboard a curator reads
+   * to spot mirrored/syndicated content between crawls before
+   * weighting them independently. Each source's distinct-gram set is
+   * built with one aggregation; the pair counts come from a gram-keyed
+   * self-join (work ∝ true cross-source collisions, never
+   * |A|·|B|).
+   */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val g = Dedup.shingleSets(docs, 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("sh")).as("gram"))
+      .distinct()
+    g.select(col("source").as("source_a"), col("gram"))
+      .join(g.select(col("source").as("source_b"), col("gram")), "gram")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /**
+   * Most-distinctive terms per document, ranked by tf/df — the
+   * TF-IDF-style keyword signal without a corpus-size log (the ratio
+   * ranks identically to tf·idf for a fixed doc and needs no
+   * floating-point log, so both engines order bit-identically: IEEE
+   * division is correctly rounded, ties break on the term itself).
+   * Shape at scale: one explode→(doc,term) aggregate, a term-keyed df
+   * aggregate of the *already-aggregated* tf frame (≪ token count),
+   * one join keyed by term, one per-doc window — every shuffle keyed
+   * and balanced.
+   */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(wordTokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("dfreq")).desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("dfreq"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /**
+   * Lexical-diversity profile per document: char- and token-level
+   * Gini–Simpson indexes (1 − Σpᵢ²) plus type counts. Simpson replaces
+   * Shannon entropy deliberately: it is a pure rational function of
+   * integer counts — `(n² − Σcᵢ²)/n²` — so the oracle matches exactly,
+   * where a log-based entropy's last-ulp `ln` differences across
+   * engines would make floor-quantized values flap. (The surviving
+   * divisions are single correctly-rounded IEEE ops.) One narrow
+   * explode + two keyed aggregates per level; no corpus-wide state.
+   */
+  def diversity(docs: DataFrame): DataFrame = {
+    def simpson(counts: DataFrame, unit: String): DataFrame =
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$unit"),
+          count(lit(1)).as(s"n_${unit}_distinct"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col(s"n_$unit"), col(s"n_${unit}_distinct"),
+          (lit(1.0) - col("ss").cast("double") /
+            (col(s"n_$unit") * col(s"n_$unit"))).as(s"${unit}_simpson"))
+    val chars = docs.select(col("doc_id"),
+        explode(regexp_extract_all(normalized(col("text")), lit("."), lit(0)))
+          .as("u"))
+      .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("c"))
+    val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("u"))
+      .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("c"))
+    // empty/whitespace-only docs produce no char or token rows: inner
+    // join keeps the operator total only over non-empty documents,
+    // which is the population a diversity gate filters anyway
+    simpson(chars, "chars").join(simpson(toks, "tokens"), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Temperature-resampling plan per source (UniMax/multilingual-mixing
+   * style, T=2): weight each source by √tokens, then split a token
+   * budget proportionally. All arithmetic is exact cross-engine: IEEE
+   * `sqrt` is correctly rounded, weights are floor-quantized to a 2⁻²⁰
+   * lattice BEFORE summing (integer total — float summation order
+   * never matters), and shares/targets are integer division. The
+   * per-source stats are one aggregate; the tiny source dimension then
+   * combines with a windowless cross-join of one total row.
+   */
+  def sourceTemperature(docs: DataFrame,
+                        tokenBudget: Long = 10000000L): DataFrame = {
+    val per = docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * 1048576.0)
+          .cast("long").as("w_q20"))
+    val total = per.agg(sum(col("w_q20")).as("w_total"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("w_q20"),
+        expr("(w_q20 * 1000000) div w_total").as("share_ppm"),
+        expr(s"(w_q20 * ${tokenBudget}L) div w_total").as("target_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Deterministic global shuffle for training order: each document is
    * assigned a shard (`h60(doc_id:salt) mod nShards`) and a position
    * within it (rank of the hash). A pure function of the data — re-runs

@@ -136,4 +136,30 @@ class CdcOpsSpec extends SparkSpec {
     }.toMap
     assert(merged == whole)
   }
+
+  test("transitionMatrix counts consecutive type pairs per user") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01"), "a"),
+      (2L, 10L, ts("2024-01-01 00:00:02"), "b"),
+      (3L, 10L, ts("2024-01-01 00:00:03"), "b"),
+      (4L, 10L, ts("2024-01-01 00:00:04"), "c"),
+      (6L, 20L, ts("2024-01-01 00:00:06"), "c"), // arrives before 5 in id
+      (5L, 20L, ts("2024-01-01 00:00:05"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = CdcOps.transitionMatrix(ev)
+      .as[(String, String, Long)].collect()
+      .map { case (f, to, n) => (f, to) -> n }.toMap
+    // user 10: a->b, b->b, b->c; user 20 (ts order, not id): a->c
+    assert(got == Map(("a", "b") -> 1L, ("b", "b") -> 1L,
+      ("b", "c") -> 1L, ("a", "c") -> 1L))
+  }
+
+  test("transitionMatrix breaks equal timestamps by offset") {
+    val t0 = ts("2024-01-01 00:00:01")
+    val ev = Seq((2L, 1L, t0, "y"), (1L, 1L, t0, "x"), (3L, 1L, t0, "z"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = CdcOps.transitionMatrix(ev)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("x", "y", 1L), ("y", "z", 1L)))
+  }
 }

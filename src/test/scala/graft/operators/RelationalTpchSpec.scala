@@ -140,4 +140,33 @@ class RelationalTpchSpec extends SparkSpec {
     val expectedN2 = (1000.0 * 0.95 - 10.0 * 10.0) + (500.0 * 0.94 - 10.0 * 24.0)
     assert(math.abs(byNation("NATION_2") - expectedN2) < 1e-9)
   }
+
+  test("importantParts keeps parts above 1/perMille of total value") {
+    // part 1 value: 950 + 470 + 8370 = 9790; part 2: 1880 + 720 = 2600
+    // total 12390; perMille=300 keeps value*300 > 12390 => value > 41.3
+    val both = Relational.importantParts(lineitem, perMille = 300)
+      .as[(Long, Double)].collect()
+    assert(both.map(_._1).toSeq == Seq(1L, 2L)) // ordered by value desc
+    assert(both.head._2 == 9790.0)
+    // perMille=1250: threshold value > 9.912 both still pass; use a
+    // tighter one to drop part 2: value*1 > total keeps none
+    val none = Relational.importantParts(lineitem, perMille = 1)
+      .as[(Long, Double)].collect()
+    assert(none.isEmpty)
+  }
+
+  test("dominantSuppliers: only >half-of-part-quantity counts") {
+    val part = Seq((1L, "red widget", "Brand#1", "ECONOMY", 10, 100.0),
+        (2L, "red bolt", "Brand#2", "SMALL", 5, 50.0),
+        (3L, "blue bolt", "Brand#3", "SMALL", 5, 50.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val supplier = Seq((1L, "S1", 0L, 10.0), (2L, "S2", 1L, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val got = Relational.dominantSuppliers(lineitem, part, supplier)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // part 1 qty: s1 has 10+24=34, s2 has 100 -> s2 dominates (100>67)
+    // part 2 qty: s2 has 30+5=35, alone -> dominates; s1 dominates none
+    assert(got == Map(2L -> 2L))
+  }
 }

@@ -254,6 +254,85 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("rareBigrams: shared bigram not rare, singletons are") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "a b e"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rareBigrams(docs, minDf = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every doc has 2 distinct bigrams; "a b" appears in all 3 docs
+    // (df=3, not rare at minDf=3), the second bigram is unique (df=1)
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+  }
+
+  test("sourceOverlap: counts distinct shared 3-grams per source pair") {
+    val docs = Seq(
+      (1L, "one two three four", "web"),
+      (2L, "two three four five", "web"),   // dup gram within web: no self-pair
+      (3L, "two three four six", "books"),
+      (4L, "totally different words entirely", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceOverlap(docs)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // web ∩ books = {"two three four"}; wiki shares nothing → absent
+    assert(got.keySet == Set(("books", "web")) && got(("books", "web")) == 1L)
+  }
+
+  test("topTerms ranks by tf/df with term tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common date"))
+      .toDF("doc_id", "text")
+    val got = TextOps.topTerms(docs, k = 3)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq }
+    // df: apple 1, banana 2, cherry 1, common 3, date 1
+    assert(got(1L) == Seq(("apple", 2L, 1L), ("banana", 1L, 2L),
+      ("common", 1L, 3L)))
+    assert(got(3L).head == (("date", 1L, 1L))) // 1/1 beats common's 2/3
+  }
+
+  test("diversity: exact Simpson indexes at char and token level") {
+    val docs = Seq((1L, "aa bb"), (2L, "xxxx")).toDF("doc_id", "text")
+    val got = TextOps.diversity(docs)
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // "aa bb": chars a:2 b:2 ' ':1 -> 1 - 9/25; tokens aa,bb -> 1 - 2/4
+    assert(got(1L) == ((1L, 5L, 3L, 1.0 - 9.0 / 25.0, 2L, 2L, 0.5)))
+    // "xxxx": single char class and single token -> zero diversity
+    assert(got(2L) == ((2L, 4L, 1L, 0.0, 1L, 1L, 0.0)))
+  }
+
+  test("sourceTemperature: sqrt-weighted shares on the integer lattice") {
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, eight, "s1"), (2L, eight, "s1"),     // 16 tokens -> sqrt = 4
+      (3L, "t1 t2 t3 t4", "s2"))                // 4 tokens  -> sqrt = 2
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceTemperature(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 2L, 16L, 4L * 1048576, 666666L, 6666666L)))
+    assert(got("s2") == (("s2", 1L, 4L, 2L * 1048576, 333333L, 3333333L)))
+  }
+
+  test("centroidOutliers: planted far vector ranks first, exact lattice") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0), (9L, Seq(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb)
+      .as[(Long, Int, Long, Long, Int)].collect().sortBy(_._5)
+    // dim0 sums: S = 3*1024 - 1024 = 2048, n = 4
+    // outlier term: (-4096 - 2048)^2 ; inlier: (4096 - 2048)^2
+    assert(got.head == ((9L, 0, 6144L * 6144L, 4L, 1)))
+    assert(got(1) == ((1L, 0, 2048L * 2048L, 4L, 2))) // tie -> vec_id order
+    assert(got.map(_._1).toSeq == Seq(9L, 1L, 2L, 3L))
+  }
+
   test("table groups: the reference's missing-comma bug is fixed") {
     // reference `Config.java:16-17` fuses order_line/stock into one
     // literal; the rebuilt group `all` must contain all 9 real tables
