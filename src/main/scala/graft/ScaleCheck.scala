@@ -62,6 +62,14 @@ object ScaleCheck {
     time("sim_knn_label_agreement") {
       Similarity.knnLabelAgreement(emb, k = 10, sampleMod = 100)
     }
+    time("text_top_terms") { TextOps.topTerms(docs) }
+    time("text_rare_bigrams") { TextOps.rareBigrams(docs) }
+    time("text_source_overlap") { TextOps.sourceOverlap(docs) }
+    time("text_diversity") { TextOps.diversity(docs) }
+    time("sim_centroid_outliers") { Similarity.centroidOutliers(emb) }
+    time("sketch_hll_docs") {
+      graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")
+    }
     spark.stop()
   }
 }

@@ -744,6 +744,9 @@ object SparkEntry {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    "sketch_hll_users" -> ((s, dir) =>
+      graft.operators.Sketches.hllRegisters(t(s, dir, "events"))),
+
     // ---- as-of / range joins (temporal lookup + interval matching) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1306,6 +1309,20 @@ object SparkEntry {
                       FROM dist)
            SELECT vec_id, label, dist2_xn2, n_label, rnk FROM r
            WHERE rnk <= 5 ORDER BY label, rnk""",
+
+      "sketch_hll_users" ->
+        s"""WITH h AS (SELECT event_type,
+                         ${h60("CAST(user_id AS VARCHAR)")} AS h
+                       FROM events),
+                 b AS (SELECT event_type, h >> 54 AS bucket,
+                              h & ((1::BIGINT << 54) - 1) AS rem
+                       FROM h)
+            SELECT event_type, bucket,
+                   CAST(max(CASE WHEN rem = 0 THEN 55
+                                 ELSE 55 - length(bin(rem)) END) AS BIGINT)
+                     AS register
+            FROM b GROUP BY event_type, bucket
+            ORDER BY event_type, bucket""",
 
       "cdc_transition_matrix" ->
         """WITH s AS (SELECT user_id, event_type,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality sketches on the h60 hash family.
+ *
+ * `approx_count_distinct` already gives Spark a production HLL — what
+ * it cannot give is a CROSS-ENGINE-verifiable one: its registers hang
+ * off xxhash64 internals no other system replays. This variant builds
+ * the register table from h60 (first 15 md5 hex digits as a 60-bit
+ * long — reference everywhere else in this engine), so the identical
+ * integers fall out of DuckDB SQL builtins and the oracle hash-matches
+ * the sketch itself, not an estimate.
+ *
+ * At 100 TB this is the cardinality path: the register table is the
+ * partial-aggregate state (max per (key, bucket) — map-side combine
+ * ships ≤ key·2^p rows per partition), registers max-merge across any
+ * split of the data (spec-proven), and a `foreachBatch` consumer folds
+ * micro-batch registers into a store with one upsert per bucket.
+ */
+object Sketches {
+
+  /**
+   * HyperLogLog register table, p bucket bits over the h60 hash of
+   * `valueCol`: bucket = top p bits, ρ = leading-zero count of the
+   * remaining 60−p bits + 1 (computed exactly via the binary-string
+   * length — no floating log), register = max ρ. Only observed buckets
+   * appear (a reader treats absent buckets as 0). The standard
+   * estimate `α·m²/Σ2^(−reg)` is one driver-side fold over ≤ m rows
+   * per key; the engine keeps everything integer-exact.
+   */
+  def hllRegisters(df: DataFrame, keyCol: String = "event_type",
+                   valueCol: String = "user_id", p: Int = 6): DataFrame = {
+    require(p >= 1 && p <= 16, s"p=$p outside [1,16]")
+    val bucketBits = 60 - p
+    val mask = (1L << bucketBits) - 1L
+    df.select(col(keyCol),
+        graft.functions.functions.h60(col(valueCol).cast("string")).as("h"))
+      .select(col(keyCol), shiftright(col("h"), bucketBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rem"))
+      .select(col(keyCol), col("bucket"),
+        when(col("rem") === 0L, lit(bucketBits + 1))
+          .otherwise(lit(bucketBits + 1) - length(bin(col("rem"))))
+          .cast("long").as("rho"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
+
+  /** Max-merge of two register tables (same key/bucket space) — the
+    * fold a streaming consumer runs per micro-batch. */
+  def mergeRegisters(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("register")).as("register"))
+
+  /** Driver-side HLL estimate from a collected register table of one
+    * key: α·m²/Σ2^(−reg) with absent buckets counted as register 0,
+    * plus linear counting in the small range (test/consumer helper —
+    * the distributed artifact is the register table itself). */
+  def estimate(registers: Map[Long, Long], p: Int = 6): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val zSum = (0 until m).map(j =>
+      math.pow(2.0, -registers.getOrElse(j.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / zSum
+    val zeros = m - registers.count(_._2 > 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+}

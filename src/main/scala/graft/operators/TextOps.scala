@@ -369,14 +369,27 @@ object TextOps {
    * built with one aggregation; the pair counts come from a gram-keyed
    * self-join (work ∝ true cross-source collisions, never
    * |A|·|B|).
+   *
+   * `maxSourceDf` is the stop-gram guard the self-join needs at scale
+   * (the same hazard [[Dedup.containmentPairs]] caps): a gram present
+   * in s sources emits s² join rows, so ubiquitous grams at
+   * thousands-of-sources corpora would dominate the output with
+   * discrimination-free mass. Grams above the cap are dropped BEFORE
+   * the join; the default is far above the test corpus's 20 sources
+   * (inactive there — the oracle counts every shared gram) but bounds
+   * the worst gram at production source counts.
    */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+  def sourceOverlap(docs: DataFrame, maxSourceDf: Int = 64): DataFrame = {
     val g = Dedup.shingleSets(docs, 3)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("sh")).as("gram"))
       .distinct()
-    g.select(col("source").as("source_a"), col("gram"))
-      .join(g.select(col("source").as("source_b"), col("gram")), "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val capped = g.select(col("source"), col("gram"),
+        count(lit(1)).over(w).as("sdf"))
+      .filter(col("sdf") <= maxSourceDf)
+    capped.select(col("source").as("source_a"), col("gram"))
+      .join(capped.select(col("source").as("source_b"), col("gram")), "gram")
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -279,6 +279,24 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.keySet == Set(("books", "web")) && got(("books", "web")) == 1L)
   }
 
+  test("sourceOverlap drops stop-grams above the source-df cap") {
+    val shared = "one two three"
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma", "a"),
+      (2L, s"$shared alpha beta gamma", "b"),
+      (3L, shared, "c"))
+      .toDF("doc_id", "text", "source")
+    // "one two three" has source-df 3; cap 2 removes it, leaving the
+    // grams a and b share through "alpha beta gamma"
+    val capped = TextOps.sourceOverlap(docs, maxSourceDf = 2)
+      .as[(String, String, Long)].collect()
+      .map { case (x, y, n) => (x, y) -> n }.toMap
+    assert(capped.keySet == Set(("a", "b")))
+    val uncapped = TextOps.sourceOverlap(docs)
+      .as[(String, String, Long)].collect()
+    assert(uncapped.length == 3) // all pairs share the ubiquitous gram
+  }
+
   test("topTerms ranks by tf/df with term tie-break") {
     val docs = Seq(
       (1L, "apple apple banana common"),
