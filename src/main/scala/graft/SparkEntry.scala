@@ -747,6 +747,12 @@ object SparkEntry {
     "sketch_hll_users" -> ((s, dir) =>
       graft.operators.Sketches.hllRegisters(t(s, dir, "events"))),
 
+    "ts_zscore_anomalies" -> ((s, dir) =>
+      graft.operators.TimeSeries.zscoreAnomalies(t(s, dir, "events"))),
+
+    "ts_sax_motifs" -> ((s, dir) =>
+      graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
+
     // ---- as-of / range joins (temporal lookup + interval matching) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1323,6 +1329,39 @@ object SparkEntry {
                      AS register
             FROM b GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
+
+      "ts_zscore_anomalies" ->
+        """WITH e AS (SELECT user_id, event_id,
+                        CAST(floor(value * 1048576) AS HUGEINT) AS q
+                      FROM events),
+                a AS (SELECT user_id, sum(q) AS s, sum(q*q) AS qq,
+                             count(*) AS n
+                      FROM e GROUP BY user_id)
+           SELECT user_id, event_id, CAST(q AS BIGINT) AS value_q20,
+                  n AS n_events
+           FROM e JOIN a USING (user_id)
+           WHERE (q*n - s)*(q*n - s)*4 > (qq*n - s*s)*9
+           ORDER BY user_id, event_id""",
+
+      "ts_sax_motifs" ->
+        """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                            sum(CAST(value AS DECIMAL(18,2))) AS dsum
+                          FROM events GROUP BY user_id, day),
+                fd AS (SELECT user_id, day, dsum,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY day) AS dn
+                       FROM daily),
+                bk AS (SELECT user_id, day,
+                         ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY dsum, day) AS b
+                       FROM fd WHERE dn <= 8),
+                words AS (SELECT user_id,
+                            string_agg(CAST(b AS VARCHAR), ''
+                              ORDER BY day) AS word,
+                            count(*) AS n_days
+                          FROM bk GROUP BY user_id)
+           SELECT word, count(*) AS n_users FROM words WHERE n_days = 8
+           GROUP BY word ORDER BY n_users DESC, word""",
 
       "cdc_transition_matrix" ->
         """WITH s AS (SELECT user_id, event_type,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series operators over the event stream (`user_id, ts, value`) —
+ * per-series anomaly flagging and motif discovery, the monitoring
+ * layer a CDC consumer runs on the extracted metrics.
+ *
+ * Both are engineered for exact cross-engine verification: the z-score
+ * test is cleared of division and sqrt entirely (compare
+ * (x·n−S)²·d² > (n·Q−S²)·z² in integers — same trick as
+ * [[Similarity.centroidOutliers]]), and SAX discretization uses only
+ * ranks (`ntile`), which are positional, never numeric.
+ */
+object TimeSeries {
+
+  /**
+   * Per-user z-score outliers: events whose value sits more than
+   * `zNumer/zDenom` population standard deviations from the user's
+   * mean. Values are quantized to the 2⁻²⁰ lattice (exact power-of-two
+   * float scaling), per-user (S, Q=Σq², n) is one aggregate, and the
+   * flag is the integer comparison
+   * `(q·n − S)²·zDenom² > (n·Q − S²)·zNumer²` — no mean, no variance,
+   * no division ever materializes, so the DuckDB oracle reproduces it
+   * in HUGEINT bit-for-bit. Squares ride in DECIMAL(38,0) (values
+   * ≤ ~10²⁶ for |value| ≤ 10⁴, n ≤ 10⁶ per user).
+   *
+   * Scale shape: one user-keyed aggregate, one user-keyed join back —
+   * both balanced; the event side never sorts.
+   */
+  def zscoreAnomalies(log: DataFrame, zNumer: Int = 3,
+                      zDenom: Int = 2): DataFrame = {
+    val ev = log.select(col("user_id"), col("event_id"),
+      floor(col("value") * 1048576.0).cast("long").as("q"))
+    val agg = ev.groupBy(col("user_id")).agg(
+      sum(col("q")).as("s"),
+      sum((col("q") * col("q")).cast("decimal(38,0)")).as("qq"),
+      count(lit(1)).as("n"))
+    val dev = (col("q") * col("n") - col("s")).cast("decimal(19,0)")
+    val sBig = col("s").cast("decimal(19,0)")
+    ev.join(agg, "user_id")
+      .filter(dev * dev * lit(zDenom * zDenom) >
+        (col("qq") * col("n") - sBig * sBig) * lit(zNumer * zNumer))
+      .select(col("user_id"), col("event_id"), col("q").as("value_q20"),
+        col("n").as("n_events"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /**
+   * SAX motif discovery: each user's first `nDays` active days are
+   * discretized into `buckets` rank quartiles of the daily value sum
+   * (ntile over the user's own days — positional, engine-exact), the
+   * day-ordered bucket digits form the user's SAX word, and users
+   * sharing a word share a behavior motif. Output: word → user count.
+   *
+   * Scale shape: the daily rollup is the only data-sized aggregate;
+   * every window partitions by user (thousands of tiny partitions,
+   * never a global sort); words are ≤ nDays chars.
+   */
+  def saxMotifs(log: DataFrame, nDays: Int = 8,
+                buckets: Int = 4): DataFrame = {
+    val daily = log.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("dsum"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val first = daily
+      .select(col("user_id"), col("day"), col("dsum"),
+        row_number().over(byDay).as("dn"))
+      .filter(col("dn") <= nDays)
+    val byVal = Window.partitionBy(col("user_id"))
+      .orderBy(col("dsum"), col("day"))
+    val bucketed = first.select(col("user_id"), col("day"),
+      ntile(buckets).over(byVal).as("b"))
+    bucketed.groupBy(col("user_id"))
+      .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("day"), col("b")))),
+          s => s.getField("b").cast("string"))).as("word"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") === nDays) // complete words only
+      .groupBy(col("word")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("word"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 12) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("zscoreAnomalies flags only the planted outlier, exact integers") {
+    val ev = Seq(
+      (1L, 1L, ts(1), 10.0), (2L, 1L, ts(2), 10.0), (3L, 1L, ts(3), 10.0),
+      (4L, 1L, ts(4), 10.0), (5L, 1L, ts(5), 100.0),  // z = 2.05 > 1.5
+      (6L, 2L, ts(1), 7.0), (7L, 2L, ts(2), 7.0))     // sigma = 0: no flags
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.zscoreAnomalies(ev)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 5L, 100L * 1048576, 5L)))
+  }
+
+  test("saxMotifs groups users by rank-discretized daily shape") {
+    // users 1 and 2: rising daily sums over 8 days -> word 11223344;
+    // user 3: falling -> 44332211; user 4: only 3 days -> dropped
+    val rows =
+      (1 to 8).flatMap(d => Seq(
+        (d.toLong, 1L, ts(d), d * 10.0),
+        (100L + d, 2L, ts(d), d * 7.0),
+        (200L + d, 3L, ts(d), (9 - d) * 10.0))) ++
+      (1 to 3).map(d => (300L + d, 4L, ts(d), 5.0))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.saxMotifs(ev)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("11223344" -> 2L, "44332211" -> 1L))
+  }
+
+  test("saxMotifs sums multiple events per day before discretizing") {
+    // day 1 holds two events summing to 35 — between day 4 and day 5
+    val ev = Seq(
+      (1L, 1L, ts(1, 1), 12.5), (2L, 1L, ts(1, 20), 22.5), // day 1: 35
+      (3L, 1L, ts(2), 10.0),
+      (4L, 1L, ts(3), 20.0), (5L, 1L, ts(4), 30.0),
+      (6L, 1L, ts(5), 40.0), (7L, 1L, ts(6), 50.0),
+      (8L, 1L, ts(7), 60.0), (9L, 1L, ts(8), 70.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.saxMotifs(ev).as[(String, Long)].collect().toMap
+    // day sums 35,10,20,30,40,50,60,70: sorted -> 10,20,30,35,40,50,60,70
+    // buckets   d2:1 d3:1 d4:2 d1:2 d5:3 d6:3 d7:4 d8:4
+    assert(got == Map("21123344" -> 1L))
+  }
+}
