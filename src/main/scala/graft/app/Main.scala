@@ -52,6 +52,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val runTag = java.lang.Long.toHexString(System.nanoTime())
+
     val listener = new StalenessListener()
     spark.streams.addListener(listener)
 
@@ -108,7 +110,26 @@ object Main {
           .as[graft.streaming.GapMonitor.Offset])
       .writeStream.format("memory").queryName("gap_events")
       .outputMode("append")
-      .option("checkpointLocation", s"$outDir-gap-checkpoint")
+      // memory-sink queries cannot recover from a checkpoint — a
+      // stale dir from a killed run would fail the next one, so these
+      // dev-harness sinks get a fresh location per run (the EXTRACTION
+      // checkpoint stays stable: restartability there is the feature)
+      .option("checkpointLocation", s"$outDir-gap-checkpoint-$runTag")
+      .start()
+
+    // Live behavior analytics on the same log: cross-batch event-type
+    // transitions via per-user carried state (a per-batch lag would
+    // drop every boundary-spanning pair).
+    val fn = org.apache.spark.sql.functions
+    val transQuery = graft.streaming.TransitionTracker.track(
+        monitorStream.select(fn.col("user_id").as("userId"), fn.col("ts"),
+            fn.col("event_id").as("eventId"),
+            fn.col("event_type").as("eventType"))
+          .withWatermark("ts", "10 minutes")
+          .as[graft.streaming.TransitionTracker.TEvent])
+      .writeStream.format("memory").queryName("transition_counts")
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir-trans-checkpoint-$runTag")
       .start()
 
     query.awaitTermination(runMs) // runDuration ≙ `Client.java:34-42`
@@ -117,6 +138,11 @@ object Main {
     gapQuery.stop()
     val gaps = spark.table("gap_events").count()
     println(s"GAP_EVENTS n=$gaps")
+    transQuery.processAllAvailable()
+    transQuery.stop()
+    val transitions = spark.table("transition_counts")
+      .agg(fn.coalesce(fn.sum(fn.col("n")), fn.lit(0L))).head().getLong(0)
+    println(s"TRANSITIONS total=$transitions")
 
     val extracted = spark.read.text(outDir).count()
     println(s"EXTRACTED rows=$extracted of=$total tables=$group" +
