@@ -750,6 +750,12 @@ object SparkEntry {
     "ts_zscore_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.zscoreAnomalies(t(s, dir, "events"))),
 
+    "cdc_scd2_history" -> ((s, dir) =>
+      CdcOps.scd2History(t(s, dir, "events"))),
+
+    "text_chunk_split" -> ((s, dir) =>
+      TextOps.chunkSplit(t(s, dir, "documents"))),
+
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
 
@@ -1329,6 +1335,32 @@ object SparkEntry {
                      AS register
             FROM b GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
+
+      "cdc_scd2_history" ->
+        """SELECT user_id, event_id, event_type,
+                  epoch_us(ts) AS valid_from_us,
+                  epoch_us(lead(ts) OVER w) AS valid_to_us,
+                  row_number() OVER w AS version,
+                  (lead(ts) OVER w IS NULL) AS is_current
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ORDER BY user_id, version""",
+
+      "text_chunk_split" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+                 s AS (SELECT doc_id, toks, len(toks) AS n
+                       FROM d WHERE len(toks) > 0),
+                 c AS (SELECT doc_id, toks,
+                         unnest(generate_series(0,
+                           CAST((n - 1) // 16 AS BIGINT))) AS ci
+                       FROM s)
+            SELECT doc_id, ci AS chunk_id,
+                   CAST(len(list_slice(toks, ci*16 + 1, ci*16 + 32))
+                     AS BIGINT) AS n_tokens,
+                   md5(array_to_string(
+                     list_slice(toks, ci*16 + 1, ci*16 + 32), ' '))
+                     AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_id""",
 
       "ts_zscore_anomalies" ->
         """WITH e AS (SELECT user_id, event_id,

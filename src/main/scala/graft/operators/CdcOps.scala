@@ -181,6 +181,29 @@ object CdcOps {
         col("w.end").as("session_end"), col("n_events"))
 
   /**
+   * SCD Type-2 history — the materialization a warehouse consumer
+   * builds from a CDC stream: each change row becomes a versioned
+   * dimension row with a validity interval `[valid_from, valid_to)`
+   * closed by the key's next change (`lead` per key — partitioned,
+   * never a global sort) and an is-current flag on the open row. At
+   * 100 TB the per-key window is the only data-sized exchange, keyed
+   * and balanced like [[transitionMatrix]].
+   */
+  def scd2History(log: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts",
+                  offsetCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(offsetCol))
+    log.select(col(keyCol), col(offsetCol), col("event_type"),
+        graft.util.Cols.epochUs(col(tsCol)).as("valid_from_us"),
+        graft.util.Cols.epochUs(lead(col(tsCol), 1).over(w))
+          .as("valid_to_us"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col(keyCol), col("version"))
+  }
+
+  /**
    * Event-type transition matrix: counts of consecutive
    * (from_type → to_type) steps per user, ordered by event time with
    * the offset as tie-break — the Markov view of user behavior a

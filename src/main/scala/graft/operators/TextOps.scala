@@ -485,6 +485,41 @@ object TextOps {
   }
 
   /**
+   * Overlapping token-window chunking — the complement of
+   * [[packChunks]]: instead of packing short documents up to a budget,
+   * split long ones into fixed-size windows advancing by `stride`
+   * (stride < size ⇒ overlap, the RAG/training-context shape). Chunk
+   * text is emitted as md5 so the output stays bounded. The token
+   * array is staged once per row (named alias survives
+   * CollapseProject) and the per-chunk `slice` runs AFTER the explode,
+   * outside any lambda — referencing the tokens inside a `transform`
+   * would re-run the regex extraction per chunk. Pure narrow map at
+   * any scale.
+   */
+  def chunkSplit(docs: DataFrame, size: Int = 32,
+                 stride: Int = 16): DataFrame = {
+    require(stride > 0 && size > 0, s"size=$size stride=$stride")
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .filter(col("n") > 0)
+    // chunk starts: 0, stride, 2·stride … < n (last window may be short)
+    staged
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          expr(s"int((n - 1) div $stride)"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        slice(col("toks"), col("ci") * lit(stride) + lit(1),
+          lit(size)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("ctoks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
+  /**
    * Deterministic global shuffle for training order: each document is
    * assigned a shard (`h60(doc_id:salt) mod nShards`) and a position
    * within it (rank of the hash). A pure function of the data — re-runs

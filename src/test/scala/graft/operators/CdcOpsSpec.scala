@@ -154,6 +154,25 @@ class CdcOpsSpec extends SparkSpec {
       ("b", "c") -> 1L, ("a", "c") -> 1L))
   }
 
+  test("scd2History: validity intervals chain, only last row current") {
+    val t0 = ts("2024-01-01 00:00:01")
+    val t1 = ts("2024-01-01 00:00:05")
+    val t2 = ts("2024-01-01 00:00:09")
+    val ev = Seq((1L, 7L, t0, "a"), (2L, 7L, t1, "b"), (3L, 7L, t2, "c"),
+        (4L, 8L, t1, "x"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = CdcOps.scd2History(ev)
+      .as[(Long, Long, String, Long, Option[Long], Int, Boolean)].collect()
+      .map(r => (r._1, r._6) -> r).toMap
+    def us(t: Timestamp) = t.getTime * 1000L
+    val (_, _, _, from1, to1, _, cur1) = got((7L, 1))
+    assert(from1 == us(t0) && to1 == Some(us(t1)) && !cur1)
+    val (_, _, _, from3, to3, _, cur3) = got((7L, 3))
+    assert(from3 == us(t2) && to3.isEmpty && cur3)
+    val (_, _, _, _, to8, _, cur8) = got((8L, 1))
+    assert(to8.isEmpty && cur8) // single-version key is current
+  }
+
   test("transitionMatrix breaks equal timestamps by offset") {
     val t0 = ts("2024-01-01 00:00:01")
     val ev = Seq((2L, 1L, t0, "y"), (1L, 1L, t0, "x"), (3L, 1L, t0, "z"))

@@ -297,6 +297,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(uncapped.length == 3) // all pairs share the ubiquitous gram
   }
 
+  test("chunkSplit: overlapping windows cover every token") {
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkSplit(docs, size = 32, stride = 16)
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,16,32 -> window sizes 32, 24 (17..40), 8 (33..40)
+    assert(d1.map(r => (r._2, r._3)).toSeq == Seq((0L, 32L), (1L, 24L), (2L, 8L)))
+    assert(d1.map(_._4).distinct.length == 3) // distinct content hashes
+    assert(!got.exists(_._1 == 2L))           // empty doc dropped
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)))
+  }
+
   test("topTerms ranks by tf/df with term tie-break") {
     val docs = Seq(
       (1L, "apple apple banana common"),
