@@ -753,6 +753,9 @@ object SparkEntry {
     "cdc_scd2_history" -> ((s, dir) =>
       CdcOps.scd2History(t(s, dir, "events"))),
 
+    "q_full_outer_daily" -> ((s, dir) =>
+      Relational.dailyActivityReconciliation(t(s, dir, "events"))),
+
     "text_chunk_split" -> ((s, dir) =>
       TextOps.chunkSplit(t(s, dir, "documents"))),
 
@@ -1335,6 +1338,19 @@ object SparkEntry {
                      AS register
             FROM b GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
+
+      "q_full_outer_daily" ->
+        """WITH s AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_signup
+                      FROM events WHERE event_type = 'signup'
+                      GROUP BY day),
+                p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchase
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY day)
+           SELECT CAST(coalesce(s.day, p.day) AS VARCHAR) AS day,
+                  coalesce(n_signup, 0) AS n_signup,
+                  coalesce(n_purchase, 0) AS n_purchase
+           FROM s FULL OUTER JOIN p ON s.day = p.day
+           ORDER BY day""",
 
       "cdc_scd2_history" ->
         """SELECT user_id, event_id, event_type,

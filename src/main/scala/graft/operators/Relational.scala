@@ -139,6 +139,25 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /**
+   * FULL OUTER daily reconciliation: signup days vs purchase days with
+   * neither side dominant — days that saw only one kind of activity
+   * survive with the other side null-counted. The join key is the
+   * (low-cardinality) day, each side pre-aggregated before the join,
+   * so the outer join exchanges day-counts, never events.
+   */
+  def dailyActivityReconciliation(events: DataFrame): DataFrame = {
+    def daily(kind: String) = events
+      .filter(col("event_type") === kind)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(s"n_$kind"))
+    daily("signup").join(daily("purchase"), Seq("day"), "full_outer")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+      .orderBy(col("day"))
+  }
+
   /** Ranking window: top-3 orders per customer by total price. */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

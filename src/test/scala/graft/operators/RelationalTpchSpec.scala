@@ -155,6 +155,20 @@ class RelationalTpchSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("full-outer daily reconciliation keeps one-sided days") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, 2L, ts("2024-01-02 10:00:00"), "purchase"),
+      (3L, 3L, ts("2024-01-03 10:00:00"), "signup"),
+      (4L, 3L, ts("2024-01-03 11:00:00"), "purchase"),
+      (5L, 4L, ts("2024-01-03 12:00:00"), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Relational.dailyActivityReconciliation(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01", 1L, 0L), ("2024-01-02", 0L, 1L),
+      ("2024-01-03", 1L, 1L)))
+  }
+
   test("dominantSuppliers: only >half-of-part-quantity counts") {
     val part = Seq((1L, "red widget", "Brand#1", "ECONOMY", 10, 100.0),
         (2L, "red bolt", "Brand#2", "SMALL", 5, 50.0),
