@@ -747,6 +747,9 @@ object SparkEntry {
     "sketch_hll_users" -> ((s, dir) =>
       graft.operators.Sketches.hllRegisters(t(s, dir, "events"))),
 
+    "sketch_log_histogram" -> ((s, dir) =>
+      graft.operators.Sketches.logHistogram(t(s, dir, "events"))),
+
     "ts_zscore_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.zscoreAnomalies(t(s, dir, "events"))),
 
@@ -1351,6 +1354,20 @@ object SparkEntry {
                   coalesce(n_purchase, 0) AS n_purchase
            FROM s FULL OUTER JOIN p ON s.day = p.day
            ORDER BY day""",
+
+      "sketch_log_histogram" ->
+        """WITH e AS (SELECT event_type,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                b AS (SELECT event_type, q,
+                        CAST(CASE WHEN q > 0 THEN length(bin(q))
+                                  WHEN q < 0 THEN -length(bin(-q))
+                                  ELSE 0 END AS BIGINT) AS bin
+                      FROM e)
+           SELECT event_type, bin, count(*) AS n,
+                  min(q) AS min_q, max(q) AS max_q
+           FROM b GROUP BY event_type, bin
+           ORDER BY event_type, bin""",
 
       "cdc_scd2_history" ->
         """SELECT user_id, event_id, event_type,

@@ -49,6 +49,59 @@ object Sketches {
       .orderBy(col(keyCol), col("bucket"))
   }
 
+  /**
+   * Mergeable log₂ value histogram — the quantile path of the sketch
+   * family (MinHash = similarity, HLL = cardinality, this =
+   * distribution). Values quantize onto the 2⁻²⁰ lattice; the bin is
+   * the signed binary length of the lattice value (integer log₂ via
+   * `bin()`-string length — no floating log), giving ~±64 bins per key
+   * with relative-error bucketing. Per (key, bin): count + exact
+   * lattice min/max. Merge = count-sum/min/max per bin (spec-proven);
+   * a driver-side fold over ≤ ~128 rows per key answers any quantile
+   * to within one bin's relative width. Map-side combine ships a
+   * bounded row set per partition at any scale.
+   */
+  def logHistogram(df: DataFrame, keyCol: String = "event_type",
+                   valueCol: String = "value"): DataFrame = {
+    val ev = df.select(col(keyCol),
+      floor(col(valueCol) * 1048576.0).cast("long").as("q"))
+    ev.select(col(keyCol),
+        when(col("q") > 0, length(bin(col("q"))))
+          .when(col("q") < 0, -length(bin(-col("q"))))
+          .otherwise(lit(0)).cast("long").as("bin"), col("q"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+      .orderBy(col(keyCol), col("bin"))
+  }
+
+  /** Count-sum/min/max merge of two log-histogram tables — the
+    * per-micro-batch fold of [[logHistogram]]. */
+  def mergeHistograms(a: DataFrame, b: DataFrame,
+                      keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("n")).as("n"), min(col("min_q")).as("min_q"),
+        max(col("max_q")).as("max_q"))
+
+  /** Driver-side quantile bracket from a collected histogram of one
+    * key: the (min_q, max_q) lattice range of the bin containing the
+    * φ-quantile — exact bounds, one fold over ≤ ~128 rows. */
+  def quantileBracket(hist: Seq[(Long, Long, Long, Long)],
+                      phi: Double): (Long, Long) = {
+    require(phi >= 0.0 && phi <= 1.0, s"phi=$phi")
+    val sorted = hist.sortBy(_._1) // by bin: lattice order
+    val total = sorted.map(_._2).sum
+    val target = math.max(1L, math.ceil(phi * total).toLong)
+    var seen = 0L
+    for ((_, n, lo, hi) <- sorted) {
+      seen += n
+      if (seen >= target) return (lo, hi)
+    }
+    val last = sorted.last
+    (last._3, last._4)
+  }
+
   /** Max-merge of two register tables (same key/bucket space) — the
     * fold a streaming consumer runs per micro-batch. */
   def mergeRegisters(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.floor
+
 import graft.SparkSpec
 
 class SketchesSpec extends SparkSpec {
@@ -27,6 +29,40 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.estimate(regs)
     // p=6 -> standard error 1.04/sqrt(64) = 13%; allow 3 sigma
     assert(math.abs(est - 1000.0) / 1000.0 < 0.4, s"estimate $est")
+  }
+
+  test("logHistogram: bins merge across splits; quantile bracket holds") {
+    val src = events.withColumn("value", ($"user_id" + 1).cast("double"))
+    val wholeSet = Sketches.logHistogram(src)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val merged = Sketches.mergeHistograms(
+        Sketches.logHistogram(src.filter($"event_id" % 2 === 0)),
+        Sketches.logHistogram(src.filter($"event_id" % 2 === 1)),
+        "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged == wholeSet)
+    // median bracket of one key must contain the exact median lattice value
+    val k = wholeSet.filter(_._1 == "t0").toSeq
+      .map { case (_, bin, n, lo, hi) => (bin, n, lo, hi) }
+    val exact = src.filter($"event_type" === "t0")
+      .select(floor($"value" * 1048576.0).cast("long")).as[Long]
+      .collect().sorted
+    val median = exact((exact.length - 1) / 2)
+    val (lo, hi) = Sketches.quantileBracket(k, 0.5)
+    assert(median >= lo && median <= hi, s"$median not in [$lo, $hi]")
+  }
+
+  test("logHistogram: zero and negative values take signed bins") {
+    val df = Seq((1L, "k", -4.0), (2L, "k", 0.0), (3L, "k", 4.0))
+      .toDF("event_id", "event_type", "value")
+    val got = Sketches.logHistogram(df)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    val q = 4L * 1048576L // 2^22 -> binary length 23
+    assert(got.keySet == Set(-23L, 0L, 23L))
+    assert(got(23L) == ((1L, q, q)))
+    assert(got(-23L) == ((1L, -q, -q)))
+    assert(got(0L) == ((1L, 0L, 0L)))
   }
 
   test("hllRegisters: rho is exact on hand-checkable hashes") {
