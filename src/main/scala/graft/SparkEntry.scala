@@ -759,6 +759,12 @@ object SparkEntry {
     "q_full_outer_daily" -> ((s, dir) =>
       Relational.dailyActivityReconciliation(t(s, dir, "events"))),
 
+    "q_unpivot" -> ((s, dir) =>
+      Relational.unpivotMetrics(t(s, dir, "lineitem"))),
+
+    "dedup_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(t(s, dir, "documents"))),
+
     "text_chunk_split" -> ((s, dir) =>
       TextOps.chunkSplit(t(s, dir, "documents"))),
 
@@ -1341,6 +1347,31 @@ object SparkEntry {
                      AS register
             FROM b GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
+
+      "q_unpivot" ->
+        """SELECT * FROM (
+             SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+                    l_quantity AS value FROM lineitem
+             UNION ALL
+             SELECT l_orderkey, l_linenumber, 'extendedprice',
+                    l_extendedprice FROM lineitem
+             UNION ALL
+             SELECT l_orderkey, l_linenumber, 'discount', l_discount
+             FROM lineitem)
+           ORDER BY l_orderkey, l_linenumber, metric""",
+
+      "dedup_fuzzy_pairs" ->
+        s"""WITH p AS (SELECT doc_id, substr($norm, 1, 24) AS pfx
+                       FROM documents),
+                 b AS (SELECT doc_id, pfx, substr(pfx, 1, 8) AS blk FROM p),
+                 c AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn
+                       FROM b)
+            SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   CAST(levenshtein(a.pfx, b2.pfx) AS INT) AS dist
+            FROM c a JOIN c b2 USING (blk)
+            WHERE a.bn <= 64 AND a.doc_id < b2.doc_id
+              AND levenshtein(a.pfx, b2.pfx) <= 5
+            ORDER BY doc_a, doc_b""",
 
       "q_full_outer_daily" ->
         """WITH s AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_signup

@@ -289,4 +289,35 @@ object Dedup {
       .select(col("component"), (-col("m.neg_id")).as("survivor_id"),
         col("n_members"))
       .orderBy(col("component"))
+
+  /**
+   * Fuzzy (edit-distance) near-dup pairs over normalized prefixes —
+   * the dedup family's answer to typo/OCR variants that defeat exact
+   * and shingle methods: docs whose first `prefixLen` normalized chars
+   * are within Levenshtein `maxDist`. Candidates are blocked on the
+   * first `blockLen` chars (standard blocking tradeoff: an edit inside
+   * the block key escapes the comparison — documented, not hidden) and
+   * blocks above `maxBlock` docs are dropped whole (the stop-block
+   * guard every self-join op here carries: a degenerate shared prefix
+   * would otherwise emit |block|² comparisons). Levenshtein is
+   * unit-cost in both engines, so the oracle is exact.
+   */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int = 24, blockLen: Int = 8,
+                 maxDist: Int = 5, maxBlock: Int = 64): DataFrame = {
+    val p = docs.select(col("doc_id"),
+        substring(TextOps.normalized(col("text")), 1, prefixLen).as("pfx"))
+      .withColumn("blk", substring(col("pfx"), 1, blockLen))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+    val capped = p.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBlock)
+    val a = capped.select(col("doc_id").as("doc_a"),
+      col("pfx").as("pfx_a"), col("blk"))
+    val b = capped.select(col("doc_id").as("doc_b"),
+      col("pfx").as("pfx_b"), col("blk"))
+    a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -140,6 +140,21 @@ object Relational {
   }
 
   /**
+   * UNPIVOT (wide → long): the three per-line monetary measures as
+   * (metric, value) rows — the melt shape feeding generic
+   * metric-store sinks. Spark's native `unpivot` keeps this a single
+   * narrow projection (3× row expansion, no shuffle before the sort).
+   */
+  def unpivotMetrics(lineitem: DataFrame): DataFrame =
+    lineitem.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /**
    * FULL OUTER daily reconciliation: signup days vs purchase days with
    * neither side dominant — days that saw only one kind of activity
    * survive with the other side null-counted. The join key is the

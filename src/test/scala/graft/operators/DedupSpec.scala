@@ -116,4 +116,25 @@ class DedupSpec extends SparkSpec {
     // component 3: 3 and 7 tie at 10 chars -> 3 survives
     assert(got == Seq((1L, 2L, 3L), (3L, 3L, 2L)))
   }
+
+  test("fuzzyPairs: edit within prefix pairs, block escape documented") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fax jumps over it"), // 1 edit, same block
+      (3L, "xhe quick brown fox jumps over it"), // edit INSIDE block key
+      (4L, "completely different text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs)
+      .as[(Long, Long, Int)].collect().toSeq
+    // 3 is 1 edit from 1 but its block key differs -> escapes (the
+    // standard blocking tradeoff the scaladoc documents)
+    assert(got == Seq((1L, 2L, 1)))
+  }
+
+  test("fuzzyPairs drops oversized blocks whole") {
+    val docs = (1L to 5L).map(i => (i, s"same start here tail$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyPairs(docs, maxBlock = 4).count() == 0L)
+    assert(Dedup.fuzzyPairs(docs, maxBlock = 5).count() > 0L)
+  }
 }

@@ -155,6 +155,16 @@ class RelationalTpchSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("unpivot melts measures to (metric, value) rows") {
+    val got = Relational.unpivotMetrics(lineitem)
+      .as[(Long, Int, String, Double)].collect()
+    assert(got.length == 15) // 5 lines x 3 measures
+    val first = got.filter(r => r._1 == 1L && r._2 == 1)
+      .map(r => r._3 -> r._4).toMap
+    assert(first == Map("quantity" -> 10.0, "extendedprice" -> 1000.0,
+      "discount" -> 0.05))
+  }
+
   test("full-outer daily reconciliation keeps one-sided days") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "signup"),
