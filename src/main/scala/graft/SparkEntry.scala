@@ -762,6 +762,9 @@ object SparkEntry {
     "q_unpivot" -> ((s, dir) =>
       Relational.unpivotMetrics(t(s, dir, "lineitem"))),
 
+    "q_rank_family" -> ((s, dir) =>
+      Relational.rankFamily(t(s, dir, "orders"))),
+
     "dedup_fuzzy_pairs" -> ((s, dir) =>
       Dedup.fuzzyPairs(t(s, dir, "documents"))),
 
@@ -1347,6 +1350,19 @@ object SparkEntry {
                      AS register
             FROM b GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
+
+      "q_rank_family" ->
+        """SELECT * FROM (
+             SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    rank() OVER w AS rnk,
+                    dense_rank() OVER w AS drnk,
+                    percent_rank() OVER w AS prnk,
+                    cume_dist() OVER w AS cdist
+             FROM orders
+             WINDOW w AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC))
+           WHERE rnk <= 20
+           ORDER BY o_orderpriority, rnk, o_orderkey""",
 
       "q_unpivot" ->
         """SELECT * FROM (

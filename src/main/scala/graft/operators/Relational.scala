@@ -140,6 +140,26 @@ object Relational {
   }
 
   /**
+   * The full ranking-function family over one window — rank,
+   * dense_rank, percent_rank, cume_dist per priority class by order
+   * value. The ORDER BY carries no tie-break on purpose: these four
+   * depend only on the key VALUES (peers share results), so the output
+   * is deterministic even with ties, and ties actually exercise the
+   * rank/dense_rank divergence. percent_rank and cume_dist are single
+   * IEEE divisions of integers — engine-exact.
+   */
+  def rankFamily(orders: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    orders.select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /**
    * UNPIVOT (wide → long): the three per-line monetary measures as
    * (metric, value) rows — the melt shape feeding generic
    * metric-store sinks. Spark's native `unpivot` keeps this a single

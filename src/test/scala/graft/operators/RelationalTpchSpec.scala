@@ -155,6 +155,23 @@ class RelationalTpchSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("rankFamily: ties share rank, dense_rank stays dense") {
+    val orders = Seq(
+      (1L, 1L, "O", 500.0, ts("1996-01-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 500.0, ts("1996-01-02 00:00:00"), "1-URGENT"),
+      (3L, 3L, "O", 300.0, ts("1996-01-03 00:00:00"), "1-URGENT"),
+      (4L, 4L, "O", 900.0, ts("1996-01-04 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = Relational.rankFamily(orders)
+      .as[(String, Long, Double, Int, Int, Double, Double)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6, r._7))).toMap
+    assert(got(1L) == ((1, 1, 0.0, 2.0 / 3.0)))   // tie at rank 1
+    assert(got(2L) == ((1, 1, 0.0, 2.0 / 3.0)))
+    assert(got(3L) == ((3, 2, 1.0, 1.0)))          // rank skips, dense doesn't
+    assert(got(4L) == ((1, 1, 0.0, 1.0)))          // single-row partition
+  }
+
   test("unpivot melts measures to (metric, value) rows") {
     val got = Relational.unpivotMetrics(lineitem)
       .as[(Long, Int, String, Double)].collect()

@@ -53,4 +53,36 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed.values.forall(_.size == 16))
     } finally q.stop()
   }
+
+  test("foreachBatch HLL fold equals the whole-log register table") {
+    import graft.operators.Sketches
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val events = input.toDF().toDF("event_id", "event_type", "user_id")
+    // the streaming cardinality fold: per micro-batch registers
+    // max-merged into a running table — no raw events retained
+    var acc = spark.emptyDataFrame
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = Sketches.hllRegisters(batch)
+        acc = if (acc.isEmpty) part.localCheckpoint(true)
+              else Sketches.mergeRegisters(acc, part, "event_type")
+                .localCheckpoint(true)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hllfold").toString)
+      .start()
+    try {
+      input.addData((1L to 400L).map(i => (i, s"t${i % 2}", i % 97)): _*)
+      q.processAllAvailable()
+      input.addData((401L to 800L).map(i => (i, s"t${i % 2}", i % 193)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = Sketches.hllRegisters(
+        (1L to 400L).map(i => (i, s"t${i % 2}", i % 97))
+          .++((401L to 800L).map(i => (i, s"t${i % 2}", i % 193)))
+          .toDF("event_id", "event_type", "user_id"))
+      .as[(String, Long, Long)].collect().toSet
+    val folded = acc.as[(String, Long, Long)].collect().toSet
+    assert(folded == whole)
+  }
 }
