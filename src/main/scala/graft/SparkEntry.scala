@@ -628,6 +628,27 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_datetime_functions" -> ((s, dir) =>
+      // temporal battery on real timestamps (micros): extraction
+      // fields, calendar arithmetic, truncation — each chosen for
+      // identical semantics in both engines (second() truncates,
+      // dayofyear/quarter are calendar-exact, last_day is a DATE)
+      t(s, dir, "events").select(col("event_id"),
+          year(col("ts")).cast("long").as("y"),
+          quarter(col("ts")).cast("long").as("q"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("mi"),
+          second(col("ts")).cast("long").as("sec"),
+          last_day(col("ts")).cast("string").as("month_end"),
+          date_add(col("ts").cast("date"), 7).cast("string").as("week_later"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_in"),
+          Cols.epochUs(date_trunc("month", col("ts"))).as("month_start_us"))
+        .orderBy(col("event_id"))),
+
     "cdc_json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -1648,6 +1669,23 @@ object SparkEntry {
                   count(*) AS n_events
            FROM s GROUP BY user_id, sid
            ORDER BY user_id, session_start_us""",
+
+      "q_datetime_functions" ->
+        """SELECT event_id,
+                  CAST(year(ts) AS BIGINT) AS y,
+                  CAST(quarter(ts) AS BIGINT) AS q,
+                  CAST(month(ts) AS BIGINT) AS mo,
+                  CAST(day(ts) AS BIGINT) AS dom,
+                  CAST(dayofyear(ts) AS BIGINT) AS doy,
+                  CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(minute(ts) AS BIGINT) AS mi,
+                  CAST(CAST(floor(second(ts)) AS INT) AS BIGINT) AS sec,
+                  CAST(last_day(ts) AS VARCHAR) AS month_end,
+                  CAST(CAST(ts AS DATE) + 7 AS VARCHAR) AS week_later,
+                  CAST(date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS days_in,
+                  epoch_us(date_trunc('month', ts)) AS month_start_us
+           FROM events ORDER BY event_id""",
 
       "q_scalar_functions" ->
         """SELECT l_orderkey, l_linenumber,
