@@ -377,6 +377,9 @@ object SparkEntry {
     "cdc_table_checksums" -> ((s, dir) =>
       CdcOps.tableChecksums(t(s, dir, "events"))),
 
+    "cdc_health_report" -> ((s, dir) =>
+      CdcOps.healthReport(t(s, dir, "events"))),
+
     "text_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(t(s, dir, "documents"))),
 
@@ -1224,6 +1227,20 @@ object SparkEntry {
       "cdc_table_checksums" ->
         s"""SELECT event_type, count(*) AS n_events,
                    min(event_id) AS min_id, max(event_id) AS max_id,
+                   bit_xor(${h60("concat_ws('|', event_id, epoch_us(ts), " +
+                     "user_id, event_type, CAST(value AS DECIMAL(18,2)), props)")})
+                     AS checksum
+            FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "cdc_health_report" ->
+        s"""SELECT event_type, count(*) AS n_events,
+                   count(*) - count(DISTINCT event_id) AS n_redelivered,
+                   min(event_id) AS min_id, max(event_id) AS max_id,
+                   max(event_id) - min(event_id) + 1
+                     - count(DISTINCT event_id) AS n_absent_in_span,
+                   count(DISTINCT user_id) AS n_users,
+                   epoch_us(min(ts)) AS first_us,
+                   epoch_us(max(ts)) AS last_us,
                    bit_xor(${h60("concat_ws('|', event_id, epoch_us(ts), " +
                      "user_id, event_type, CAST(value AS DECIMAL(18,2)), props)")})
                      AS checksum

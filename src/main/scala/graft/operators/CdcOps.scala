@@ -181,6 +181,39 @@ object CdcOps {
         col("w.end").as("session_end"), col("n_events"))
 
   /**
+   * Per-stream health report — the one-pass ops dashboard a CDC
+   * consumer watches: event/offset coverage (`span − distinct offsets`
+   * = ids missing inside the stream's own offset span — gap or
+   * filtered-out indicator), distinct-user reach, event-time
+   * freshness bounds, and the order-independent content checksum of
+   * [[tableChecksums]]. ONE aggregation pass over the log (every
+   * metric is algebraic or a bit_xor — all map-side combinable);
+   * no joins, no windows.
+   */
+  def healthReport(log: DataFrame): DataFrame =
+    log.select(col("event_type"), col("event_id"), col("user_id"),
+        col("ts"),
+        graft.functions.functions.h60(pipeLine(Seq(col("event_id"),
+          Cols.epochUs(col("ts")), col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("props")))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_offsets"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.epochUs(min(col("ts"))).as("first_us"),
+        Cols.epochUs(max(col("ts"))).as("last_us"),
+        expr("bit_xor(h)").as("checksum"))
+      .select(col("event_type"), col("n_events"),
+        (col("n_events") - col("n_offsets")).as("n_redelivered"),
+        col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1 - col("n_offsets"))
+          .as("n_absent_in_span"),
+        col("n_users"), col("first_us"), col("last_us"), col("checksum"))
+      .orderBy(col("event_type"))
+
+  /**
    * SCD Type-2 history — the materialization a warehouse consumer
    * builds from a CDC stream: each change row becomes a versioned
    * dimension row with a validity interval `[valid_from, valid_to)`
