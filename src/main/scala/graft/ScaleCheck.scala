@@ -70,6 +70,20 @@ object ScaleCheck {
     time("sketch_hll_docs") {
       graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")
     }
+    time("text_chunk_split") { TextOps.chunkSplit(docs) }
+    time("dedup_fuzzy_pairs") { Dedup.fuzzyPairs(docs) }
+
+    // events replicated the same way (per-user history grows 20x —
+    // the per-user window stress case)
+    val ev = replicate(
+      ChangeLogSource.table(spark, sfDir, "events"), "event_id", docCopies)
+      .localCheckpoint(true)
+    println(s"SCALE events=${ev.count()}")
+    time("cdc_transition_matrix") { graft.operators.CdcOps.transitionMatrix(ev) }
+    time("cdc_scd2_history") { graft.operators.CdcOps.scd2History(ev) }
+    time("cdc_health_report") { graft.operators.CdcOps.healthReport(ev) }
+    time("ts_zscore_anomalies") { graft.operators.TimeSeries.zscoreAnomalies(ev) }
+    time("ts_sax_motifs") { graft.operators.TimeSeries.saxMotifs(ev) }
     spark.stop()
   }
 }
