@@ -631,6 +631,29 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_null_semantics" -> ((s, dir) => {
+      // null-semantics battery: NULL group in GROUP BY, count(*) vs
+      // count(col), nullif/coalesce, null-safe equality (<=> ≡
+      // IS NOT DISTINCT FROM) — the classic cross-engine divergence
+      // area, pinned by the oracle (outputs never carry raw NULLs:
+      // the group key is coalesced for stable hashing)
+      val d = t(s, dir, "lineitem").select(
+        nullif(col("l_returnflag"), lit("N")).as("rf"),
+        col("l_quantity"))
+      d.groupBy(col("rf"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("rf")).as("n_nonnull"),
+          sum(when(col("rf").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("rf") <=> lit(null).cast("string"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq_null"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+        .select(coalesce(col("rf"), lit("NULL_GROUP")).as("rf_group"),
+          col("n_rows"), col("n_nonnull"), col("n_null"),
+          col("n_nullsafe_eq_null"), col("sum_qty"))
+        .orderBy(col("rf_group"))
+    }),
+
     "q_datetime_functions" -> ((s, dir) =>
       // temporal battery on real timestamps (micros): extraction
       // fields, calendar arithmetic, truncation — each chosen for
@@ -1686,6 +1709,20 @@ object SparkEntry {
                   count(*) AS n_events
            FROM s GROUP BY user_id, sid
            ORDER BY user_id, session_start_us""",
+
+      "q_null_semantics" ->
+        """WITH d AS (SELECT nullif(l_returnflag, 'N') AS rf, l_quantity
+                      FROM lineitem)
+           SELECT coalesce(rf, 'NULL_GROUP') AS rf_group,
+                  count(*) AS n_rows, count(rf) AS n_nonnull,
+                  CAST(sum(CASE WHEN rf IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+                  CAST(sum(CASE WHEN rf IS NOT DISTINCT FROM NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_nullsafe_eq_null,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    AS sum_qty
+           FROM d GROUP BY rf ORDER BY rf_group""",
 
       "q_datetime_functions" ->
         """SELECT event_id,
