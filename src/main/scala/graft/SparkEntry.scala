@@ -812,6 +812,11 @@ object SparkEntry {
     "q_rank_family" -> ((s, dir) =>
       Relational.rankFamily(t(s, dir, "orders"))),
 
+    "q_star_join" -> ((s, dir) =>
+      Relational.starJoinRevenue(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"),
+        t(s, dir, "part"), t(s, dir, "supplier"))),
+
     "dedup_fuzzy_pairs" -> ((s, dir) =>
       Dedup.fuzzyPairs(t(s, dir, "documents"))),
 
@@ -1424,6 +1429,22 @@ object SparkEntry {
                           ORDER BY o_totalprice DESC))
            WHERE rnk <= 20
            ORDER BY o_orderpriority, rnk, o_orderkey""",
+
+      "q_star_join" ->
+        s"""SELECT r_name, p_type, count(*) AS n_lines,
+                   count(DISTINCT s_suppkey) AS n_suppliers,
+                   CAST(sum($discPrice) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY r_name, p_type
+            ORDER BY r_name, p_type""",
 
       "q_unpivot" ->
         """SELECT * FROM (

@@ -140,6 +140,34 @@ object Relational {
   }
 
   /**
+   * Seven-table star join — the join-reorder/broadcast-selection
+   * stress shape: the lineitem fact against orders (fact-fact,
+   * shuffle) and five dimensions (all broadcast-sized at TPC-H
+   * ratios). The year filter sits on the fact scan (pushed to
+   * parquet); Catalyst picks the join order — the query declares
+   * only the star.
+   */
+  def starJoinRevenue(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame,
+                      region: DataFrame, part: DataFrame,
+                      supplier: DataFrame): DataFrame = {
+    val li = lineitem.filter(
+      col("l_shipdate") >= Cols.tsLit(lineitem, "l_shipdate", "1996-01-01 00:00:00") &&
+      col("l_shipdate") < Cols.tsLit(lineitem, "l_shipdate", "1997-01-01 00:00:00"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("p_type"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("p_type"))
+  }
+
+  /**
    * The full ranking-function family over one window — rank,
    * dense_rank, percent_rank, cume_dist per priority class by order
    * value. The ORDER BY carries no tie-break on purpose: these four
