@@ -380,6 +380,31 @@ object SparkEntry {
     "cdc_health_report" -> ((s, dir) =>
       CdcOps.healthReport(t(s, dir, "events"))),
 
+    // The reference's ENTIRE job as one Catalyst plan, hash-verified:
+    // offset-window range scan + table-group filter (S3/R1/R2) →
+    // commit-timestamp enrichment via broadcast dim derived from the
+    // same window (S4/R9, the N+1 killer) → pipe-line rendering with
+    // the enriched commit ts (S5/R3) → per-stream order-independent
+    // checksum + freshness watermark (R7/T4) — what lands in chunk
+    // files plus the watermark the sampler reads, verifiable
+    // end-to-end by the source database.
+    "pipeline_cdc_mirror" -> ((s, dir) => {
+      val log = ChangeLogSource.rangeScan(t(s, dir, "events"),
+        OffsetRange(100, 5000), EventGroups.First)
+      val enriched = CdcOps.enrichCommitTs(log, CdcOps.commitTsDim(log))
+      enriched.select(col("event_type"),
+          col("commit_ts"),
+          graft.functions.functions.h60(CdcOps.pipeLine(Seq(
+            col("event_id"), Cols.epochUs(col("ts")), col("user_id"),
+            col("event_type"), col("value").cast("decimal(18,2)"),
+            Cols.epochUs(col("commit_ts"))))).as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("bit_xor(h)").as("checksum"),
+          Cols.epochUs(max(col("commit_ts"))).as("watermark_us"))
+        .orderBy(col("event_type"))
+    }),
+
     "text_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(t(s, dir, "documents"))),
 
@@ -1050,6 +1075,21 @@ object SparkEntry {
            JOIN (SELECT user_id, max(ts) AS commit_ts FROM events GROUP BY user_id) d
              ON e.user_id = d.user_id
            ORDER BY e.event_id""",
+
+      "pipeline_cdc_mirror" ->
+        s"""WITH log AS (SELECT * FROM events
+                         WHERE event_id > 100 AND event_id <= 5000
+                           AND event_type IN $firstIn),
+                 dim AS (SELECT user_id, max(ts) AS commit_ts
+                         FROM log GROUP BY user_id),
+                 en AS (SELECT l.*, d.commit_ts
+                        FROM log l JOIN dim d ON l.user_id = d.user_id)
+            SELECT event_type, count(*) AS n_events,
+                   bit_xor(${h60("concat_ws('|', event_id, epoch_us(ts), " +
+                     "user_id, event_type, CAST(value AS DECIMAL(18,2)), " +
+                     "epoch_us(commit_ts))")}) AS checksum,
+                   epoch_us(max(commit_ts)) AS watermark_us
+            FROM en GROUP BY event_type ORDER BY event_type""",
 
       "cdc_txids_by_minute" ->
         """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
