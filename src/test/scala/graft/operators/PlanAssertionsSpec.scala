@@ -98,4 +98,41 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("hll registers combine map-side (partial_max before the exchange)") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(Sketches.hllRegisters(ev))
+    // partial + final HashAggregate around one exchange: at most
+    // keys × 2^p register rows per partition cross the wire
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("health report is one aggregation pass — no join, no window") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(CdcOps.healthReport(ev))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("transition matrix windows per user — no global sort before agg") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(CdcOps.transitionMatrix(ev))
+    // the lag window sorts WITHIN user partitions (hashpartitioning on
+    // user_id), never range-partitions the whole log; the only range
+    // exchange is the final presentation ORDER BY of the tiny matrix
+    val exchanges = "rangepartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("star join keeps the year filter on the fact scan") {
+    def tt(n: String) = ChangeLogSource.table(spark, sfDir, n)
+    val p = plan(Relational.starJoinRevenue(tt("lineitem"), tt("orders"),
+      tt("customer"), tt("nation"), tt("region"), tt("part"),
+      tt("supplier")))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+  }
 }
