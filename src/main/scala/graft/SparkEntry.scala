@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{EventGroups, TableGroups}
 import graft.util.Cols
-import graft.operators.{CdcOps, Dedup, Multimodal, Relational, Similarity, SkewJoin, TextOps}
+import graft.operators.{CdcOps, Dedup, Graph, Multimodal, Relational, Similarity, SkewJoin, TextOps}
 import graft.sources.ChangeLogSource
 import graft.sources.ChangeLogSource.OffsetRange
 
@@ -828,6 +828,18 @@ object SparkEntry {
     "cdc_scd2_history" -> ((s, dir) =>
       CdcOps.scd2History(t(s, dir, "events"))),
 
+    "cdc_version_prune" -> ((s, dir) =>
+      CdcOps.versionPrune(t(s, dir, "events"), keep = 3)),
+
+    "graph_type_pagerank" -> ((s, dir) => {
+      // stationary behavior mix: integer PageRank over the event-type
+      // transition graph (edges = transitionMatrix counts)
+      val edges = CdcOps.transitionMatrix(t(s, dir, "events"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n").as("w"))
+      Graph.pageRankInt(edges, iters = 3)
+    }),
+
     "q_full_outer_daily" -> ((s, dir) =>
       Relational.dailyActivityReconciliation(t(s, dir, "events"))),
 
@@ -847,6 +859,9 @@ object SparkEntry {
 
     "text_chunk_split" -> ((s, dir) =>
       TextOps.chunkSplit(t(s, dir, "documents"))),
+
+    "text_dup_spans" -> ((s, dir) =>
+      TextOps.dupSpans(t(s, dir, "documents"))),
 
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
@@ -902,6 +917,12 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(emb.filter(col("vec_id") < 100), 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    "sim_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "sim_lsh_topk" -> ((s, dir) => {
@@ -1416,8 +1437,10 @@ object SparkEntry {
                        FROM per),
                  tot AS (SELECT CAST(sum(w_q20) AS BIGINT) AS w_total FROM w)
             SELECT source, n_docs, n_tokens, w_q20,
-                   (w_q20 * 1000000) // w_total AS share_ppm,
-                   (w_q20 * 10000000) // w_total AS target_tokens
+                   CAST((CAST(w_q20 AS HUGEINT) * 1000000) // w_total
+                     AS BIGINT) AS share_ppm,
+                   CAST((CAST(w_q20 AS HUGEINT) * 10000000) // w_total
+                     AS BIGINT) AS target_tokens
             FROM w, tot ORDER BY source""",
 
       "sim_centroid_outliers" ->
@@ -1547,6 +1570,80 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            ORDER BY user_id, version""",
+
+      "cdc_version_prune" ->
+        """WITH v AS (SELECT user_id, event_id,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events)
+           SELECT user_id, count(*) AS n_versions,
+                  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pruned,
+                  min(CASE WHEN rn <= 3 THEN event_id END)
+                    AS oldest_kept_offset,
+                  max(CASE WHEN rn > 3 THEN event_id END)
+                    AS newest_pruned_offset
+           FROM v GROUP BY user_id ORDER BY user_id""",
+
+      "graph_type_pagerank" ->
+        """WITH seq AS (SELECT event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS from_type
+                        FROM events),
+                e AS (SELECT from_type AS src, event_type AS dst,
+                        count(*) AS w
+                      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+                nodes AS (SELECT src AS node FROM e
+                          UNION SELECT dst FROM e),
+                outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+                r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_q
+                       FROM nodes),
+                c1 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r0 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r1 AS (SELECT node, CAST(150000000 +
+                         (17 * coalesce(c1.s, 0)) // 20 AS BIGINT) AS rank_q
+                       FROM nodes LEFT JOIN c1 ON node = c1.dst),
+                c2 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r1 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r2 AS (SELECT node, CAST(150000000 +
+                         (17 * coalesce(c2.s, 0)) // 20 AS BIGINT) AS rank_q
+                       FROM nodes LEFT JOIN c2 ON node = c2.dst),
+                c3 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r2 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r3 AS (SELECT node, CAST(150000000 +
+                         (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS rank_q
+                       FROM nodes LEFT JOIN c3 ON node = c3.dst)
+           SELECT node, rank_q FROM r3 ORDER BY node""",
+
+      "text_dup_spans" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+                 s AS (SELECT doc_id, toks, len(toks) AS n
+                       FROM d WHERE len(toks) >= 8),
+                 st AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, CAST(n - 7 AS BIGINT)))
+                            AS i
+                        FROM s),
+                 sp AS (SELECT doc_id,
+                          md5(array_to_string(
+                            list_slice(toks, i, i + 7), ' ')) AS fp
+                        FROM st),
+                 df AS (SELECT fp, count(DISTINCT doc_id) AS nd
+                        FROM sp GROUP BY fp)
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_spans,
+                   (CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1000000) // count(*) AS dup_ppm
+            FROM sp JOIN df USING (fp)
+            GROUP BY doc_id ORDER BY doc_id""",
 
       "text_chunk_split" ->
         s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -2018,6 +2115,25 @@ object SparkEntry {
                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
             ORDER BY query_id, rank""",
+
+      "sim_sq8_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+                        list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 128)) AS qv
+                      FROM embeddings WHERE vec_id < 20),
+                c AS (SELECT vec_id AS neighbor_id,
+                        list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 128)) AS nv
+                      FROM embeddings),
+                s AS (SELECT query_id, neighbor_id,
+                        list_dot_product(qv, nv) AS sim
+                      FROM q CROSS JOIN c WHERE neighbor_id != query_id)
+           SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+             SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+             FROM s) WHERE rank <= 5
+           ORDER BY query_id, rank""",
 
       "sim_neardup_pairs" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

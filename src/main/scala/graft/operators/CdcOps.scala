@@ -72,16 +72,48 @@ object CdcOps {
    * Running watermark in offset order: what `uptodate` was after each
    * event was applied — the cross-partition running max the reference
    * maintains under a broken lock (`WorkerRunnable.java:146-150`,
-   * SURVEY §3.4). NOTE a global `ORDER BY` window is single-partition;
-   * fine for per-batch audit at micro-batch sizes (a batch is one poll
-   * interval of changes, bounded by rate limiting), but at 100 TB use
-   * [[watermark]] per batch + the streaming engine's watermark instead.
+   * SURVEY §3.4).
+   *
+   * Decomposed prefix-max, never a single global sort: the running max
+   * at offset o = greatest(running max *within* o's bucket, max of
+   * whole buckets before it in its super-bucket, max of whole
+   * super-buckets before that). Level 1 windows partition by bucket
+   * (id div 8192 — thousands of balanced partitions), level 2 by
+   * super-bucket over the bucket maxima (count/8192 rows), and only
+   * level 3 — one row per super-bucket, count/33M — sees an
+   * unpartitioned window, then broadcasts. Bit-identical to the naive
+   * `max OVER (ORDER BY id)` at any scale.
    */
   def runningWatermark(log: DataFrame, offsetCol: String = "event_id",
-                       tsCol: String = "ts"): DataFrame = {
-    val w = Window.orderBy(col(offsetCol))
+                       tsCol: String = "ts",
+                       bucket: Long = 8192L): DataFrame = {
+    val superW = bucket * 4096L
+    val ev = log.select(col(offsetCol).as("id"), col(tsCol).as("ets"))
+      .withColumn("b", col("id") - pmod(col("id"), lit(bucket)))
+      .withColumn("sb", col("b") - pmod(col("b"), lit(superW)))
+    // level 1: running max inside each bucket (balanced partitions)
+    val wRow = Window.partitionBy(col("b")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    log.select(col(offsetCol), max(col(tsCol)).over(w).as("uptodate"))
+    val inBucket = ev.withColumn("run_b", max(col("ets")).over(wRow))
+    // level 2: max of strictly-previous buckets within the super-bucket
+    val bmax = ev.groupBy(col("sb"), col("b")).agg(max(col("ets")).as("bm"))
+    val wPrevB = Window.partitionBy(col("sb")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevInSuper = bmax
+      .withColumn("prev_b", max(col("bm")).over(wPrevB))
+      .select(col("b").as("jb"), col("prev_b"))
+    // level 3: max of strictly-previous super-buckets (tiny dimension)
+    val wPrevS = Window.orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevSuper = bmax.groupBy(col("sb")).agg(max(col("bm")).as("sm"))
+      .withColumn("prev_s", max(col("sm")).over(wPrevS))
+      .select(col("sb").as("jsb"), col("prev_s"))
+    inBucket
+      .join(prevInSuper, col("b") === col("jb"))
+      .join(broadcast(prevSuper), col("sb") === col("jsb"))
+      .select(col("id").as(offsetCol),
+        // greatest skips nulls (first bucket/super has no predecessor)
+        greatest(col("run_b"), col("prev_b"), col("prev_s")).as("uptodate"))
   }
 
   /**
@@ -234,6 +266,43 @@ object CdcOps {
         row_number().over(w).as("version"))
       .withColumn("is_current", col("valid_to_us").isNull)
       .orderBy(col(keyCol), col("version"))
+  }
+
+  /**
+   * Retention / log-compaction plan: per entity, keep the newest
+   * `keep` versions (by event time, offset tie-break) and account for
+   * the rest — the policy pass a CDC store runs before pruning old
+   * versions (the reference keeps every change forever; SURVEY §3.4's
+   * unbounded-state defect is exactly the absence of this). Output per
+   * key: version counts, the kept/pruned split, the oldest offset that
+   * must survive and the newest that may be deleted — the inputs a
+   * compactor needs to plan deletes without touching row data.
+   *
+   * Scale shape: one per-key window (partitioned, balanced — the same
+   * exchange as [[scd2History]]) feeding a per-key aggregate on the
+   * already-keyed rows; no joins, nothing global.
+   */
+  def versionPrune(log: DataFrame, keep: Int = 3,
+                   keyCol: String = "user_id",
+                   tsCol: String = "ts",
+                   offsetCol: String = "event_id"): DataFrame = {
+    require(keep > 0, s"keep=$keep")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(offsetCol).desc)
+    log.select(col(keyCol), col(offsetCol), col(tsCol))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("rn") <= keep, lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        sum(when(col("rn") > keep, lit(1L)).otherwise(lit(0L)))
+          .as("n_pruned"),
+        min(when(col("rn") <= keep, col(offsetCol)))
+          .as("oldest_kept_offset"),
+        max(when(col("rn") > keep, col(offsetCol)))
+          .as("newest_pruned_offset"))
+      .orderBy(col(keyCol))
   }
 
   /**

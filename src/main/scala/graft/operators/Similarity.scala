@@ -73,6 +73,35 @@ object Similarity {
   }
 
   /**
+   * SQ8 scalar-quantized top-k — the memory-compression ANN variant:
+   * each component is quantized to the int8 lattice (`floor(x·128)`,
+   * exact power-of-two float scaling), and ranking runs on INTEGER dot
+   * products of the quantized vectors. At scale the quantized corpus
+   * is what you persist — 4× smaller than float32, and the scan is
+   * the same broadcast-queries/no-corpus-shuffle shape as
+   * [[bruteForceTopK]]. Every score is an integer (|q|≤128, dim 64 ⇒
+   * |dot| ≤ 2²⁰, exact in double regardless of summation order), so
+   * the DuckDB oracle reproduces ranks bit-for-bit — unlike float
+   * cosine, quantized scores need no rounding discipline at all.
+   */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(e: Column): Column =
+      transform(e, x => floor(x.cast("double") * lit(128.0)).cast("float"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      quant(col("embedding")).as("q_emb")))
+    // quantization sits below the join: once per corpus row (the
+    // stream side iterates rows, not pairs), once per query at
+    // broadcast build
+    val sim = corpus.select(col("vec_id").as("neighbor_id"),
+        quant(col("embedding")).as("n_emb"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("n_emb")).as("sim"))
+    topKRank(sim, k)
+  }
+
+  /**
    * Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
    * `threshold` within `sample`. Exact O(n²) — use on a sampled or
    * LSH-bucketed subset; the full-corpus path is [[lshTopK]]'s

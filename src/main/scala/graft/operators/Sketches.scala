@@ -90,6 +90,7 @@ object Sketches {
   def quantileBracket(hist: Seq[(Long, Long, Long, Long)],
                       phi: Double): (Long, Long) = {
     require(phi >= 0.0 && phi <= 1.0, s"phi=$phi")
+    require(hist.nonEmpty, "quantileBracket: empty histogram")
     val sorted = hist.sortBy(_._1) // by bin: lattice order
     val total = sorted.map(_._2).sum
     val target = math.max(1L, math.ceil(phi * total).toLong)

@@ -464,7 +464,12 @@ object TextOps {
    * lattice BEFORE summing (integer total — float summation order
    * never matters), and shares/targets are integer division. The
    * per-source stats are one aggregate; the tiny source dimension then
-   * combines with a windowless cross-join of one total row.
+   * combines with a windowless cross-join of one total row. The
+   * share/target products are formed in DECIMAL(38,0) — `w_q20` grows
+   * as √tokens·2²⁰, so a Long product would wrap past ~7.7·10¹¹
+   * tokens in one source (well inside the 100 TB design point); the
+   * quotients themselves are ≤ max(10⁶, tokenBudget) and return as
+   * BIGINT.
    */
   def sourceTemperature(docs: DataFrame,
                         tokenBudget: Long = 10000000L): DataFrame = {
@@ -479,8 +484,10 @@ object TextOps {
     per.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("w_q20"),
-        expr("(w_q20 * 1000000) div w_total").as("share_ppm"),
-        expr(s"(w_q20 * ${tokenBudget}L) div w_total").as("target_tokens"))
+        expr("(cast(w_q20 as decimal(38,0)) * 1000000) div w_total")
+          .as("share_ppm"),
+        expr(s"(cast(w_q20 as decimal(38,0)) * ${tokenBudget}L) div w_total")
+          .as("target_tokens"))
       .orderBy(col("source"))
   }
 
@@ -514,6 +521,50 @@ object TextOps {
         size_(col("ctoks")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /**
+   * Duplicated-span detection — the token-level (substring) dedup
+   * signal of "Deduplicating Training Data Makes Language Models
+   * Better" (Lee et al., 2022), at span granularity: fingerprint every
+   * sliding `window`-token span (stride 1), count the DISTINCT
+   * documents containing each fingerprint, and report per document how
+   * many of its spans also occur elsewhere in the corpus — the signal
+   * behind cutting boilerplate/licence/syndication text that exact and
+   * whole-doc near-dup both miss. Output: `doc_id, n_spans,
+   * n_dup_spans, dup_ppm` (integer parts-per-million — engine-exact).
+   *
+   * Scale shape: the span explode is a narrow map (|tokens| rows per
+   * doc, md5 per span — no substring materializes beyond the span
+   * being hashed); the df count and the join back are both keyed by
+   * the 128-bit fingerprint (uniform, never skewed), and the final
+   * rollup is keyed by doc_id. Nothing sorts globally. At 100 TB this
+   * is the documented-cost exact path; MinHash over the same spans is
+   * the cheap screen when span-level exactness isn't required.
+   */
+  def dupSpans(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window > 0, s"window=$window")
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .filter(col("n") >= window)
+    // one row per span start (1-based); slice AFTER the explode, never
+    // inside a lambda (same staging rule as chunkSplit)
+    val spans = staged
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - lit(window - 1))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(window))))
+          .as("fp"))
+    val df = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    spans.join(df, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("(n_dup_spans * 1000000) div n_spans").as("dup_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   private def size_(c: Column): Column =

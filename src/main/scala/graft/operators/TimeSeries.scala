@@ -25,8 +25,11 @@ object TimeSeries {
    * flag is the integer comparison
    * `(q·n − S)²·zDenom² > (n·Q − S²)·zNumer²` — no mean, no variance,
    * no division ever materializes, so the DuckDB oracle reproduces it
-   * in HUGEINT bit-for-bit. Squares ride in DECIMAL(38,0) (values
-   * ≤ ~10²⁶ for |value| ≤ 10⁴, n ≤ 10⁶ per user).
+   * in HUGEINT bit-for-bit. Every square is formed IN decimal (q is
+   * cast to DECIMAL(19,0) before multiplying — a Long×Long square
+   * would silently wrap past |q| ≈ 3·10⁹, i.e. |value| ≈ 2896);
+   * envelope: values ≤ ~10²⁶ for |value| ≤ 10⁴, n ≤ 10⁶ per user,
+   * comfortably inside DECIMAL(38,0).
    *
    * Scale shape: one user-keyed aggregate, one user-keyed join back —
    * both balanced; the event side never sorts.
@@ -35,9 +38,10 @@ object TimeSeries {
                       zDenom: Int = 2): DataFrame = {
     val ev = log.select(col("user_id"), col("event_id"),
       floor(col("value") * 1048576.0).cast("long").as("q"))
+    val qDec = col("q").cast("decimal(19,0)")
     val agg = ev.groupBy(col("user_id")).agg(
       sum(col("q")).as("s"),
-      sum((col("q") * col("q")).cast("decimal(38,0)")).as("qq"),
+      sum(qDec * qDec).as("qq"),
       count(lit(1)).as("n"))
     val dev = (col("q") * col("n") - col("s")).cast("decimal(19,0)")
     val sBig = col("s").cast("decimal(19,0)")

@@ -64,7 +64,13 @@ object TransitionTracker {
             val last = batch.last
             state.update(LastEvent(last.ts.getTime, last.eventId,
               last.eventType))
-            state.setTimeoutTimestamp(last.ts.getTime + idleEvictMs)
+            // flatMapGroupsWithState does NOT drop late rows, so a
+            // straggler older than watermark + idleEvictMs would make
+            // this timeout non-future and throw, killing the query —
+            // clamp to just past the current watermark instead
+            state.setTimeoutTimestamp(math.max(
+              last.ts.getTime + idleEvictMs,
+              state.getCurrentWatermarkMs() + 1))
             counts.iterator.map { case ((f, to), n) =>
               TransitionCount(userId, f, to, n)
             }
