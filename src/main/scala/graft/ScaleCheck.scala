@@ -72,6 +72,11 @@ object ScaleCheck {
     }
     time("text_chunk_split") { TextOps.chunkSplit(docs) }
     time("dedup_fuzzy_pairs") { Dedup.fuzzyPairs(docs) }
+    time("text_dup_spans") { TextOps.dupSpans(docs) }
+    time("text_unigram_surprisal") { TextOps.unigramSurprisal(docs) }
+    time("sim_sq8_topk") {
+      Similarity.sq8TopK(emb, emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)
+    }
 
     // events replicated the same way (per-user history grows 20x —
     // the per-user window stress case)
@@ -84,6 +89,16 @@ object ScaleCheck {
     time("cdc_health_report") { graft.operators.CdcOps.healthReport(ev) }
     time("ts_zscore_anomalies") { graft.operators.TimeSeries.zscoreAnomalies(ev) }
     time("ts_sax_motifs") { graft.operators.TimeSeries.saxMotifs(ev) }
+    time("cdc_running_watermark") {
+      graft.operators.CdcOps.runningWatermark(ev)
+    }
+    time("cdc_version_prune") { graft.operators.CdcOps.versionPrune(ev) }
+    time("graph_type_pagerank") {
+      val edges = graft.operators.CdcOps.transitionMatrix(ev)
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n").as("w"))
+      graft.operators.Graph.pageRankInt(edges, iters = 3)
+    }
     spark.stop()
   }
 }

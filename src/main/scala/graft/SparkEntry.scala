@@ -597,16 +597,13 @@ object SparkEntry {
 
     "text_pack_chunks" -> ((s, dir) => {
       // sequence packing: assign documents to fixed token-budget
-      // training chunks by running prefix sum in doc_id order. (At
-      // scale: range-partition by doc_id, per-partition sums, then a
-      // broadcast of partition offsets — same arithmetic, no global
-      // window.)
+      // training chunks by exclusive prefix sum in doc_id order —
+      // decomposed (PrefixAgg), so no global window at any scale
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, -1)
-      docs.withColumn("pc", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.PrefixAgg
+        .prefixSumExclusive(docs, "doc_id", "n_tokens", "pc")
         .select(col("doc_id"), col("n_tokens"),
           expr("CAST(pc div 2048 AS BIGINT)").as("chunk_id"))
         .orderBy(col("doc_id"))
@@ -862,6 +859,9 @@ object SparkEntry {
 
     "text_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(t(s, dir, "documents"))),
+
+    "text_unigram_surprisal" -> ((s, dir) =>
+      TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
@@ -1644,6 +1644,24 @@ object SparkEntry {
                      * 1000000) // count(*) AS dup_ppm
             FROM sp JOIN df USING (fp)
             GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_unigram_surprisal" ->
+        s"""WITH occ AS (SELECT doc_id, unnest($wtoks) AS tok
+                         FROM documents),
+                 pd AS (SELECT doc_id, tok, count(*) AS m
+                        FROM occ GROUP BY doc_id, tok),
+                 c AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c
+                       FROM pd GROUP BY tok),
+                 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c),
+                 b AS (SELECT doc_id, m,
+                         CAST(length(bin(n_total // c)) - 1 AS BIGINT)
+                           AS bits
+                       FROM pd JOIN c USING (tok), tot)
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   CAST(sum(m * bits) AS BIGINT) AS sum_bits,
+                   (CAST(sum(m * bits) AS BIGINT) * 1000000)
+                     // CAST(sum(m) AS BIGINT) AS mean_bits_ppm
+            FROM b GROUP BY doc_id ORDER BY doc_id""",
 
       "text_chunk_split" ->
         s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

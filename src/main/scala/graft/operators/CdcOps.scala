@@ -74,47 +74,16 @@ object CdcOps {
    * maintains under a broken lock (`WorkerRunnable.java:146-150`,
    * SURVEY §3.4).
    *
-   * Decomposed prefix-max, never a single global sort: the running max
-   * at offset o = greatest(running max *within* o's bucket, max of
-   * whole buckets before it in its super-bucket, max of whole
-   * super-buckets before that). Level 1 windows partition by bucket
-   * (id div 8192 — thousands of balanced partitions), level 2 by
-   * super-bucket over the bucket maxima (count/8192 rows), and only
-   * level 3 — one row per super-bucket, count/33M — sees an
-   * unpartitioned window, then broadcasts. Bit-identical to the naive
+   * Decomposed prefix-max via [[PrefixAgg.prefixMax]] — never a
+   * single-partition global sort; bit-identical to the naive
    * `max OVER (ORDER BY id)` at any scale.
    */
   def runningWatermark(log: DataFrame, offsetCol: String = "event_id",
                        tsCol: String = "ts",
-                       bucket: Long = 8192L): DataFrame = {
-    val superW = bucket * 4096L
-    val ev = log.select(col(offsetCol).as("id"), col(tsCol).as("ets"))
-      .withColumn("b", col("id") - pmod(col("id"), lit(bucket)))
-      .withColumn("sb", col("b") - pmod(col("b"), lit(superW)))
-    // level 1: running max inside each bucket (balanced partitions)
-    val wRow = Window.partitionBy(col("b")).orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = ev.withColumn("run_b", max(col("ets")).over(wRow))
-    // level 2: max of strictly-previous buckets within the super-bucket
-    val bmax = ev.groupBy(col("sb"), col("b")).agg(max(col("ets")).as("bm"))
-    val wPrevB = Window.partitionBy(col("sb")).orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prevInSuper = bmax
-      .withColumn("prev_b", max(col("bm")).over(wPrevB))
-      .select(col("b").as("jb"), col("prev_b"))
-    // level 3: max of strictly-previous super-buckets (tiny dimension)
-    val wPrevS = Window.orderBy(col("sb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prevSuper = bmax.groupBy(col("sb")).agg(max(col("bm")).as("sm"))
-      .withColumn("prev_s", max(col("sm")).over(wPrevS))
-      .select(col("sb").as("jsb"), col("prev_s"))
-    inBucket
-      .join(prevInSuper, col("b") === col("jb"))
-      .join(broadcast(prevSuper), col("sb") === col("jsb"))
-      .select(col("id").as(offsetCol),
-        // greatest skips nulls (first bucket/super has no predecessor)
-        greatest(col("run_b"), col("prev_b"), col("prev_s")).as("uptodate"))
-  }
+                       bucket: Long = 8192L): DataFrame =
+    PrefixAgg.prefixMax(log.select(col(offsetCol), col(tsCol)),
+        offsetCol, tsCol, "uptodate", bucket)
+      .select(col(offsetCol), col("uptodate"))
 
   /**
    * Staleness profile: for each event (in offset order), how far behind

@@ -524,6 +524,42 @@ object TextOps {
   }
 
   /**
+   * Unigram-surprisal quality signal: mean per-token surprisal of each
+   * document under the corpus's OWN unigram distribution, in integer
+   * "floor bits" — surprisal(t) = floor(log₂(N / c_t)) computed as
+   * `length(bin(N div c_t)) − 1` (binary-string integer log₂, the same
+   * trick as the HLL ρ and the log histogram: no floating `log` ever
+   * runs, so both engines agree bit-for-bit). Rare-token-heavy
+   * documents (OCR noise, gibberish, wrong-language residue) score
+   * high; boilerplate scores low — the cheap LM-free stand-in for
+   * perplexity filtering. Output: `doc_id, n_tokens, sum_bits,
+   * mean_bits_ppm` (integer ppm).
+   *
+   * Scale shape: per-(doc, token) counts first (one keyed aggregate —
+   * the occurrence stream never joins), corpus counts keyed by token,
+   * join back on the token key at (doc × distinct-token) granularity;
+   * stopword-grade hot tokens are AQE-skew-join territory, same as
+   * the novelty/rare-bigram family. One tiny broadcast total.
+   */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+    val corpus = perDoc.groupBy(col("tok")).agg(sum(col("m")).as("c"))
+    val total = corpus.agg(sum(col("c")).as("n_total"))
+    perDoc.join(corpus, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("m"),
+        (length(bin(expr("n_total div c"))) - 1).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        expr("(sum_bits * 1000000) div n_tokens").as("mean_bits_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Duplicated-span detection — the token-level (substring) dedup
    * signal of "Deduplicating Training Data Makes Language Models
    * Better" (Lee et al., 2022), at span granularity: fingerprint every

@@ -181,4 +181,23 @@ class CdcOpsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("x", "y", 1L), ("y", "z", 1L)))
   }
+
+  test("versionPrune keeps the newest N by time with offset tie-break") {
+    val t = (s: Int) => ts(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // user 7: 5 versions; events 4 and 5 share a timestamp (offset
+      // breaks the tie, so 5 is newer than 4)
+      (1L, 7L, t(1), "a"), (2L, 7L, t(2), "a"), (3L, 7L, t(3), "a"),
+      (4L, 7L, t(4), "a"), (5L, 7L, t(4), "a"),
+      // user 8: fewer versions than keep
+      (6L, 8L, t(1), "a"), (7L, 8L, t(2), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = CdcOps.versionPrune(ev, keep = 3)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      // kept for 7: events 5,4,3 (newest first); pruned: 2,1
+      (7L, 5L, 3L, 2L, Some(3L), Some(2L)),
+      (8L, 2L, 2L, 0L, Some(6L), None)))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** BigInt reference of one damped integer power iteration. */
+  private def refIter(ranks: Map[String, BigInt],
+                      edges: Seq[(String, String, Long)],
+                      base: Long): Map[String, BigInt] = {
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+      ranks(s) * w / wout(s)
+    }.sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    nodes.map(n =>
+      n -> (BigInt(base) + BigInt(17) * in.getOrElse(n, BigInt(0)) / 20)).toMap
+  }
+
+  test("pageRankInt matches a BigInt reference over 3 iterations") {
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 5L), ("d", "a", 1L)) // d: no inbound -> base rank
+    val got = Graph.pageRankInt(edges.toDF("src", "dst", "w"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    val base = 1000000000L * 3 / 20
+    var ref = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 3) ref = refIter(ref, edges, base)
+    assert(got == ref.map { case (k, v) => k -> v.toLong })
+    // d keeps exactly the teleport base (nothing points at it)
+    assert(got("d") == base)
+  }
+
+  test("pageRankInt: rank mass flows toward the sink-heavy node") {
+    // star into z: z must outrank every leaf
+    val edges = Seq(("a", "z", 1L), ("b", "z", 1L), ("c", "z", 1L),
+      ("z", "a", 1L))
+    val got = Graph.pageRankInt(edges.toDF("src", "dst", "w"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got("z") > got("a") && got("a") > got("b"))
+    assert(got("b") == got("c")) // symmetric leaves tie exactly
+  }
+
+  test("pageRankInt rejects bad damping and iteration counts") {
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](Graph.pageRankInt(e, iters = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRankInt(e, dampNum = 20L, dampDen = 20L))
+  }
+}

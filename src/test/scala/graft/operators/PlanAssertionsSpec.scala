@@ -135,4 +135,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("l_shipdate")), p)
   }
+
+  test("prefix decomposition: only the super-bucket level windows unpartitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val wins = CdcOps.runningWatermark(ev).queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+    // level 1 (per bucket) and level 2 (per super-bucket) are keyed;
+    // only level 3 — one row per super-bucket — runs unpartitioned
+    assert(wins.count(identity) == 1, s"unpartitioned windows: $wins")
+    assert(wins.count(!_) == 2, s"keyed windows: $wins")
+  }
+
+  test("sq8 top-k: corpus never shuffles; candidates aggregate partially") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val p = plan(Similarity.sq8TopK(emb, emb.filter($"vec_id" < 3), 2))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("pageRank iterations stay keyed — no cartesian product") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 2L)).toDF("src", "dst", "w")
+    val p = plan(Graph.pageRankInt(edges, iters = 3))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dupSpans joins spans on the fingerprint key, never a global sort") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.dupSpans(docs).limit(1))
+    // fp-keyed hash exchanges; the only rangepartitioning allowed is
+    // the final presentation ORDER BY
+    assert(p.contains("hashpartitioning(fp"), p)
+    assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
+  }
 }

@@ -365,6 +365,47 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(9L, 1L, 2L, 3L))
   }
 
+  test("dupSpans: repeated 8-token span is flagged in both docs, rest not") {
+    // docs 1 and 2 share tokens 1..8 ("a b c d e f g h"); doc 3 is
+    // disjoint; doc 4 is too short for any span
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "a b c d e f g h z"),
+      (3L, "p q r s t u v w"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpans(docs, window = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 3 spans (starts 1,2,3), only start-1 is shared
+    // doc 2: 2 spans, only start-1 shared; doc 3: 1 span, unshared
+    assert(got == Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L)))
+  }
+
+  test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
+    // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
+    // bits(b)=bits(c)=len(bin(5))-1=2
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 2L, 1000000L)))
+  }
+
+  test("sq8TopK: integer scores rank like exact on well-separated data") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(emb, emb.filter($"vec_id" === 0L), 2)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+    // scores are exact integers: q(1.0)=128, q(0.9)=115 (floor), so
+    // dot(0,1) = 128*115 = 14720; dot(0,2) = 0
+    assert(got(0)._4 == 14720.0 && got(1)._4 == 0.0)
+  }
+
   test("table groups: the reference's missing-comma bug is fixed") {
     // reference `Config.java:16-17` fuses order_line/stock into one
     // literal; the rebuilt group `all` must contain all 9 real tables

@@ -21,6 +21,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 5L, 100L * 1048576, 5L)))
   }
 
+  test("zscoreAnomalies is exact past the Long q*q envelope") {
+    // |value| = 5000 -> q ~ 5.24e9, q^2 ~ 2.7e19 > Long.MaxValue: a
+    // Long square would wrap negative and flip flags; decimal squares
+    // must keep the verdict identical to BigInt reference arithmetic
+    val vals = Seq(5000.0, 5000.0, 5000.0, 5000.0, -5000.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.zscoreAnomalies(ev)
+      .as[(Long, Long, Long, Long)].collect().map(_._2).toSeq
+    // BigInt reference: flag iff (q*n - s)^2 * 4 > (n*qq - s^2) * 9
+    val qs = vals.map(v => BigInt(math.floor(v * 1048576.0).toLong))
+    val n = BigInt(qs.size); val s = qs.sum
+    val qq = qs.map(q => q * q).sum
+    val expect = qs.zipWithIndex.collect {
+      case (q, i) if (q * n - s).pow(2) * 4 > (n * qq - s * s) * 9 =>
+        (i + 1).toLong
+    }
+    assert(got == expect && expect.nonEmpty)
+  }
+
   test("saxMotifs groups users by rank-discretized daily shape") {
     // users 1 and 2: rising daily sums over 8 days -> word 11223344;
     // user 3: falling -> 44332211; user 4: only 3 days -> dropped

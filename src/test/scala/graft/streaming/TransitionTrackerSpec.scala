@@ -80,4 +80,43 @@ class TransitionTrackerSpec extends SparkSpec {
       assert(got.isEmpty)
     } finally q.stop()
   }
+
+  test("a straggler far behind the watermark cannot kill the query") {
+    // Two guards cover the late-straggler path: this Spark version
+    // filters rows below the watermark before the state function (so
+    // the batch here yields nothing), and for any row that does reach
+    // it (e.g. pre-filter versions, or watermark advancing hugely in
+    // one batch) the timeout clamp keeps setTimeoutTimestamp in the
+    // future instead of throwing. The query must survive either way.
+    val input = MemoryStream[TEvent](spark)
+    val tracked = TransitionTracker.track(
+      input.toDS().withWatermark("ts", "0 seconds").as[TEvent],
+      idleEvictMs = 1000L)
+    val q = tracked.writeStream.format("memory").queryName("trans_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("transl").toString)
+      .start()
+    try {
+      // advance the watermark to ts(100000)
+      input.addData(TEvent(1L, ts(100000), 1L, "a"))
+      q.processAllAvailable()
+      // user 2's only event sits 99 s behind it — beyond the 1 s evict
+      // horizon, so last.ts + idleEvictMs < watermark
+      input.addData(
+        TEvent(2L, ts(1000), 2L, "x"),
+        TEvent(2L, ts(1500), 3L, "y"))
+      q.processAllAvailable() // must not throw
+      val got = spark.table("trans_late").as[TransitionCount].collect()
+      // late rows were filtered before the state function: no pairs,
+      // no crash, and the query keeps running for on-time data
+      assert(got.isEmpty)
+      input.addData(
+        TEvent(3L, ts(101000), 4L, "p"),
+        TEvent(3L, ts(101500), 5L, "q"))
+      q.processAllAvailable()
+      val after = spark.table("trans_late").as[TransitionCount].collect()
+      assert(after.toSeq == Seq(TransitionCount(3L, "p", "q", 1L)))
+    } finally q.stop()
+  }
 }
