@@ -828,6 +828,17 @@ object SparkEntry {
     "cdc_version_prune" -> ((s, dir) =>
       CdcOps.versionPrune(t(s, dir, "events"), keep = 3)),
 
+    "cdc_agg_maintenance" -> ((s, dir) =>
+      CdcOps.aggDelta(t(s, dir, "events"), offset1 = 6000L,
+        offset2 = 8000L)),
+
+    "q_window_values" -> ((s, dir) =>
+      Relational.windowValueFunctions(t(s, dir, "lineitem"))),
+
+    "mm_shard_pack" -> ((s, dir) =>
+      Multimodal.shardPack(Multimodal.asMedia(t(s, dir, "documents"),
+        "doc_id", col("text").cast("binary"), "image"))),
+
     "graph_type_pagerank" -> ((s, dir) => {
       // stationary behavior mix: integer PageRank over the event-type
       // transition graph (edges = transitionMatrix counts)
@@ -1586,6 +1597,59 @@ object SparkEntry {
                   max(CASE WHEN rn > 3 THEN event_id END)
                     AS newest_pruned_offset
            FROM v GROUP BY user_id ORDER BY user_id""",
+
+      "cdc_agg_maintenance" ->
+        """WITH b AS (SELECT user_id, count(*) AS n_before,
+                        sum(CAST(value AS DECIMAL(18,2))) AS s_before
+                      FROM events WHERE event_id <= 6000
+                      GROUP BY user_id),
+                d AS (SELECT user_id, count(*) AS n_delta,
+                        sum(CAST(value AS DECIMAL(18,2))) AS s_delta
+                      FROM events
+                      WHERE event_id > 6000 AND event_id <= 8000
+                      GROUP BY user_id)
+           SELECT user_id,
+                  coalesce(n_before, 0) AS n_before,
+                  coalesce(n_delta, 0) AS n_delta,
+                  coalesce(n_before, 0) + coalesce(n_delta, 0) AS n_after,
+                  CAST(coalesce(s_before, 0) AS DOUBLE) AS sum_before,
+                  CAST(coalesce(s_delta, 0) AS DOUBLE) AS sum_delta,
+                  CAST(coalesce(s_before, 0) + coalesce(s_delta, 0)
+                    AS DOUBLE) AS sum_after
+           FROM b FULL OUTER JOIN d USING (user_id)
+           ORDER BY user_id""",
+
+      "q_window_values" ->
+        """SELECT l_orderkey, l_linenumber,
+                  first_value(epoch_us(l_shipdate)) OVER wf AS first_ship_us,
+                  last_value(epoch_us(l_shipdate)) OVER wf AS last_ship_us,
+                  nth_value(epoch_us(l_shipdate), 2) OVER wf AS second_ship_us,
+                  lag(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE),
+                    1, -1.0) OVER w AS prev_qty,
+                  lead(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE),
+                    1, -1.0) OVER w AS next_qty
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_suppkey,
+                          l_extendedprice, l_quantity, l_shipdate),
+                  wf AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                           l_extendedprice, l_quantity, l_shipdate
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+           ORDER BY l_orderkey, l_linenumber""",
+
+      "mm_shard_pack" ->
+        """WITH m AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                      FROM documents),
+                p AS (SELECT doc_id, n_bytes,
+                        coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pb
+                      FROM m)
+           SELECT doc_id, n_bytes, CAST(pb // 65536 AS BIGINT) AS shard_id
+           FROM p ORDER BY doc_id""",
 
       "graph_type_pagerank" ->
         """WITH seq AS (SELECT event_type,

@@ -238,6 +238,48 @@ object CdcOps {
   }
 
   /**
+   * Incremental aggregate maintenance — the algebraic heart of keeping
+   * a per-key aggregate table current from a CDC stream without
+   * rescanning history: `after = before ⊕ delta`, where `before` is
+   * the maintained store as of offset `offset1` and `delta` aggregates
+   * ONLY the new range `(offset1, offset2]` (one micro-batch). Every
+   * aggregate here is a commutative monoid (count, decimal sum — min/
+   * max/bit_xor maintain identically; avg derives as sum/count), so
+   * the merge is a per-key full-outer join + coalesced addition — the
+   * exact upsert a `foreachBatch` consumer issues.
+   *
+   * Scale shape: the delta side scans only the offset range (parquet
+   * range pushdown); the join keys on the entity id. In production the
+   * "before" side is the stored table itself, so cost per batch is
+   * O(delta + touched keys), independent of history size.
+   */
+  def aggDelta(log: DataFrame, offset1: Long, offset2: Long,
+               keyCol: String = "user_id",
+               offsetCol: String = "event_id",
+               valCol: String = "value"): DataFrame = {
+    require(offset2 >= offset1, s"offsets: $offset1 > $offset2")
+    val v = col(valCol).cast("decimal(18,2)")
+    def aggOf(df: DataFrame, suf: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(s"n_$suf"),
+        sum(v).as(s"s_$suf"))
+    val before = aggOf(log.filter(col(offsetCol) <= offset1), "before")
+    val delta = aggOf(log.filter(
+      col(offsetCol) > offset1 && col(offsetCol) <= offset2), "delta")
+    val z = lit(0).cast("decimal(28,2)")
+    before.join(delta, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_before"), lit(0L)) +
+          coalesce(col("n_delta"), lit(0L))).as("n_after"),
+        coalesce(col("s_before"), z).cast("double").as("sum_before"),
+        coalesce(col("s_delta"), z).cast("double").as("sum_delta"),
+        (coalesce(col("s_before"), z) + coalesce(col("s_delta"), z))
+          .cast("double").as("sum_after"))
+      .orderBy(col(keyCol))
+  }
+
+  /**
    * Retention / log-compaction plan: per entity, keep the newest
    * `keep` versions (by event time, offset tie-break) and account for
    * the rest — the policy pass a CDC store runs before pruning old

@@ -78,6 +78,25 @@ object Multimodal {
     sequence(lit(0L), nFrames - 1L, lit(everyN.toLong))
   }
 
+  /**
+   * Shard-packing plan (webdataset-style training layout): assign each
+   * media row to a byte-budget shard by exclusive prefix sum of the
+   * payload sizes in id order — deterministic, re-run-stable, and
+   * global-window-free via [[PrefixAgg.prefixSumExclusive]]'s
+   * bucket/super-bucket decomposition. Only sizes move; payloads stay
+   * where they are until the shard writer streams them.
+   */
+  def shardPack(media: DataFrame, idCol: String = "doc_id",
+                budgetBytes: Long = 65536L): DataFrame = {
+    require(budgetBytes > 0, s"budgetBytes=$budgetBytes")
+    PrefixAgg.prefixSumExclusive(
+        media.select(col(idCol), col("meta.n_bytes").as("n_bytes")),
+        idCol, "n_bytes", "pb")
+      .select(col(idCol), col("n_bytes"),
+        expr(s"CAST(pb div ${budgetBytes}L AS BIGINT)").as("shard_id"))
+      .orderBy(col(idCol))
+  }
+
   // ---- batch-shaped decode (the mapInPandas analogue in Scala) ----
 
   final case class MediaRow(id: Long, payload: Array[Byte])

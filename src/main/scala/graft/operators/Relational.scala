@@ -455,6 +455,37 @@ object Relational {
       .orderBy(col("day_no"))
   }
 
+  /**
+   * Window value-function battery: first_value / last_value /
+   * nth_value over an explicit both-unbounded ROWS frame (the default
+   * frame stops at CURRENT ROW, which silently changes last_value —
+   * spelling the frame keeps both engines on the same contract) plus
+   * lag/lead with explicit defaults. All windows partition by order
+   * key — balanced, never global; timestamps surface as epoch micros.
+   * The synthetic `l_linenumber` is NOT unique within an order, so the
+   * window order extends through part/supplier/price — ties in a
+   * window ORDER BY would make lag/nth engine-dependent (rows fully
+   * identical under the extended key produce identical outputs either
+   * way, so the result multiset stays deterministic).
+   */
+  def windowValueFunctions(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"), col("l_shipdate"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val shipUs = Cols.epochUs(col("l_shipdate"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        first(shipUs).over(wf).as("first_ship_us"),
+        last(shipUs).over(wf).as("last_ship_us"),
+        nth_value(shipUs, 2).over(wf).as("second_ship_us"),
+        lag(dec(col("l_quantity")).cast("double"), 1, -1.0).over(w)
+          .as("prev_qty"),
+        lead(dec(col("l_quantity")).cast("double"), 1, -1.0).over(w)
+          .as("next_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** TPC-H Q19: disjunctive brand/size/quantity predicate revenue —
     * the classic OR-of-ANDs filter Catalyst pushes as one conjunctive
     * superset (partkey join + residual disjunction). */

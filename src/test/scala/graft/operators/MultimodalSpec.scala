@@ -75,6 +75,19 @@ class MultimodalSpec extends SparkSpec {
       case Seq(a, b) => b - a == 10; case _ => true }))
   }
 
+  test("shardPack: byte-budget shards by exclusive prefix sum in id order") {
+    // payload sizes: 10, 10, 10, 10 bytes with budget 25 ->
+    // prefix 0,10,20,30 -> shards 0,0,0,1
+    val m = Multimodal.asMedia(
+      Seq((1L, "aaaaaaaaaa"), (2L, "bbbbbbbbbb"), (3L, "cccccccccc"),
+        (4L, "dddddddddd")).toDF("doc_id", "text"),
+      "doc_id", $"text".cast("binary"), "image")
+    val got = Multimodal.shardPack(m, budgetBytes = 25L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 0L), (2L, 10L, 0L), (3L, 10L, 0L),
+      (4L, 10L, 1L)))
+  }
+
   test("bpe-ish tokens and rolling fingerprints") {
     val df = Seq((1L, "Hello world, it's 42 times!")).toDF("doc_id", "text")
     val n = df.select(size(TextOps.bpeishTokens($"text"))).as[Int].head()

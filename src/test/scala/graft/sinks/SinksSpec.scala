@@ -37,4 +37,35 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 2)
   }
+
+  test("partitioned writes prune: a key filter reads only its directory") {
+    // the 100 TB layout claim behind partitionBy(source): a filtered
+    // read must show the partition filter on the scan and touch one
+    // directory, not list-and-discard the rest
+    val dir = Files.createTempDirectory("sink").toString + "/pp"
+    Sinks.writeParquet(
+      (1 to 100).map(i => (i.toLong, s"src${i % 4}")).toDF("id", "k"),
+      dir, Seq("k"))
+    val q = spark.read.parquet(dir).filter($"k" === "src1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("k")), plan)
+    assert(q.count() == 25)
+    assert(q.select("id").as[Long].collect().forall(_ % 4 == 1))
+  }
+
+  test("orc round-trip preserves schema and values") {
+    // second columnar format besides parquet — same writer contract
+    val dir = Files.createTempDirectory("sink").toString + "/orc"
+    val df = Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], 2.5))
+      .toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // file formats widen nullability on read; names/types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy($"id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, null, 2.5)))
+  }
 }
