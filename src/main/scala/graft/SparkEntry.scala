@@ -533,6 +533,13 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) =>
       TextOps.langIdHeuristic(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    "text_langid_confusion" -> ((s, dir) =>
+      // classifier-quality confusion matrix: labeled vs guessed lang
+      TextOps.langIdHeuristic(t(s, dir, "documents"))
+        .groupBy(col("labeled_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled_lang"), col("guessed_lang"))),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -619,6 +626,22 @@ object SparkEntry {
       CdcOps.snapshotAsOf(ev, Cols.tsLit(ev, "ts", "2024-01-15 00:00:00"))
         .select(col("user_id"), col("event_id"),
           Cols.epochUs(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "cdc_apply_changes" -> ((s, dir) => {
+      // roll-forward law as a verified query: snapshot@T1 + changes in
+      // (T1,T2] must equal snapshot@T2 (which is what the oracle
+      // computes directly)
+      val ev = t(s, dir, "events")
+      val t1 = Cols.tsLit(ev, "ts", "2024-01-10 00:00:00")
+      val t2 = Cols.tsLit(ev, "ts", "2024-01-20 00:00:00")
+      CdcOps.applyChanges(
+          CdcOps.snapshotAsOf(ev, t1),
+          ev.filter(col("ts") > t1 && col("ts") <= t2))
+        .select(col("user_id"), col("event_id"),
+          Cols.epochUs(col("ts")).as("ts_us"), col("event_type"),
+          col("value"))
         .orderBy(col("user_id"))
     }),
 
@@ -819,6 +842,9 @@ object SparkEntry {
     "sketch_log_histogram" -> ((s, dir) =>
       graft.operators.Sketches.logHistogram(t(s, dir, "events"))),
 
+    "sketch_bloom_sources" -> ((s, dir) =>
+      graft.operators.Sketches.bloomWords(t(s, dir, "documents"))),
+
     "ts_zscore_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.zscoreAnomalies(t(s, dir, "events"))),
 
@@ -933,6 +959,12 @@ object SparkEntry {
     "sim_sq8_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_matryoshka_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 20), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1572,6 +1604,21 @@ object SparkEntry {
            FROM b GROUP BY event_type, bin
            ORDER BY event_type, bin""",
 
+      "sketch_bloom_sources" ->
+        """WITH pr AS (SELECT source, CAST(doc_id AS VARCHAR) AS v,
+                         unnest([0, 1, 2]) AS i
+                       FROM documents),
+                p AS (SELECT source,
+                        ('0x'||substr(md5(v || ':' || CAST(i AS VARCHAR)),
+                          1, 15))::BIGINT % 1024 AS pos
+                      FROM pr)
+           SELECT source, pos // 64 AS word_idx,
+                  CAST(bit_or(CASE WHEN pos % 64 = 63
+                                   THEN (-9223372036854775807 - 1)
+                                   ELSE 1::BIGINT << CAST(pos % 64 AS INT)
+                              END) AS BIGINT) AS word
+           FROM p GROUP BY 1, 2 ORDER BY source, word_idx""",
+
       "cdc_scd2_history" ->
         """SELECT user_id, event_id, event_type,
                   epoch_us(ts) AS valid_from_us,
@@ -1916,6 +1963,13 @@ object SparkEntry {
                  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
            WHERE rn = 1 ORDER BY user_id""",
 
+      "cdc_apply_changes" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+           WHERE rn = 1 ORDER BY user_id""",
+
       "cdc_changes_between" ->
         """WITH r AS (
              SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2181,6 +2235,15 @@ object SparkEntry {
                         THEN 'en' ELSE 'other' END AS guessed_lang
             FROM documents ORDER BY doc_id""",
 
+      "text_langid_confusion" ->
+        s"""SELECT lang AS labeled_lang,
+                   CASE WHEN CAST($nstop AS DOUBLE)
+                          / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) >= 0.08
+                        THEN 'en' ELSE 'other' END AS guessed_lang,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+            ORDER BY labeled_lang, guessed_lang""",
+
       "text_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
 
@@ -2215,6 +2278,36 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
              FROM s) WHERE rank <= 5
+           ORDER BY query_id, rank""",
+
+      "sim_matryoshka_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 20),
+                c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+                      FROM embeddings),
+                s1 AS (SELECT query_id, neighbor_id,
+                         list_dot_product(qv[1:16], nv[1:16]) /
+                           (sqrt(list_dot_product(qv[1:16], qv[1:16])) *
+                            sqrt(list_dot_product(nv[1:16], nv[1:16]))) AS sim
+                       FROM q CROSS JOIN c WHERE neighbor_id != query_id),
+                kept AS (SELECT query_id, neighbor_id FROM (
+                           SELECT query_id, neighbor_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(sim, 6) DESC, neighbor_id)
+                                    AS rn
+                           FROM s1) WHERE rn <= 20),
+                s2 AS (SELECT k.query_id, k.neighbor_id,
+                         list_dot_product(qv, nv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(nv, nv))) AS sim
+                       FROM kept k
+                       JOIN q ON q.query_id = k.query_id
+                       JOIN c ON c.neighbor_id = k.neighbor_id)
+           SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+             SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+             FROM s2) WHERE rank <= 5
            ORDER BY query_id, rank""",
 
       "sim_neardup_pairs" ->

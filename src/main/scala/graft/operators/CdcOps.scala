@@ -146,6 +146,30 @@ object CdcOps {
   }
 
   /**
+   * Apply a change batch onto a materialized snapshot — the
+   * consumer-side upsert that keeps a mirror table current: union the
+   * snapshot with the batch and keep, per key, the row with the
+   * greatest (event time, offset). Expressed as a `max_by` struct
+   * aggregate, so it partially aggregates map-side and ships ONE
+   * candidate row per key per partition across the shuffle — never a
+   * window, never a sort; cost per batch is O(batch + touched keys).
+   *
+   * Roll-forward law (oracle- and spec-pinned):
+   * `applyChanges(snapshotAsOf(T1), changes in (T1,T2]) ==
+   * snapshotAsOf(T2)`.
+   */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   offsetCol: String = "event_id"): DataFrame = {
+    val all = snapshot.unionByName(changes)
+    val others = all.columns.filter(_ != keyCol).toSeq
+    all.groupBy(col(keyCol))
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(tsCol), col(offsetCol))).as("__r"))
+      .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /**
    * Time-travel diff: per-entity change summary over `(from, to]` —
    * how many changes landed and the value movement between two
    * freshness points.

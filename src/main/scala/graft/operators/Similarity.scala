@@ -102,6 +102,49 @@ object Similarity {
   }
 
   /**
+   * Two-stage (matryoshka-style) top-k: a cheap prefilter ranks by
+   * cosine over only the first `prefixDims` components, keeps
+   * `overfetch`·k candidates per query, then the full-dimension cosine
+   * re-ranks just those — the standard production retrieval layout
+   * (truncated-embedding scan + exact re-rank) where the stage-1 scan
+   * reads a `prefixDims/dim`-sized slice of the corpus bytes. Both
+   * stages are deterministic (rounded-cosine rank, id tie-break), so
+   * the DuckDB oracle replays them exactly. Same
+   * broadcast-queries/no-corpus-shuffle shape as [[bruteForceTopK]];
+   * stage 2 touches only |queries|·overfetch·k rows.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDims: Int = 16, overfetch: Int = 4): DataFrame = {
+    require(prefixDims > 0 && overfetch >= 1, s"$prefixDims/$overfetch")
+    def prefix(c: Column): Column = slice(c, 1, prefixDims)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val coarse = corpus.select(col("vec_id").as("neighbor_id"),
+        prefix(col("embedding")).as("n_pre"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(prefix(col("q_emb")), col("n_pre")).as("sim"))
+    // stage 1: bounded top-(overfetch*k) on the prefix cosine — only
+    // the truncated slice of the corpus flows through the scan
+    val kept = coarse.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        round(col("sim"), 6), col("neighbor_id"), col("sim"),
+        overfetch * k).as("top"))
+      .select(col("query_id").as("kq"), explode(col("top.id")).as("kid"))
+    // stage 2: exact full-dim re-rank of the survivors only — the
+    // tiny candidate set joins back to the corpus by id, never a
+    // second pair enumeration
+    val refined = kept
+      .join(corpus.select(col("vec_id").as("kid2"),
+        col("embedding").as("n_emb")), col("kid") === col("kid2"))
+      .join(q, col("kq") === col("query_id"))
+      .select(col("query_id"), col("kid").as("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    topKRank(refined, k)
+  }
+
+  /**
    * Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
    * `threshold` within `sample`. Exact O(n²) — use on a sampled or
    * LSH-bucketed subset; the full-corpus path is [[lshTopK]]'s

@@ -75,6 +75,63 @@ object Sketches {
       .orderBy(col(keyCol), col("bin"))
   }
 
+  /**
+   * Mergeable Bloom filter — the membership member of the sketch
+   * family (MinHash = similarity, HLL = cardinality, histogram =
+   * distribution, this = membership). Per key: an `mBits`-bit filter
+   * stored as `mBits/64` Long words; each value sets `k` bit
+   * positions `h60(value ":" i) mod mBits`. Deterministic h60 math
+   * throughout, so the DuckDB oracle recomputes the identical words —
+   * the sketch itself is hash-verified, like the HLL registers.
+   * Only observed words appear (absent word = 0).
+   *
+   * Merge = per-(key, word) `bit_or` (spec-proven — the `foreachBatch`
+   * fold). Membership: value present ⇒ all k probed bits set; a
+   * driver-side helper answers from ≤ mBits/64 rows per key.
+   * Map-side combine ships ≤ keys·mBits/64 rows per partition at any
+   * scale — the screen a consumer uses to skip re-extraction of
+   * already-seen entities without holding the id set.
+   */
+  def bloomWords(df: DataFrame, keyCol: String = "source",
+                 valueCol: String = "doc_id", mBits: Int = 1024,
+                 k: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits=$mBits not a 64-multiple")
+    require(k >= 1 && k <= 16, s"k=$k")
+    val probes = df.select(col(keyCol),
+        explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col(valueCol).cast("string").as("v"))
+      .select(col(keyCol),
+        pmod(graft.functions.functions.h60(
+          concat(col("v"), lit(":"), col("i").cast("string"))), lit(mBits.toLong))
+          .as("pos"))
+    probes
+      .select(col(keyCol), expr("pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy(col(keyCol), col("word_idx"))
+      .agg(expr("bit_or(bit)").as("word"))
+      .orderBy(col(keyCol), col("word_idx"))
+  }
+
+  /** Per-(key, word) bit_or merge of two Bloom word tables — the
+    * per-micro-batch fold of [[bloomWords]]. */
+  def mergeBloom(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol), col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+
+  /** Driver-side membership probe against one key's collected words:
+    * true iff every one of the k probed bits is set (may false-
+    * positive, never false-negative). Must mirror [[bloomWords]]'s
+    * probe derivation exactly. */
+  def bloomMightContain(words: Map[Long, Long], value: String,
+                        mBits: Int = 1024, k: Int = 3): Boolean =
+    (0 until k).forall { i =>
+      val pos = java.lang.Long.remainderUnsigned(
+        graft.functions.H60.hash(s"$value:$i"), mBits.toLong)
+      val word = words.getOrElse(pos / 64, 0L)
+      (word & (1L << (pos % 64).toInt)) != 0L
+    }
+
   /** Count-sum/min/max merge of two log-histogram tables — the
     * per-micro-batch fold of [[logHistogram]]. */
   def mergeHistograms(a: DataFrame, b: DataFrame,

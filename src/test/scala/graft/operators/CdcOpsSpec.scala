@@ -182,6 +182,34 @@ class CdcOpsSpec extends SparkSpec {
     assert(got == Set(("x", "y", 1L), ("y", "z", 1L)))
   }
 
+  test("applyChanges: roll-forward equals the direct snapshot, windowless") {
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 40).map { i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        ts(f"2024-01-01 00:00:$i%02d"),
+        s"t${rnd.nextInt(3)}", rnd.nextInt(100) / 2.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    def snap(s: String) = CdcOps.snapshotAsOf(ev, lit(ts(s)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val t1 = ts("2024-01-01 00:00:20"); val t2 = ts("2024-01-01 00:00:35")
+    val rolled = CdcOps.applyChanges(snap("2024-01-01 00:00:20"),
+      ev.filter(col("ts") > lit(t1) && col("ts") <= lit(t2)))
+    assert(rows(rolled) == rows(snap("2024-01-01 00:00:35")))
+    // a second roll (t2 -> end) composes
+    val rolled2 = CdcOps.applyChanges(rolled, ev.filter(col("ts") > lit(t2)))
+    assert(rows(rolled2) == rows(CdcOps.snapshotAsOf(ev,
+      lit(ts("2024-01-01 00:02:00")))))
+    // the upsert itself is an aggregate, not a window (the snapshot
+    // INPUT has one — assert on a plain-input apply): max_by runs a
+    // partial pass map-side, one candidate per key per partition
+    val pl = CdcOps.applyChanges(ev.limit(10), ev.limit(5))
+      .queryExecution.executedPlan.toString
+    assert(!pl.contains("Window"), pl)
+    assert(pl.contains("partial_max_by"), pl)
+  }
+
   test("aggDelta: after = before + delta per key, new keys appear") {
     val t0 = ts("2024-01-01 00:00:01")
     val ev = Seq(

@@ -65,6 +65,26 @@ class SketchesSpec extends SparkSpec {
     assert(got(0L) == ((1L, 0L, 0L)))
   }
 
+  test("bloomWords: bit_or-merge across splits; membership sound") {
+    val docs = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val whole = Sketches.bloomWords(docs)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = Sketches.mergeBloom(
+        Sketches.bloomWords(docs.filter($"doc_id" <= 30)),
+        Sketches.bloomWords(docs.filter($"doc_id" > 30)), "source")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+    // no false negatives: every inserted id probes positive
+    val aWords = whole.filter(_._1 == "a").map(t => t._2 -> t._3).toMap
+    assert((2L to 60L by 2).forall(i =>
+      Sketches.bloomMightContain(aWords, i.toString)))
+    // 30 ids * 3 probes in 1024 bits: absent ids mostly miss
+    val misses = (1000L to 1100L).count(i =>
+      !Sketches.bloomMightContain(aWords, i.toString))
+    assert(misses > 80, s"only $misses misses — filter saturated?")
+  }
+
   test("hllRegisters: rho is exact on hand-checkable hashes") {
     // register values must be 55 - bitlength(low 54 bits), 55 when zero
     val one = Seq((1L, "k", 42L)).toDF("event_id", "event_type", "user_id")

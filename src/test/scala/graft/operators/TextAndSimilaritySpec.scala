@@ -406,6 +406,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(0)._4 == 14720.0 && got(1)._4 == 0.0)
   }
 
+  test("matryoshkaTopK: generous overfetch recovers the exact top-k") {
+    // 40 vectors in 32 dims; with overfetch covering the whole corpus
+    // the two-stage result must equal brute force exactly
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 40L).map(i =>
+        (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val two = Similarity.matryoshkaTopK(emb, queries, 5,
+        prefixDims = 16, overfetch = 8) // 8*5 = 40 >= corpus
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(two == brute)
+    // tight overfetch is a real prefilter: still k rows per query,
+    // ranked by the full-dim cosine
+    val tight = Similarity.matryoshkaTopK(emb, queries, 5,
+        prefixDims = 16, overfetch = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(tight.count(_._2 <= 5) == 15)
+  }
+
   test("table groups: the reference's missing-comma bug is fixed") {
     // reference `Config.java:16-17` fuses order_line/stock into one
     // literal; the rebuilt group `all` must contain all 9 real tables

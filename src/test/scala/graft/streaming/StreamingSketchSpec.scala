@@ -85,4 +85,42 @@ class StreamingSketchSpec extends SparkSpec {
     val folded = acc.as[(String, Long, Long)].collect().toSet
     assert(folded == whole)
   }
+
+  test("foreachBatch applyChanges keeps a live mirror equal to the batch snapshot") {
+    import java.sql.Timestamp
+    import graft.operators.CdcOps
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)](spark)
+    val cols = Seq("event_id", "user_id", "ts", "event_type", "value")
+    val events = input.toDF().toDF(cols: _*)
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    // the consumer-side mirror: each micro-batch upserts via
+    // applyChanges — state is one row per live entity, not history
+    var mirror: org.apache.spark.sql.DataFrame = null
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // applyChanges(empty, batch) compacts the first batch to one
+        // row per key — the mirror invariant every later upsert keeps
+        mirror = CdcOps.applyChanges(
+            if (mirror == null) batch.limit(0) else mirror, batch)
+          .localCheckpoint(true)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mirror").toString)
+      .start()
+    val b1 = (1L to 40L).map(i => (i, i % 7, t(i * 1000), s"t${i % 3}",
+      i / 2.0))
+    val b2 = (41L to 80L).map(i => (i, i % 7, t(i * 1000), s"t${i % 3}",
+      i / 2.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchSnap = CdcOps.snapshotAsOf(
+        (b1 ++ b2).toDF(cols: _*), lit(t(1000L * 1000)))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    val live = mirror.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(live == batchSnap && live.size == 7)
+  }
 }
