@@ -56,7 +56,11 @@ object Graph {
     require(iters >= 1, s"iters=$iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping=$dampNum/$dampDen must be in (0,1)")
+    // non-positive weights are meaningless for rank mass and would
+    // diverge the engines (W(u)=0: Spark's div yields null, DuckDB's
+    // // errors) — drop them at the source rather than mid-iteration
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("w") > 0)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))

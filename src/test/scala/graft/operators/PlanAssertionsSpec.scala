@@ -160,6 +160,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("matryoshka: one pair enumeration; survivors re-join by id") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val p = plan(Similarity.matryoshkaTopK(emb, emb.filter($"vec_id" < 3), 2))
+    // stage 1 is the only cross join; stage 2 must be keyed joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom words aggregate partially before the exchange") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(Sketches.bloomWords(docs))
+    assert(p.contains("partial_bit_or"), p)
+  }
+
   test("dupSpans joins spans on the fingerprint key, never a global sort") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.dupSpans(docs).limit(1))
