@@ -9,7 +9,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benchmark queries legitimately emit WARN spam
+    // (WindowExec on provably-tiny unpartitioned windows, hundreds of
+    // lines) and the driver parses a ~2000-char stdout TAIL — one
+    // warning burst after the JSON line would clip it (observed r1/r2
+    // "parsed: null"). Nothing below ERROR may reach stdout/stderr.
+    spark.sparkContext.setLogLevel("ERROR")
+    // Process CPU alongside wall time: the sandbox is CPU-throttled
+    // from outside (r4: hypervisor steal spikes to 37%, arbitrary
+    // queries stall 10-40x in wall time on identical code). CPU time
+    // barely moves under steal, so wall≫cpu flags a throttled run —
+    // the signal that a "regression" is environmental.
+    val cpuNs: () => Long =
+      try {
+        val b = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        b.getProcessCpuTime // probe once so a failure falls back now
+        () => b.getProcessCpuTime
+      } catch { case _: Throwable => () => 0L }
     // Untimed warmup: JIT + codegen + datasource init cost seconds on
     // the first jobs of a JVM; without this the alphabetically-first
     // query absorbs it all. Touch every table's footer and push one
@@ -38,14 +55,17 @@ object Bench {
     // (count() would let Catalyst prune the projection and undercount
     // the real work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val c0 = cpuNs()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      name -> ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
+    }
+    val wallByName = results.map { case (n, (w, _)) => n -> w }.toMap
+    val total = results.map(_._2._1).sum
+    val cpuTotal = results.map(_._2._2).sum
     // The harness that captures this line keeps only a ~2000-char tail
     // of stdout (observed: round-2's 2.4 KB line was front-truncated
     // and unparseable). Emit millisecond precision and, if the line
@@ -56,9 +76,10 @@ object Bench {
       val m = qs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""cpu_total":${fmt(cpuTotal)},"queries":$m$om,"sf":"$sfDir"}"""
     }
-    val bySlow = results.toSeq.sortBy(-_._2)
+    val bySlow = wallByName.toSeq.sortBy(-_._2)
     val full = line(bySlow, 0)
     val out =
       if (full.length <= 1800) full
@@ -71,17 +92,20 @@ object Bench {
         }
         s
       }
-    // Full-precision record for local analysis (not driver-parsed).
-    val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Full-precision per-query {wall, cpu} record for local analysis
+    // (not driver-parsed — the parsed line above is size-capped).
+    val fullJson = results.sortBy(_._1)
+      .map { case (k, (w, c)) => "\"" + k + "\":{\"wall\":" + w +
+        ",\"cpu\":" + c + "}" }
+      .mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":$total,"sf":"$sfDir","queries":$fullJson}""".getBytes("UTF-8"))
+        (s"""{"total":$total,"cpu_total":$cpuTotal,"sf":"$sfDir",""" +
+          s""""queries":$fullJson}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Nothing may print after this line: the driver parses the tail.
-    spark.sparkContext.setLogLevel("ERROR")
     println(out)
     System.out.flush()
     spark.stop()

@@ -59,6 +59,11 @@ object ScaleCheck {
         .select(col("id").as("doc_id"), col("component"))
       Dedup.nearDupSurvivors(comp, docs)
     }
+    time("dedup_components_star") {
+      // O(log n) star contraction vs the O(diameter) propagation above
+      Dedup.starContractComponents(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1))
+    }
     time("sim_knn_label_agreement") {
       Similarity.knnLabelAgreement(emb, k = 10, sampleMod = 100)
     }
@@ -72,6 +77,16 @@ object ScaleCheck {
     }
     time("text_chunk_split") { TextOps.chunkSplit(docs) }
     time("dedup_fuzzy_pairs") { Dedup.fuzzyPairs(docs) }
+    time("dedup_ngram_jaccard_boiler") {
+      // Injected boilerplate: every doc gets the same leading sentence.
+      // Uncapped, each boilerplate trigram alone would emit |docs|²
+      // join pairs (10¹⁰ here); the maxDf stop-gram cap drops them so
+      // pair work tracks true near-dups only.
+      val boiler = docs.withColumn("text",
+        concat(lit("all rights reserved terms of service apply here "),
+          col("text")))
+      Dedup.ngramJaccardPairs(boiler, threshold = 0.5)
+    }
     time("text_dup_spans") { TextOps.dupSpans(docs) }
     time("text_unigram_surprisal") { TextOps.unigramSurprisal(docs) }
     time("sim_sq8_topk") {

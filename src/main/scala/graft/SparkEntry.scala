@@ -454,6 +454,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))),
 
+    "dedup_components_star" -> ((s, dir) =>
+      // same component contract as dedup_components, computed by
+      // O(log n) large-star/small-star contraction instead of
+      // O(diameter) label propagation — the 100 TB path, gated by the
+      // same recursive-CTE oracle
+      Dedup.starContractComponents(
+          Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))),
+
     "dedup_neardup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.nearDupSurvivors(
@@ -642,6 +652,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           Cols.epochUs(col("ts")).as("ts_us"), col("event_type"),
           col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "cdc_apply_changes_del" -> ((s, dir) => {
+      // delete-aware roll-forward: snapshot@T1 (tombstones applied) +
+      // changes in (T1,T2] must equal the T2 mirror — which the oracle
+      // computes directly as "latest row per key whose action isn't D"
+      val ev = t(s, dir, "events")
+        .withColumn("action", graft.sources.AuditLogGenerator.action)
+      val t1 = Cols.tsLit(ev, "ts", "2024-01-10 00:00:00")
+      val t2 = Cols.tsLit(ev, "ts", "2024-01-20 00:00:00")
+      CdcOps.applyChangesWithActions(
+          CdcOps.snapshotAsOfWithActions(ev, t1),
+          ev.filter(col("ts") > t1 && col("ts") <= t2))
+        .select(col("user_id"), col("event_id"),
+          Cols.epochUs(col("ts")).as("ts_us"), col("event_type"),
+          col("action"), col("value"))
         .orderBy(col("user_id"))
     }),
 
@@ -1004,6 +1031,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val index = Similarity.buildIvf(emb, nCentroids = 16)
       Similarity.ivfTopK(index, emb.filter(col("vec_id") < 20), 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_det_topk" -> ((s, dir) => {
+      // the probe-pruning IVF shape under a deterministic (stride-
+      // sampled) coarse quantizer — fully hash-gated, unlike the
+      // learned-KMeans sim_ivf_topk
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfDetTopK(emb, emb.filter(col("vec_id") < 20), 5,
+          stride = 29, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     })
   )
@@ -1970,6 +2007,18 @@ object SparkEntry {
                  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
            WHERE rn = 1 ORDER BY user_id""",
 
+      "cdc_apply_changes_del" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                  action, value
+           FROM (SELECT *,
+                   CASE WHEN event_type IN ('signup', 'purchase') THEN 'I'
+                        WHEN event_type IN ('click', 'view') THEN 'U'
+                        ELSE 'D' END AS action,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+           WHERE rn = 1 AND action <> 'D' ORDER BY user_id""",
+
       "cdc_changes_between" ->
         """WITH r AS (
              SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2189,13 +2238,24 @@ object SparkEntry {
                                  string_split($norm, ' ')[i+2]))
                           ELSE [array_to_string(string_split($norm, ' '), ' ')]
                      END AS s
-              FROM documents)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            -- stop-gram cap: shingles in > 64 docs are dropped before
+            -- pairing (matches ngramJaccardPairs maxDf = 64)
+            kept AS (
+              SELECT doc_id, g FROM ex
+              WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = inter.doc_a
+            JOIN sizes nb ON nb.doc_id = inter.doc_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.1
             ORDER BY doc_a, doc_b""",
 
       "text_token_stats" ->
@@ -2438,6 +2498,18 @@ object SparkEntry {
             ORDER BY doc_a, doc_b""",
 
       "dedup_components" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src ORDER BY doc_id""",
+
+      // identical fixpoint, different algorithm on the Spark side
+      "dedup_components_star" ->
         s"""WITH RECURSIVE $lshPairCtes,
                  edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                            UNION
@@ -2713,7 +2785,44 @@ object SparkEntry {
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
-            ORDER BY query_id, rank"""
+            ORDER BY query_id, rank""",
+
+      "sim_ivf_det_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                          WHERE vec_id % 29 = 0),
+                asg AS (SELECT vec_id, bucket FROM (
+                  SELECT e.vec_id, c.cid AS bucket,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           c.cid) AS rn
+                  FROM e CROSS JOIN cents c) WHERE rn = 1),
+                probes AS (SELECT query_id, bucket FROM (
+                  SELECT q.vec_id AS query_id, c.cid AS bucket,
+                         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           round(list_dot_product(q.v, c.cv) /
+                             (sqrt(list_dot_product(q.v, q.v)) *
+                              sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           c.cid) AS rn
+                  FROM e q CROSS JOIN cents c WHERE q.vec_id < 20)
+                  WHERE rn <= 2),
+                s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                        list_dot_product(qe.v, ne.v) /
+                          (sqrt(list_dot_product(qe.v, qe.v)) *
+                           sqrt(list_dot_product(ne.v, ne.v))) AS sim
+                      FROM probes p
+                      JOIN asg a ON a.bucket = p.bucket
+                      JOIN e ne ON ne.vec_id = a.vec_id
+                      JOIN e qe ON qe.vec_id = p.query_id
+                      WHERE a.vec_id != p.query_id)
+           SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+             SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+             FROM s) WHERE rank <= 5
+           ORDER BY query_id, rank"""
     )
   }
 }

@@ -57,7 +57,13 @@ object Main {
     val listener = new StalenessListener()
     spark.streams.addListener(listener)
 
-    val total = ChangeLogSource.table(spark, sfDir, "events").count()
+    // Feeder cap only binds in buffer mode (file mode streams the
+    // source dir; nothing is collected there).
+    val total = if (sourceDir.isDefined)
+      ChangeLogSource.table(spark, sfDir, "events").count()
+    else math.min(
+      ChangeLogSource.table(spark, sfDir, "events").count(),
+      sys.props.getOrElse("graft.feederMaxRows", "1000000").toLong)
     // `stream` is the (possibly table-filtered) extraction input;
     // `monitorStream` is a second, UNFILTERED reader of the same log —
     // a filtered stream legitimately has event_id holes, so feeding it
@@ -75,8 +81,15 @@ object Main {
         (filtered, unfiltered)
       case None =>
         // Feeder: replay the events table into the buffer in batches.
+        // Dev harness only — the collect() is bounded (first
+        // `graft.feederMaxRows` offsets, default 1M ≈ sf1) so pointing
+        // the demo at a huge table can't OOM the driver; production
+        // runs use -Dgraft.sourceDir (file-backed source, no collect).
+        val feederMax =
+          sys.props.getOrElse("graft.feederMaxRows", "1000000").toInt
         val rows = ChangeLogSource.table(spark, sfDir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .orderBy("event_id").limit(feederMax)
           .collect()
           .map(r => ChangeEvent(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
             r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))

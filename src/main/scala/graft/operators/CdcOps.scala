@@ -170,6 +170,76 @@ object CdcOps {
   }
 
   /**
+   * Delete/truncate-aware mirror fold — the shared core of
+   * [[applyChangesWithActions]] and [[snapshotAsOfWithActions]].
+   *
+   * Consumes the audit envelope's `action` column (I/U/D/T, reference
+   * `WorkerRunnable.java:207`, envelope col 14):
+   *  - I/U rows upsert (latest (ts, offset) per key wins — same
+   *    max_by fold as [[applyChanges]]);
+   *  - D rows are tombstones: a key whose LATEST change is a delete is
+   *    ABSENT from the mirror (absence ≡ deleted, so the fold is
+   *    idempotent and re-foldable);
+   *  - T rows are table truncates: every change at or before the
+   *    latest T position is discarded wholesale before the upsert
+   *    fold (rows after the truncate repopulate the mirror).
+   *
+   * Scale shape: one 1-row aggregate for the truncate watermark
+   * (broadcast back — an extra scan of the batch, pruned to the
+   * `action` column), then the same single keyed shuffle with
+   * map-side partial max_by as [[applyChanges]]. Never a window,
+   * never a sort.
+   */
+  private def foldActions(all: DataFrame, keyCol: String, tsCol: String,
+                          offsetCol: String, actionCol: String): DataFrame = {
+    val pos = struct(col(tsCol).as("__ts"), col(offsetCol).as("__off"))
+    val tMark = all.filter(col(actionCol) === "T")
+      .agg(max(pos).as("__tm"))
+    val live = all.crossJoin(broadcast(tMark))
+      .filter(col("__tm").isNull || pos > col("__tm"))
+      .drop("__tm")
+    val others = all.columns.filter(_ != keyCol).toSeq
+    live.groupBy(col(keyCol))
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(tsCol), col(offsetCol))).as("__r"))
+      .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+      .filter(col(actionCol) =!= "D")
+  }
+
+  /**
+   * [[applyChanges]] extended to consume the envelope's `action`
+   * column (I/U/D/T) — a mirror that can actually REMOVE a key when
+   * the source deletes it, and drop its history on a truncate. The
+   * reference's envelope carries these actions
+   * (`WorkerRunnable.java:207`); a mirror that can only upsert is
+   * wrong on real CDC.
+   *
+   * Roll-forward law (oracle- and spec-pinned), deletes included:
+   * `applyChangesWithActions(snapshotAsOfWithActions(T1),
+   * changes in (T1,T2]) == snapshotAsOfWithActions(T2)`.
+   */
+  def applyChangesWithActions(snapshot: DataFrame, changes: DataFrame,
+                              keyCol: String = "user_id",
+                              tsCol: String = "ts",
+                              offsetCol: String = "event_id",
+                              actionCol: String = "action"): DataFrame =
+    foldActions(snapshot.unionByName(changes), keyCol, tsCol, offsetCol,
+      actionCol)
+
+  /**
+   * [[snapshotAsOf]] with delete/truncate semantics: the mirror state
+   * at `asOf` — latest I/U row per key, minus keys whose latest change
+   * is a tombstone, minus everything at or before the latest truncate.
+   */
+  def snapshotAsOfWithActions(log: DataFrame, asOf: Column,
+                              keyCol: String = "user_id",
+                              tsCol: String = "ts",
+                              offsetCol: String = "event_id",
+                              actionCol: String = "action"): DataFrame =
+    foldActions(log.filter(col(tsCol) <= asOf), keyCol, tsCol, offsetCol,
+      actionCol)
+
+  /**
    * Time-travel diff: per-entity change summary over `(from, to]` —
    * how many changes landed and the value movement between two
    * freshness points.

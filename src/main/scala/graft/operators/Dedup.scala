@@ -141,14 +141,24 @@ object Dedup {
    * scale, while this join streams its pairs; measured and rejected.)
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3, maxDf: Int = 64): DataFrame = {
     val sh = shingleSets(docs, k)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // explode first, hash after: xxhash64 on the exploded column runs
     // inside whole-stage codegen, where hashing inside a transform()
     // lambda would evaluate interpreted per element
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+    val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("g"))
+    // Stop-gram cap (same discipline as containmentPairs): a shingle
+    // present in more than `maxDf` documents (boilerplate — "one of
+    // the") is non-discriminative and alone contributes O(df²) join
+    // pairs on one 8-byte key. Drop it before the self-join; Jaccard
+    // is then a true Jaccard of each document's DISCRIMINATIVE
+    // shingles (sizes recomputed post-cap). Without this cap one
+    // corpus-frequent trigram is a quadratic blowup at 100 TB.
+    val wDf = Window.partitionBy(col("g"))
+    val ex = ex0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -255,6 +265,89 @@ object Dedup {
       s"nearDupComponents did not converge in $maxRounds rounds " +
         s"($changed labels still changing); raise maxRounds")
     labels.withColumnRenamed("label", "component")
+  }
+
+  /**
+   * Connected components by alternating large-star/small-star
+   * contraction (Kiveris et al., "Connected Components in MapReduce
+   * and Beyond", SoCC'14 — a published algorithm, re-expressed as
+   * DataFrame rounds) — the 100 TB upgrade over [[nearDupComponents]]'
+   * plain min-label propagation:
+   *
+   *  - label propagation needs O(component diameter) rounds, each a
+   *    full-edge shuffle — a chain-shaped dup cluster (common: doc A
+   *    near-dups B near-dups C ...) costs rounds proportional to its
+   *    LENGTH;
+   *  - star contraction converges in O(log n) rounds on any shape,
+   *    and each round's keys are the current edge endpoints, which
+   *    the contraction itself rebalances (high-degree hubs shed their
+   *    neighbors to the component minimum instead of accreting them).
+   *
+   * Round = large-star (every neighbor LARGER than a node links to
+   * the node's neighborhood minimum) then small-star (every neighbor
+   * SMALLER links to it, keyed by the larger endpoint). Both steps
+   * are groupBy-min + join — one keyed shuffle each, no windows. The
+   * fixed point is a forest of stars whose centers are component
+   * minima; convergence is detected by an (edge-count, xor-hash)
+   * signature and then STRUCTURALLY verified (no node may appear as
+   * both a star center and a leaf), so a hash collision cannot fake
+   * convergence. Returns the same `(id, component)` contract as
+   * [[nearDupComponents]] — min doc_id per component, every endpoint
+   * labeled.
+   */
+  def starContractComponents(pairs: DataFrame, maxRounds: Int = 24): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(true)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(edges)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // large-star: for each node, neighbors above it re-link to the
+      // neighborhood minimum (including the node itself)
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val large = canon(sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star: keyed by the LARGER endpoint; it and all its
+      // smaller neighbors link to their minimum
+      val dir = large.select(col("v").as("a"), col("u").as("b")) // a > b
+      val mins2 = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = canon(
+        dir.join(mins2, "a").filter(col("b") =!= col("m"))
+          .select(col("b").as("u"), col("m").as("v"))
+          .unionByName(mins2.select(col("a").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      edges = small
+      val cur = sig(edges)
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"starContractComponents did not converge in $maxRounds rounds")
+    // structural star check: a fixed point reached only via signature
+    // equality could in principle be a hash collision — verify no id
+    // is both a center (u side) and a leaf (v side)
+    val nonStar = edges.select(col("u")).distinct()
+      .join(edges.select(col("v").as("u")).distinct(), "u").count()
+    if (nonStar > 0) throw new IllegalStateException(
+      s"starContractComponents: $nonStar non-star centers at fixpoint")
+    edges.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
   }
 
   /**

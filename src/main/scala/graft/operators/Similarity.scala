@@ -170,6 +170,37 @@ object Similarity {
     graft.functions.functions.srp_bucket(emb, planes)
 
   /**
+   * Scale-adaptive SRP plane count: enough hyperplanes that the
+   * EXPECTED bucket occupancy is ~`targetBucketSize`, i.e.
+   * `2^planes ≈ n / targetBucketSize`. A fixed plane count quietly
+   * degrades to near-quadratic pair enumeration as the corpus grows
+   * (planes=8 = 256 buckets: fine at 10⁴ vectors, n²/256 at 10⁹);
+   * deriving it from corpus size keeps within-bucket pair work ~
+   * `n · targetBucketSize / 2`. Floor of 8 preserves the small-corpus
+   * default; ceiling of 62 keeps the bucket id in a long. The count
+   * is an input statistic (corpus row count — one pushdown-able
+   * aggregate, or a catalog statistic at scale), NOT a learned model,
+   * so bucketing stays deterministic and oracle-replayable for any
+   * fixed `planes` value.
+   */
+  def adaptivePlanes(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    require(corpusSize >= 0 && targetBucketSize > 0,
+      s"adaptivePlanes($corpusSize, $targetBucketSize)")
+    val buckets = math.max(1L, corpusSize / targetBucketSize)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1 max 0)
+    math.min(62, math.max(8, bits))
+  }
+
+  /** [[lshNearDupPairs]] with `planes` derived from the corpus size
+    * via [[adaptivePlanes]] — the form to use when the corpus scale
+    * is not known statically. Costs one `count()` (parquet
+    * stats-only at scale). */
+  def lshNearDupPairsAuto(corpus: DataFrame, threshold: Double,
+                          targetBucketSize: Int = 64): DataFrame =
+    lshNearDupPairs(corpus, threshold,
+      adaptivePlanes(corpus.count(), targetBucketSize))
+
+  /**
    * IVF (inverted-file) index: a KMeans coarse quantizer over the
    * corpus. Centroid count ~ sqrt(corpus) keeps buckets balanced; the
    * centroid table is tiny and rides along broadcast. At 100 TB the
@@ -226,6 +257,63 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF top-k — the same probe-pruning shape as
+   * [[ivfTopK]] with a DETERMINISTIC coarse quantizer, so a SQL oracle
+   * can replay the whole index: centroids are the corpus vectors whose
+   * `vec_id ≡ 0 (mod stride)` (no learned model, no stored state), each
+   * corpus vector is assigned to its nearest centroid (cosine rounded
+   * to 1e-6, smaller centroid id on ties), and each query probes its
+   * `nprobe` nearest centroids, ranking only within those buckets.
+   *
+   * Scale shape: the centroid table is |corpus|/stride rows and rides
+   * along broadcast; assignment is a broadcast cross join + per-vector
+   * argmax AGGREGATE (max_by — never a corpus-sized window); the
+   * bucket join is the partition-pruning path ([[ivfTopK]]'s spec
+   * proves pruning for this shape). KMeans ([[buildIvf]]) remains the
+   * production quantizer — this variant exists so the probe-pruning
+   * shape itself has a hash-gated correctness row.
+   */
+  def ivfDetTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 stride: Long = 29L, nprobe: Int = 2): DataFrame = {
+    require(stride > 0 && nprobe > 0, s"ivfDetTopK($stride, $nprobe)")
+    val cents = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    // nearest centroid per corpus vector: argmax over the broadcast
+    // centroid table — max_by aggregate keyed by vec_id (map-side
+    // partial), not a window over the corpus
+    val assignment = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("c_emb")), 6).as("csim"),
+        col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("bucket"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .join(assignment, "vec_id")
+    // nprobe nearest centroids per query (query side is small)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("qsim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid").as("bucket"))
+    val sim = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+      .join(broadcast(probes), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    topKRank(sim, k)
+  }
+
+  /**
    * Full-corpus approximate near-duplicate pairs: SRP-bucket the corpus
    * once, self-join on the bucket id (identical child plans, so the
    * exchange is computed once and reused), verify candidates with exact
@@ -233,6 +321,12 @@ object Similarity {
    * only same-bucket collisions do — and the single shuffle key is an
    * 8-byte bucket id. This is the scale path for
    * [[cosineNearDupPairs]]'s exact-but-quadratic formulation.
+   *
+   * `planes` must grow with the corpus: 2^planes buckets means
+   * expected within-bucket pair work ~ n²/2^planes, so the default 8
+   * (256 buckets) is sized for ≤ ~10⁵ vectors only. At scale pass
+   * [[adaptivePlanes]](corpusSize) — or use [[lshNearDupPairsAuto]] —
+   * to hold bucket occupancy constant as n grows.
    */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       planes: Int = 8): DataFrame = {

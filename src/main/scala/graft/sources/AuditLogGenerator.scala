@@ -20,8 +20,9 @@ object AuditLogGenerator {
     element_at(array(TableGroups.All.map(lit): _*),
       (pmod(col("event_id"), lit(9)) + 1).cast("int"))
 
-  /** I/U/D action from the event type (deterministic mapping). */
-  private def action: Column =
+  /** I/U/D action from the event type (deterministic mapping —
+    * reused by the delete-aware mirror query). */
+  def action: Column =
     when(col("event_type").isin("signup", "purchase"), "I")
       .when(col("event_type").isin("click", "view"), "U")
       .otherwise("D")

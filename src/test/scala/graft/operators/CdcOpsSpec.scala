@@ -210,6 +210,59 @@ class CdcOpsSpec extends SparkSpec {
     assert(pl.contains("partial_max_by"), pl)
   }
 
+  test("applyChangesWithActions: tombstones remove keys, reinserts revive") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01"), "I", 1.0),
+      (2L, 20L, ts("2024-01-01 00:00:02"), "I", 2.0),
+      (3L, 10L, ts("2024-01-01 00:00:03"), "U", 1.5),
+      (4L, 20L, ts("2024-01-01 00:00:04"), "D", 0.0),  // delete key 20
+      (5L, 30L, ts("2024-01-01 00:00:05"), "I", 3.0),
+      (6L, 30L, ts("2024-01-01 00:00:06"), "D", 0.0),  // delete key 30
+      (7L, 30L, ts("2024-01-01 00:00:07"), "I", 3.5))  // ...reinsert it
+      .toDF("event_id", "user_id", "ts", "action", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val mirror = CdcOps.applyChangesWithActions(ev.limit(0), ev)
+    // key 10 upserted to its U row; key 20 gone; key 30 revived
+    assert(rows(mirror) == Seq((10L, 3L, 1.5), (30L, 7L, 3.5)))
+    // roll-forward law holds across a delete boundary
+    val t1 = ts("2024-01-01 00:00:04"); val t2 = ts("2024-01-01 00:00:07")
+    val rolled = CdcOps.applyChangesWithActions(
+      CdcOps.snapshotAsOfWithActions(ev, lit(t1)),
+      ev.filter(col("ts") > lit(t1) && col("ts") <= lit(t2)))
+    assert(rows(rolled) == rows(CdcOps.snapshotAsOfWithActions(ev, lit(t2))))
+    // the snapshot at t1 itself dropped key 20
+    assert(rows(CdcOps.snapshotAsOfWithActions(ev, lit(t1))) ==
+      Seq((10L, 3L, 1.5)))
+    // still an aggregate fold, not a window
+    val pl = mirror.queryExecution.executedPlan.toString
+    assert(!pl.contains("Window"), pl)
+    assert(pl.contains("partial_max_by"), pl)
+  }
+
+  test("applyChangesWithActions: truncate discards history, later rows repopulate") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01"), "I", 1.0),
+      (2L, 20L, ts("2024-01-01 00:00:02"), "I", 2.0),
+      (3L, 0L, ts("2024-01-01 00:00:03"), "T", 0.0),   // TRUNCATE
+      (4L, 20L, ts("2024-01-01 00:00:04"), "I", 2.5))  // repopulate 20
+      .toDF("event_id", "user_id", "ts", "action", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // keys 10 and the old 20 are gone (pre-truncate); only the
+    // post-truncate insert survives — the T marker row itself too
+    assert(rows(CdcOps.applyChangesWithActions(ev.limit(0), ev)) ==
+      Seq((20L, 4L, 2.5)))
+    // truncate arriving in the CHANGE BATCH wipes the prior snapshot
+    val t1 = ts("2024-01-01 00:00:02")
+    val rolled = CdcOps.applyChangesWithActions(
+      CdcOps.snapshotAsOfWithActions(ev, lit(t1)),
+      ev.filter(col("ts") > lit(t1)))
+    assert(rows(rolled) == Seq((20L, 4L, 2.5)))
+  }
+
   test("aggDelta: after = before + delta per key, new keys appear") {
     val t0 = ts("2024-01-01 00:00:01")
     val ev = Seq(

@@ -61,6 +61,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngramJaccardPairs: maxDf drops boilerplate shingles, bounds pairs") {
+    // 8 docs all sharing ONE boilerplate trigram ("terms of service"),
+    // otherwise pairwise-unique: the uncapped self-join would emit
+    // C(8,2)=28 pairs from that single hot key.
+    val boiler = (1 to 8)
+      .map(i => (100L + i, s"terms of service aa$i bb$i cc$i"))
+      .toDF("doc_id", "text")
+    // cap below df: the hot shingle is dropped, nothing collides
+    val capped = Dedup.ngramJaccardPairs(boiler, threshold = 0.0, maxDf = 7)
+    assert(capped.count() == 0L)
+    // cap at df: all 28 pairs, jaccard over the 4-shingle sets = 1/7
+    val full = Dedup.ngramJaccardPairs(boiler, threshold = 0.1, maxDf = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(full.length == 28)
+    assert(full.forall(p => math.abs(p._3 - 1.0 / 7.0) < 1e-12))
+    // the small fixture is unaffected by the default cap (df <= 3)
+    val dflt = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(dflt((1L, 2L)) == 1.0)
+  }
+
   test("minhash LSH finds exact duplicates as candidates and verifies them") {
     val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect()

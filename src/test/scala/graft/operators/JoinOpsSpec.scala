@@ -157,6 +157,47 @@ class JoinOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("starContractComponents equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val star = Dedup.starContractComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.nearDupComponents(pairs, maxRounds = 128)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial")
+    }
+  }
+
+  test("starContractComponents: adversarial shapes (chain, clique, star)") {
+    // 64-node chain: diameter 63 — label propagation needs ~63 rounds,
+    // star contraction O(log n)
+    val chain = (0L until 63L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val gotChain = Dedup.starContractComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(gotChain.length == 64 && gotChain.forall(_._2 == 0L))
+    // 20-clique plus disjoint pair
+    val clique = (for {
+      a <- 100L until 120L; b <- (a + 1) until 120L
+    } yield (a, b)) :+ ((500L, 501L))
+    val gotClique = Dedup.starContractComponents(clique.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((100L until 120L).forall(gotClique(_) == 100L))
+    assert(gotClique(500L) == 500L && gotClique(501L) == 500L)
+    // hub star with reversed/duplicate edges
+    val hub = Seq((7L, 3L), (3L, 7L), (7L, 9L), (7L, 9L), (11L, 7L))
+      .toDF("doc_a", "doc_b")
+    val gotHub = Dedup.starContractComponents(hub)
+      .as[(Long, Long)].collect().toMap
+    assert(gotHub == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 11L -> 3L))
+    // empty input degrades to empty output
+    assert(Dedup.starContractComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("hashSample: deterministic, id-stable slice of roughly pct percent") {
     val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextOps.hashSample(docs, "doc_id", 10).select($"doc_id")

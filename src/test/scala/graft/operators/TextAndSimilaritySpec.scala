@@ -254,6 +254,26 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("adaptivePlanes holds expected bucket occupancy as corpus grows") {
+    // floor of 8 for small corpora (the legacy default)
+    assert(Similarity.adaptivePlanes(0L) == 8)
+    assert(Similarity.adaptivePlanes(10000L) == 8)
+    // 2^planes ≈ n / targetBucketSize once past the floor
+    assert(Similarity.adaptivePlanes(1000000L) == 14)      // 15625 buckets
+    assert(Similarity.adaptivePlanes(1L << 40) == 34)      // 2^34 buckets
+    // monotonic in corpus size; capped at 62 (bucket id stays a long)
+    val sizes = (10 to 62).map(b => Similarity.adaptivePlanes(1L << b))
+    assert(sizes == sizes.sorted)
+    assert(Similarity.adaptivePlanes(Long.MaxValue, 1) == 62)
+    // the auto variant agrees with the explicit form at the small floor
+    val emb = (0L until 20L)
+      .map(i => (i, Seq.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.lshNearDupPairsAuto(emb, 0.9).collect().toSet
+    val b = Similarity.lshNearDupPairs(emb, 0.9, 8).collect().toSet
+    assert(a == b)
+  }
+
   test("rareBigrams: shared bigram not rare, singletons are") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b d"), (3L, "a b e"))
