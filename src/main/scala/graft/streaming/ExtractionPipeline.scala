@@ -62,20 +62,33 @@ object ExtractionPipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dim = CdcOps.commitTsDim(batch)
-        val enriched = CdcOps.enrichCommitTs(batch, dim)
-        // batchId-keyed overwrite => idempotent on micro-batch retry
-        // (append would double-write a replayed batch); the directory
-        // reads back as a partitioned text table.
-        enriched.select(
-            CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
-              col("user_id"), col("event_type"),
-              col("value").cast("decimal(18,2)"), col("props"),
-              Cols.epochUs(col("commit_ts")))).as("line"))
-          .write.mode("overwrite").text(s"$outDir/batch=$batchId")
-        ()
+        writeBatch(batch, batchId, outDir)
       }
       .start()
+
+  /**
+   * One micro-batch of the extraction sink: enrich with the
+   * transaction commit timestamp and land the pipe lines under
+   * `batch=<id>`. batchId-keyed OVERWRITE is what makes a replayed
+   * batch idempotent: after a mid-batch crash the restart re-runs the
+   * same batch id over the same checkpointed offset range and the
+   * overwrite replaces any partial output whole — no duplicate and no
+   * missing line (the reference had no such story: a worker crash
+   * mid-chunk lost or duplicated rows, SURVEY §3.4,
+   * `CoordinatorRunnable.java:35-42`). [[ExactlyOnceSinkSpec]] kills a
+   * batch after a partial write and proves the law.
+   */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val dim = CdcOps.commitTsDim(batch)
+    val enriched = CdcOps.enrichCommitTs(batch, dim)
+    enriched.select(
+        CdcOps.pipeLine(Seq(col("event_id"), Cols.epochUs(col("ts")),
+          col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("props"),
+          Cols.epochUs(col("commit_ts")))).as("line"))
+      .write.mode("overwrite").text(s"$outDir/batch=$batchId")
+    ()
+  }
 
   /**
    * Deduplicate redelivered change events by offset within the
