@@ -123,4 +123,50 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(live == batchSnap && live.size == 7)
   }
+
+  test("foreachBatch delete-aware mirror applies tombstones across batches") {
+    import java.sql.Timestamp
+    import graft.operators.CdcOps
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)](spark)
+    val cols = Seq("event_id", "user_id", "ts", "action", "value")
+    val events = input.toDF().toDF(cols: _*)
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    // live mirror with I/U/D/T semantics: the fold is idempotent
+    // (absence ≡ deleted), so per-batch applyChangesWithActions keeps
+    // exactly the batch-mode mirror state
+    var mirror: org.apache.spark.sql.DataFrame = null
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        mirror = CdcOps.applyChangesWithActions(
+            if (mirror == null) batch.limit(0) else mirror, batch)
+          .localCheckpoint(true)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mirror-del").toString)
+      .start()
+    // batch 1: keys 1..5 inserted; batch 2: delete 2, update 3,
+    // truncate-then-insert arrives in batch 3
+    val b1 = (1L to 5L).map(i => (i, i, t(i * 1000), "I", i * 1.0))
+    val b2 = Seq((6L, 2L, t(6000), "D", 0.0), (7L, 3L, t(7000), "U", 3.5))
+    val b3 = Seq((8L, 0L, t(8000), "T", 0.0), (9L, 9L, t(9000), "I", 9.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // deletes landed: key 2 gone, key 3 updated
+      val mid = mirror.select(col("user_id"), col("value"))
+        .as[(Long, Double)].collect().toMap
+      assert(mid == Map(1L -> 1.0, 3L -> 3.5, 4L -> 4.0, 5L -> 5.0))
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // truncate wiped the pre-T state; only the post-T insert lives —
+    // and the live fold equals the direct batch-mode snapshot
+    val live = mirror.select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(live == Map(9L -> 9.0))
+    val direct = CdcOps.snapshotAsOfWithActions(
+        (b1 ++ b2 ++ b3).toDF(cols: _*), lit(t(9000)))
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(live == direct)
+  }
 }
