@@ -155,9 +155,13 @@ object Dedup {
     // is then a true Jaccard of each document's DISCRIMINATIVE
     // shingles (sizes recomputed post-cap). Without this cap one
     // corpus-frequent trigram is a quadratic blowup at 100 TB.
-    val wDf = Window.partitionBy(col("g"))
-    val ex = ex0.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= maxDf).drop("df")
+    // Shape: the hot-digest list is a partial-aggregating groupBy
+    // (tiny result — only boilerplate grams exceed the cap) anti-
+    // joined back, so the exploded set is never shuffled just to be
+    // counted (a count-over-window here would re-shuffle everything).
+    val hot = ex0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val ex = ex0.join(hot, Seq("g"), "left_anti")
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"),
@@ -195,9 +199,11 @@ object Dedup {
     // and would alone contribute O(df²) pairs — the standard winnowing
     // cap that keeps pair volume proportional to real overlap.
     // Containment is then measured over discriminative fingerprints.
-    val w = Window.partitionBy(col("fp"))
-    val kept = ex.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxDf).drop("df")
+    // Hot list via partial-agg groupBy + anti-join (broadcast-tiny),
+    // not a count-over-window that would shuffle every exploded row.
+    val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val kept = ex.join(hot, Seq("fp"), "left_anti")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -295,13 +301,43 @@ object Dedup {
    * [[nearDupComponents]] — min doc_id per component, every endpoint
    * labeled.
    */
+  /** Canonical undirected edge set: u < v, no self-loops, distinct. */
+  private def canonEdges(df: DataFrame): DataFrame =
+    df.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /**
+   * One large-star + small-star round over a canonical edge set —
+   * exposed (package-private) so the plan spec can assert the round
+   * itself is keyed joins + groupBy-min, no window, no cartesian.
+   * Identical sibling subtrees (the symmetric edge list, the directed
+   * list) feed both the min-aggregate and the re-link join, so
+   * ReuseExchange evaluates each once.
+   */
+  private[operators] def starRound(edges: DataFrame): DataFrame = {
+    // large-star: for each node, neighbors above it re-link to the
+    // neighborhood minimum (including the node itself)
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("mn"), col("a")).as("m"))
+    val large = canonEdges(sym.join(mins, "a").filter(col("b") > col("a"))
+      .select(col("b").as("u"), col("m").as("v")))
+    // small-star: keyed by the LARGER endpoint; it and all its
+    // smaller neighbors link to their minimum
+    val dir = large.select(col("v").as("a"), col("u").as("b")) // a > b
+    val mins2 = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+    canonEdges(
+      dir.join(mins2, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("a").as("u"), col("m").as("v"))))
+  }
+
   def starContractComponents(pairs: DataFrame, maxRounds: Int = 24): DataFrame = {
-    def canon(df: DataFrame): DataFrame =
-      df.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .distinct()
-    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    var edges = canonEdges(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint(true)
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -312,25 +348,9 @@ object Dedup {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // large-star: for each node, neighbors above it re-link to the
-      // neighborhood minimum (including the node itself)
-      val sym = edges.select(col("u").as("a"), col("v").as("b"))
-        .union(edges.select(col("v").as("a"), col("u").as("b")))
-      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
-        .select(col("a"), least(col("mn"), col("a")).as("m"))
-      val large = canon(sym.join(mins, "a").filter(col("b") > col("a"))
-        .select(col("b").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
-      // small-star: keyed by the LARGER endpoint; it and all its
-      // smaller neighbors link to their minimum
-      val dir = large.select(col("v").as("a"), col("u").as("b")) // a > b
-      val mins2 = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val small = canon(
-        dir.join(mins2, "a").filter(col("b") =!= col("m"))
-          .select(col("b").as("u"), col("m").as("v"))
-          .unionByName(mins2.select(col("a").as("u"), col("m").as("v"))))
-        .localCheckpoint(true)
-      edges = small
+      // one checkpoint per round: truncates lineage, materializes the
+      // (shrinking) edge set once
+      edges = starRound(edges).localCheckpoint(true)
       val cur = sig(edges)
       done = cur == prev
       prev = cur
@@ -400,9 +420,11 @@ object Dedup {
     val p = docs.select(col("doc_id"),
         substring(TextOps.normalized(col("text")), 1, prefixLen).as("pfx"))
       .withColumn("blk", substring(col("pfx"), 1, blockLen))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
-    val capped = p.withColumn("bn", count(lit(1)).over(w))
-      .filter(col("bn") <= maxBlock)
+    // stop-block guard as a hot-key anti-join (partial-agg groupBy,
+    // broadcast-tiny hot list) — no count-over-window shuffle
+    val hotBlk = p.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlock).select(col("blk"))
+    val capped = p.join(hotBlk, Seq("blk"), "left_anti")
     val a = capped.select(col("doc_id").as("doc_a"),
       col("pfx").as("pfx_a"), col("blk"))
     val b = capped.select(col("doc_id").as("doc_b"),

@@ -174,6 +174,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_bit_or"), p)
   }
 
+  test("delete-aware mirror: aggregate fold, broadcast truncate mark, no window") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+      .withColumn("action", graft.sources.AuditLogGenerator.action)
+    val p = plan(CdcOps.applyChangesWithActions(ev.limit(10), ev.limit(5)))
+    // the truncate watermark is a 1-row aggregate broadcast back; the
+    // upsert is the same partial max_by fold as applyChanges
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("deterministic IVF: assignment is an argmax aggregate, not a corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val df = Similarity.ivfDetTopK(emb, emb.filter($"vec_id" < 3), 2,
+      stride = 29, nprobe = 2)
+    val p = plan(df)
+    // centroids ride along broadcast; corpus-side nearest-centroid is
+    // max_by (partial map-side)
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only windows rank the QUERY side (partitioned by query_id) —
+    // nothing windows the corpus
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(
+      _.partitionSpec.exists(_.toString.contains("query_id"))), p)
+  }
+
+  test("star contraction round: keyed joins + groupBy-min, no cartesian/window") {
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("u", "v")
+    val p = plan(Dedup.starRound(edges))
+    // both star steps are groupBy-min + equi-join on the node key —
+    // per round one keyed shuffle family, nothing quadratic or sorted
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("hashpartitioning(a"), p)
+  }
+
   test("dupSpans joins spans on the fingerprint key, never a global sort") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.dupSpans(docs).limit(1))
