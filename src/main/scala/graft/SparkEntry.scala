@@ -892,6 +892,14 @@ object SparkEntry {
       Multimodal.shardPack(Multimodal.asMedia(t(s, dir, "documents"),
         "doc_id", col("text").cast("binary"), "image"))),
 
+    "mm_phash_neardup" -> ((s, dir) =>
+      // media near-dup pairs: banded perceptual hash (the multimodal
+      // twin of text MinHash-LSH) + full-hash Hamming verify
+      Multimodal.phashNearDupPairs(Multimodal.asMedia(
+          t(s, dir, "documents"), "doc_id", col("text").cast("binary"),
+          "image"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "graph_type_pagerank" -> ((s, dir) => {
       // stationary behavior mix: integer PageRank over the event-type
       // transition graph (edges = transitionMatrix counts)
@@ -1005,6 +1013,22 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    "pipeline_embedding_dedup" -> ((s, dir) => {
+      // the embedding-side dedup pipeline as ONE plan: SRP-LSH
+      // candidate pairs (single bucket-key shuffle) -> exact-cosine
+      // verify -> star-contraction components (O(log n) rounds) ->
+      // per-cluster survivor stats. The vector twin of
+      // pipeline_training_manifest's text path.
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.lshNearDupPairs(emb, 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.starContractComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("id")).as("max_member"))
+        .orderBy(col("component"))
+    }),
 
     "sim_recall_report" -> ((s, dir) => {
       // ANN quality evaluation as a query: recall@5 of the SRP-LSH
@@ -1734,6 +1758,28 @@ object SparkEntry {
                       FROM m)
            SELECT doc_id, n_bytes, CAST(pb // 65536 AS BIGINT) AS shard_id
            FROM p ORDER BY doc_id""",
+
+      "mm_phash_neardup" ->
+        s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),
+                ph AS (SELECT doc_id,
+                         CAST(list_sum(list_transform(range(24), i ->
+                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
+                                     % 20001 - 10000 > 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0 END)) AS BIGINT) AS ph
+                       FROM m),
+                banded AS (SELECT doc_id, ph, CAST(j AS INT) AS band,
+                                  (ph >> CAST(j * 6 AS INT)) & 63 AS bv
+                           FROM ph CROSS JOIN range(4) t(j)),
+                cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                x.ph AS ph_a, y.ph AS ph_b
+                         FROM banded x JOIN banded y
+                           ON x.band = y.band AND x.bv = y.bv
+                          AND x.doc_id < y.doc_id)
+           SELECT doc_a, doc_b,
+                  CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+           FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+           ORDER BY doc_a, doc_b""",
 
       "graph_type_pagerank" ->
         """WITH seq AS (SELECT event_type,
@@ -2727,6 +2773,30 @@ object SparkEntry {
             WHERE list_dot_product(x.v, y.v) /
                   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3
             ORDER BY vec_a, vec_b""",
+
+      "pipeline_embedding_dedup" ->
+        s"""WITH RECURSIVE
+                 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 b AS (SELECT vec_id, v,
+                         CAST(list_sum(list_transform(range(8), p ->
+                           CASE WHEN list_dot_product(v, ($srpMat)[CAST(p AS INT)+1]) > 0
+                                THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+                       FROM e),
+                 pairs AS (
+                   SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                   WHERE list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3),
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+                 comp AS (SELECT src AS id, least(src, min(dst)) AS component
+                          FROM reach GROUP BY src)
+            SELECT component, count(*) AS n_members, max(id) AS max_member
+            FROM comp GROUP BY component ORDER BY component""",
 
       "sim_recall_report" ->
         s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

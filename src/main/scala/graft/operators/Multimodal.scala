@@ -97,6 +97,56 @@ object Multimodal {
       .orderBy(col(idCol))
   }
 
+  /**
+   * STUB perceptual hash (the pHash SHAPE: a fixed-width bit string
+   * whose Hamming distance tracks visual similarity — here the sign
+   * bits of the deterministic feature lattice packed into a long, so
+   * the DuckDB oracle replays it; a real deployment swaps in DCT sign
+   * bits from the actual decoder). Flat sum of `bits` codegen'd
+   * conditionals — no higher-order lambda re-evaluates the md5.
+   */
+  def phashStub(payload: Column, bits: Int = 24): Column = {
+    require(bits > 0 && bits <= 60, s"phash bits=$bits")
+    val ck = md5(payload)
+    (0 until bits).map { i =>
+      when(graft.functions.functions.h60(concat(ck, lit(s":$i")))
+        % 20001L - 10000L > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Media near-duplicate pairs by banded perceptual hash — the
+   * multimodal twin of text MinHash-LSH: the `bits`-bit pHash splits
+   * into `bands` sub-bands, documents sharing ANY band become
+   * candidates (self-join on the (band, value) key — pair work tracks
+   * collisions, never n²), and candidates verify with full-hash
+   * Hamming distance ≤ `maxDist` (one xor + bit_count, codegen'd).
+   * Payloads never move: the join carries only (id, 8-byte hash).
+   */
+  def phashNearDupPairs(media: DataFrame, idCol: String = "doc_id",
+                        payloadCol: String = "payload", bits: Int = 24,
+                        bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"$bits bits / $bands bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val ph = media.select(col(idCol).as("id"),
+      phashStub(col(payloadCol), bits).as("ph"))
+    val banded = ph.select(col("id"), col("ph"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("ph"), j * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   // ---- batch-shaped decode (the mapInPandas analogue in Scala) ----
 
   final case class MediaRow(id: Long, payload: Array[Byte])

@@ -88,6 +88,25 @@ class MultimodalSpec extends SparkSpec {
       (4L, 10L, 1L)))
   }
 
+  test("phashNearDupPairs: identical payloads pair at hamming 0, capped by maxDist") {
+    val m = Multimodal.asMedia(
+      Seq((1L, "same payload bytes"), (2L, "same payload bytes"),
+        (3L, "a completely different payload"), (4L, "same payload bytes"))
+        .toDF("doc_id", "text"),
+      "doc_id", $"text".cast("binary"), "image")
+    val got = Multimodal.phashNearDupPairs(m)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // the three identical payloads form all three pairs at distance 0
+    assert(got((1L, 2L)) == 0L && got((1L, 4L)) == 0L && got((2L, 4L)) == 0L)
+    // nothing above the verify cap survives
+    assert(got.values.forall(_ <= 3L))
+    // hash is a bits-wide non-negative long and deterministic
+    val ph = m.select(Multimodal.phashStub($"payload", 24)).as[Long].collect()
+    assert(ph.forall(h => h >= 0L && h < (1L << 24)))
+    assert(ph(0) == ph(1) && ph(0) == ph(3))
+  }
+
   test("bpe-ish tokens and rolling fingerprints") {
     val df = Seq((1L, "Hello world, it's 42 times!")).toDF("doc_id", "text")
     val n = df.select(size(TextOps.bpeishTokens($"text"))).as[Int].head()
