@@ -411,6 +411,12 @@ object SparkEntry {
     "text_rare_bigrams" -> ((s, dir) =>
       TextOps.rareBigrams(t(s, dir, "documents"))),
 
+    "text_kn_bigrams" -> ((s, dir) =>
+      // KN-smoothed bigram LM ingredients, top-100 bigrams by count
+      // (TakeOrderedAndProject — bounded, never a global sort)
+      TextOps.knBigramCounts(t(s, dir, "documents"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)),
+
     "text_source_overlap" -> ((s, dir) =>
       TextOps.sourceOverlap(t(s, dir, "documents"))),
 
@@ -462,6 +468,15 @@ object SparkEntry {
       Dedup.starContractComponents(
           Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1))
         .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))),
+
+    "graph_dup_triangles" -> ((s, dir) =>
+      // local clustering audit of the near-dup graph: triangles mark
+      // genuine content clusters, triangle-free hubs mark LSH artifacts
+      Graph.triangleStats(
+          Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))),
 
     "dedup_neardup_survivors" -> ((s, dir) => {
@@ -997,6 +1012,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_pq_topk" -> ((s, dir) => {
+      // product-quantized ADC retrieval: corpus persisted as 8 codes
+      // per vector (32x compression), integer-exact scoring
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_matryoshka_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 20), 5)
@@ -1458,6 +1481,22 @@ object SparkEntry {
                      AS BIGINT) AS n_rare
             FROM g JOIN f USING (gram)
             GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_kn_bigrams" ->
+        """WITH t AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                               '[a-z]+') AS w
+                      FROM documents),
+                bg AS (SELECT unnest(w[1:len(w)-1]) AS w1,
+                              unnest(w[2:len(w)]) AS w2
+                       FROM t WHERE len(w) >= 2),
+                c AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+                l AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+                             count(*) AS n1p_w1x
+                      FROM c GROUP BY 1),
+                r AS (SELECT w2, count(*) AS n1p_xw2 FROM c GROUP BY 1)
+           SELECT w1, w2, c, c_w1, n1p_w1x, n1p_xw2
+           FROM c JOIN l USING (w1) JOIN r USING (w2)
+           ORDER BY c DESC, w1, w2 LIMIT 100""",
 
       "text_source_overlap" ->
         s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
@@ -2386,6 +2425,43 @@ object SparkEntry {
              FROM s) WHERE rank <= 5
            ORDER BY query_id, rank""",
 
+      "sim_pq_topk" ->
+        """WITH e AS (SELECT vec_id,
+                        list_transform(embedding::DOUBLE[],
+                          x -> floor(x * 128)) AS v
+                      FROM embeddings),
+                subv AS (SELECT vec_id, CAST(s AS INT) AS sub,
+                           v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv
+                         FROM e CROSS JOIN range(8) t(s)),
+                cb AS (SELECT CAST(vec_id // 13 AS INT) AS code, sub,
+                              sv AS cw
+                       FROM subv WHERE vec_id % 13 = 0 AND vec_id < 208),
+                enc AS (SELECT vec_id, sub, code FROM (
+                          SELECT x.vec_id, x.sub, cb.code,
+                                 row_number() OVER (
+                                   PARTITION BY x.vec_id, x.sub
+                                   ORDER BY list_dot_product(x.sv, x.sv)
+                                     - 2 * list_dot_product(x.sv, cb.cw)
+                                     + list_dot_product(cb.cw, cb.cw),
+                                     cb.code) AS rn
+                          FROM subv x JOIN cb ON x.sub = cb.sub)
+                        WHERE rn = 1),
+                lut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+                               list_dot_product(q.sv, cb.cw) AS pdot
+                        FROM subv q JOIN cb ON q.sub = cb.sub
+                        WHERE q.vec_id < 20),
+                s AS (SELECT query_id, vec_id AS neighbor_id,
+                             sum(pdot) AS sim
+                      FROM enc JOIN lut
+                        ON enc.sub = lut.sub AND enc.code = lut.code
+                      WHERE vec_id != query_id GROUP BY 1, 2)
+           SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+             SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+             FROM s) WHERE rank <= 5
+           ORDER BY query_id, rank""",
+
       "sim_matryoshka_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                       FROM embeddings WHERE vec_id < 20),
@@ -2565,6 +2641,25 @@ object SparkEntry {
                            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src ORDER BY doc_id""",
+
+      "graph_dup_triangles" ->
+        s"""WITH $lshPairCtes,
+                 e AS (SELECT least(doc_a, doc_b) AS a,
+                              greatest(doc_a, doc_b) AS b
+                       FROM pairs WHERE doc_a != doc_b GROUP BY 1, 2),
+                 deg AS (SELECT node, count(*) AS degree FROM
+                           (SELECT a AS node FROM e
+                            UNION ALL SELECT b FROM e) GROUP BY 1),
+                 tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                         FROM e e1
+                         JOIN e e2 ON e2.a = e1.b
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+                 pern AS (SELECT node, count(*) AS n_triangles FROM
+                            (SELECT unnest([x, y, z]) AS node FROM tri)
+                          GROUP BY 1)
+            SELECT node AS doc_id, degree,
+                   coalesce(n_triangles, 0) AS n_triangles
+            FROM deg LEFT JOIN pern USING (node) ORDER BY doc_id""",
 
       "dedup_neardup_survivors" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -45,6 +45,27 @@ object Dedup {
   }
 
   /**
+   * Streaming exact dedup with BOUNDED state — the ingestion-time
+   * variant of [[exactDedup]] for a continuously arriving corpus: each
+   * document's content key (md5 of normalized text) is checked against
+   * keys seen within the event-time watermark horizon and duplicates
+   * are dropped; state for keys older than `delay` is evicted by the
+   * engine, so state size tracks the arrival rate × window, never the
+   * corpus (an unbounded `dropDuplicates` would OOM a year-long
+   * stream). Trade-off, stated: a duplicate arriving after its
+   * original has aged past the watermark is re-admitted — at 100 TB
+   * the horizon-bounded stream dedup runs in front of the periodic
+   * batch [[exactDedup]]/[[nearDuplicatePairs]] compaction, catching
+   * the dominant near-in-time duplicate mass (crawl re-fetches,
+   * mirror bursts) at constant memory.
+   */
+  def streamingDedup(docs: DataFrame, delay: String,
+                     tsCol: String = "event_time"): DataFrame =
+    docs.withColumn("content_key", contentKey(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_key")
+
+  /**
    * `(doc_id, sh)` where `sh` is the deduplicated word-`k`-shingle set
    * of the normalized text. Three stacked projections so the token
    * array is computed once and the shingle array once.

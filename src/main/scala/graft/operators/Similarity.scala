@@ -314,6 +314,78 @@ object Similarity {
   }
 
   /**
+   * Product-quantized (PQ) top-k over the int8 lattice — the
+   * memory-compression ANN variant beyond [[sq8TopK]]: the `dim`-wide
+   * vector splits into `m` subvectors, each encoded as the id of its
+   * nearest codeword in a per-subspace codebook, so the persisted
+   * corpus representation is `m` small ints per vector (m=8 codes for
+   * a 64-dim float vector = 32× compression), and query scoring is
+   * asymmetric-distance (ADC): per-query lookup tables of
+   * query-subvector · codeword partial dots, summed over subspaces.
+   *
+   * Everything runs on the [[sq8TopK]] integer lattice
+   * (`floor(x·128)`), so codeword distances, LUT partial dots, and ADC
+   * sums are all EXACT integers — order-independent, engine-exact, and
+   * a SQL oracle replays the entire index build bit-for-bit. The
+   * codebook is deterministic (the subvectors of the corpus rows with
+   * `vec_id ≡ 0 (mod stride)`, code = vec_id/stride — an input
+   * statistic like [[ivfDetTopK]]'s centroids, not a learned model;
+   * production would swap in k-means codebooks per subspace).
+   *
+   * Scale shape: the codebook (m·codes rows) broadcasts everywhere;
+   * encoding is a broadcast join + per-(vector, subspace) argmin
+   * AGGREGATE (min_by — never a corpus-sized window); scoring joins
+   * the CODES table (the 32×-compressed form — full vectors are never
+   * re-read) to the broadcast per-query LUT and partial-aggregates the
+   * ADC sums map-side into the bounded top-k.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, dim: Int = 64, stride: Long = 13L,
+             nCodes: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pqTopK: $dim dims / $m subspaces")
+    val subDim = dim / m
+    def quant(e: Column): Column =
+      transform(e, x => floor(x.cast("double") * lit(128.0)).cast("double"))
+    def subs(v: Column): Column =
+      array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*)
+    // deterministic per-subspace codebook: subvector `sub` of corpus
+    // row j·stride is codeword j of that subspace
+    val codebook = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(stride)) === 0 &&
+          col("vec_id") < stride * nCodes)
+        .select((col("vec_id") / stride).cast("int").as("code"),
+          posexplode(subs(quant(col("embedding")))))
+        .withColumnsRenamed(Map("pos" -> "sub", "col" -> "cw")))
+    // encode: nearest codeword per (vector, subspace) by integer L2,
+    // smaller code on ties — min_by aggregate, never a corpus window
+    val codes = corpus
+      .select(col("vec_id"), posexplode(subs(quant(col("embedding")))))
+      .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sv"))
+      .join(codebook, "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw"))
+          + dot(col("cw"), col("cw"))).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    // per-query ADC lookup table: query-subvector · codeword, exact int
+    val lut = broadcast(queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(subs(quant(col("embedding")))))
+      .withColumnsRenamed(Map("pos" -> "sub", "col" -> "qv"))
+      .join(codebook, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qv"), col("cw")).as("pdot")))
+    // ADC score: sum the m table lookups per (query, vector) — the
+    // corpus side of this join is the codes table only
+    val sim = codes.join(lut, Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("sim"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKRank(sim, k)
+  }
+
+  /**
    * Full-corpus approximate near-duplicate pairs: SRP-bucket the corpus
    * once, self-join on the bucket id (identical child plans, so the
    * exchange is computed once and reused), verify candidates with exact

@@ -342,6 +342,48 @@ object TextOps {
   }
 
   /**
+   * Kneser–Ney bigram LM count table — the integer ingredients of a
+   * KN-smoothed bigram language model, the statistic behind
+   * perplexity-based quality filtering when no neural LM is at hand:
+   * for each bigram (w1, w2), its corpus token count `c`, the left
+   * unigram count `c_w1` (the KN denominator), the fan-out
+   * `n1p_w1x` = |{w' : c(w1, w') > 0}| (the backoff weight's
+   * numerator) and the continuation count `n1p_xw2` =
+   * |{w' : c(w', w2) > 0}| (KN's "how many contexts has w2 completed"
+   * — the term that demotes "Francisco"-style words that are frequent
+   * but context-bound). P_kn is then assembled from these four
+   * integers and a discount; emitting the exact integer ingredients
+   * rather than the float probability keeps the oracle comparison
+   * engine-exact.
+   *
+   * Scale shape: the token stream shuffles ONCE on the bigram key
+   * with map-side partial counting; every other statistic (`c_w1`,
+   * both type counts) derives from the aggregated TYPE table — orders
+   * of magnitude smaller than the token stream — via two further tiny
+   * keyed aggs that AQE handles. No windows, no self-joins.
+   */
+  def knBigramCounts(docs: DataFrame): DataFrame = {
+    // tokenization materialized once per row, below the slices
+    val toks = col("toks")
+    val bigrams = docs
+      .select(wordTokens(col("text")).as("toks"))
+      .select(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(explode(col("bg")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val left = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n1p_w1x"))
+    val cont = bigrams.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_xw2"))
+    bigrams.join(left, "w1").join(cont, "w2")
+      .select(col("w1"), col("w2"), col("c"), col("c_w1"),
+        col("n1p_w1x"), col("n1p_xw2"))
+  }
+
+  /**
    * Rare-bigram fraction inputs: per document, its distinct word
    * bigrams and how many have corpus document-frequency below
    * `minDf` — the "made-up word sequences" signal (high rare share =

@@ -49,4 +49,26 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRankInt(e, dampNum = 20L, dampDen = 20L))
   }
+
+  test("triangleStats: clique, star hub, noise edges") {
+    // K4 on 1-4 (each node: degree 3, in 3 triangles), star hub 10
+    // with leaves 11-13 (no triangles — the orientation must not
+    // square the hub), a duplicated + reversed edge, a self loop,
+    // and an isolated edge 20-21
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (2L, 1L), (1L, 2L),       // dup + reversal collapse to one edge
+      (7L, 7L),                 // self loop dropped
+      (20L, 21L))
+      .toDF("src", "dst")
+    val got = Graph.triangleStats(edges)
+      .orderBy($"node").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L),
+      (10L, 3L, 0L), (11L, 1L, 0L), (12L, 1L, 0L), (13L, 1L, 0L),
+      (20L, 1L, 0L), (21L, 1L, 0L)))
+    // total triangles = per-node sum / 3 = 4 (all in the clique)
+    assert(got.map(_._3).sum == 12L)
+  }
 }

@@ -413,6 +413,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 2L, 1000000L)))
   }
 
+  test("knBigramCounts: exact KN ingredient counts on a tiny corpus") {
+    // doc1 bigrams: (a,b) (b,a) (a,b) (b,c); doc2: (b,c)
+    val docs = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.knBigramCounts(docs)
+      .orderBy($"w1", $"w2")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 2L, 1L, 1L),   // c=2, c_w1(a)=2, fanout 1, cont 1
+      ("b", "a", 1L, 3L, 2L, 1L),   // b precedes a once of its 3 uses
+      ("b", "c", 2L, 3L, 2L, 1L)))
+    // single-token and empty docs emit nothing
+    val empty = TextOps.knBigramCounts(
+      Seq((1L, "word"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    assert(empty.count() == 0)
+  }
+
   test("sq8TopK: integer scores rank like exact on well-separated data") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
@@ -424,6 +441,41 @@ class TextAndSimilaritySpec extends SparkSpec {
     // scores are exact integers: q(1.0)=128, q(0.9)=115 (floor), so
     // dot(0,1) = 128*115 = 14720; dot(0,2) = 0
     assert(got(0)._4 == 14720.0 && got(1)._4 == 0.0)
+  }
+
+  test("pqTopK: handcrafted codebook pins encode and ADC scoring") {
+    // dim 4, m=2 subspaces, stride 1, 2 codes: codewords are vec 0's
+    // and vec 1's subvectors. quant: 1.0->128, 0.9->115, 0.95->121.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),   // code source 0
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),   // code source 1
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),   // encodes (0, 0)
+      (3L, Seq(0.1f, 0.9f, 0.95f, 0.05f))) // encodes (1, 1)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0L), 3,
+        m = 2, dim = 4, stride = 1L, nCodes = 2)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    // ADC(query 0, neighbor 2) = dot([128,0],[128,0]) +
+    // dot([0,128],[0,128]) = 32768; neighbors 1 and 3 carry codes
+    // (1,1) -> ADC 0, tie broken by neighbor_id
+    assert(got.map(r => (r._3, r._4)).toSeq ==
+      Seq((2L, 32768.0), (1L, 0.0), (3L, 0.0)))
+  }
+
+  test("pqTopK: whole-corpus agreement with sq8 ranks on codeword rows") {
+    // rows that ARE codeword sources reconstruct exactly (distance 0
+    // to their own codeword), so PQ scores on them equal the sq8
+    // integer dots and the ranking matches sq8's over that subset
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 16L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0L), 15,
+        m = 4, dim = 8, stride = 1L, nCodes = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val sq = Similarity.sq8TopK(emb, emb.filter($"vec_id" === 0L), 15)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(pq == sq)
   }
 
   test("matryoshkaTopK: generous overfetch recovers the exact top-k") {
