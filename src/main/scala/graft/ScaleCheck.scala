@@ -54,14 +54,17 @@ object ScaleCheck {
     time("text_quality_deciles") { TextOps.qualityDeciles(docs) }
     time("text_source_mix") { TextOps.sourceMix(docs) }
     time("dedup_neardup_survivors") {
-      val comp = Dedup.nearDupComponents(
+      // the production path: star-contraction components (matches the
+      // query registration)
+      val comp = Dedup.starContractComponents(
         Dedup.nearDuplicatePairs(docs, threshold = 0.1))
         .select(col("id").as("doc_id"), col("component"))
       Dedup.nearDupSurvivors(comp, docs)
     }
-    time("dedup_components_star") {
-      // O(log n) star contraction vs the O(diameter) propagation above
-      Dedup.starContractComponents(
+    time("dedup_components_labelprop") {
+      // O(diameter) label propagation kept for the algorithm
+      // comparison (the star path above converges in O(log n))
+      Dedup.nearDupComponents(
         Dedup.nearDuplicatePairs(docs, threshold = 0.1))
     }
     time("sim_knn_label_agreement") {
@@ -91,6 +94,25 @@ object ScaleCheck {
     time("text_unigram_surprisal") { TextOps.unigramSurprisal(docs) }
     time("sim_sq8_topk") {
       Similarity.sq8TopK(emb, emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)
+    }
+    time("sim_pq_topk") {
+      // ADC scoring reads the 8-byte codes table, never the vectors
+      Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)
+    }
+    time("graph_dup_triangles") {
+      // degree-ordered orientation: wedge work stays O(m^1.5) even
+      // though replication multiplies the dup-graph edge count
+      graft.operators.Graph.triangleStats(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    }
+    time("text_kn_bigrams") {
+      TextOps.knBigramCounts(docs)
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)
+    }
+    time("text_dsir_select") {
+      TextOps.dsirScores(docs, col("source") === "src0")
+        .orderBy(col("score").desc, col("doc_id")).limit(200)
     }
 
     // events replicated the same way (per-user history grows 20x —

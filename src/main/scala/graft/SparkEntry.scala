@@ -156,6 +156,9 @@ object SparkEntry {
     "q_order_priority" -> ((s, dir) =>
       Relational.orderPriorityCheck(t(s, dir, "orders"), t(s, dir, "lineitem"))),
 
+    "q_correlated_scalar" -> ((s, dir) =>
+      Relational.aboveAverageOrders(t(s, dir, "orders"))),
+
     "q_set_except" -> ((s, dir) =>
       Relational.segmentExceptBigSpenders(t(s, dir, "customer"),
         t(s, dir, "orders"), 300000.0)),
@@ -481,8 +484,12 @@ object SparkEntry {
 
     "dedup_neardup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // components via star contraction — the O(log n) production
+      // path (same fixpoint as label propagation, property-proven;
+      // 9x faster at the 20x ScaleCheck). Label-prop stays gated
+      // under dedup_components for the algorithm-equality proof.
       Dedup.nearDupSurvivors(
-        Dedup.nearDupComponents(
+        Dedup.starContractComponents(
             Dedup.nearDuplicatePairs(docs, threshold = 0.1))
           .select(col("id").as("doc_id"), col("component")),
         docs)
@@ -949,6 +956,17 @@ object SparkEntry {
 
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
+
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      TextOps.tokenizerFertility(t(s, dir, "documents"))
+        .orderBy(col("lang"))),
+
+    "text_dsir_select" -> ((s, dir) =>
+      // importance-resampling selection: top-200 docs that look most
+      // like the src0 target domain under integer unigram log-ratios
+      TextOps.dsirScores(t(s, dir, "documents"),
+          col("source") === "src0")
+        .orderBy(col("score").desc, col("doc_id")).limit(200)),
 
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
@@ -1896,6 +1914,53 @@ object SparkEntry {
                      // CAST(sum(m) AS BIGINT) AS mean_bits_ppm
             FROM b GROUP BY doc_id ORDER BY doc_id""",
 
+      "text_tokenizer_fertility" ->
+        s"""WITH d AS (SELECT lang,
+                         CAST(octet_length(encode(coalesce(text, '')))
+                           AS BIGINT) AS b,
+                         CAST(len($toks) AS BIGINT) AS w,
+                         CAST(len(regexp_extract_all(coalesce(text, ''),
+                           $bpeSql)) AS BIGINT) AS t
+                       FROM documents),
+                 g AS (SELECT lang, count(*) AS n_docs,
+                              CAST(sum(b) AS BIGINT) AS n_bytes,
+                              CAST(sum(w) AS BIGINT) AS n_words,
+                              CAST(sum(t) AS BIGINT) AS n_tokens
+                       FROM d GROUP BY lang)
+            SELECT lang, n_docs, n_bytes, n_words, n_tokens,
+                   CASE WHEN n_tokens = 0 THEN NULL
+                        ELSE (n_bytes * 1000000) // n_tokens END
+                     AS bytes_per_tok_ppm,
+                   CASE WHEN n_words = 0 THEN NULL
+                        ELSE (n_tokens * 1000000) // n_words END
+                     AS tok_per_word_ppm
+            FROM g ORDER BY lang""",
+
+      "text_dsir_select" ->
+        s"""WITH occ AS (SELECT doc_id, source = 'src0' AS is_target,
+                                unnest($wtoks) AS tok
+                         FROM documents),
+                 pd AS (SELECT doc_id, is_target, tok, count(*) AS m
+                        FROM occ GROUP BY 1, 2, 3),
+                 terms AS (SELECT tok, CAST(sum(m) AS BIGINT) AS cq,
+                             CAST(sum(CASE WHEN is_target THEN m
+                                      ELSE 0 END) AS BIGINT) AS cp
+                           FROM pd GROUP BY tok),
+                 tot AS (SELECT CAST(sum(cq) AS BIGINT) AS nq,
+                                CAST(sum(cp) AS BIGINT) AS np,
+                                count(*) AS v
+                         FROM terms),
+                 b AS (SELECT doc_id, m,
+                         CAST(length(bin(nq // cq)) - 1 AS BIGINT)
+                           AS bits_q,
+                         CAST(length(bin((np + v) // (cp + 1))) - 1
+                           AS BIGINT) AS bits_p
+                       FROM pd JOIN terms USING (tok), tot)
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   CAST(sum(m * (bits_q - bits_p)) AS BIGINT) AS score
+            FROM b GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 200""",
+
       "text_chunk_split" ->
         s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
                  s AS (SELECT doc_id, toks, len(toks) AS n
@@ -2008,6 +2073,19 @@ object SparkEntry {
              AND EXISTS (SELECT 1 FROM lineitem
                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "q_correlated_scalar" ->
+        """WITH o AS (SELECT o_orderkey, o_custkey,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                      FROM orders)
+           SELECT x.o_orderkey, x.o_custkey, x.cents
+           FROM o x
+           WHERE x.cents * (SELECT count(*) FROM o i
+                            WHERE i.o_custkey = x.o_custkey)
+                 > (SELECT sum(cents) FROM o i2
+                    WHERE i2.o_custkey = x.o_custkey)
+           ORDER BY x.o_orderkey""",
 
       "q_set_except" ->
         """SELECT key FROM (

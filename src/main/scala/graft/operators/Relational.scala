@@ -486,6 +486,32 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /**
+   * Correlated-scalar-subquery shape: orders priced above their own
+   * customer's average. Written AS correlated scalar subqueries (the
+   * form analysts actually type) to exercise Catalyst's decorrelation:
+   * both subqueries rewrite into ONE per-customer aggregate joined
+   * back on the key — the plan must contain no nested-loop re-
+   * execution per outer row (plan-asserted). The comparison runs in
+   * integer cents (`cents · n > Σcents` avoids the float-average
+   * boundary where engines disagree on ties).
+   */
+  def aboveAverageOrders(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .createOrReplaceTempView("corr_orders_v")
+    s.sql("""
+      SELECT x.o_orderkey, x.o_custkey, x.cents
+      FROM corr_orders_v x
+      WHERE x.cents * (SELECT count(*) FROM corr_orders_v i
+                       WHERE i.o_custkey = x.o_custkey)
+            > (SELECT sum(cents) FROM corr_orders_v i2
+               WHERE i2.o_custkey = x.o_custkey)
+      ORDER BY x.o_orderkey""")
+  }
+
   /** TPC-H Q19: disjunctive brand/size/quantity predicate revenue —
     * the classic OR-of-ANDs filter Catalyst pushes as one conjunctive
     * superset (partkey join + residual disjunction). */

@@ -583,6 +583,72 @@ object TextOps {
    * stopword-grade hot tokens are AQE-skew-join territory, same as
    * the novelty/rare-bigram family. One tiny broadcast total.
    */
+  /**
+   * Tokenizer fertility report per language — the tokenizer-fit
+   * diagnostic a pretraining-mix owner reads before locking a vocab:
+   * per language, total UTF-8 bytes, whitespace words, and BPE-ish
+   * sub-word tokens, plus the two ratios in exact ppm
+   * (bytes-per-token and tokens-per-word — "fertility"). A language
+   * whose fertility is far above the corpus mean is being shredded
+   * by the tokenizer (cost multiplier at training time). One pass,
+   * one tiny language-keyed aggregate; ratios on the integer ppm
+   * lattice so the oracle matches exactly.
+   */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("long").as("b"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        size(bpeishTokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("n_bytes"),
+        sum(col("w")).as("n_words"), sum(col("t")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_words"),
+        col("n_tokens"),
+        expr("(n_bytes * 1000000) div n_tokens").as("bytes_per_tok_ppm"),
+        expr("(n_tokens * 1000000) div n_words").as("tok_per_word_ppm"))
+
+  /**
+   * DSIR-style importance scores — data selection via importance
+   * resampling (Xie et al., 2023): rank corpus documents by how much
+   * more probable they are under a TARGET domain's unigram LM than
+   * under the full-corpus LM, the standard cheap proxy for "select
+   * web data that looks like the high-quality target". Per document:
+   * `score = Σ_tok m·(bits_corpus − bits_target)` where `bits_X` is
+   * the floor-log₂ surprisal under X (the [[unigramSurprisal]]
+   * lattice) and the target LM is add-one smoothed (`c+1 / N+V`) so
+   * out-of-target tokens cost finitely. All integers — engine-exact.
+   *
+   * Scale shape: one token-key shuffle builds per-doc·term counts,
+   * ONE derived term table carries both LMs (corpus + target counts
+   * side by side — the target pass is a conditional sum, not a second
+   * scan), totals ride a 1-row broadcast, and the rollup keys by
+   * doc_id. Selection downstream is a bounded
+   * `orderBy(score).limit(k)` — TakeOrderedAndProject, never a global
+   * sort.
+   */
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("is_target"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val terms = perDoc.groupBy(col("tok"))
+      .agg(sum(col("m")).as("cq"),
+        sum(when(col("is_target"), col("m")).otherwise(0L)).as("cp"))
+    val totals = terms.agg(sum(col("cq")).as("nq"), sum(col("cp")).as("np"),
+      count(lit(1)).as("v"))
+    perDoc.join(terms, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("m"),
+        (length(bin(expr("nq div cq"))) - 1).cast("long").as("bits_q"),
+        (length(bin(expr("(np + v) div (cp + 1)"))) - 1).cast("long")
+          .as("bits_p"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m") * (col("bits_q") - col("bits_p"))).as("score"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))

@@ -222,4 +222,45 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(fp"), p)
     assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
   }
+
+  test("pq: codebook and LUT broadcast; encode is a min_by aggregate") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val p = plan(Similarity.pqTopK(emb, emb.filter($"vec_id" < 3), 2))
+    // both small sides ride broadcast exchanges; the corpus-side
+    // encode and the ADC sum are partial aggregates, never windows
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_min_by") || p.contains("min_by"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kn bigrams: bounded top-N via TakeOrderedAndProject, no global sort") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.knBigramCounts(docs)
+      .orderBy($"c".desc, $"w1", $"w2").limit(100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // token stream combines map-side before the bigram-key exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("correlated scalar subqueries decorrelate to one agg + join") {
+    val orders = ChangeLogSource.table(spark, sfDir, "orders")
+    val p = plan(Relational.aboveAverageOrders(orders))
+    // both correlated scalars must rewrite to joins against a keyed
+    // aggregate — never per-row nested-loop re-execution
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("triangles: keyed equi-joins only — no cartesian, no window") {
+    val edges = (0L until 30L).map(i => (i, (i * 7) % 30))
+      .toDF("src", "dst")
+    val p = plan(Graph.triangleStats(edges))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -413,6 +413,39 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 2L, 1000000L)))
   }
 
+  test("round-5 operators tolerate empty input without throwing") {
+    val docs0 = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val edges0 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val emb0 = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(TextOps.knBigramCounts(docs0).count() == 0)
+    assert(TextOps.dsirScores(docs0, $"source" === "x").count() == 0)
+    assert(TextOps.tokenizerFertility(docs0).count() == 0)
+    assert(Graph.triangleStats(edges0).count() == 0)
+    assert(Similarity.pqTopK(emb0, emb0, 5).count() == 0)
+  }
+
+  test("dsirScores: exact integer scores; target-like docs outrank") {
+    // every token has corpus count 5 of nq=20 -> bits_q = 2 for all;
+    // target (np=7, v=4): bits_p(alpha)=bits_p(beta)=1,
+    // bits_p(gamma)=bits_p(delta)=floor(log2(11/1))=3, so each
+    // target-vocab occurrence is +1 and each off-domain one is -1
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "t"),
+      (2L, "alpha beta beta", "t"),
+      (3L, "alpha beta alpha", "w"),       // target-like candidate
+      (4L, "gamma delta gamma", "w"),      // off-domain candidates
+      (5L, "gamma delta gamma delta", "w"),
+      (6L, "delta gamma delta", "w"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.dsirScores(docs, $"source" === "t")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (4L, 4L), 2L -> (3L, 3L), 3L -> (3L, 3L),
+      4L -> (3L, -3L), 5L -> (4L, -4L), 6L -> (3L, -3L)))
+  }
+
   test("knBigramCounts: exact KN ingredient counts on a tiny corpus") {
     // doc1 bigrams: (a,b) (b,a) (a,b) (b,c); doc2: (b,c)
     val docs = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
