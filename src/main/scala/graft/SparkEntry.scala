@@ -922,6 +922,28 @@ object SparkEntry {
           "image"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "pipeline_media_manifest" -> ((s, dir) => {
+      // FLAGSHIP (media): phash near-dup pairs -> star-contraction
+      // clusters -> survivor selection (min id per cluster, untouched
+      // singletons pass through) -> byte-budget shard pack, one plan.
+      // Completes the per-modality flagship set: text
+      // (pipeline_training_manifest), vectors (pipeline_embedding_
+      // dedup), CDC (pipeline_cdc_mirror), media (this).
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        col("text").cast("binary"), "image")
+      val pairs = Multimodal.phashNearDupPairs(media)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Dedup.starContractComponents(pairs)
+      val survivors = comp.groupBy(col("component"))
+        .agg(min(col("id")).as("doc_id"))
+      val keep = media.join(comp.select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("meta"))
+        .unionByName(media.join(survivors.select(col("doc_id")),
+          Seq("doc_id"), "left_semi").select(col("doc_id"), col("meta")))
+      Multimodal.shardPack(keep)
+    }),
+
     "graph_type_pagerank" -> ((s, dir) => {
       // stationary behavior mix: integer PageRank over the event-type
       // transition graph (edges = transitionMatrix counts)
@@ -970,6 +992,11 @@ object SparkEntry {
 
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
+
+    "ts_mad_outliers" -> ((s, dir) =>
+      // robust (breakdown-50%) anomaly twin of ts_zscore_anomalies,
+      // pure-integer doubled-lattice medians
+      graft.operators.TimeSeries.madOutliers(t(s, dir, "events"))),
 
     // ---- as-of / range joins (temporal lookup + interval matching) ----
     "q_asof_join" -> ((s, dir) => {
@@ -1838,6 +1865,52 @@ object SparkEntry {
            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
            ORDER BY doc_a, doc_b""",
 
+      "pipeline_media_manifest" ->
+        s"""WITH RECURSIVE
+                m AS (SELECT doc_id, md5(text) AS ck FROM documents),
+                ph AS (SELECT doc_id,
+                         CAST(list_sum(list_transform(range(24), i ->
+                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
+                                     % 20001 - 10000 > 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0 END)) AS BIGINT) AS ph
+                       FROM m),
+                banded AS (SELECT doc_id, ph, CAST(j AS INT) AS band,
+                                  (ph >> CAST(j * 6 AS INT)) & 63 AS bv
+                           FROM ph CROSS JOIN range(4) t(j)),
+                cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                x.ph AS ph_a, y.ph AS ph_b
+                         FROM banded x JOIN banded y
+                           ON x.band = y.band AND x.bv = y.bv
+                          AND x.doc_id < y.doc_id),
+                pairs AS (SELECT doc_a, doc_b FROM cand
+                          WHERE bit_count(xor(ph_a, ph_b)) <= 3),
+                edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                          UNION
+                          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                reach AS (SELECT src, dst FROM edges
+                          UNION
+                          SELECT r.src, e.dst
+                          FROM reach r JOIN edges e ON r.dst = e.src),
+                comp AS (SELECT src AS id, least(src, min(dst)) AS component
+                         FROM reach GROUP BY src),
+                surv AS (SELECT min(id) AS doc_id FROM comp
+                         GROUP BY component),
+                keep AS (SELECT d.doc_id FROM documents d
+                         WHERE d.doc_id NOT IN (SELECT id FROM comp)
+                         UNION ALL SELECT doc_id FROM surv),
+                mm AS (SELECT d.doc_id,
+                         CAST(octet_length(encode(d.text)) AS BIGINT)
+                           AS n_bytes
+                       FROM documents d JOIN keep USING (doc_id)),
+                p AS (SELECT doc_id, n_bytes,
+                        coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pb
+                      FROM mm)
+           SELECT doc_id, n_bytes, CAST(pb // 65536 AS BIGINT) AS shard_id
+           FROM p ORDER BY doc_id""",
+
       "graph_type_pagerank" ->
         """WITH seq AS (SELECT event_type,
                           lag(event_type) OVER (PARTITION BY user_id
@@ -1988,6 +2061,37 @@ object SparkEntry {
                   n AS n_events
            FROM e JOIN a USING (user_id)
            WHERE (q*n - s)*(q*n - s)*4 > (qq*n - s*s)*9
+           ORDER BY user_id, event_id""",
+
+      "ts_mad_outliers" ->
+        """WITH ev AS (SELECT user_id, event_id,
+                         CAST(floor(value * 1048576) AS BIGINT) AS q
+                       FROM events),
+                nn AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+                r AS (SELECT e.user_id, e.q,
+                        row_number() OVER (PARTITION BY e.user_id
+                          ORDER BY e.q) AS rn, nn.n
+                      FROM ev e JOIN nn USING (user_id)),
+                med AS (SELECT user_id,
+                          CAST(sum(q * (2 - ((n+2)//2 - (n+1)//2)))
+                            AS BIGINT) AS med2
+                        FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
+                        GROUP BY user_id),
+                dv AS (SELECT e.user_id, e.event_id,
+                         abs(e.q * 2 - m.med2) AS d
+                       FROM ev e JOIN med m USING (user_id)),
+                rd AS (SELECT d.user_id, d.d,
+                         row_number() OVER (PARTITION BY d.user_id
+                           ORDER BY d.d) AS rn, nn.n
+                       FROM dv d JOIN nn USING (user_id)),
+                mad AS (SELECT user_id,
+                          CAST(sum(d * (2 - ((n+2)//2 - (n+1)//2)))
+                            AS BIGINT) AS mad4
+                        FROM rd WHERE rn = (n+1)//2 OR rn = (n+2)//2
+                        GROUP BY user_id)
+           SELECT dv.user_id, dv.event_id, dv.d AS dev2, mad.mad4
+           FROM dv JOIN mad USING (user_id)
+           WHERE dv.d * 2 > mad.mad4 * 3
            ORDER BY user_id, event_id""",
 
       "ts_sax_motifs" ->

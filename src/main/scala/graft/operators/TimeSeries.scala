@@ -86,4 +86,54 @@ object TimeSeries {
       .groupBy(col("word")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("word"))
   }
+
+  /**
+   * Per-user MAD (median-absolute-deviation) outliers — the robust
+   * twin of [[zscoreAnomalies]]: a single wild value inflates a
+   * z-score's variance and can mask itself; the median/MAD pair is
+   * breakdown-50% robust. Flags events with
+   * `|x − median| > (kNumer/kDenom) · MAD`.
+   *
+   * Exactness: medians of even-sized sets land on half-integers, so
+   * everything rides DOUBLED lattices — `med2 = q_lo + q_hi` (the two
+   * middle order statistics summed ≡ 2·median, an integer always) and
+   * `mad4 ≡ 4·MAD` likewise from the doubled deviations
+   * `D = |2q − med2|`; the flag is the pure-integer comparison
+   * `2·D·kDenom > kNumer·mad4`. No division, no float — the oracle
+   * replays it bit-for-bit. Envelope: |q| ≤ 2³¹ ⇒ every term ≤ 2³⁶,
+   * far inside Long.
+   *
+   * Scale shape: two per-user rank windows (value order, then
+   * deviation order — partitioned by user like [[saxMotifs]]'s, never
+   * global) and two user-keyed aggregate/join-back rounds.
+   */
+  def madOutliers(log: DataFrame, kNumer: Int = 3,
+                  kDenom: Int = 1): DataFrame = {
+    require(kNumer > 0 && kDenom > 0, s"k=$kNumer/$kDenom")
+    val ev = log.select(col("user_id"), col("event_id"),
+      floor(col("value") * 1048576.0).cast("long").as("q"))
+    val n = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // weight 2 when both middle ranks coincide (odd n), else 1 each
+    val lo = expr("(n + 1) div 2")
+    val hi = expr("(n + 2) div 2")
+    val byQ = Window.partitionBy(col("user_id")).orderBy(col("q"))
+    val med2 = ev.join(n, "user_id")
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col("user_id"))
+      .agg(sum(col("q") * (lit(2) - (hi - lo))).as("med2"))
+    val devs = ev.join(med2, "user_id")
+      .withColumn("d", abs(col("q") * 2 - col("med2")))
+    val byD = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val mad4 = devs.join(n, "user_id")
+      .withColumn("rn", row_number().over(byD))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col("user_id"))
+      .agg(sum(col("d") * (lit(2) - (hi - lo))).as("mad4"))
+    devs.join(mad4, "user_id")
+      .filter(col("d") * 2 * kDenom > col("mad4") * kNumer)
+      .select(col("user_id"), col("event_id"), col("d").as("dev2"),
+        col("mad4"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -71,4 +71,28 @@ class TimeSeriesSpec extends SparkSpec {
     // buckets   d2:1 d3:1 d4:2 d1:2 d5:3 d6:3 d7:4 d8:4
     assert(got == Map("21123344" -> 1L))
   }
+
+  test("madOutliers: robust to the masking that defeats the z-score") {
+    // two equal extremes inflate the variance enough to hide each
+    // other from the 1.5-sigma z test; the median/MAD pair (both 0
+    // here) still flags both
+    val ev = Seq(
+      (1L, 1L, 0.0), (1L, 2L, 0.0), (1L, 3L, 0.0),
+      (1L, 4L, 1000.0), (1L, 5L, 1000.0))
+      .toDF("user_id", "event_id", "value")
+    val mad = TimeSeries.madOutliers(ev)
+      .select($"event_id").as[Long].collect().toSet
+    assert(mad == Set(4L, 5L))
+    val z = TimeSeries.zscoreAnomalies(ev)
+      .select($"event_id").as[Long].collect().toSet
+    assert(z.isEmpty)
+    // even-n: values 0,4,6,100 -> med2 = (4+6)*2^20 (median 5 exact on
+    // the doubled lattice), mad4 = (2+10)*2^20 (MAD 3); only 100 flags
+    val even = Seq((2L, 1L, 0.0), (2L, 2L, 4.0),
+      (2L, 3L, 6.0), (2L, 4L, 100.0))
+      .toDF("user_id", "event_id", "value")
+    val flagged = TimeSeries.madOutliers(even)
+      .select($"event_id").as[Long].collect().toSet
+    assert(flagged == Set(4L))
+  }
 }
