@@ -953,6 +953,15 @@ object SparkEntry {
       Graph.pageRankInt(edges, iters = 3)
     }),
 
+    "graph_type_hops" -> ((s, dir) => {
+      // BFS distance from the 'click' behavior over observed event-
+      // type transitions — reachability with hop counts, unrolled
+      // into one plan of keyed joins (no driver loop, no window)
+      val edges = CdcOps.transitionMatrix(t(s, dir, "events"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      Graph.bfsHops(edges, "click", maxHops = 8)
+    }),
+
     "q_full_outer_daily" -> ((s, dir) =>
       Relational.dailyActivityReconciliation(t(s, dir, "events"))),
 
@@ -1910,6 +1919,23 @@ object SparkEntry {
                       FROM mm)
            SELECT doc_id, n_bytes, CAST(pb // 65536 AS BIGINT) AS shard_id
            FROM p ORDER BY doc_id""",
+
+      "graph_type_hops" ->
+        """WITH RECURSIVE
+                seq AS (SELECT event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS from_type
+                        FROM events),
+                e AS (SELECT DISTINCT from_type AS src,
+                             event_type AS dst
+                      FROM seq WHERE from_type IS NOT NULL),
+                walk AS (SELECT 'click' AS node, 0 AS hops
+                         UNION
+                         SELECT e.dst, w.hops + 1
+                         FROM walk w JOIN e ON e.src = w.node
+                         WHERE w.hops < 8)
+           SELECT node, CAST(min(hops) AS BIGINT) AS hops
+           FROM walk GROUP BY node ORDER BY node""",
 
       "graph_type_pagerank" ->
         """WITH seq AS (SELECT event_type,

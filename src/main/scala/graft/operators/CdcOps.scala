@@ -157,11 +157,17 @@ object CdcOps {
    * Roll-forward law (oracle- and spec-pinned):
    * `applyChanges(snapshotAsOf(T1), changes in (T1,T2]) ==
    * snapshotAsOf(T2)`.
+   *
+   * Additive schema evolution: a column present on only one side
+   * (upstream DDL added or dropped one mid-stream) nulls on the other
+   * (`allowMissingColumns`) — old mirror rows read the new column as
+   * NULL, which is exactly what the source would report for rows it
+   * never updated after the DDL. Spec-pinned in `SchemaEvolutionSpec`.
    */
   def applyChanges(snapshot: DataFrame, changes: DataFrame,
                    keyCol: String = "user_id", tsCol: String = "ts",
                    offsetCol: String = "event_id"): DataFrame = {
-    val all = snapshot.unionByName(changes)
+    val all = snapshot.unionByName(changes, allowMissingColumns = true)
     val others = all.columns.filter(_ != keyCol).toSeq
     all.groupBy(col(keyCol))
       .agg(max_by(struct(others.map(col): _*),
@@ -223,8 +229,8 @@ object CdcOps {
                               tsCol: String = "ts",
                               offsetCol: String = "event_id",
                               actionCol: String = "action"): DataFrame =
-    foldActions(snapshot.unionByName(changes), keyCol, tsCol, offsetCol,
-      actionCol)
+    foldActions(snapshot.unionByName(changes, allowMissingColumns = true),
+      keyCol, tsCol, offsetCol, actionCol)
 
   /**
    * [[snapshotAsOf]] with delete/truncate semantics: the mirror state

@@ -84,6 +84,39 @@ object Graph {
   }
 
   /**
+   * Multi-round BFS hop counts from a source node over a directed
+   * `(src, dst)` edge list — reachability with distance, the traversal
+   * primitive behind "how far does behavior X propagate" questions on
+   * the transition graph. Returns `(node, hops)` for every node
+   * reachable within `maxHops`.
+   *
+   * Same fixed-unroll philosophy as [[pageRankInt]]: `maxHops` rounds
+   * of relax-join (frontier `min(dist)+1` per in-neighbor, merged with
+   * `least` — null-safe, so unreached stays null until touched)
+   * compile into ONE Catalyst plan of keyed joins and aggregates; no
+   * window, no driver loop, no cartesian. On a graph with diameter ≤
+   * maxHops the fixpoint is exact; a SQL oracle replays it as a
+   * hop-capped recursive CTE.
+   */
+  def bfsHops(edges: DataFrame, source: String,
+              maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops=$maxHops")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, 0L).otherwise(lit(null)).as("hops"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.filter(col("hops").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("h2"))
+        .groupBy(col("node")).agg(min(col("h2")).as("h2"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("hops"), col("h2")).as("hops"))
+    }
+    dist.filter(col("hops").isNotNull).orderBy(col("node"))
+  }
+
+  /**
    * Per-node triangle counts and degree over an undirected edge list
    * `(src, dst)` — the local-clustering ingredients a dup-graph audit
    * reads: a near-dup component whose nodes close many triangles is a

@@ -50,6 +50,22 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankInt(e, dampNum = 20L, dampDen = 20L))
   }
 
+  test("bfsHops: chain distances, cycle closure, unreachable excluded") {
+    // a -> b -> c -> d with a back edge d -> a, plus a disconnected
+    // pair x -> y; from 'a': exact chain distances, cycle adds
+    // nothing shorter, x/y never appear
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("x", "y")).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, "a", maxHops = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // a shorter alternative path must win over a longer first find
+    val multi = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    assert(Graph.bfsHops(multi, "a").as[(String, Long)].collect()
+      .toMap.apply("d") == 1L)
+  }
+
   test("triangleStats: clique, star hub, noise edges") {
     // K4 on 1-4 (each node: degree 3, in 3 triangles), star hub 10
     // with leaves 11-13 (no triangles — the orientation must not

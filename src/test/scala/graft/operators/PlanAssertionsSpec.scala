@@ -255,6 +255,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("mad outliers: both rank windows partition by user — never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val wins = TimeSeries.madOutliers(ev).queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+    assert(wins.nonEmpty && wins.forall(!_),
+      s"global window in madOutliers: $wins")
+  }
+
   test("triangles: keyed equi-joins only — no cartesian, no window") {
     val edges = (0L until 30L).map(i => (i, (i * 7) % 30))
       .toDF("src", "dst")
