@@ -435,6 +435,13 @@ object SparkEntry {
     "sim_centroid_outliers" -> ((s, dir) =>
       Similarity.centroidOutliers(t(s, dir, "embeddings"))),
 
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), tau = 0.8)),
+
+    "text_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "vector", "window", "customer"))),
+
     "cdc_transition_matrix" -> ((s, dir) =>
       CdcOps.transitionMatrix(t(s, dir, "events"))),
 
@@ -456,6 +463,17 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFp(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // batch-vs-corpus A×B screen (doc_id % 10 == 0 plays the arriving
+    // batch; the rest is the standing corpus) — the continuous-ingest
+    // shape that never re-pairs the corpus with itself
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        threshold = 0.1)
+    }),
 
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(
@@ -893,6 +911,9 @@ object SparkEntry {
 
     "sketch_bloom_sources" -> ((s, dir) =>
       graft.operators.Sketches.bloomWords(t(s, dir, "documents"))),
+
+    "sketch_cms_heavy" -> ((s, dir) =>
+      graft.operators.Sketches.cmsHeavyHitters(t(s, dir, "documents"))),
 
     "ts_zscore_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.zscoreAnomalies(t(s, dir, "events"))),
@@ -1600,6 +1621,35 @@ object SparkEntry {
             SELECT doc_id, term, tf, dfreq, rnk FROM r
             WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
+      // BM25 on the integer lattice: floor-log2 idf, fraction-free
+      // tf/length normalization (×10L), HUGEINT ≙ Spark DECIMAL(38,0)
+      "text_bm25_topk" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($wtoks) AS term FROM documents),
+                 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+                 st AS (SELECT count(*) AS n_docs,
+                               CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                        WHERE term IN ('spark','vector','window','customer')
+                        GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 sc AS (SELECT tf.doc_id,
+                          length(bin((2*n_docs - 2*df + 1) // (2*df + 1))) AS w,
+                          CAST((22 * CAST(tf AS HUGEINT) * total_len * 1000000)
+                               // (10 * CAST(total_len AS HUGEINT) * tf
+                                   + 3 * total_len
+                                   + 9 * CAST(dl AS HUGEINT) * n_docs)
+                               AS BIGINT) AS tfn
+                        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                        CROSS JOIN st),
+                 agg AS (SELECT doc_id, CAST(sum(w * tfn) AS BIGINT) AS score,
+                                count(*) AS n_terms
+                         FROM sc GROUP BY doc_id
+                         ORDER BY score DESC, doc_id LIMIT 20)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS BIGINT) AS rank,
+                   doc_id, score, n_terms
+            FROM agg ORDER BY rank""",
+
       "text_diversity" ->
         s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all($norm, '.'))
                           AS u FROM documents),
@@ -1772,6 +1822,23 @@ object SparkEntry {
                                    ELSE 1::BIGINT << CAST(pos % 64 AS INT)
                               END) AS BIGINT) AS word
            FROM p GROUP BY 1, 2 ORDER BY source, word_idx""",
+
+      "sketch_cms_heavy" ->
+        s"""WITH tok AS (SELECT unnest($wtoks) AS term FROM documents),
+                 tc AS (SELECT term, count(*) AS true_n FROM tok GROUP BY term),
+                 pr AS (SELECT term, true_n, j AS row_idx,
+                          ${h60("term || ':' || CAST(j AS VARCHAR)")} % 256 AS pos
+                        FROM tc, (SELECT unnest(range(4)) AS j) rows_),
+                 ctr AS (SELECT row_idx, pos,
+                                CAST(sum(true_n) AS BIGINT) AS counter
+                         FROM pr GROUP BY 1, 2),
+                 cand AS (SELECT term, true_n FROM tc
+                          ORDER BY true_n DESC, term LIMIT 30)
+            SELECT c.term, c.true_n, min(ctr.counter) AS est_n
+            FROM cand c
+            JOIN pr ON pr.term = c.term
+            JOIN ctr ON ctr.row_idx = pr.row_idx AND ctr.pos = pr.pos
+            GROUP BY 1, 2 ORDER BY c.true_n DESC, c.term""",
 
       "cdc_scd2_history" ->
         """SELECT user_id, event_id, event_type,
@@ -2827,6 +2894,34 @@ object SparkEntry {
             SELECT doc_a, doc_b, jaccard FROM pairs
             ORDER BY doc_a, doc_b""",
 
+      // same band machinery, but candidates join batch (doc_id%10=0)
+      // bands against corpus bands — never corpus×corpus
+      "dedup_incremental" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+                 sigs AS (SELECT doc_id, ${sigExpr("s")} AS sig FROM sh),
+                 bk AS (SELECT doc_id, b,
+                          ${h60("CAST(b AS VARCHAR) || ':' || array_to_string(" +
+                            "list_transform(list_slice(sig, CAST(b*4+1 AS INT), " +
+                            "CAST(b*4+4 AS INT)), z -> CAST(z AS VARCHAR)), ',')")} AS bucket
+                        FROM sigs, (SELECT unnest(range(8)) AS b) bands),
+                 cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+                          FROM bk x JOIN bk y
+                            ON x.b = y.b AND x.bucket = y.bucket
+                          WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0),
+                 pairs AS (SELECT batch_id, corpus_id,
+                             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+                           FROM cand JOIN sh a ON a.doc_id = batch_id
+                                     JOIN sh b ON b.doc_id = corpus_id),
+                 m AS (SELECT batch_id, corpus_id, jac,
+                         row_number() OVER (PARTITION BY batch_id
+                           ORDER BY jac DESC, corpus_id) AS rn,
+                         max(jac) OVER (PARTITION BY batch_id) AS best_jaccard,
+                         count(*) OVER (PARTITION BY batch_id) AS n_matches
+                       FROM pairs WHERE jac >= 0.1)
+            SELECT batch_id, corpus_id AS dup_of, best_jaccard, n_matches
+            FROM m WHERE rn = 1 ORDER BY batch_id""",
+
       "dedup_components" ->
         s"""WITH RECURSIVE $lshPairCtes,
                  edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3159,6 +3254,34 @@ object SparkEntry {
                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
             ORDER BY query_id, rank""",
+
+      // semantic dedup: ivf-det assignment + within-cluster cosine
+      // ball, keep-min-id survivors
+      "sim_semdedup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                          WHERE vec_id % 29 = 0),
+                asg AS (SELECT vec_id, cluster FROM (
+                  SELECT e.vec_id, c.cid AS cluster,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           c.cid) AS rn
+                  FROM e CROSS JOIN cents c) WHERE rn = 1),
+                dropped AS (SELECT DISTINCT a.vec_id
+                            FROM asg a
+                            JOIN asg b ON a.cluster = b.cluster
+                                      AND a.vec_id > b.vec_id
+                            JOIN e ea ON ea.vec_id = a.vec_id
+                            JOIN e eb ON eb.vec_id = b.vec_id
+                            WHERE round(list_dot_product(ea.v, eb.v) /
+                                    (sqrt(list_dot_product(ea.v, ea.v)) *
+                                     sqrt(list_dot_product(eb.v, eb.v))), 6)
+                                  >= 0.8)
+           SELECT vec_id, cluster FROM asg
+           WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+           ORDER BY vec_id""",
 
       "sim_ivf_det_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -126,6 +126,51 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Incremental near-dedup: screen an arriving `batch` against the
+   * standing `corpus` WITHOUT re-pairing the corpus against itself —
+   * the shape that makes continuous ingestion affordable at 100 TB.
+   * The batch's LSH band buckets join the corpus's band buckets
+   * (A×B, never the A×A self-join of [[lshCandidatePairs]]), so work
+   * scales with |batch|·collisions; the corpus bucket table is the
+   * persisted index a production pipeline writes once per compaction
+   * and bucket-partitions on (band, bucket) so each ingest joins
+   * co-located. Candidates are verified by exact shingle Jaccard ≥
+   * `threshold`, then rolled up to one verdict row per duplicate
+   * batch document: its best-matching corpus twin (highest Jaccard,
+   * min-id tie-break), the matched similarity, and how many corpus
+   * near-twins it has. Batch docs with no match produce no row —
+   * absence ≡ novel, the same absence-semantics as the delete-aware
+   * mirror.
+   */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          threshold: Double = 0.5, perms: Int = 32,
+                          bands: Int = 8, k: Int = 3): DataFrame = {
+    val cb = lshBuckets(corpus, perms, bands, k)
+    val bb = lshBuckets(batch, perms, bands, k)
+    val cands = bb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("batch_id"),
+        col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val shB = shingleSets(batch, k)
+      .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
+    val shC = shingleSets(corpus, k)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+    cands.join(shB, "batch_id").join(shC, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("sh_b"), col("sh_c")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(
+        max_by(col("corpus_id"),
+          struct(col("jac"), (-col("corpus_id")).as("nc"))).as("dup_of"),
+        max(col("jac")).as("best_jaccard"),
+        count(lit(1)).as("n_matches"))
+      .orderBy(col("batch_id"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

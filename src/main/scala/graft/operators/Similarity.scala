@@ -503,4 +503,55 @@ object Similarity {
       .filter(col("rnk") <= topK)
       .orderBy(col("label"), col("rnk"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+   * the corpus with a coarse quantizer, then inside each cluster drop
+   * every vector that has a higher-priority near-twin (rounded cosine
+   * ≥ `tau`); survivors are the semantic representatives the training
+   * mix keeps. The keep rule here is deterministic keep-min-id (the
+   * paper keeps the member farthest from the centroid; the rule is a
+   * pluggable priority — min-id makes re-runs and the SQL oracle
+   * bit-identical). A vector is dropped iff ANY smaller-id cluster
+   * member sits within the cosine ball — not chained through other
+   * dropped members, exactly the paper's one-representative-per-ε-ball
+   * pruning.
+   *
+   * Clustering reuses [[ivfDetTopK]]'s deterministic stride quantizer
+   * (centroids = corpus rows with vec_id ≡ 0 mod `stride`, assignment
+   * = broadcast argmax on rounded cosine) so the whole pipeline
+   * replays in the oracle; production swaps in the [[buildIvf]]
+   * k-means centroids with `nCentroids ~ √n`, which turns the
+   * pairwise stage into Σ|cluster|² ≈ n·√n work — the published
+   * SemDeDup cost shape. Pair enumeration happens ONLY within
+   * clusters (join keyed on the cluster id), and the dropped-id set
+   * is a semi-join — the embedding payload crosses the wire once for
+   * the pair check, never for the verdict.
+   */
+  def semDedup(corpus: DataFrame, tau: Double = 0.8,
+               stride: Long = 29L): DataFrame = {
+    require(stride > 0, s"semDedup stride=$stride")
+    val cents = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    val assignment = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("c_emb")), 6).as("csim"),
+        col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("cluster"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .join(assignment, "vec_id")
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") > col("b.vec_id"))
+      .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6)
+        >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
 }

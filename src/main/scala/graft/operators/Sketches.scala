@@ -167,6 +167,78 @@ object Sketches {
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("register")).as("register"))
 
+  /**
+   * Count-min sketch of the word-token frequency distribution
+   * (Cormode–Muthukrishnan 2005): `depth` hash rows of `width`
+   * counters; occurrences of token t land on counter
+   * `(j, h60(t || ":" || j) mod width)` for every row j, and the
+   * point-estimate for t is the MIN over its `depth` counters —
+   * always ≥ the true count, never below it.
+   *
+   * Scale shape: the sketch is a FIXED depth×width table no matter
+   * the corpus size, and it merges by element-wise SUM (spec-proven)
+   * — the frequency twin of [[hllRegisters]]'s max-merge. Build cost
+   * is one token-keyed partial aggregation (term counts, map-side
+   * combined) followed by a depth-way explode of the DISTINCT term
+   * table only — occurrence rows are never replicated `depth`×, which
+   * at 100 TB is the difference between hashing every token 4 times
+   * and hashing each vocabulary entry 4 times. Incrementing per
+   * occurrence (the streaming formulation) gives identical counters
+   * because counter addition is associative.
+   */
+  def countMinWords(df: DataFrame, textCol: String = "text",
+                    depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth")
+    require(width > 0, s"width=$width")
+    val tc = df.select(explode(TextOps.wordTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    tc.select(col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_idx"),
+        col("term"))
+      .select(col("row_idx"), col("n"),
+        pmod(graft.functions.functions.h60(
+          concat(col("term"), lit(":"), col("row_idx").cast("string"))),
+          lit(width.toLong)).as("pos"))
+      .groupBy(col("row_idx"), col("pos"))
+      .agg(sum(col("n")).as("counter"))
+  }
+
+  /** Per-(row, pos) sum merge of two count-min tables — the
+    * per-micro-batch / per-shard fold of [[countMinWords]]. */
+  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row_idx"), col("pos"))
+      .agg(sum(col("counter")).as("counter"))
+
+  /**
+   * Heavy-hitter report: the `topN` true-most-frequent word tokens
+   * next to their count-min point estimates (`est_n = min` over the
+   * sketch's `depth` counters; the CMS guarantee `est_n ≥ true_n` is
+   * spec-pinned corpus-wide). The candidate set is a bounded
+   * `orderBy.limit` (TakeOrderedAndProject); probing joins the tiny
+   * candidate×depth table against the fixed-size counter table —
+   * broadcast by construction, no corpus re-scan.
+   */
+  def cmsHeavyHitters(df: DataFrame, topN: Int = 30,
+                      textCol: String = "text",
+                      depth: Int = 4, width: Int = 256): DataFrame = {
+    val tc = df.select(explode(TextOps.wordTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+    val ctr = countMinWords(df, textCol, depth, width)
+    val cand = tc.orderBy(col("true_n").desc, col("term")).limit(topN)
+    cand
+      .select(col("term"), col("true_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_idx"))
+      .select(col("term"), col("true_n"), col("row_idx"),
+        pmod(graft.functions.functions.h60(
+          concat(col("term"), lit(":"), col("row_idx").cast("string"))),
+          lit(width.toLong)).as("pos"))
+      .join(broadcast(ctr), Seq("row_idx", "pos"))
+      .groupBy(col("term"), col("true_n"))
+      .agg(min(col("counter")).as("est_n"))
+      .orderBy(col("true_n").desc, col("term"))
+  }
+
   /** Driver-side HLL estimate from a collected register table of one
     * key: α·m²/Σ2^(−reg) with absent buckets counted as register 0,
     * plus linear counting in the small range (test/consumer helper —

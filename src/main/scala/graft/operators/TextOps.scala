@@ -735,4 +735,65 @@ object TextOps {
       .drop("__h")
       .orderBy(col("shard"), col("pos"))
   }
+
+  /**
+   * BM25 keyword retrieval over the corpus, top-`k` documents for one
+   * bag of query terms — the classic Robertson–Spärck Jones ranking
+   * (k1 = 1.2, b = 0.75) re-expressed on the engine's exact integer
+   * lattice so the score replays bit-for-bit in any engine:
+   *
+   *  - idf rides the floor-log₂ lattice (same discipline as
+   *    [[unigramSurprisal]]): `w = length(bin((2N−2df+1) div (2df+1)))`
+   *    = 1 + ⌊log₂((N−df+½)/(df+½))⌋, clamped to ≥ 1 for terms in
+   *    more than half the corpus (bin(0) = "0"). Integer-exact — no
+   *    transcendental log whose last bit could differ across engines.
+   *  - the tf/length normalization `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+   *    is cleared of fractions by multiplying through by 10·L (L =
+   *    total corpus tokens, avgdl = L/N):
+   *    `contrib = w · (22·tf·L·10⁶) div (10·L·tf + 3·L + 9·dl·N)`,
+   *    computed in DECIMAL(38,0) so 22·tf·L·10⁶ cannot wrap even at
+   *    100 TB token counts (the Long envelope dies at L ≈ 4·10¹¹).
+   *
+   * Scale shape: the posting list (`tf`) is filtered to the query
+   * terms BEFORE its groupBy, so the per-term shuffle carries only
+   * matching occurrences; `df` aggregates that already-tiny table;
+   * corpus constants (N, L) are one broadcast row; the final ranking
+   * is a bounded `orderBy.limit` (TakeOrderedAndProject — k rows per
+   * partition cross the wire, never a global sort).
+   */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+               k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs.select(col("doc_id"),
+      explode(wordTokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        length(bin(expr("(2*n_docs - 2*df + 1) div (2*df + 1)")))
+          .cast("long").as("w"),
+        expr("""(22 * cast(tf as decimal(38,0)) * total_len * 1000000)
+                div (10 * cast(total_len as decimal(38,0)) * tf
+                     + 3 * total_len
+                     + 9 * cast(dl as decimal(38,0)) * n_docs)""").as("tfn"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("tfn")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank materializes on the k-row result of the bounded limit —
+    // the window never sees the corpus
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
 }
