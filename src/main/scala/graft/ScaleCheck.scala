@@ -114,6 +114,28 @@ object ScaleCheck {
       TextOps.dsirScores(docs, col("source") === "src0")
         .orderBy(col("score").desc, col("doc_id")).limit(200)
     }
+    time("text_bigram_surprisal") { TextOps.bigramSurprisal(docs) }
+    time("text_pmi_collocations") {
+      // type-table work only after the two token-stream aggs; the
+      // bounded limit keeps ranking off the global-sort path
+      TextOps.pmiCollocations(docs, minCount = 5, topN = 50)
+    }
+    time("text_bm25_topk") {
+      TextOps.bm25TopK(docs, Seq("data", "model", "training"), k = 20)
+    }
+    time("sketch_cms_heavy") {
+      graft.operators.Sketches.cmsHeavyHitters(docs, topN = 30)
+    }
+    time("dedup_incremental") {
+      // batch = 1/50 of the corpus screened against the rest: work
+      // tracks |batch|·collisions, never corpus×corpus
+      val batch = docs.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      Dedup.incrementalNearDups(corpus, batch)
+    }
+    time("sim_semdedup") {
+      Similarity.semDedup(emb)
+    }
 
     // events replicated the same way (per-user history grows 20x —
     // the per-user window stress case)

@@ -420,6 +420,12 @@ object SparkEntry {
       TextOps.knBigramCounts(t(s, dir, "documents"))
         .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)),
 
+    "text_bigram_surprisal" -> ((s, dir) =>
+      TextOps.bigramSurprisal(t(s, dir, "documents"))),
+
+    "text_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"))),
+
     "text_source_overlap" -> ((s, dir) =>
       TextOps.sourceOverlap(t(s, dir, "documents"))),
 
@@ -666,10 +672,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sort BEFORE rendering: the sort exchange moves the narrow
+    // envelope columns and the 17-field pipe line (2× hstore render +
+    // concat, the query's hot path) is projected post-shuffle, so
+    // rendered lines never cross the wire. Same rows, same order —
+    // column pruning keeps only the render's inputs below the sort.
     "cdc_audit_envelope" -> ((s, dir) =>
       graft.sources.AuditLogGenerator.pipeFormat(
-          graft.sources.AuditLogGenerator.auditEvents(s, dir))
-        .orderBy(col("event_id"))),
+          graft.sources.AuditLogGenerator.auditEvents(s, dir)
+            .orderBy(col("event_id")))),
 
     "cdc_snapshot_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1572,6 +1583,53 @@ object SparkEntry {
            SELECT w1, w2, c, c_w1, n1p_w1x, n1p_xw2
            FROM c JOIN l USING (w1) JOIN r USING (w2)
            ORDER BY c DESC, w1, w2 LIMIT 100""",
+
+      "text_bigram_surprisal" ->
+        """WITH t AS (SELECT doc_id,
+                        regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z]+') AS w
+                      FROM documents),
+                bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+                              unnest(w[2:len(w)]) AS w2
+                       FROM t WHERE len(w) >= 2),
+                pd AS (SELECT doc_id, w1, w2, count(*) AS m
+                       FROM bg GROUP BY 1, 2, 3),
+                c AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c
+                      FROM pd GROUP BY 1, 2),
+                l AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1
+                      FROM c GROUP BY 1),
+                b AS (SELECT doc_id, m,
+                        CAST(length(bin(c_w1 // c)) - 1 AS BIGINT) AS bits
+                      FROM pd JOIN c USING (w1, w2) JOIN l USING (w1))
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                  CAST(sum(m * bits) AS BIGINT) AS sum_bits,
+                  (CAST(sum(m * bits) AS BIGINT) * 1000000)
+                    // CAST(sum(m) AS BIGINT) AS mean_bits_ppm
+           FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_pmi_collocations" ->
+        """WITH t AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                               '[a-z]+') AS w
+                      FROM documents),
+                bg AS (SELECT unnest(w[1:len(w)-1]) AS w1,
+                              unnest(w[2:len(w)]) AS w2
+                       FROM t WHERE len(w) >= 2),
+                c AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+                l AS (SELECT w1, CAST(sum(c_ab) AS HUGEINT) AS c_a
+                      FROM c GROUP BY 1),
+                r AS (SELECT w2, CAST(sum(c_ab) AS HUGEINT) AS c_b
+                      FROM c GROUP BY 1),
+                tot AS (SELECT CAST(sum(c_a) AS HUGEINT) AS n_total FROM l),
+                sc AS (SELECT w1, w2, c_ab,
+                         (n_total * c_ab) // (c_a * c_b) AS ratio
+                       FROM c JOIN l USING (w1) JOIN r USING (w2), tot
+                       WHERE c_ab >= 5)
+           SELECT w1, w2, c_ab,
+                  CAST(length(bin(CAST(ratio AS BIGINT))) - 1 AS BIGINT)
+                    AS pmi_bits,
+                  CAST(ratio AS BIGINT) AS ratio_floor
+           FROM sc WHERE ratio >= 1
+           ORDER BY ratio_floor DESC, c_ab DESC, w1, w2 LIMIT 50""",
 
       "text_source_overlap" ->
         s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),

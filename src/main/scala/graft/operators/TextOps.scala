@@ -796,4 +796,106 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("rank"))
   }
+
+  /**
+   * Document-level CONDITIONAL bigram cross-entropy — the
+   * perplexity-style quality filter ([[unigramSurprisal]]'s LM
+   * upgrade): each bigram occurrence (w1, w2) in a document costs
+   * `bits = ⌊log₂(c(w1) / c(w1,w2))⌋` under the corpus MLE bigram
+   * model P(w2|w1) = c(w1,w2)/c(w1) (floor-log₂ = `length(bin(x))−1`
+   * on the integer ratio, the repo-wide exact-lattice discipline).
+   * Output per doc: bigram count, total bits, and mean bits in
+   * parts-per-million. Low mean bits = predictable text (boilerplate,
+   * lists); high = incoherent or heavily OOV text — both tails are
+   * what a curator trims.
+   *
+   * Scale shape: one shuffle of the per-doc bigram stream on the
+   * bigram key (map-side combined), joined to the corpus bigram TYPE
+   * table (built from the same stream, one more keyed agg over types
+   * — never re-tokenizes), left counts derived from the type table.
+   * Every subsequent agg is doc-keyed. No windows, no self-joins,
+   * counts stay in Long (bits ≤ 63 by construction since
+   * c(w1,w2) ≤ c(w1)).
+   */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val perDoc = docs
+      .select(col("doc_id"), wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), zip_with(
+        slice(toks, lit(1), greatest(size_(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size_(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val corpus = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c"))
+    val left = corpus.groupBy(col("w1")).agg(sum(col("c")).as("c_w1"))
+    perDoc.join(corpus, Seq("w1", "w2")).join(left, "w1")
+      .select(col("doc_id"), col("m"),
+        (length(bin(expr("c_w1 div c"))) - 1).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("(sum_bits * 1000000) div n_bigrams").as("mean_bits_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * PMI collocation mining — the `topN` word bigrams whose corpus
+   * count most exceeds independence, PMI = log₂(N·c(ab)/(c(a)·c(b))):
+   * the classic multi-word-expression extractor ("new york",
+   * "machine learning") a pipeline runs to build tokenizer seed
+   * vocabularies and phrase tables. Only bigrams with
+   * `c(ab) ≥ minCount` (rare-pair PMI is noise — one co-occurrence of
+   * two rare words maximizes the raw ratio) and PMI ≥ 0 qualify.
+   * Exact lattice: the ratio is computed as
+   * `(N·c_ab) div (c_a·c_b)` in DECIMAL(38,0) — at 100 TB
+   * N ~ 10¹³ and the products overflow Long, so the lattice goes
+   * through decimal exactly like [[bm25TopK]]'s normalizer —
+   * `pmi_bits = ⌊log₂ ratio⌋`, ties broken on the exact ratio then
+   * lexicographically.
+   *
+   * Scale shape: unigram and bigram counts are two keyed aggs over
+   * the token stream (map-side combined); the score join is
+   * bigram-type-keyed (types ≪ tokens) with the unigram table joined
+   * twice by key; the final ranking is a bounded orderBy.limit
+   * (TakeOrderedAndProject — never a global sort of the type table).
+   */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+                      topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, s"pmi($minCount, $topN)")
+    val toks = col("toks")
+    val bigrams = docs
+      .select(wordTokens(col("text")).as("toks"))
+      .select(zip_with(
+        slice(toks, lit(1), greatest(size_(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size_(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(explode(col("bg")).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    // contingency-table marginals on the bigram event space: c_a =
+    // Σ_b c(a,·) (left), c_b = Σ_a c(·,b) (right), N = Σ c_ab — the
+    // exact PMI of the pair-occurrence distribution, no re-tokenize
+    val leftM = bigrams.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val rightM = bigrams.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val total = leftM.agg(sum(col("c_a")).as("n_total"))
+    bigrams
+      .join(leftM, "w1")
+      .join(rightM, "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("c_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("""(cast(n_total as decimal(38,0)) * c_ab)
+                div (cast(c_a as decimal(38,0)) * c_b)""").as("ratio"))
+      .filter(col("ratio") >= 1)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (length(bin(col("ratio").cast("long"))) - 1).cast("long")
+          .as("pmi_bits"), col("ratio").cast("long").as("ratio_floor"))
+      .orderBy(col("ratio_floor").desc, col("c_ab").desc,
+        col("w1"), col("w2"))
+      .limit(topN)
+  }
 }
