@@ -423,6 +423,14 @@ object SparkEntry {
     "text_bigram_surprisal" -> ((s, dir) =>
       TextOps.bigramSurprisal(t(s, dir, "documents"))),
 
+    "text_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.piiScrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
+    "text_zipf_profile" -> ((s, dir) =>
+      TextOps.zipfProfile(t(s, dir, "documents"))),
+
     "text_pmi_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(t(s, dir, "documents"))),
 
@@ -443,6 +451,13 @@ object SparkEntry {
 
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), tau = 0.8)),
+
+    "sim_mmr_select" -> ((s, dir) => {
+      // diversity-aware retrieval: greedy MMR over a bounded
+      // relevance pool, integer sq8 scores, λ = 7/10
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2), k = 5)
+    }),
 
     "text_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(t(s, dir, "documents"),
@@ -505,6 +520,14 @@ object SparkEntry {
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))),
+
+    "graph_dup_degrees" -> ((s, dir) =>
+      // octave degree distribution of the near-dup graph — the
+      // health plot: heavy high octaves = boilerplate hubs / LSH
+      // under-banding (the df² precursor the dedup caps guard)
+      Graph.degreeProfile(
+        Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
 
     "dedup_neardup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1038,6 +1061,18 @@ object SparkEntry {
       // robust (breakdown-50%) anomaly twin of ts_zscore_anomalies,
       // pure-integer doubled-lattice medians
       graft.operators.TimeSeries.madOutliers(t(s, dir, "events"))),
+
+    "ts_autocorr" -> ((s, dir) =>
+      // lag-1 self-similarity per user series, mean-centered sums
+      // cleared of fractions by n² (exact ppm ratio)
+      graft.operators.TimeSeries.autocorrLag(t(s, dir, "events"))),
+
+    "ts_level_shift" -> ((s, dir) =>
+      // sliding two-sample changepoint candidates: |Δmean| of the
+      // 4-before vs 4-at-and-after windows > 60 value units
+      // (60·2²⁰ on the q lattice), cross-multiplied — no division
+      graft.operators.TimeSeries.levelShifts(t(s, dir, "events"),
+        w = 4, kNumer = 60L * 1048576L, kDenom = 1L)),
 
     // ---- as-of / range joins (temporal lookup + interval matching) ----
     "q_asof_join" -> ((s, dir) => {
@@ -1606,6 +1641,26 @@ object SparkEntry {
                   (CAST(sum(m * bits) AS BIGINT) * 1000000)
                     // CAST(sum(m) AS BIGINT) AS mean_bits_ppm
            FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_pii_scrub" ->
+        s"""SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(coalesce(text, ''),
+                       '${TextOps.UrlPattern}', '<URL>', 'g'),
+                       '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+                       '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+                       '${TextOps.PhonePattern}', '<PHONE>', 'g'),
+                       '${TextOps.SpaceRun}', ' ', 'g')) AS scrubbed
+            FROM documents ORDER BY doc_id""",
+
+      "text_zipf_profile" ->
+        """WITH c AS (SELECT unnest(regexp_extract_all(
+                        lower(coalesce(text, '')), '[a-z]+')) AS tok
+                      FROM documents),
+                tc AS (SELECT tok, count(*) AS c FROM c GROUP BY tok)
+           SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bits,
+                  count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens
+           FROM tc GROUP BY freq_bits ORDER BY freq_bits""",
 
       "text_pmi_collocations" ->
         """WITH t AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
@@ -2243,6 +2298,60 @@ object SparkEntry {
            SELECT dv.user_id, dv.event_id, dv.d AS dev2, mad.mad4
            FROM dv JOIN mad USING (user_id)
            WHERE dv.d * 2 > mad.mad4 * 3
+           ORDER BY user_id, event_id""",
+
+      "ts_autocorr" ->
+        """WITH e AS (SELECT user_id, ts, event_id,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                l AS (SELECT user_id, q,
+                        lead(q, 1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS q_lead
+                      FROM e),
+                a AS (SELECT user_id, sum(q) AS s, count(*) AS n
+                      FROM e GROUP BY 1),
+                t AS (SELECT l.user_id,
+                        CAST(l.q * a.n - a.s AS HUGEINT) AS dev,
+                        CAST(l.q_lead * a.n - a.s AS HUGEINT) AS devl
+                      FROM l JOIN a USING (user_id)
+                      WHERE l.q_lead IS NOT NULL),
+                g AS (SELECT user_id, sum(dev * devl) AS num,
+                        sum(dev * dev) AS den, count(*) AS n_terms
+                      FROM t GROUP BY user_id)
+           SELECT user_id, n_terms,
+                  CAST(sign(num) AS BIGINT) *
+                    CAST((abs(num) * 1000000) // den AS BIGINT) AS acf_ppm
+           FROM g WHERE den > 0 ORDER BY user_id""",
+
+      "ts_level_shift" ->
+        """WITH e AS (SELECT user_id, ts, event_id,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                w AS (SELECT user_id, event_id,
+                        sum(q) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                          AS s_b,
+                        count(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                          AS n_b,
+                        sum(q) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          AS s_a,
+                        count(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          AS n_a
+                      FROM e)
+           SELECT user_id, event_id, CAST(s_b AS BIGINT) AS sum_before,
+                  CAST(s_a AS BIGINT) AS sum_after
+           FROM w
+           WHERE n_b = 4 AND n_a = 4
+             AND abs(CAST(s_a AS HUGEINT) * n_b -
+                     CAST(s_b AS HUGEINT) * n_a)
+                 > 62914560 * CAST(n_b AS HUGEINT) * n_a
            ORDER BY user_id, event_id""",
 
       "ts_sax_motifs" ->
@@ -3022,6 +3131,18 @@ object SparkEntry {
                    coalesce(n_triangles, 0) AS n_triangles
             FROM deg LEFT JOIN pern USING (node) ORDER BY doc_id""",
 
+      "graph_dup_degrees" ->
+        s"""WITH $lshPairCtes,
+                 e AS (SELECT least(doc_a, doc_b) AS a,
+                              greatest(doc_a, doc_b) AS b
+                       FROM pairs WHERE doc_a != doc_b GROUP BY 1, 2),
+                 deg AS (SELECT node, count(*) AS degree FROM
+                           (SELECT a AS node FROM e
+                            UNION ALL SELECT b FROM e) GROUP BY 1)
+            SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS deg_bits,
+                   count(*) AS n_nodes, CAST(sum(degree) AS BIGINT) AS mass
+            FROM deg GROUP BY deg_bits ORDER BY deg_bits""",
+
       "dedup_neardup_survivors" ->
         s"""WITH RECURSIVE $lshPairCtes,
                  edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3340,6 +3461,71 @@ object SparkEntry {
            SELECT vec_id, cluster FROM asg
            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
            ORDER BY vec_id""",
+
+      // greedy MMR chain replayed as 5 unrolled pick/update CTE pairs
+      // on the sq8 integer lattice (λ=7/10 cleared of fractions:
+      // argmax of 7·rel − 3·maxsim); round 1 is pure relevance
+      "sim_mmr_select" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 128)) AS v
+                      FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                      WHERE vec_id < 2),
+                rel AS (SELECT query_id, e.vec_id AS id, e.v,
+                          CAST(list_dot_product(qv, e.v) AS BIGINT) AS rel
+                        FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+                pool AS (SELECT query_id, id, v, rel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, id) AS rn FROM rel) WHERE rn <= 24),
+                p1 AS (SELECT query_id, id, v FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, id) AS rn FROM pool) WHERE rn = 1),
+                c1 AS (SELECT c.query_id, c.id, c.v, c.rel,
+                         CAST(list_dot_product(c.v, p.v) AS BIGINT)
+                           AS maxsim
+                       FROM pool c JOIN p1 p USING (query_id)
+                       WHERE c.id != p.id),
+                p2 AS (SELECT query_id, id, v FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY 7*rel - 3*maxsim DESC, id) AS rn FROM c1)
+                  WHERE rn = 1),
+                c2 AS (SELECT c.query_id, c.id, c.v, c.rel,
+                         greatest(c.maxsim,
+                           CAST(list_dot_product(c.v, p.v) AS BIGINT))
+                           AS maxsim
+                       FROM c1 c JOIN p2 p USING (query_id)
+                       WHERE c.id != p.id),
+                p3 AS (SELECT query_id, id, v FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY 7*rel - 3*maxsim DESC, id) AS rn FROM c2)
+                  WHERE rn = 1),
+                c3 AS (SELECT c.query_id, c.id, c.v, c.rel,
+                         greatest(c.maxsim,
+                           CAST(list_dot_product(c.v, p.v) AS BIGINT))
+                           AS maxsim
+                       FROM c2 c JOIN p3 p USING (query_id)
+                       WHERE c.id != p.id),
+                p4 AS (SELECT query_id, id, v FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY 7*rel - 3*maxsim DESC, id) AS rn FROM c3)
+                  WHERE rn = 1),
+                c4 AS (SELECT c.query_id, c.id, c.v, c.rel,
+                         greatest(c.maxsim,
+                           CAST(list_dot_product(c.v, p.v) AS BIGINT))
+                           AS maxsim
+                       FROM c3 c JOIN p4 p USING (query_id)
+                       WHERE c.id != p.id),
+                p5 AS (SELECT query_id, id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY 7*rel - 3*maxsim DESC, id) AS rn FROM c4)
+                  WHERE rn = 1)
+           SELECT query_id, rank, neighbor_id FROM (
+             SELECT query_id, 1 AS rank, id AS neighbor_id FROM p1
+             UNION ALL SELECT query_id, 2, id FROM p2
+             UNION ALL SELECT query_id, 3, id FROM p3
+             UNION ALL SELECT query_id, 4, id FROM p4
+             UNION ALL SELECT query_id, 5, id FROM p5)
+           ORDER BY query_id, rank""",
 
       "sim_ivf_det_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -138,6 +138,35 @@ object Graph {
    * vertex owns both out-edges). Three keyed shuffles (degree agg,
    * wedge join, closure join), no windows.
    */
+  /**
+   * Degree distribution in log₂ octaves over an undirected edge list —
+   * the first thing an engineer plots before trusting a dup graph:
+   * a near-dup graph is healthy when degree mass sits in low octaves
+   * (small clusters); boilerplate contamination or an under-banded LSH
+   * shows up as a heavy high-octave tail (hub documents glued to
+   * thousands of neighbors — the precursor of the df² pair blowups the
+   * dedup caps guard against). Returns one row per occupied octave
+   * `deg_bits = ⌊log₂ degree⌋` with node count and total edge-endpoint
+   * mass — O(log n) rows for any graph, the same always-small output
+   * contract as the value/Zipf histograms, and mergeable across shards
+   * by re-summing.
+   *
+   * Scale shape: dedup the edge list, one node-keyed degree aggregate
+   * (map-side combined), then a ~40-row octave aggregate.
+   */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy((length(bin(col("degree"))) - 1).cast("long").as("deg_bits"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("mass"))
+      .orderBy(col("deg_bits"))
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(
         least(col("src"), col("dst")).as("a"),

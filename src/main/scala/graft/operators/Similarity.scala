@@ -528,6 +528,96 @@ object Similarity {
    * is a semi-join — the embedding payload crosses the wire once for
    * the pair check, never for the verdict.
    */
+  /**
+   * Maximal Marginal Relevance (MMR) selection (Carbonell & Goldstein
+   * 1998) — pick `k` results per query that are RELEVANT but not
+   * redundant: round r selects the candidate maximizing
+   *
+   *   mmr = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+   *
+   * (first round: pure relevance). The use case in a training-data
+   * engine: assembling diverse few-shot example sets / eval panels
+   * where top-k alone returns k paraphrases of the same document.
+   *
+   * Exactness: relevance and pairwise similarity are INTEGER dot
+   * products on the [[sq8TopK]] lattice (`floor(x·128)`), and λ =
+   * `lamNum/lamDen` is cleared of fractions — the argmax compares
+   * `lamNum·rel − (lamDen−lamNum)·maxsim` (the MMR objective scaled
+   * by lamDen, order-preserved), all in Longs (|dot| ≤ 2²⁰ at dim 64,
+   * so terms stay below 2²⁷). Ties break to the smaller vec_id. Every
+   * round is deterministic, so a SQL oracle replays the whole greedy
+   * chain bit-for-bit.
+   *
+   * Scale shape: stage 1 bounds the candidate pool to the
+   * `poolSize` most relevant vectors per query via the bounded
+   * [[graft.functions.TopKByScore]] aggregate (map-side partial — the
+   * corpus never shuffles, exactly [[bruteForceTopK]]'s contract);
+   * the k greedy rounds then run over ≤ poolSize rows per query,
+   * unrolled into ONE Catalyst plan of per-query max_by aggregates
+   * and broadcast-size pick joins — no driver loop reads data, no
+   * window over the corpus. The greedy re-rank cost is
+   * O(k · poolSize) per query BY CONSTRUCTION, independent of corpus
+   * size.
+   */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                poolSize: Int = 24, lamNum: Long = 7L,
+                lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"mmrSelect k=$k pool=$poolSize")
+    require(lamNum > 0 && lamDen >= lamNum, s"λ=$lamNum/$lamDen")
+    def quant(e: Column): Column =
+      transform(e, x => floor(x.cast("double") * lit(128.0)).cast("float"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      quant(col("embedding")).as("q_emb")))
+    // stage 1: bounded relevance pool per query (integer scores make
+    // the rank exact; id tie-break makes it stable)
+    val pool0 = corpus.select(col("vec_id").as("id"),
+        quant(col("embedding")).as("emb"))
+      .crossJoin(q)
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("emb"),
+        dot(col("q_emb"), col("emb")).cast("long").as("rel"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        col("rel").cast("double"), col("id"), col("rel").cast("double"),
+        poolSize).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("id"))
+      .join(corpus.select(col("vec_id").as("id"),
+        quant(col("embedding")).as("emb")), "id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("id"), col("emb"),
+        dot(col("q_emb"), col("emb")).cast("long").as("rel"))
+    // k greedy rounds, unrolled: cand carries the running
+    // max-similarity-to-selected; each round is one per-query argmax
+    // aggregate + one broadcast pick join updating it
+    var cand = pool0.withColumn("maxsim",
+      lit(Long.MinValue).cast("long"))
+    var picks: DataFrame = null
+    for (r <- 1 to k) {
+      val mmr = (lit(lamNum) * col("rel") -
+        when(col("maxsim") === Long.MinValue, lit(0L))
+          .otherwise(lit(lamDen - lamNum) * col("maxsim"))).as("mmr")
+      val pick = cand
+        .select(col("query_id"), col("id"), col("emb"), col("maxsim"), mmr)
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("id"), col("emb")),
+          struct(col("mmr"), (-col("id")).as("ni"))).as("p"))
+        .select(col("query_id"), col("p.id").as("pick_id"),
+          col("p.emb").as("pick_emb"))
+      val tagged = pick.select(col("query_id"), col("pick_id"),
+        lit(r).as("rank"))
+      picks = if (picks == null) tagged else picks.unionByName(tagged)
+      if (r < k)
+        cand = cand.join(broadcast(pick), "query_id")
+          .filter(col("id") =!= col("pick_id"))
+          .select(col("query_id"), col("id"), col("emb"), col("rel"),
+            greatest(col("maxsim"),
+              dot(col("emb"), col("pick_emb")).cast("long")).as("maxsim"))
+    }
+    picks.select(col("query_id"), col("rank"),
+        col("pick_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def semDedup(corpus: DataFrame, tau: Double = 0.8,
                stride: Long = 29L): DataFrame = {
     require(stride > 0, s"semDedup stride=$stride")

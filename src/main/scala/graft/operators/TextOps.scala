@@ -143,6 +143,22 @@ object TextOps {
       size(regexp_extract_all(coalesce(col("text"), lit("")),
         lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"))
 
+  /**
+   * PII redaction — the scrub stage downstream of [[piiFlags]]: the
+   * four PII classes are REPLACED with stable type tags rather than
+   * counted, whitespace re-collapsed. Replacement order is fixed and
+   * load-bearing: URLs first (an email-shaped substring inside a URL
+   * belongs to the URL), then emails, then IPv4 BEFORE phone (the
+   * loose phone class `[0-9() .-]` would otherwise eat dotted quads).
+   * A pure narrow map — four codegen'd regexp passes, zero shuffles;
+   * at 100 TB this is scan-bound, exactly as a scrub stage should be.
+   */
+  def piiScrub(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(coalesce(text, lit("")),
+        UrlPattern, "<URL>"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>"), SpaceRun, " "))
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
@@ -796,6 +812,28 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("rank"))
   }
+
+  /**
+   * Zipf / vocabulary profile — the corpus-level diagnostic a curator
+   * reads before trusting any frequency-based filter: term counts
+   * bucketed into log₂ octaves (`freq_bits = ⌊log₂ c⌋`), with the
+   * number of distinct terms and total token mass per octave. A
+   * Zipfian corpus halves `n_terms` per octave (slope ≈ −1 in
+   * log-log); a bot-inflated or boilerplate-heavy crawl shows up as
+   * mass bulges in the high octaves, OCR noise as a bloated octave 0.
+   *
+   * Scale shape: one token-keyed agg (map-side combined) then a
+   * ~60-row octave agg — the whole output is O(log N) rows no matter
+   * the corpus, and the octave table merges across shards by
+   * re-summing (the same mergeability argument as the log₂ value
+   * histogram).
+   */
+  def zipfProfile(docs: DataFrame): DataFrame =
+    docs.select(explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy((length(bin(col("c"))) - 1).cast("long").as("freq_bits"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tokens"))
+      .orderBy(col("freq_bits"))
 
   /**
    * Document-level CONDITIONAL bigram cross-entropy — the

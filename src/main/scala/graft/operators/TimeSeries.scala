@@ -107,6 +107,100 @@ object TimeSeries {
    * deviation order — partitioned by user like [[saxMotifs]]'s, never
    * global) and two user-keyed aggregate/join-back rounds.
    */
+  /**
+   * Per-user lag-k autocorrelation in exact integer arithmetic — the
+   * "is this series self-similar at lag k" diagnostic (rate metrics
+   * with strong lag-1 ACF need level-change alerts, white-noise-like
+   * series need threshold alerts). For the user's event sequence in
+   * (ts, event_id) order, reports
+   *
+   *   acf_ppm = 10⁶ · Σ(n·xₜ−S)(n·xₜ₊ₖ−S) / Σ'(n·xₜ−S)²
+   *
+   * — the mean-centered lag product with every term multiplied
+   * through by n² so no mean or fraction ever materializes (the
+   * [[zscoreAnomalies]] clearing trick applied to covariance). The
+   * denominator Σ' runs over the same n−k leading terms as the
+   * numerator (the "jackknife" ACF form), keeping both sums over
+   * identical index sets so the ratio is a true cosine in [−10⁶,10⁶].
+   * Products ride DECIMAL(38,0) (n·x−S can reach ~2⁴⁵ at the 2⁻²⁰
+   * lattice; its square ~2⁹⁰ — far past Long), and the final ratio is
+   * one integer `div`, bit-equal in DuckDB HUGEINT.
+   *
+   * Scale shape: one per-user `lead` window (partitioned — thousands
+   * of tiny user partitions, never global), one user-keyed aggregate
+   * for (S, n), one for the lag sums. Nothing data-sized sorts
+   * globally.
+   */
+  def autocorrLag(log: DataFrame, lag: Int = 1): DataFrame = {
+    require(lag >= 1, s"lag=$lag")
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = log.select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1048576.0).cast("long").as("q"))
+      .withColumn("q_lead", lead(col("q"), lag).over(byTs))
+    val stats = ev.groupBy(col("user_id")).agg(
+      sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val dev = (col("q") * col("n") - col("s")).cast("decimal(38,0)")
+    val devLead = (col("q_lead") * col("n") - col("s")).cast("decimal(38,0)")
+    ev.join(stats, "user_id")
+      .filter(col("q_lead").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(dev * devLead).as("num"),
+        sum(dev * dev).as("den"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("den") > 0)
+      // sign split before the div: truncating vs flooring integer
+      // division disagree on negatives across engines — dividing the
+      // absolute value and re-applying the sign is engine-neutral
+      .select(col("user_id"), col("n_terms"),
+        (signum(col("num")).cast("long") *
+          expr("(abs(num) * 1000000) div den").cast("long")).as("acf_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * Sliding two-sample level-shift detection — per-user changepoint
+   * candidates: positions where the mean of the `w` values BEFORE
+   * differs from the mean of the `w` values AT-AND-AFTER by more than
+   * `kNumer/kDenom` lattice units. The comparison is cross-multiplied
+   * (`|S_after·n_before − S_before·n_after| · kDenom >
+   *   kNumer · n_before · n_after`) so no mean is ever divided —
+   * both windows' sums and counts come from ONE pass of two per-user
+   * frame windows (rows between), and the flag replays exactly in the
+   * oracle's window SQL. Only full windows fire (n_before = n_after =
+   * w): a truncated boundary window would compare unlike sample sizes
+   * at inflated variance — the standard guard.
+   *
+   * Scale shape: two frame windows and a filter, all partitioned by
+   * user — the per-user frames are the ONLY state; no join, no
+   * global sort. At 100 TB this is one shuffle on user_id.
+   */
+  def levelShifts(log: DataFrame, w: Int = 4, kNumer: Long = 3L,
+                  kDenom: Long = 2L): DataFrame = {
+    require(w >= 2, s"w=$w")
+    require(kNumer > 0 && kDenom > 0, s"k=$kNumer/$kDenom")
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val before = byTs.rowsBetween(-w, -1)
+    val after = byTs.rowsBetween(0, w - 1)
+    val ev = log.select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1048576.0).cast("long").as("q"))
+      .withColumn("s_b", sum(col("q")).over(before))
+      .withColumn("n_b", count(lit(1)).over(before))
+      .withColumn("s_a", sum(col("q")).over(after))
+      .withColumn("n_a", count(lit(1)).over(after))
+      .filter(col("n_b") === w && col("n_a") === w)
+    // shift2 = |S_a·n_b − S_b·n_a|: 2w·w·|Δmean| on the q lattice;
+    // decimal guards the product envelope (|S| ≤ w·2⁴⁵ at w ≤ 10³)
+    val shift = abs(col("s_a").cast("decimal(38,0)") * col("n_b") -
+      col("s_b").cast("decimal(38,0)") * col("n_a"))
+    ev.filter(shift * lit(kDenom) >
+        lit(kNumer) * col("n_b").cast("decimal(38,0)") * col("n_a"))
+      .select(col("user_id"), col("event_id"),
+        col("s_b").as("sum_before"), col("s_a").as("sum_after"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def madOutliers(log: DataFrame, kNumer: Int = 3,
                   kDenom: Int = 1): DataFrame = {
     require(kNumer > 0 && kDenom > 0, s"k=$kNumer/$kDenom")

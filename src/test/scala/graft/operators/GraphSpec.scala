@@ -87,4 +87,16 @@ class GraphSpec extends SparkSpec {
     // total triangles = per-node sum / 3 = 4 (all in the clique)
     assert(got.map(_._3).sum == 12L)
   }
+
+  test("degreeProfile: octave histogram; dups, reversals, self-loops collapse") {
+    // star 0-(1..5): center degree 5 (octave 2), leaves degree 1
+    // (octave 0); reversed/duplicate edges and the self-loop must not
+    // change any degree
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (1L, 0L), (0L, 2L), (3L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.degreeProfile(edges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 5L, 5L), (2L, 1L, 5L)))
+  }
 }

@@ -476,6 +476,44 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(0)._4 == 14720.0 && got(1)._4 == 0.0)
   }
 
+  test("mmrSelect: redundant near-clone demoted below the diverse pick") {
+    // q=(89,89) after quant; b(id 11) most relevant (rel 12193),
+    // a(id 10) its near-clone (rel 11392), c(id 12) orthogonal to both
+    // with rel 11392. Round 1 -> b; round 2: mmr(a) = 7*11392 -
+    // 3*dot(a,b)=3*16256 = 30976 < mmr(c) = 7*11392 - 3*1280 = 75904
+    // -> c; round 3 -> a. Pure relevance would order b, a, c.
+    val emb = Seq(
+      (5L, Seq(0.7f, 0.7f)),     // query
+      (10L, Seq(1.0f, 0.0f)),    // a
+      (11L, Seq(0.995f, 0.08f)), // b: quant (127, 10)
+      (12L, Seq(0.0f, 1.0f)))    // c
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb.filter($"vec_id" =!= 5L),
+        emb.filter($"vec_id" === 5L), k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((5L, 1, 11L), (5L, 2, 12L), (5L, 3, 10L)))
+  }
+
+  test("mmrSelect: pool bound excludes low-relevance candidates entirely") {
+    // poolSize=2 keeps only b (12193) and a (11392, id tie-break under
+    // c's equal rel... a < c) — the diverse c can never be picked
+    val emb = Seq(
+      (5L, Seq(0.7f, 0.7f)),
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.995f, 0.08f)),
+      (12L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb.filter($"vec_id" =!= 5L),
+        emb.filter($"vec_id" === 5L), k = 2, poolSize = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((5L, 1, 11L), (5L, 2, 10L)))
+    // k=1 degenerates to pure argmax relevance
+    val one = Similarity.mmrSelect(emb.filter($"vec_id" =!= 5L),
+        emb.filter($"vec_id" === 5L), k = 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(one == Seq((5L, 1, 11L)))
+  }
+
   test("pqTopK: handcrafted codebook pins encode and ADC scoring") {
     // dim 4, m=2 subspaces, stride 1, 2 codes: codewords are vec 0's
     // and vec 1's subvectors. quant: 1.0->128, 0.9->115, 0.95->121.

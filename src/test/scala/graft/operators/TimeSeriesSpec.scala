@@ -72,6 +72,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Map("21123344" -> 1L))
   }
 
+  test("autocorrLag: alternating series hits exactly -1e6 ppm, trend positive") {
+    // alternation: every lag-1 product is -(30*2^20)^2, so the ratio
+    // is exactly -1 (num = -den term by term)
+    val alt = (1 to 6).map(i =>
+      (1L, i.toLong, ts(i), if (i % 2 == 1) 0.0 else 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val gotAlt = TimeSeries.autocorrLag(alt)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotAlt == Seq((1L, 5L, -1000000L)))
+    // linear trend 0..5: devs (6t-15)*2^20 for t=0..5; num = 315*2^40,
+    // den = 405*2^40 -> floor(315e6/405) = 777777 (hand-derived)
+    val trend = (0 to 5).map(i => (2L, i.toLong + 1, ts(i + 1), i.toDouble))
+      .toDF("user_id", "event_id", "ts", "value")
+    val gotTrend = TimeSeries.autocorrLag(trend)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotTrend == Seq((2L, 5L, 777777L)))
+  }
+
+  test("autocorrLag: constant series (zero variance) produces no row; lag=2 flips alternation") {
+    val const = (1 to 5).map(i => (1L, i.toLong, ts(i), 7.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeries.autocorrLag(const).count() == 0)
+    // at lag 2 the alternating series is perfectly self-similar: +1e6
+    val alt = (1 to 6).map(i =>
+      (2L, i.toLong, ts(i), if (i % 2 == 1) 0.0 else 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.autocorrLag(alt, lag = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 4L, 1000000L)))
+  }
+
+  test("levelShifts flags exactly the step edge, full windows only") {
+    // step 0 -> 100 at position 5 of 8: the only row with BOTH full
+    // windows straddling the jump; |dmean| = 100 > 50
+    val step = (1 to 8).map(i =>
+      (1L, i.toLong, ts(i), if (i <= 4) 0.0 else 100.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.levelShifts(step, w = 4,
+        kNumer = 50L * 1048576L, kDenom = 1L)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(got == Seq(5L))
+    // same step below the threshold: silent
+    val none = TimeSeries.levelShifts(step, w = 4,
+      kNumer = 200L * 1048576L, kDenom = 1L)
+    assert(none.count() == 0)
+    // series shorter than 2w can never have two full windows
+    val short = (1 to 7).map(i =>
+      (2L, i.toLong, ts(i), if (i <= 3) 0.0 else 100.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeries.levelShifts(short, w = 4,
+      kNumer = 1L, kDenom = 1L).count() == 0)
+  }
+
   test("madOutliers: robust to the masking that defeats the z-score") {
     // two equal extremes inflate the variance enough to hide each
     // other from the 1.5-sigma z test; the median/MAD pair (both 0

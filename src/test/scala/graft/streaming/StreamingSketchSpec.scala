@@ -86,6 +86,39 @@ class StreamingSketchSpec extends SparkSpec {
     assert(folded == whole)
   }
 
+  test("foreachBatch count-min fold equals the whole-corpus sketch") {
+    import graft.operators.Sketches
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the streaming frequency fold: per micro-batch counter tables
+    // sum-merged into a running table — counter addition is
+    // associative, so arrival order and batch boundaries cannot
+    // change a single cell
+    var acc = spark.emptyDataFrame
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = Sketches.countMinWords(batch, depth = 4, width = 64)
+        acc = if (acc.isEmpty) part.localCheckpoint(true)
+              else Sketches.mergeCountMin(acc, part).localCheckpoint(true)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cmsfold").toString)
+      .start()
+    val b1 = (1L to 50L).map(i => (i, s"alpha beta w${i % 7} gamma"))
+    val b2 = (51L to 90L).map(i => (i, s"alpha delta w${i % 11}"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = Sketches.countMinWords(
+        (b1 ++ b2).toDF("doc_id", "text"), depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val folded = acc.as[(Int, Long, Long)].collect().toSet
+    assert(folded == whole)
+  }
+
   test("foreachBatch applyChanges keeps a live mirror equal to the batch snapshot") {
     import java.sql.Timestamp
     import graft.operators.CdcOps
