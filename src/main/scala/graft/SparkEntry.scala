@@ -459,6 +459,31 @@ object SparkEntry {
       Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2), k = 5)
     }),
 
+    "dedup_method_agreement" -> ((s, dir) => {
+      // cross-modality dedup audit: does the cheap lexical screen
+      // (MinHash-LSH, Jaccard >= 0.1) agree with the semantic screen
+      // (SRP-LSH, cosine >= 0.3)? doc_id == vec_id in the fixture.
+      // Both pair sets are canonical (a < b), so the full-outer join
+      // on the pair key partitions them into both/text_only/emb_only
+      // — the 3-row report a curator reads before choosing which
+      // screen (or both) a 100 TB run pays for. Each side is its
+      // operator's own single-shuffle plan; the join key is the
+      // 16-byte pair id.
+      val tp = Dedup.nearDuplicatePairs(t(s, dir, "documents"),
+          threshold = 0.1)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("m_text"))
+      val ep = Similarity.lshNearDupPairs(t(s, dir, "embeddings"), 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          lit(1).as("m_emb"))
+      tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+        .select(when(col("m_text").isNotNull && col("m_emb").isNotNull,
+            "both")
+          .when(col("m_text").isNotNull, "text_only")
+          .otherwise("emb_only").as("method"))
+        .groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("method"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "vector", "window", "customer"))),
@@ -3461,6 +3486,36 @@ object SparkEntry {
            SELECT vec_id, cluster FROM asg
            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
            ORDER BY vec_id""",
+
+      "dedup_method_agreement" ->
+        s"""WITH $lshPairCtes,
+                 tp AS (SELECT doc_a, doc_b FROM pairs),
+                 ee AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+                 sb AS (SELECT vec_id, v,
+                          CAST(list_sum(list_transform(range(8), p ->
+                            CASE WHEN list_dot_product(v,
+                                   ($srpMat)[CAST(p AS INT)+1]) > 0
+                                 THEN (1::BIGINT << CAST(p AS INT))
+                                 ELSE 0 END)) AS BIGINT) AS bucket
+                        FROM ee),
+                 ep AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                        FROM sb x JOIN sb y
+                          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                        WHERE list_dot_product(x.v, y.v) /
+                              (sqrt(list_dot_product(x.v, x.v)) *
+                               sqrt(list_dot_product(y.v, y.v))) >= 0.3),
+                 u AS (SELECT coalesce(t.doc_a, e.doc_a) AS doc_a,
+                              coalesce(t.doc_b, e.doc_b) AS doc_b,
+                              t.doc_a IS NOT NULL AS in_t,
+                              e.doc_a IS NOT NULL AS in_e
+                       FROM tp t FULL OUTER JOIN ep e
+                         ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+           SELECT CASE WHEN in_t AND in_e THEN 'both'
+                       WHEN in_t THEN 'text_only'
+                       ELSE 'emb_only' END AS method,
+                  count(*) AS n_pairs
+           FROM u GROUP BY 1 ORDER BY method""",
 
       // greedy MMR chain replayed as 5 unrolled pick/update CTE pairs
       // on the sq8 integer lattice (λ=7/10 cleared of fractions:

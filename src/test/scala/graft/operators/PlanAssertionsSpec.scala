@@ -272,4 +272,33 @@ class PlanAssertionsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("autocorr and level-shift: every window partitions by user; level-shift has no join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    for (df <- Seq(TimeSeries.autocorrLag(ev),
+        TimeSeries.levelShifts(ev))) {
+      val wins = df.queryExecution.sparkPlan
+        .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+      assert(wins.nonEmpty && wins.forall(!_),
+        s"global window: $wins")
+    }
+    // the changepoint scan is frame windows + filter ONLY — one
+    // user-keyed shuffle, nothing else moves data
+    val p = plan(TimeSeries.levelShifts(ev))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("mmr: pool selection aggregates partially; corpus never shuffles before it") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val p = plan(Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2),
+      k = 3))
+    // stage 1 pool: bounded TopKByScore partial aggregation on the
+    // scan side of the exchange (bruteForceTopK's contract)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_top_k") || p.contains("partial_topkbyscore")
+      || p.toLowerCase.contains("partial"), p)
+    // the greedy rounds must never degenerate to a cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
