@@ -1235,6 +1235,70 @@ object SparkEntry {
       Similarity.ivfDetTopK(emb, emb.filter(col("vec_id") < 20), 5,
           stride = 29, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // out-of-order lateness profile — the watermark-sizing evidence;
+    // running event-time max via the decomposed PrefixAgg
+    "cdc_late_arrivals" -> ((s, dir) =>
+      CdcOps.latenessProfile(t(s, dir, "events"))),
+
+    // per-user OLS trend slope as an exact (num, den) integer pair
+    "ts_trend_slope" -> ((s, dir) =>
+      graft.operators.TimeSeries.trendSlope(t(s, dir, "events"))),
+
+    // Morton (Z-order) layout plan: per-file row count + the exact
+    // (user, half-minute-of-day) rectangle its min/max stats expose
+    "layout_zorder" -> ((s, dir) =>
+      graft.operators.Layout.zorderLayout(t(s, dir, "events"),
+        pmod(col("user_id"), lit(1024L)),
+        expr("(hour(ts) * 60 + minute(ts)) div 2"),
+        bits = 10, fileBits = 6)),
+
+    // snapshot-diff CDC: the minimal I/U/D change set between the T1
+    // and T2 mirrors — change-data-feed generation when no changelog
+    // exists (law: applyDiff(m1, diff) == m2, spec-pinned)
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("action", graft.sources.AuditLogGenerator.action)
+      val t1 = Cols.tsLit(ev, "ts", "2024-01-10 00:00:00")
+      val t2 = Cols.tsLit(ev, "ts", "2024-01-20 00:00:00")
+      CdcOps.snapshotDiff(
+          CdcOps.snapshotAsOfWithActions(ev, t1),
+          CdcOps.snapshotAsOfWithActions(ev, t2))
+        .select(col("user_id"), col("diff_action"), col("event_id"),
+          Cols.epochUs(col("ts")).as("ts_us"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // gaps-and-islands interval coalesce: each event opens a 5-minute
+    // half-open window; overlapping/touching windows merge per user
+    "q_interval_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      CdcOps.mergeIntervals(
+          ev.select(col("user_id"), Cols.epochUs(col("ts")).as("start_us"),
+            (Cols.epochUs(col("ts")) + 300000000L).as("end_us"),
+            col("event_id")),
+          "user_id", "start_us", "end_us", "event_id")
+        .select(col("user_id"), col("span_start").as("span_start_us"),
+          col("span_end").as("span_end_us"), col("n_intervals"))
+        .orderBy(col("user_id"), col("span_start_us"))
+    }),
+
+    // Bloom-prefiltered semi-join: fact rows screened by a broadcast
+    // Bloom of the dim keys BEFORE the exchange; exact via the
+    // closing semi-join (oracle is the plain semi-join)
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      graft.operators.Sketches.bloomPrefilterSemiJoin(
+          li, hi, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -3617,7 +3681,146 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
              FROM s) WHERE rank <= 5
-           ORDER BY query_id, rank"""
+           ORDER BY query_id, rank""",
+
+      "cdc_late_arrivals" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us
+                      FROM events),
+                m AS (SELECT event_type,
+                        (max(ts_us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - ts_us) AS late_us
+                      FROM e)
+           SELECT event_type,
+                  CAST(CASE WHEN late_us = 0 THEN 0
+                            ELSE length(bin(late_us)) END AS BIGINT)
+                    AS late_bin,
+                  count(*) AS n, max(late_us) AS max_late_us
+           FROM m GROUP BY event_type, late_bin
+           ORDER BY event_type, late_bin""",
+
+      "ts_trend_slope" ->
+        """WITH e AS (SELECT user_id,
+                        CAST(epoch_us(ts) // 60000000 AS HUGEINT) AS x,
+                        CAST(floor(value * 1048576) AS HUGEINT) AS y
+                      FROM events),
+                a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                             sum(x) AS sx, sum(y) AS sy,
+                             sum(x*y) AS sxy, sum(x*x) AS sxx
+                      FROM e GROUP BY user_id),
+                d AS (SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                             (n*sxy - sx*sy) AS num,
+                             (n*sxx - sx*sx) AS den
+                      FROM a WHERE (n*sxx - sx*sx) > 0)
+           SELECT user_id, n_events, num, den,
+                  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+                            ELSE 0 END
+                       * ((abs(num) * 1000000) // den) AS BIGINT)
+                    AS slope_ppm_per_min
+           FROM d ORDER BY user_id""",
+
+      "layout_zorder" ->
+        """WITH pts AS (SELECT (user_id % 1024) AS x,
+                          (extract(hour FROM ts) * 60
+                           + extract(minute FROM ts)) // 2 AS y
+                        FROM events),
+                s1 AS (SELECT x, y,
+                         ((x | (x << 8)) & 16711935) AS xa,
+                         ((y | (y << 8)) & 16711935) AS ya FROM pts),
+                s2 AS (SELECT x, y,
+                         ((xa | (xa << 4)) & 252645135) AS xb,
+                         ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+                s3 AS (SELECT x, y,
+                         ((xb | (xb << 2)) & 858993459) AS xc,
+                         ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+                s4 AS (SELECT x, y,
+                         ((xc | (xc << 1)) & 1431655765) AS xd,
+                         ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+                z AS (SELECT x, y,
+                        ((xd | (yd << 1)) >> 14) AS zfile FROM s4)
+           SELECT zfile, count(*) AS n_rows,
+                  min(x) AS min_x, max(x) AS max_x,
+                  min(y) AS min_y, max(y) AS max_y,
+                  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS rect_area
+           FROM z GROUP BY zfile ORDER BY zfile""",
+
+      "cdc_snapshot_diff" ->
+        """WITH ev AS (SELECT event_id, ts, user_id, event_type, value,
+                         props,
+                         CASE WHEN event_type IN ('signup', 'purchase')
+                                THEN 'I'
+                              WHEN event_type IN ('click', 'view')
+                                THEN 'U'
+                              ELSE 'D' END AS action
+                       FROM events),
+                m1 AS (SELECT * FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                         FROM ev
+                         WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+                       WHERE rn = 1 AND action <> 'D'),
+                m2 AS (SELECT * FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                         FROM ev
+                         WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+                       WHERE rn = 1 AND action <> 'D'),
+                d AS (SELECT coalesce(m2.user_id, m1.user_id) AS user_id,
+                        CASE WHEN m1.user_id IS NULL THEN 'I'
+                             WHEN m2.user_id IS NULL THEN 'D'
+                             WHEN (m1.event_id IS DISTINCT FROM m2.event_id)
+                               OR (m1.ts IS DISTINCT FROM m2.ts)
+                               OR (m1.event_type IS DISTINCT FROM
+                                   m2.event_type)
+                               OR (m1.value IS DISTINCT FROM m2.value)
+                               OR (m1.props IS DISTINCT FROM m2.props)
+                               OR (m1.action IS DISTINCT FROM m2.action)
+                             THEN 'U' END AS diff_action,
+                        CASE WHEN m2.user_id IS NULL THEN m1.event_id
+                             ELSE m2.event_id END AS event_id,
+                        CASE WHEN m2.user_id IS NULL THEN m1.ts
+                             ELSE m2.ts END AS ts,
+                        CASE WHEN m2.user_id IS NULL THEN m1.event_type
+                             ELSE m2.event_type END AS event_type,
+                        CASE WHEN m2.user_id IS NULL THEN m1.value
+                             ELSE m2.value END AS value
+                      FROM m1 FULL JOIN m2 ON m1.user_id = m2.user_id)
+           SELECT user_id, diff_action, event_id, epoch_us(ts) AS ts_us,
+                  event_type, value
+           FROM d WHERE diff_action IS NOT NULL ORDER BY user_id""",
+
+      "q_interval_merge" ->
+        """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                         epoch_us(ts) + 300000000 AS end_us
+                       FROM events),
+                w AS (SELECT user_id, event_id, start_us, end_us,
+                        max(end_us) OVER (PARTITION BY user_id
+                          ORDER BY start_us, end_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS prev_max
+                      FROM iv),
+                f AS (SELECT user_id, event_id, start_us, end_us,
+                        CASE WHEN prev_max IS NULL OR start_us > prev_max
+                             THEN 1 ELSE 0 END AS new_island
+                      FROM w),
+                i AS (SELECT user_id, start_us, end_us,
+                        sum(new_island) OVER (PARTITION BY user_id
+                          ORDER BY start_us, end_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS island
+                      FROM f)
+           SELECT user_id, min(start_us) AS span_start_us,
+                  max(end_us) AS span_end_us, count(*) AS n_intervals
+           FROM i GROUP BY user_id, island
+           ORDER BY user_id, span_start_us""",
+
+      "q_bloom_prefilter" ->
+        """SELECT l_returnflag, count(*) AS n_items,
+                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > 400000.0)
+           GROUP BY l_returnflag ORDER BY l_returnflag"""
     )
   }
 }

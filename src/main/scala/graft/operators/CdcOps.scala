@@ -532,4 +532,113 @@ object CdcOps {
       .select(col("before_id"), col("after_id"),
         (col("after_id") - col("before_id") - 1).as("n_missing"))
   }
+
+  /**
+   * Snapshot-diff CDC — the INVERSE of [[applyChanges]]: given two
+   * materialized mirrors, emit the minimal change set that turns
+   * `before` into `after` (`I` = key only in after, `D` = key only in
+   * before, `U` = key in both with any column changed, null-safely).
+   * This is change-data-feed generation when no changelog exists —
+   * the nightly-snapshot world the reference's polling extractor was
+   * built to replace (reference `CoordinatorRunnable.java:35-42`
+   * polls a log precisely because diffing full snapshots was too
+   * slow; at Spark scale the diff is ONE full-outer join, keyed and
+   * balanced, so both strategies coexist).
+   *
+   * Payload: after-side values for I/U, before-side values for D
+   * (what was deleted). Law (spec- and oracle-pinned):
+   * `applyDiff(before, snapshotDiff(before, after)) == after`.
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCol: String = "user_id",
+                   actionOut: String = "diff_action"): DataFrame = {
+    val cols = after.columns.filter(_ != keyCol).toSeq
+    val b = before.select(col(keyCol).as("__kb"),
+      struct(cols.map(col): _*).as("__b"))
+    val a = after.select(col(keyCol).as("__ka"),
+      struct(cols.map(col): _*).as("__a"))
+    val same = cols.map(c => col(s"__a.$c") <=> col(s"__b.$c"))
+      .reduce(_ && _)
+    b.join(a, col("__kb") === col("__ka"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as(keyCol),
+        when(col("__kb").isNull, lit("I"))
+          .when(col("__ka").isNull, lit("D"))
+          .when(!same, lit("U")).as(actionOut),
+        when(col("__ka").isNull, col("__b")).otherwise(col("__a"))
+          .as("__p"))
+      .filter(col(actionOut).isNotNull)
+      .select(col(keyCol) +: col(actionOut) +:
+        cols.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  /**
+   * Apply a [[snapshotDiff]] change set onto the mirror it was
+   * diffed FROM: D keys drop, I/U rows land verbatim (the diff is
+   * authoritative — no position comparison, unlike the changelog
+   * fold). One keyed anti-join + union; the mirror side never sorts.
+   */
+  def applyDiff(snapshot: DataFrame, diff: DataFrame,
+                keyCol: String = "user_id",
+                actionCol: String = "diff_action"): DataFrame = {
+    val untouched = snapshot.join(diff.select(col(keyCol)), Seq(keyCol),
+      "left_anti")
+    val upserts = diff.filter(col(actionCol) =!= "D").drop(actionCol)
+    untouched.unionByName(upserts.select(snapshot.columns.map(col): _*))
+  }
+
+  /**
+   * Merge overlapping/touching half-open intervals per key — the
+   * gaps-and-islands coalesce (dup-span rollups, availability
+   * windows, session stitching). A new island starts where `start`
+   * exceeds the running max of previous `end`s; island ids are the
+   * running count of starts. Both windows partition by key (thousands
+   * of small per-key frames — never a global sort); one keyed
+   * aggregate finishes.
+   */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol), col(tieCol))
+    val prevMax = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
+  /**
+   * Out-of-order arrival profile — how late does event time lag the
+   * extraction order? Per stream: total rows, late rows (event time
+   * strictly below the running event-time max at that offset), and a
+   * log₂-octave histogram of the lateness in microseconds — exactly
+   * the evidence needed to size a streaming watermark delay
+   * (reference consumers get this wrong by guessing; T8's
+   * `withWatermark` clamp consumes the chosen horizon).
+   *
+   * The running max over extraction order is data-sized, so it uses
+   * the decomposed [[PrefixAgg.prefixMax]] — never a global window.
+   * The octave is an integer floor-log₂ via binary-string length (no
+   * floating log — oracle-exact at any magnitude). One keyed shuffle
+   * (the prefix levels) + one small aggregate.
+   */
+  def latenessProfile(log: DataFrame): DataFrame = {
+    val ev = log.select(col("event_id"), col("event_type"),
+      Cols.epochUs(col("ts")).as("ts_us"))
+    val withMax = PrefixAgg.prefixMax(ev, "event_id", "ts_us", "run_max_us")
+    withMax
+      .withColumn("late_us", col("run_max_us") - col("ts_us"))
+      .withColumn("late_bin",
+        when(col("late_us") === 0L, lit(0L))
+          .otherwise(length(bin(col("late_us"))).cast("long")))
+      .groupBy(col("event_type"), col("late_bin"))
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("event_type"), col("late_bin"))
+  }
 }

@@ -258,4 +258,50 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else raw
   }
+
+  /**
+   * Bloom-prefiltered semi-join — the runtime-filter pattern, explicit:
+   * screen the FACT side against a broadcast Bloom filter of the dim
+   * keys BEFORE any exchange, then close the (false-positive-only) gap
+   * with the exact semi-join on the survivors. At 100 TB the dim side
+   * may be far too big to broadcast as a hash relation, but its Bloom
+   * filter (mBits/64 longs — a few KB) always broadcasts: the screen
+   * cuts the fact rows entering the semi-join shuffle by the join
+   * selectivity, which is the whole cost of a selective fact-dim join.
+   * (Spark's own `runtime.bloomFilter` does this opportunistically;
+   * this operator makes it deterministic and oracle-verifiable.)
+   *
+   * Exactness: Bloom filters never false-negative, and the final
+   * `left_semi` removes false positives — the result is exactly
+   * `fact ⋉ dim` (the oracle is the plain semi-join). The screen is a
+   * single whole-stage-codegen'd filter: the filter words ride ONE
+   * broadcast row as a dense array; the k probes are h60 arithmetic.
+   */
+  def bloomPrefilterSemiJoin(fact: DataFrame, dim: DataFrame,
+                             factKey: String, dimKey: String,
+                             mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val words = bloomWords(dim.select(col(dimKey)).withColumn("__k", lit(0)),
+      keyCol = "__k", valueCol = dimKey, mBits = mBits, k = k)
+    // dense word array (absent word = 0) as ONE broadcast row
+    val dense = words
+      .agg(map_from_entries(collect_list(
+        struct(col("word_idx"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0L), lit(mBits / 64 - 1L)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("__bloom"))
+    val probed = (0 until k).foldLeft(fact.crossJoin(broadcast(dense))) {
+      (d, i) =>
+        d.withColumn(s"__pos$i",
+          pmod(graft.functions.functions.h60(
+            concat(col(factKey).cast("string"), lit(s":$i"))),
+            lit(mBits.toLong)))
+    }
+    val screen = (0 until k).map(i =>
+      s"(element_at(__bloom, cast(shiftright(__pos$i, 6) as int) + 1) & " +
+        s"shiftleft(1L, cast(__pos$i & 63 as int))) != 0")
+      .mkString(" AND ")
+    val screened = probed.filter(expr(screen))
+      .drop("__bloom" +: (0 until k).map(i => s"__pos$i"): _*)
+    screened.join(dim.select(col(dimKey).as(factKey)), Seq(factKey),
+      "left_semi")
+  }
 }

@@ -230,4 +230,40 @@ object TimeSeries {
         col("mad4"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /**
+   * Per-series OLS trend slope, exact: x = event-time minutes,
+   * y = the 2⁻²⁰-lattice value. The closed form
+   * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` is kept as an exact
+   * integer (numerator, denominator) pair in DECIMAL(38,0) — no mean
+   * is ever divided — plus the ppm ratio via sign-split integer
+   * division (truncating vs flooring division disagree on negatives
+   * across engines; dividing |num| and re-applying the sign is
+   * engine-neutral, same discipline as [[autocorrLag]]).
+   *
+   * Envelope: minutes ~3·10⁷, q ≤ ~10⁹, n ≤ 10⁶ per user →
+   * n·Σxy ≤ ~10²⁸, inside DECIMAL(38,0) ≙ DuckDB HUGEINT.
+   *
+   * Scale shape: ONE user-keyed aggregate (all five moments partial/
+   * map-side combinable), no join, no window, no sort of the events.
+   */
+  def trendSlope(log: DataFrame): DataFrame = {
+    val ev = log.select(col("user_id"),
+      expr("unix_micros(ts) div 60000000").cast("decimal(38,0)").as("x"),
+      floor(col("value") * 1048576.0).cast("decimal(38,0)").as("y"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n_events"), col("num"), col("den"),
+        (signum(col("num")).cast("long") *
+          expr("(abs(num) * 1000000) div den").cast("long"))
+          .as("slope_ppm_per_min"))
+      .orderBy(col("user_id"))
+  }
 }
