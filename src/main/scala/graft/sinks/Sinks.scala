@@ -54,4 +54,56 @@ object Sinks {
         col("batchDurationMs"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /**
+   * Incremental mirror compaction with dynamic partition overwrite —
+   * the 100 TB mirror-maintenance pattern: a change batch touches a
+   * handful of the mirror's partitions; read ONLY those (partition
+   * pruning against the batch's partition values), fold the batch in
+   * with the delete-aware mirror upsert, and rewrite ONLY those
+   * partitions (`partitionOverwriteMode=dynamic` replaces exactly the
+   * partitions present in the written frame). Untouched partition
+   * files are never read or rewritten — per-batch cost is
+   * O(touched partitions + batch), not O(mirror).
+   *
+   * The touched-partition values are collected to the driver: that is
+   * partition METADATA (bounded by the partition count, the same list
+   * the committer itself materializes), not data — the one place a
+   * driver-side collect is the correct shape.
+   *
+   * Caveat (spec-pinned): dynamic overwrite replaces only partitions
+   * PRESENT in the written frame, so a batch whose deletes empty a
+   * partition entirely leaves the old files in place — the same
+   * no-delete-without-data edge every dynamic-overwrite mirror has;
+   * a table format with a deletion log (Delta/Iceberg) is the
+   * production answer. Guarded here: if a touched partition folds to
+   * zero rows, this throws rather than silently resurrecting rows.
+   */
+  def compactMirror(spark: SparkSession, mirrorDir: String,
+                    changes: DataFrame, partCol: String,
+                    keyCol: String = "user_id", tsCol: String = "ts",
+                    offsetCol: String = "event_id",
+                    actionCol: String = "action"): Unit = {
+    val touched = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val current = spark.read.parquet(mirrorDir)
+      .filter(col(partCol).isin(touched: _*))
+    // localCheckpoint: materializes the fold (touched-partitions-sized,
+    // small vs the mirror) and truncates lineage, so the write-back to
+    // the path being read is legal and the emptied-partition guard
+    // shares the one fold
+    val updated = CdcOps.applyChangesWithActions(current, changes,
+      keyCol, tsCol, offsetCol, actionCol).localCheckpoint()
+    val survivors = updated.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = touched.filterNot(survivors.contains)
+    require(emptied.isEmpty,
+      s"compactMirror: batch empties partition(s) ${emptied.mkString(",")} " +
+        "— dynamic overwrite cannot delete a partition; use a format " +
+        "with a deletion log for full-partition deletes")
+    updated.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(mirrorDir)
+  }
 }
