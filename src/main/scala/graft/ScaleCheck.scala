@@ -136,6 +136,18 @@ object ScaleCheck {
     time("sim_semdedup") {
       Similarity.semDedup(emb)
     }
+    time("dedup_ppjoin_exact_boiler") {
+      // lossless path under injected boilerplate: the shared sentence's
+      // shingles have corpus-wide df, sort past every prefix, and
+      // generate no candidates — candidate work stays on the true
+      // (replicated-copy) duplicate groups
+      val boiler = docs.withColumn("text",
+        concat(lit("all rights reserved terms of service apply here "),
+          col("text")))
+      Dedup.ppjoinExactPairs(boiler, tNum = 1, tDen = 2)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }
+    time("sim_dim_stats") { Similarity.dimStats(emb) }
 
     // events replicated the same way (per-user history grows 20x —
     // the per-user window stress case)
@@ -157,6 +169,34 @@ object ScaleCheck {
         .select(col("from_type").as("src"), col("to_type").as("dst"),
           col("n").as("w"))
       graft.operators.Graph.pageRankInt(edges, iters = 3)
+    }
+    time("cdc_late_arrivals") {
+      // decomposed prefix max over the 20x event stream
+      graft.operators.CdcOps.latenessProfile(ev)
+    }
+    time("ts_trend_slope") { graft.operators.TimeSeries.trendSlope(ev) }
+    time("layout_zorder") {
+      graft.operators.Layout.zorderLayout(ev,
+        pmod(col("user_id"), lit(1024L)),
+        expr("(hour(ts) * 60 + minute(ts)) div 2"),
+        bits = 10, fileBits = 6)
+    }
+    time("q_interval_merge") {
+      graft.operators.CdcOps.mergeIntervals(
+        ev.select(col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 300000000L).as("end_us"),
+          col("event_id")),
+        "user_id", "start_us", "end_us", "event_id")
+    }
+    time("cdc_snapshot_diff") {
+      val evA = ev.withColumn("action",
+        graft.sources.AuditLogGenerator.action)
+      val t1 = graft.util.Cols.tsLit(evA, "ts", "2024-01-10 00:00:00")
+      val t2 = graft.util.Cols.tsLit(evA, "ts", "2024-01-20 00:00:00")
+      graft.operators.CdcOps.snapshotDiff(
+        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t1),
+        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t2))
     }
     spark.stop()
   }

@@ -1036,10 +1036,13 @@ object SparkEntry {
     "graph_type_hops" -> ((s, dir) => {
       // BFS distance from the 'click' behavior over observed event-
       // type transitions — reachability with hop counts, unrolled
-      // into one plan of keyed joins (no driver loop, no window)
+      // into one plan of keyed joins (no driver loop, no window).
+      // maxHops = 4: 5 event types bound the diameter at 4, so the
+      // fixpoint is exact and each extra round would only add a
+      // no-op shuffle stage (oracle CTE carries the same cap)
       val edges = CdcOps.transitionMatrix(t(s, dir, "events"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
-      Graph.bfsHops(edges, "click", maxHops = 8)
+      Graph.bfsHops(edges, "click", maxHops = 4)
     }),
 
     "q_full_outer_daily" -> ((s, dir) =>
@@ -1253,6 +1256,110 @@ object SparkEntry {
         pmod(col("user_id"), lit(1024L)),
         expr("(hour(ts) * 60 + minute(ts)) div 2"),
         bits = 10, fileBits = 6)),
+
+    // PPJoin prefix-filtered EXACT set-similarity self-join: lossless
+    // (spec-pinned equal to brute force), pair work bounded by rare-
+    // shingle collisions — the exact counterpart of the maxDf cap
+    "dedup_ppjoin_exact" -> ((s, dir) =>
+      Dedup.ppjoinExactPairs(t(s, dir, "documents"), tNum = 1, tDen = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // per-dimension embedding corpus profile on the sq8 lattice
+    "sim_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(t(s, dir, "embeddings"))),
+
+    // exact dimension-pair covariance lattice (redundancy / PCA input)
+    "sim_dim_covariance" -> ((s, dir) =>
+      Similarity.dimCovariance(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200))),
+
+    // referential-integrity audit over the star schema FK edges
+    "q_fk_integrity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      Relational.fkIntegrity(Seq(
+          ("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey"),
+          ("lineitem.partkey", li, "l_partkey", t(s, dir, "part"),
+            "p_partkey"),
+          ("lineitem.suppkey", li, "l_suppkey", t(s, dir, "supplier"),
+            "s_suppkey"),
+          ("orders.custkey", ord, "o_custkey", t(s, dir, "customer"),
+            "c_custkey"),
+          ("customer.nationkey", t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey")))
+        .orderBy(col("fk_edge"))
+    }),
+
+    // functional-dependency violation profile: declared FDs that hold
+    // (unique keys, snowflake edges) next to ones real data breaks —
+    // one keyed two-level distinct aggregate per FD, 1-row rollups
+    "q_fd_violations" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val docs = t(s, dir, "documents")
+      Relational.fdViolations(Seq(
+          ("orders.orderkey->custkey", t(s, dir, "orders"),
+            Seq("o_orderkey"), "o_custkey"),
+          ("lineitem.order+line->partkey", t(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+          ("nation.key->regionkey", t(s, dir, "nation"),
+            Seq("n_nationkey"), "n_regionkey"),
+          ("events.user->type", ev, Seq("user_id"), "event_type"),
+          ("documents.doc->lang", docs, Seq("doc_id"), "lang"),
+          ("documents.source->lang", docs, Seq("source"), "lang")))
+        .orderBy(col("fd"))
+    }),
+
+    // binned point-in-interval join: per-user click sessions (+10 min,
+    // island-merged) attributed with the purchases that fall inside —
+    // the range predicate rides a bin equi-key, so the plan is a hash
+    // join, never BroadcastNestedLoopJoin (plan-asserted)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = CdcOps.mergeIntervals(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), Cols.epochUs(col("ts")).as("start_us"),
+              (Cols.epochUs(col("ts")) + 600000000L).as("end_us"),
+              col("event_id")),
+          "user_id", "start_us", "end_us", "event_id")
+        .select(col("user_id"), col("span_start"), col("span_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Cols.epochUs(col("ts")).as("p_us"),
+          col("value"))
+      Relational.binnedIntervalJoin(purchases, "p_us", sessions,
+          "span_start", "span_end", 600000000L, keys = Seq("user_id"))
+        .groupBy(col("user_id"), col("span_start"), col("span_end"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("purchase_value"))
+        .orderBy(col("user_id"), col("span_start"))
+    }),
+
+    // skew-salted dimension join: row-identical to the plain join
+    // (the oracle IS the plain join), hot fact keys spread over 8
+    // salt buckets; dim replicated 8x pre-shuffle
+    "q_salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_suppkey"), col("l_orderkey"),
+              col("l_linenumber"), col("l_extendedprice"),
+              col("l_discount")),
+          "l_suppkey",
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          "s_suppkey", saltBuckets = 8,
+          saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(12,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("s_nationkey"))),
+
+    // exact integer power iteration on the covariance lattice: the
+    // top principal direction, bit-reproducible (no normalization,
+    // DECIMAL throughout) — only the moment pass touches the corpus
+    "sim_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerIteration(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200), iters = 3)),
 
     // snapshot-diff CDC: the minimal I/U/D change set between the T1
     // and T2 mirrors — change-data-feed generation when no changelog
@@ -2202,7 +2309,7 @@ object SparkEntry {
                          UNION
                          SELECT e.dst, w.hops + 1
                          FROM walk w JOIN e ON e.src = w.node
-                         WHERE w.hops < 8)
+                         WHERE w.hops < 4)
            SELECT node, CAST(min(hops) AS BIGINT) AS hops
            FROM walk GROUP BY node ORDER BY node""",
 
@@ -3743,6 +3850,211 @@ object SparkEntry {
                   min(y) AS min_y, max(y) AS max_y,
                   (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS rect_area
            FROM z GROUP BY zfile ORDER BY zfile""",
+
+      "dedup_ppjoin_exact" ->
+        s"""WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split($norm, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(string_split($norm, ' ')) - 2),
+                            i -> string_split($norm, ' ')[i] || ' ' ||
+                                 string_split($norm, ' ')[i+1] || ' ' ||
+                                 string_split($norm, ' ')[i+2]))
+                          ELSE [array_to_string(string_split($norm, ' '), ' ')]
+                     END AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            dfq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+            r AS (SELECT ex.doc_id, ex.g,
+                    row_number() OVER (PARTITION BY ex.doc_id
+                      ORDER BY dfq.df, ex.g) AS rnk,
+                    sz.sz
+                  FROM ex JOIN dfq USING (g) JOIN sz USING (doc_id)),
+            -- prefix: rarest sz - ceil(sz/2) + 1 shingles (t = 1/2)
+            pref AS (SELECT doc_id, g FROM r
+                     WHERE rnk <= sz - ((sz + 1) // 2) + 1),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM pref a JOIN pref b
+                       ON a.g = b.g AND a.doc_id < b.doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS inter
+                  FROM ex a
+                  JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+                  GROUP BY 1, 2),
+            j AS (SELECT i.doc_a, i.doc_b, i.inter,
+                    za.sz + zb.sz - i.inter AS uni
+                  FROM i JOIN sz za ON za.doc_id = i.doc_a
+                  JOIN sz zb ON zb.doc_id = i.doc_b)
+           SELECT doc_a, doc_b,
+                  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+           FROM j WHERE inter * 2 >= uni
+           ORDER BY doc_a, doc_b""",
+
+      "sim_dim_stats" ->
+        """WITH q AS (SELECT i - 1 AS dim,
+                        CAST(floor(embedding[i] * 128) AS BIGINT) AS qv
+                      FROM embeddings
+                      CROSS JOIN generate_series(1, 64) AS t(i)
+                      WHERE i <= len(embedding))
+           SELECT dim, count(*) AS n,
+                  CAST(sum(qv) AS HUGEINT) AS sum_q,
+                  CAST(sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT))
+                    AS HUGEINT) AS sumsq_q,
+                  min(qv) AS min_q, max(qv) AS max_q,
+                  CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_zero
+           FROM q GROUP BY dim ORDER BY dim""",
+
+      "sim_dim_covariance" ->
+        """WITH q AS (SELECT vec_id, i - 1 AS dim,
+                        CAST(floor(embedding[i] * 128) AS HUGEINT) AS qv
+                      FROM embeddings
+                      CROSS JOIN generate_series(1, 64) AS t(i)
+                      WHERE i <= len(embedding) AND vec_id < 200),
+                m AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        sum(a.qv) AS s_a, sum(b.qv) AS s_b,
+                        sum(a.qv * b.qv) AS s_ab
+                      FROM q a JOIN q b ON a.vec_id = b.vec_id
+                        AND a.dim <= b.dim
+                      GROUP BY a.dim, b.dim)
+           SELECT dim_a, dim_b, CAST(n AS BIGINT) AS n, s_a, s_b, s_ab,
+                  (n * s_ab - s_a * s_b) AS cov_n2
+           FROM m ORDER BY dim_a, dim_b""",
+
+      "q_fk_integrity" ->
+        """SELECT * FROM (
+             SELECT 'lineitem.orderkey' AS fk_edge,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                 (SELECT o_orderkey FROM orders)) AS n_orphans
+             UNION ALL
+             SELECT 'lineitem.partkey',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                 (SELECT p_partkey FROM part))
+             UNION ALL
+             SELECT 'lineitem.suppkey',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier))
+             UNION ALL
+             SELECT 'orders.custkey',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer))
+             UNION ALL
+             SELECT 'customer.nationkey',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation)))
+           ORDER BY fk_edge""",
+
+      "q_fd_violations" ->
+        """WITH
+            f1 AS (SELECT count(DISTINCT o_custkey) AS n_rhs, count(*) AS n_rows
+                   FROM orders GROUP BY o_orderkey),
+            f2 AS (SELECT count(DISTINCT l_partkey) AS n_rhs, count(*) AS n_rows
+                   FROM lineitem GROUP BY l_orderkey, l_linenumber),
+            f3 AS (SELECT count(DISTINCT n_regionkey) AS n_rhs, count(*) AS n_rows
+                   FROM nation GROUP BY n_nationkey),
+            f4 AS (SELECT count(DISTINCT event_type) AS n_rhs, count(*) AS n_rows
+                   FROM events GROUP BY user_id),
+            f5 AS (SELECT count(DISTINCT lang) AS n_rhs, count(*) AS n_rows
+                   FROM documents GROUP BY doc_id),
+            f6 AS (SELECT count(DISTINCT lang) AS n_rhs, count(*) AS n_rows
+                   FROM documents GROUP BY source)
+           SELECT * FROM (
+             SELECT 'orders.orderkey->custkey' AS fd, count(*) AS n_groups,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) AS n_violating_rows
+             FROM f1
+             UNION ALL
+             SELECT 'lineitem.order+line->partkey', count(*),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) FROM f2
+             UNION ALL
+             SELECT 'nation.key->regionkey', count(*),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) FROM f3
+             UNION ALL
+             SELECT 'events.user->type', count(*),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) FROM f4
+             UNION ALL
+             SELECT 'documents.doc->lang', count(*),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) FROM f5
+             UNION ALL
+             SELECT 'documents.source->lang', count(*),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END), 0) AS BIGINT) FROM f6)
+           ORDER BY fd""",
+
+      "q_interval_join" ->
+        """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                         epoch_us(ts) + 600000000 AS end_us
+                       FROM events WHERE event_type = 'click'),
+                w AS (SELECT user_id, event_id, start_us, end_us,
+                        max(end_us) OVER (PARTITION BY user_id
+                          ORDER BY start_us, end_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS prev_max
+                      FROM iv),
+                f AS (SELECT user_id, event_id, start_us, end_us,
+                        CASE WHEN prev_max IS NULL OR start_us > prev_max
+                             THEN 1 ELSE 0 END AS new_island
+                      FROM w),
+                i AS (SELECT user_id, start_us, end_us,
+                        sum(new_island) OVER (PARTITION BY user_id
+                          ORDER BY start_us, end_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS island
+                      FROM f),
+                m AS (SELECT user_id, min(start_us) AS span_start,
+                        max(end_us) AS span_end
+                      FROM i GROUP BY user_id, island),
+                p AS (SELECT user_id, epoch_us(ts) AS p_us, value
+                      FROM events WHERE event_type = 'purchase')
+           SELECT m.user_id, m.span_start, m.span_end,
+                  count(*) AS n_purchases,
+                  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS purchase_value
+           FROM m JOIN p ON p.user_id = m.user_id
+             AND p.p_us >= m.span_start AND p.p_us <= m.span_end
+           GROUP BY m.user_id, m.span_start, m.span_end
+           ORDER BY m.user_id, m.span_start""",
+
+      "q_salted_join" ->
+        s"""SELECT s_nationkey, count(*) AS n_items,
+                  CAST(sum($discPrice) AS DOUBLE) AS revenue
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+      "sim_pca_power" ->
+        """WITH q AS (SELECT vec_id, i - 1 AS dim,
+                        CAST(floor(embedding[i] * 128) AS HUGEINT) AS qv
+                      FROM embeddings
+                      CROSS JOIN generate_series(1, 64) AS t(i)
+                      WHERE i <= len(embedding) AND vec_id < 200),
+                m AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        sum(a.qv) AS s_a, sum(b.qv) AS s_b,
+                        sum(a.qv * b.qv) AS s_ab
+                      FROM q a JOIN q b ON a.vec_id = b.vec_id
+                      GROUP BY a.dim, b.dim),
+                c AS (SELECT dim_a, dim_b,
+                        (n * s_ab - s_a * s_b) AS cv
+                      FROM m),
+                v1 AS (SELECT dim_a AS dim, sum(cv) AS v
+                       FROM c GROUP BY dim_a),
+                v2 AS (SELECT c.dim_a AS dim, sum(c.cv * v1.v) AS v
+                       FROM c JOIN v1 ON v1.dim = c.dim_b GROUP BY c.dim_a),
+                v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
+                       FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
+           SELECT dim, v FROM v3 ORDER BY dim""",
 
       "cdc_snapshot_diff" ->
         """WITH ev AS (SELECT event_id, ts, user_id, event_type, value,

@@ -246,6 +246,75 @@ object Dedup {
   }
 
   /**
+   * Candidate pairs under PPJoin-style prefix filtering (Xiao et al.,
+   * WWW'08): order each document's shingles by GLOBAL rarity
+   * (df ascending, shingle ascending); a document of size `s` under
+   * Jaccard threshold `t = tNum/tDen` keeps only its first
+   * `s − ⌈t·s⌉ + 1` rarest shingles as its prefix; two documents can
+   * reach `J ≥ t` only if their PREFIXES share a shingle (if a's
+   * intersection avoided a's prefix it would fit in the suffix of
+   * size `⌈t·s⌉ − 1 < ⌈t·s⌉ ≤ |a∩b|` — contradiction). LOSSLESS, and
+   * the inverse of the `maxDf` stop-gram cap: corpus-frequent
+   * boilerplate shingles sort to the END of the rarity order and fall
+   * outside every non-trivial prefix, so the self-join keys are
+   * precisely the low-df shingles whose collision lists are short —
+   * candidate work tracks rare-shingle collisions, never df² on a hot
+   * gram.
+   */
+  def ppjoinCandidatePairs(docs: DataFrame, tNum: Int, tDen: Int,
+                           k: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen")
+    val ex = shingleSets(docs, k)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // per-doc rarity rank: window partitions by document (bounded
+    // frames), order by the global (df, shingle) — deterministic and
+    // oracle-replayable
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val prefix = ex.join(df, "g")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      // ⌈t·s⌉ = (tNum·s + tDen − 1) div tDen, all integer
+      .filter(col("rnk") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("g"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /**
+   * EXACT set-similarity self-join: every pair with shingle Jaccard
+   * ≥ tNum/tDen — no LSH probability, no stop-gram truncation — via
+   * [[ppjoinCandidatePairs]] prefix filtering plus exact verification
+   * on the candidates only (shingle arrays join BY ID for candidate
+   * pairs; non-candidates never move). The lossless alternative to
+   * [[ngramJaccardPairs]]'s `maxDf` cap: that one bounds worst-case
+   * work by redefining the measure over discriminative shingles; this
+   * one keeps the true measure and bounds work by the prefix-filter
+   * guarantee. Spec-pinned equal to the brute-force all-pairs join.
+   */
+  def ppjoinExactPairs(docs: DataFrame, tNum: Int, tDen: Int,
+                       k: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, k)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("long")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    ppjoinCandidatePairs(docs, tNum, tDen, k)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      // threshold test on cross-multiplied integers — engine-exact
+      .filter(inter * tDen >= uni * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+  }
+
+  /**
    * Containment / overlap pairs from winnowing fingerprints: documents
    * sharing ≥ `minShared` sampled rolling-hash fingerprints, scored by
    * `shared / min(|fps_a|, |fps_b|)` — 1.0 means the smaller document's

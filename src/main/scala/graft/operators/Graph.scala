@@ -101,13 +101,26 @@ object Graph {
   def bfsHops(edges: DataFrame, source: String,
               maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops=$maxHops")
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    // materialize the edge list ONCE: the unrolled plan references it
+    // in every relax round, and a derived edge list (e.g. the lag-
+    // window transition extraction) would otherwise re-evaluate its
+    // whole subtree maxHops times (measured 8x on the bench query —
+    // same discipline as nearDupComponents' per-round checkpoint)
+    val eCk = edges.localCheckpoint()
+    // a checkpointed frame loses Catalyst stats (sizeInBytes falls
+    // back to the worst-case default), so without help every relax
+    // round plans a full shuffle join even for a 25-row transition
+    // graph. The count is free on the materialized checkpoint; a
+    // small edge list rides broadcast in all rounds (what AQE would
+    // choose with real stats), a big one keeps the keyed shuffle.
+    val e = if (eCk.count() <= 1000000L) broadcast(eCk) else eCk
+    val nodes = eCk.select(col("src").as("node"))
+      .unionAll(eCk.select(col("dst").as("node"))).distinct()
     var dist = nodes.select(col("node"),
       when(col("node") === source, 0L).otherwise(lit(null)).as("hops"))
     for (_ <- 1 to maxHops) {
       val relaxed = dist.filter(col("hops").isNotNull)
-        .join(edges, col("node") === col("src"))
+        .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("hops") + 1).as("h2"))
         .groupBy(col("node")).agg(min(col("h2")).as("h2"))
       dist = dist.join(relaxed, Seq("node"), "left")

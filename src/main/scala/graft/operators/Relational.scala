@@ -526,4 +526,129 @@ object Relational {
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
           col("l_quantity") >= 20 && col("l_quantity") <= 40))
       .agg(sum(discPrice).cast("double").as("revenue"))
+
+  /**
+   * Referential-integrity audit across the star schema: for each
+   * declared FK edge, the child row count and how many child rows have
+   * NO parent (orphans) — the data-quality gate run before trusting
+   * any join result (an orphan silently vanishes from every inner
+   * join). Each edge is one anti-join against a DISTINCT-key parent
+   * projection (dimension keys broadcast when small; the fact side
+   * never moves twice), folded into one tiny union report.
+   */
+  def fkIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+      child.select(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.select(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Functional-dependency violation profile: for each declared FD
+   * `LHS → rhs`, how many LHS groups exist, how many carry more than
+   * one distinct RHS value, and how many rows sit in violating groups
+   * — the schema-inference / data-quality companion to
+   * [[fkIntegrity]] (an FD that "should" hold but doesn't is either a
+   * dirty column or a wrong mental model of the schema; both corrupt
+   * downstream dedup keys and join cardinality estimates).
+   *
+   * Scale shape: ONE keyed aggregation per FD (groupBy LHS with a
+   * distinct-RHS count — Spark plans the distinct as a two-level
+   * partial aggregate, both levels keyed and map-side combinable),
+   * then a 1-row rollup per FD unioned into the report. NULL RHS
+   * values are ignored by the distinct count (SQL semantics); NULL
+   * LHS keys group together, matching the oracle's GROUP BY.
+   */
+  def fdViolations(fds: Seq[(String, DataFrame, Seq[String], String)]): DataFrame =
+    fds.map { case (name, df, lhs, rhs) =>
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("n_rhs"), count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("n_rhs") > 1, col("n_rows")).otherwise(0L))
+            .as("n_violating_rows"))
+        .select(lit(name).as("fd"), col("n_groups"),
+          col("n_violating_groups"),
+          coalesce(col("n_violating_rows"), lit(0L))
+            .as("n_violating_rows"))
+    }.reduce(_ unionByName _)
+
+  /**
+   * Point-in-interval join WITHOUT the nested-loop trap. A range
+   * predicate (`start ≤ p AND p ≤ end`) has no equi-key, so Spark
+   * plans BroadcastNestedLoopJoin — O(points × intervals) compared
+   * row pairs, the classic interval-join scale killer. This operator
+   * restores an equi-key by binning the coordinate space: each
+   * interval explodes to the `binWidth`-aligned bins it overlaps,
+   * each point maps to exactly one bin, and the join runs on
+   * (optional key columns, bin) as a plain hash/sort-merge equi-join
+   * with the range predicate as a residual filter. A (point,
+   * interval) pair can meet in at most one bin (the point's), so no
+   * dedup pass is needed.
+   *
+   * Intervals are CLOSED (`[start, end]`, both inclusive).
+   * `binWidth` trades fan-out for selectivity: an interval of length
+   * L explodes to ⌊L/binWidth⌋+1 ≤ ⌈L/w⌉+1 rows, so pick
+   * `binWidth` ≈ the typical interval length (fan-out ~2 while bin
+   * collisions stay local). Coordinates must be non-negative Longs
+   * (epoch micros in every caller here).
+   *
+   * Scale shape: both sides shuffle ONCE on (keys, bin) — balanced as
+   * long as bins are (time-binned event data is; a pathological bin
+   * is AQE skew-join territory, same as any hot equi-key). Plan-
+   * asserted: no BroadcastNestedLoopJoin, no CartesianProduct.
+   */
+  def binnedIntervalJoin(points: DataFrame, ptCol: String,
+                         intervals: DataFrame, startCol: String,
+                         endCol: String, binWidth: Long,
+                         keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth")
+    val w = lit(binWidth)
+    // bin id = the bin's aligned START coordinate (c − c mod w): pure
+    // Long arithmetic, no division — exact at any epoch magnitude
+    def binOf(c: Column) = c.cast("long") - pmod(c.cast("long"), w)
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol)), w)))
+    val pt = points.withColumn("__bin", binOf(col(ptCol)))
+    pt.join(iv, keys :+ "__bin")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /**
+   * Skew-salted equi-join: the fact side gains a deterministic salt
+   * in `[0, saltBuckets)` derived from `saltExpr` (row content, NOT
+   * the join key — pmod of a content hash), and the dimension side
+   * replicates each row `saltBuckets` times, one per salt value; the
+   * join then runs on (key, salt). A hot fact key that would pile
+   * onto one reducer spreads across `saltBuckets` of them, at the
+   * cost of a `saltBuckets`× dimension replication — the standard
+   * remedy when ONE key dominates and AQE's split-by-size skew
+   * handling can't help (it splits partitions, not a single key's
+   * hash bucket; a skewed BUILD side or a skewed sort-merge stripe
+   * still serializes).
+   *
+   * Row-for-row identical to the plain inner join (spec-pinned):
+   * every fact row meets each matching dim row in exactly its own
+   * salt bucket. Use when dim × saltBuckets still fits comfortably
+   * in the shuffle (dim small, fact skewed) — exactly the shape where
+   * salting wins.
+   */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+                 dimKey: String, saltBuckets: Int,
+                 saltExpr: Column): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets=$saltBuckets")
+    val f = fact.withColumn("__salt",
+      pmod(saltExpr, lit(saltBuckets.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    f.join(d, f("__salt") === d("__salt") &&
+        col(factKey) === col(dimKey))
+      .drop("__salt")
+  }
 }

@@ -644,4 +644,107 @@ object Similarity {
       .select(col("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
   }
+
+  /**
+   * Per-dimension embedding profile on the sq8 lattice
+   * (`floor(x·128)`): count, exact sum / sum-of-squares (DECIMAL —
+   * variance without a second pass), lattice min/max, and the
+   * zero-count — the diagnostic read before trusting ANY
+   * cosine-based operator: a dead dimension (zero variance) wastes
+   * index bits, a runaway one dominates every dot product, and a
+   * high zero-rate flags truncated/padded vectors.
+   *
+   * Scale shape: ONE pass — posexplode to (dim, q) then a dim-keyed
+   * aggregate (64 groups, fully map-side combinable); output is
+   * O(dim), independent of corpus size, and shard-mergeable by
+   * re-summing.
+   */
+  def dimStats(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 128.0).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sum_q"),
+        sum(col("q").cast("decimal(38,0)") * col("q").cast("decimal(38,0)"))
+          .as("sumsq_q"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("dim"))
+
+  /**
+   * Exact dimension-pair covariance lattice (upper triangle) — the
+   * redundancy diagnostic behind [[dimStats]]: `n²·cov(i,j) =
+   * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ`, all exact integers on the sq8 lattice, so
+   * strongly-correlated dimension pairs (wasted index bits; PCA /
+   * matryoshka-truncation candidates) read directly off one table.
+   * The 64×64 integer matrix is also the one-pass input to any
+   * driver-side eigen decomposition (power iteration over dim×dim is
+   * microscopic; the DATA pass is the distributed part).
+   *
+   * Scale shape: per-row pair expansion is a constant dim²/2 fan-out
+   * keyed by vec_id (a self-join on the exploded lattice — balanced,
+   * never corpus×corpus), then ONE map-side-combinable aggregate to
+   * O(dim²) rows, shard-mergeable by re-summing.
+   */
+  /**
+   * Leading principal direction of the embedding corpus by EXACT
+   * integer power iteration on the [[dimCovariance]] lattice:
+   * `v₀ = 1⃗`, `vₖ₊₁ = C·vₖ` with `C = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` (the n²-
+   * scaled centered covariance — same eigenvectors, integer entries),
+   * every multiply-add in DECIMAL(38,0), NO normalization — so the
+   * result is bit-reproducible and a SQL oracle replays it exactly.
+   * The returned unnormalized vₖ points along the top eigenvector
+   * (ratios between components are the loadings); callers normalize
+   * driver-side in one pass over 64 rows.
+   *
+   * Envelope: ‖C‖∞ ≤ dim·max|C| grows the vector by that factor per
+   * step, so `iters` must satisfy (dim·max|C|)^iters < 10³⁸ —
+   * `require`d conservatively here; at larger n, fewer exact steps
+   * fit and the production path switches to double + normalization
+   * (approximate), keeping this exact shape as the oracle gate.
+   *
+   * Scale shape: the DATA pass is [[dimCovariance]] (one distributed
+   * aggregate); the iteration itself runs on the O(dim²) aggregated
+   * lattice — each step one join + one 64-group aggregate on frames
+   * that Catalyst broadcasts. Distributed PCA where only the moment
+   * pass touches the corpus.
+   */
+  def pcaPowerIteration(corpus: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters=$iters")
+    val tri = dimCovariance(corpus)
+      .select(col("dim_a"), col("dim_b"), col("cov_n2"))
+    // mirror the upper triangle into the full symmetric matrix
+    val full = tri.unionByName(
+      tri.filter(col("dim_a") < col("dim_b"))
+        .select(col("dim_b").as("dim_a"), col("dim_a").as("dim_b"),
+          col("cov_n2")))
+    val dims = full.select(col("dim_a").as("dim")).distinct()
+    var v = dims.select(col("dim"),
+      lit(1).cast("decimal(38,0)").as("v"))
+    for (_ <- 1 to iters)
+      v = full.join(v, full("dim_b") === v("dim"))
+        .groupBy(full("dim_a").as("dim"))
+        .agg(sum(col("cov_n2") * col("v")).cast("decimal(38,0)").as("v"))
+    v.orderBy(col("dim"))
+  }
+
+  def dimCovariance(corpus: DataFrame): DataFrame = {
+    val ex = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * 128.0).cast("decimal(38,0)").as("q"))
+    ex.as("a").join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") <= col("b.dim"))
+      .groupBy(col("a.dim").cast("long").as("dim_a"),
+        col("b.dim").cast("long").as("dim_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("a.q")).as("s_a"), sum(col("b.q")).as("s_b"),
+        sum(col("a.q") * col("b.q")).as("s_ab"))
+      .select(col("dim_a"), col("dim_b"), col("n").cast("long").as("n"),
+        col("s_a"), col("s_b"), col("s_ab"),
+        (col("n") * col("s_ab") - col("s_a") * col("s_b")).as("cov_n2"))
+      .orderBy(col("dim_a"), col("dim_b"))
+  }
 }
