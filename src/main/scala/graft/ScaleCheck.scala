@@ -148,6 +148,12 @@ object ScaleCheck {
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }
     time("sim_dim_stats") { Similarity.dimStats(emb) }
+    time("sim_pca_power_i2") {
+      // 10x corpus: the DECIMAL(38,0) envelope (dim·max|C|)^iters
+      // bounds exact iterations to 2 at this n — the documented
+      // exact-path/approximate-path crossover
+      Similarity.pcaPowerIteration(emb, iters = 2)
+    }
 
     // events replicated the same way (per-user history grows 20x —
     // the per-user window stress case)
@@ -188,6 +194,36 @@ object ScaleCheck {
           (unix_micros(col("ts")) + 300000000L).as("end_us"),
           col("event_id")),
         "user_id", "start_us", "end_us", "event_id")
+    }
+    time("q_interval_join") {
+      // keyed binned range join over the 20x stream: per-user click
+      // sessions × purchases, bin equi-key (no nested loop at any n)
+      val sessions = graft.operators.CdcOps.mergeIntervals(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) + 600000000L).as("end_us"),
+            col("event_id")),
+        "user_id", "start_us", "end_us", "event_id")
+        .select(col("user_id"), col("span_start"), col("span_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      graft.operators.Relational.binnedIntervalJoin(purchases, "p_us",
+          sessions, "span_start", "span_end", 600000000L,
+          keys = Seq("user_id"))
+        .groupBy(col("user_id"), col("span_start"))
+        .agg(count(lit(1)).as("n"))
+    }
+    time("q_salted_join_hot") {
+      // 90% of the 20x fact on ONE key — the shape saltedJoin exists
+      // for; dim 6 rows x 32 salts
+      val fact = ev.withColumn("k",
+        when(pmod(col("event_id"), lit(10L)) =!= 0L, 7L)
+          .otherwise(pmod(col("event_id"), lit(5L))))
+      val dim = spark.range(8).select(col("id").as("dk"),
+        concat(lit("attr"), col("id")).as("attr"))
+      graft.operators.Relational.saltedJoin(fact, "k", dim, "dk",
+          saltBuckets = 32, saltExpr = xxhash64(col("event_id")))
+        .groupBy(col("attr")).agg(count(lit(1)).as("n"))
     }
     time("cdc_snapshot_diff") {
       val evA = ev.withColumn("action",

@@ -1361,6 +1361,30 @@ object SparkEntry {
       Similarity.pcaPowerIteration(
         t(s, dir, "embeddings").filter(col("vec_id") < 200), iters = 3)),
 
+    // ranking-window battery: peer-based ranks over a tied order,
+    // ntile over the tie-broken order (determinism gotcha dodged)
+    "q_window_ranks" -> ((s, dir) =>
+      Relational.windowRankFunctions(t(s, dir, "lineitem"))),
+
+    // hot-key skew diagnosis (the decision input for q_salted_join's
+    // remedy): top-10 hottest join keys with skew factor
+    "q_skew_profile" -> ((s, dir) =>
+      Relational.hotKeyProfile(t(s, dir, "events"), "user_id", topK = 10)),
+
+    // incremental JOIN-view maintenance (the join sibling of
+    // cdc_agg_maintenance): V2 = (V1 minus delta keys) union
+    // (delta mirror join dim); oracle computes the direct T2 join
+    "cdc_join_maintenance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id"))
+        .agg(min(Cols.epochUs(col("ts"))).as("first_seen_us"))
+      CdcOps.joinViewDelta(ev, dim, offset1 = 6000L, offset2 = 8000L)
+        .select(col("user_id"), col("event_id"),
+          Cols.epochUs(col("ts")).as("ts_us"), col("event_type"),
+          col("first_seen_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // snapshot-diff CDC: the minimal I/U/D change set between the T1
     // and T2 mirrors — change-data-feed generation when no changelog
     // exists (law: applyDiff(m1, diff) == m2, spec-pinned)
@@ -4055,6 +4079,45 @@ object SparkEntry {
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
            SELECT dim, v FROM v3 ORDER BY dim""",
+
+      "q_window_ranks" ->
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(rank() OVER w1 AS BIGINT) AS rnk,
+                  CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+                  percent_rank() OVER w1 AS prnk,
+                  cume_dist() OVER w1 AS cdist,
+                  CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+           FROM lineitem
+           WINDOW w1 AS (PARTITION BY l_orderkey ORDER BY l_quantity),
+                  w2 AS (PARTITION BY l_orderkey
+                         ORDER BY l_quantity, l_linenumber)
+           ORDER BY l_orderkey, l_linenumber""",
+
+      "q_skew_profile" ->
+        """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+                      FROM events GROUP BY user_id),
+                s AS (SELECT count(*) AS n_keys,
+                        CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+           SELECT c.key, c.cnt,
+                  CAST(c.cnt AS DOUBLE) * s.n_keys / s.n_rows AS skew,
+                  s.n_keys, s.n_rows
+           FROM c CROSS JOIN s
+           ORDER BY c.cnt DESC, c.key LIMIT 10""",
+
+      "cdc_join_maintenance" ->
+        """WITH dim AS (SELECT user_id, min(epoch_us(ts)) AS first_seen_us
+                        FROM events GROUP BY user_id),
+                m2 AS (SELECT user_id, event_id, ts, event_type
+                       FROM (SELECT *, row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY event_id DESC) AS rn
+                             FROM events WHERE event_id <= 8000)
+                       WHERE rn = 1)
+           SELECT m2.user_id, m2.event_id, epoch_us(m2.ts) AS ts_us,
+                  m2.event_type, dim.first_seen_us
+           FROM m2 JOIN dim USING (user_id)
+           ORDER BY user_id""",
 
       "cdc_snapshot_diff" ->
         """WITH ev AS (SELECT event_id, ts, user_id, event_type, value,

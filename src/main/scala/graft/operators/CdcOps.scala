@@ -380,6 +380,50 @@ object CdcOps {
   }
 
   /**
+   * Incremental JOIN-view maintenance — the join sibling of
+   * [[aggDelta]]. The materialized view is `mirror(log) ⋈ dim` (dim
+   * keyed 1:1 on the mirror key); when the changelog advances across
+   * `(offset1, offset2]`, the view is maintained WITHOUT refolding the
+   * base: Δmirror = latest-per-key fold of the delta batch alone, and
+   * V₂ = (V₁ minus Δkeys) ∪ (Δmirror ⋈ dim). Valid because the join
+   * key IS the mirror key, so a delta on key k replaces exactly V₁'s
+   * row for k. Law (the oracle computes the other side): the
+   * maintained view equals the direct join of the offset2 mirror.
+   *
+   * The fold is by ARRIVAL order (`offsetCol` alone, not event time):
+   * that is what makes replace-by-delta exact — delta offsets are
+   * strictly above base offsets, so "latest in delta" IS "latest
+   * overall" for every touched key. An event-time fold would break
+   * the law whenever a late-timestamped base row outranks the delta
+   * (event-time ordering is [[snapshotAsOf]]'s domain, not a
+   * maintained upsert view's).
+   *
+   * Scale shape: the delta path costs O(|Δ| + touched keys) — one
+   * keyed fold on the batch, one join to dim for Δkeys only, one
+   * anti-join + union against the standing view. The base mirror is
+   * folded once here only because the query must build V₁ from the
+   * raw log; in production V₁ is the stored table.
+   */
+  def joinViewDelta(log: DataFrame, dim: DataFrame, offset1: Long,
+                    offset2: Long, keyCol: String = "user_id",
+                    offsetCol: String = "event_id"): DataFrame = {
+    require(offset2 >= offset1, s"offsets: $offset1 > $offset2")
+    def latestByOffset(df: DataFrame): DataFrame = {
+      val others = df.columns.filter(_ != keyCol).toSeq
+      df.groupBy(col(keyCol))
+        .agg(max_by(struct(others.map(col): _*), col(offsetCol)).as("__r"))
+        .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+    }
+    val m1 = latestByOffset(log.filter(col(offsetCol) <= offset1))
+    val dm = latestByOffset(log.filter(
+      col(offsetCol) > offset1 && col(offsetCol) <= offset2))
+    val v1 = m1.join(dim, keyCol)
+    val dv = dm.join(dim, keyCol)
+    v1.join(dv.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(dv)
+  }
+
+  /**
    * Retention / log-compaction plan: per entity, keep the newest
    * `keep` versions (by event time, offset tie-break) and account for
    * the rest — the policy pass a CDC store runs before pruning old

@@ -579,6 +579,53 @@ object Relational {
     }.reduce(_ unionByName _)
 
   /**
+   * Ranking-function battery: rank / dense_rank / percent_rank /
+   * cume_dist over a TIED order (they're peer-based, so ties are
+   * deterministic) and ntile over the fully tie-broken order (ntile
+   * assigns arbitrarily within peers — the (r4) window-determinism
+   * gotcha, dodged by ordering on every referenced column). Keyed
+   * windows only: partitions are per-order, bounded and balanced.
+   */
+  def windowRankFunctions(lineitem: DataFrame): DataFrame = {
+    val tied = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity"))
+    val total = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity"), col("l_linenumber"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        rank().over(tied).cast("long").as("rnk"),
+        dense_rank().over(tied).cast("long").as("drnk"),
+        percent_rank().over(tied).as("prnk"),
+        cume_dist().over(tied).as("cdist"),
+        ntile(4).over(total).cast("long").as("quartile"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /**
+   * Hot-key profile: the skew DIAGNOSIS that decides whether
+   * [[saltedJoin]]'s remedy is needed — per join-key candidate, the
+   * top-`topK` hottest keys with their count and skew factor
+   * (count ÷ mean count; ≫1 on one key = that key serializes a plain
+   * shuffle join). One keyed count aggregate (map-side combinable),
+   * a 3-number rollup of the counts, and a top-k sort that plans as
+   * TakeOrdered (per-partition partial top-k, never a full sort).
+   */
+  def hotKeyProfile(df: DataFrame, keyCol: String,
+                    topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew"),
+        col("n_keys"), col("n_rows"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /**
    * Point-in-interval join WITHOUT the nested-loop trap. A range
    * predicate (`start ≤ p AND p ≤ end`) has no equi-key, so Spark
    * plans BroadcastNestedLoopJoin — O(points × intervals) compared
