@@ -137,11 +137,14 @@ object ScaleCheck {
       Similarity.semDedup(emb)
     }
     time("dedup_ppjoin_exact_boiler") {
-      // lossless path under injected boilerplate: the shared sentence's
-      // shingles have corpus-wide df, sort past every prefix, and
-      // generate no candidates — candidate work stays on the true
-      // (replicated-copy) duplicate groups
-      val boiler = docs.withColumn("text",
+      // lossless path under injected boilerplate, composed the way a
+      // real pipeline orders it: exact dedup FIRST (collapses the 20x
+      // replica multiplicity — PPJoin's candidate work is quadratic in
+      // per-content copy count, because every copy pair is a TRUE
+      // result pair), then the prefix-filtered exact join, where the
+      // boilerplate shingles have corpus-wide df, sort past every
+      // prefix, and generate no candidates
+      val boiler = Dedup.exactDedup(docs).withColumn("text",
         concat(lit("all rights reserved terms of service apply here "),
           col("text")))
       Dedup.ppjoinExactPairs(boiler, tNum = 1, tDen = 2)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{EventGroups, TableGroups}
 import graft.util.Cols
-import graft.operators.{CdcOps, Dedup, Graph, Multimodal, Relational, Similarity, SkewJoin, TextOps}
+import graft.operators.{CdcOps, Dedup, Graph, Multimodal, Relational, Report, Similarity, SkewJoin, TextOps}
 import graft.sources.ChangeLogSource
 import graft.sources.ChangeLogSource.OffsetRange
 
@@ -1370,6 +1370,13 @@ object SparkEntry {
     // remedy): top-10 hottest join keys with skew factor
     "q_skew_profile" -> ((s, dir) =>
       Relational.hotKeyProfile(t(s, dir, "events"), "user_id", topK = 10)),
+
+    // FLAGSHIP (release artifact): the dataset data card — corpus
+    // volume, language/source mix, exact-dup rate, stream shape,
+    // embedding health, one ~13-row oracle-replayable report
+    "pipeline_data_card" -> ((s, dir) =>
+      Report.dataCard(t(s, dir, "documents"), t(s, dir, "events"),
+        t(s, dir, "embeddings"))),
 
     // incremental JOIN-view maintenance (the join sibling of
     // cdc_agg_maintenance): V2 = (V1 minus delta keys) union
@@ -4104,6 +4111,63 @@ object SparkEntry {
                   s.n_keys, s.n_rows
            FROM c CROSS JOIN s
            ORDER BY c.cnt DESC, c.key LIMIT 10""",
+
+      "pipeline_data_card" ->
+        s"""WITH dtot AS (SELECT count(*) AS n, sum(n_chars) AS chars,
+                           count(DISTINCT source) AS srcs,
+                           count(DISTINCT lang) AS langs
+                         FROM documents),
+                lt AS (SELECT lang, count(*) AS cnt FROM documents
+                       GROUP BY lang ORDER BY cnt DESC, lang DESC LIMIT 1),
+                dup AS (SELECT sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                            AS g,
+                          sum(n_copies - 1) AS extra, sum(n_copies) AS n
+                        FROM (SELECT count(*) AS n_copies FROM documents
+                              GROUP BY md5($norm))),
+                ev AS (SELECT count(*) AS n,
+                         count(DISTINCT user_id) AS u FROM events),
+                em AS (SELECT count(*) AS n, max(len(embedding)) AS dims
+                       FROM embeddings),
+                dd AS (SELECT count(*) AS k FROM (
+                         SELECT i - 1 AS dim,
+                           min(CAST(floor(embedding[i] * 128) AS BIGINT))
+                             AS mn,
+                           max(CAST(floor(embedding[i] * 128) AS BIGINT))
+                             AS mx
+                         FROM embeddings
+                         CROSS JOIN generate_series(1, 64) AS t(i)
+                         WHERE i <= len(embedding)
+                         GROUP BY dim) WHERE mn = mx)
+           SELECT * FROM (
+             SELECT 'docs_n' AS metric, CAST(n AS DOUBLE) AS value,
+               '' AS detail FROM dtot
+             UNION ALL
+             SELECT 'docs_chars_total', CAST(chars AS DOUBLE), '' FROM dtot
+             UNION ALL
+             SELECT 'docs_sources_n', CAST(srcs AS DOUBLE), '' FROM dtot
+             UNION ALL
+             SELECT 'docs_langs_n', CAST(langs AS DOUBLE), '' FROM dtot
+             UNION ALL
+             SELECT 'docs_lang_top_share',
+               CAST(lt.cnt AS DOUBLE) / (SELECT n FROM dtot), lt.lang
+             FROM lt
+             UNION ALL
+             SELECT 'dup_exact_groups', CAST(g AS DOUBLE), '' FROM dup
+             UNION ALL
+             SELECT 'dup_exact_rate', CAST(extra AS DOUBLE) / n, '' FROM dup
+             UNION ALL
+             SELECT 'events_n', CAST(n AS DOUBLE), '' FROM ev
+             UNION ALL
+             SELECT 'events_users_n', CAST(u AS DOUBLE), '' FROM ev
+             UNION ALL
+             SELECT 'events_per_user', CAST(n AS DOUBLE) / u, '' FROM ev
+             UNION ALL
+             SELECT 'vectors_n', CAST(n AS DOUBLE), '' FROM em
+             UNION ALL
+             SELECT 'vectors_dims', CAST(dims AS DOUBLE), '' FROM em
+             UNION ALL
+             SELECT 'vectors_dead_dims', CAST(k AS DOUBLE), '' FROM dd)
+           ORDER BY metric""",
 
       "cdc_join_maintenance" ->
         """WITH dim AS (SELECT user_id, min(epoch_us(ts)) AS first_seen_us

@@ -309,6 +309,15 @@ object Dedup {
    * work by redefining the measure over discriminative shingles; this
    * one keeps the true measure and bounds work by the prefix-filter
    * guarantee. Spec-pinned equal to the brute-force all-pairs join.
+   *
+   * Pipeline ordering at scale: run [[exactDedup]] FIRST. Candidate
+   * work (like the true output) is quadratic in per-content copy
+   * multiplicity — m exact copies of one document are C(m,2) genuine
+   * result pairs, so no filter can remove them. Collapsing exact
+   * copies before the join (and fanning pair results back out through
+   * the exact groups if copy-level pairs are needed) is the standard
+   * exact-then-near dedup order; ScaleCheck's boilerplate probe runs
+   * the composition.
    */
   def ppjoinExactPairs(docs: DataFrame, tNum: Int, tDen: Int,
                        k: Int = 3): DataFrame = {
