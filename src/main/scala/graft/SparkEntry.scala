@@ -1361,6 +1361,13 @@ object SparkEntry {
       Similarity.pcaPowerIteration(
         t(s, dir, "embeddings").filter(col("vec_id") < 200), iters = 3)),
 
+    // principal-axis outlier triage: exact decimal projections onto
+    // the power-iteration direction, top-20 most extreme vectors
+    "sim_pca_scores" -> ((s, dir) =>
+      Similarity.pcaScores(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        iters = 3, topK = 20)),
+
     // ranking-window battery: peer-based ranks over a tied order,
     // ntile over the tie-broken order (determinism gotcha dodged)
     "q_window_ranks" -> ((s, dir) =>
@@ -4086,6 +4093,32 @@ object SparkEntry {
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
            SELECT dim, v FROM v3 ORDER BY dim""",
+
+      "sim_pca_scores" ->
+        """WITH q AS (SELECT vec_id, i - 1 AS dim,
+                        CAST(floor(embedding[i] * 128) AS HUGEINT) AS qv
+                      FROM embeddings
+                      CROSS JOIN generate_series(1, 64) AS t(i)
+                      WHERE i <= len(embedding) AND vec_id < 200),
+                m AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        sum(a.qv) AS s_a, sum(b.qv) AS s_b,
+                        sum(a.qv * b.qv) AS s_ab
+                      FROM q a JOIN q b ON a.vec_id = b.vec_id
+                      GROUP BY a.dim, b.dim),
+                c AS (SELECT dim_a, dim_b,
+                        (n * s_ab - s_a * s_b) AS cv
+                      FROM m),
+                v1 AS (SELECT dim_a AS dim, sum(cv) AS v
+                       FROM c GROUP BY dim_a),
+                v2 AS (SELECT c.dim_a AS dim, sum(c.cv * v1.v) AS v
+                       FROM c JOIN v1 ON v1.dim = c.dim_b GROUP BY c.dim_a),
+                v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
+                       FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
+           SELECT q.vec_id, sum(q.qv * v3.v) AS score
+           FROM q JOIN v3 ON v3.dim = q.dim
+           GROUP BY q.vec_id
+           ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id LIMIT 20""",
 
       "q_window_ranks" ->
         """SELECT l_orderkey, l_linenumber,

@@ -730,6 +730,32 @@ object Similarity {
     v.orderBy(col("dim"))
   }
 
+  /**
+   * Projection of every corpus vector onto [[pcaPowerIteration]]'s
+   * unnormalized principal direction — exact DECIMAL dot products on
+   * the sq8 lattice, so "the `topK` most extreme documents along the
+   * corpus's dominant axis" (embedding-space outlier triage) is
+   * bit-reproducible. Envelope: |score| ≤ dim·128·max|v| — with the
+   * iters=3 vector (≤ ~10³³) that is < 10³⁸.
+   *
+   * Scale shape: the direction rides a broadcast (O(dim) rows); the
+   * projection is one narrow map over the corpus (posexplode +
+   * vec-keyed sum — map-side combinable); top-k plans as TakeOrdered.
+   */
+  def pcaScores(corpus: DataFrame, iters: Int = 3,
+                topK: Int = 20): DataFrame = {
+    val v = pcaPowerIteration(corpus, iters)
+    corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 128.0).cast("decimal(38,0)").as("q"))
+      .join(broadcast(v), "dim")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v")).cast("decimal(38,0)").as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id"))
+      .limit(topK)
+  }
+
   def dimCovariance(corpus: DataFrame): DataFrame = {
     val ex = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))

@@ -146,6 +146,25 @@ class SkewAndRangeJoinSpec extends SparkSpec {
     assert(got == Map(0L -> v2.toBigInt.toString, 1L -> v2.toBigInt.toString))
   }
 
+  test("pcaScores: exact projections, extremes first, ties by vec_id") {
+    // same perfectly-correlated corpus as above: direction = (v2, v2);
+    // scores: vec1 = 128·v2, vec2 = 256·v2, vec3 = -128·v2 — order by
+    // |score| puts vec2 first, then the |128·v2| tie breaks by id
+    val emb = Seq(
+      (1L, Array(0.5f, 0.5f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(-0.5f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val v2 = BigDecimal(2) * 57344L * (2 * 57344L)
+    val got = Similarity.pcaScores(emb, iters = 2, topK = 3)
+      .select(col("vec_id"), col("score").cast("string"))
+      .as[(Long, String)].collect().toList
+    assert(got == List(
+      (2L, (v2 * 256).toBigInt.toString),
+      (1L, (v2 * 128).toBigInt.toString),
+      (3L, (-v2 * 128).toBigInt.toString)))
+  }
+
   test("pcaPowerIteration finds the dominant direction's sign pattern") {
     // dim0 varies strongly, dim1 anti-correlated with dim0 (but NOT
     // exactly -dim0: that would make the all-ones start orthogonal to
