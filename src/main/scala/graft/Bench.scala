@@ -27,6 +27,25 @@ object Bench {
         b.getProcessCpuTime // probe once so a failure falls back now
         () => b.getProcessCpuTime
       } catch { case _: Throwable => () => 0L }
+    // Machine-attributable environment: /proc/loadavg plus the host's
+    // aggregate steal/busy jiffies before and after the run. A driver
+    // total that disagrees 3-9x with a builder/judge rerun on identical
+    // code (r4: 37% steal; r5: 3018 s CPU vs 787 s) is then
+    // self-diagnosable from bench_full.json without a rerun.
+    def procSample(): (String, Array[Long]) = {
+      def slurp(p: String): String =
+        try {
+          val src = scala.io.Source.fromFile(p)
+          try src.mkString.trim finally src.close()
+        } catch { case _: Throwable => "" }
+      val load = slurp("/proc/loadavg")
+      val cpuLine = slurp("/proc/stat").linesIterator
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val jiffies = cpuLine.split("\\s+").drop(1)
+        .flatMap(s => s.toLongOption)
+      (load, jiffies)
+    }
+    val (loadBefore, jifBefore) = procSample()
     // Untimed warmup: JIT + codegen + datasource init cost seconds on
     // the first jobs of a JVM; without this the alphabetically-first
     // query absorbs it all. Touch every table's footer and push one
@@ -92,18 +111,42 @@ object Bench {
         }
         s
       }
+    val (loadAfter, jifAfter) = procSample()
+    // host-wide steal% and busy% over the run window (jiffy deltas;
+    // /proc/stat cpu fields: user nice system idle iowait irq softirq
+    // steal ...)
+    val (stealPct, busyPct) =
+      if (jifBefore.length > 7 && jifAfter.length > 7) {
+        val d = jifAfter.zip(jifBefore).map { case (a, b) => a - b }
+        val tot = d.sum.toDouble.max(1.0)
+        val idle = d(3) + (if (d.length > 4) d(4) else 0L)
+        (d(7) / tot * 100.0, (tot - idle) / tot * 100.0)
+      } else (-1.0, -1.0)
     // Full-precision per-query {wall, cpu} record for local analysis
     // (not driver-parsed — the parsed line above is size-capped).
+    // Written twice: the driver-overwritten canonical path plus a
+    // round-stamped copy so builder-local and driver runs stay
+    // distinguishable evidence across rounds.
     val fullJson = results.sortBy(_._1)
       .map { case (k, (w, c)) => "\"" + k + "\":{\"wall\":" + w +
         ",\"cpu\":" + c + "}" }
       .mkString("{", ",", "}")
     try {
+      val body =
+        (s"""{"total":$total,"cpu_total":$cpuTotal,"sf":"$sfDir",""" +
+          s""""env":{"load_before":"$loadBefore","load_after":"$loadAfter",""" +
+          s""""steal_pct":${fmt(stealPct)},"host_busy_pct":${fmt(busyPct)}},""" +
+          s""""queries":$fullJson}""").getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        (s"""{"total":$total,"cpu_total":$cpuTotal,"sf":"$sfDir",""" +
-          s""""queries":$fullJson}""").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, body)
+      val tag = sys.env.get("SPARK_GRAFT_ROUND")
+        .map(r => s"r$r").getOrElse {
+          new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+            .format(new java.util.Date())
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"target/bench_full_$tag.json"), body)
     } catch { case _: Throwable => () }
     // Nothing may print after this line: the driver parses the tail.
     println(out)

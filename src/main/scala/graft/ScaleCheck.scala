@@ -12,9 +12,195 @@ import graft.sources.ChangeLogSource
  * on the inflated corpus — the "would this survive 100×?" smoke the
  * README's scale section quotes. Not part of the driver contract.
  *
+ * The probe plans are exposed as [[docProbes]] / [[evProbes]] (name →
+ * thunk) so the NTZ canary spec can run ANALYSIS over every entry
+ * point without executing anything — a testdata regeneration that
+ * flips parquet timestamps to TIMESTAMP_NTZ must fail a spec, not a
+ * late-night ScaleCheck run.
+ *
  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [docCopies] [embCopies]
  */
 object ScaleCheck {
+
+  /** Document/embedding-side probes, in run order. */
+  def docProbes(spark: SparkSession, docs: DataFrame,
+                emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "text_contamination" -> (() => TextOps.contamination(docs)),
+    "text_shard_assign" -> (() => TextOps.shardAssign(docs)),
+    "text_quality_deciles" -> (() => TextOps.qualityDeciles(docs)),
+    "text_source_mix" -> (() => TextOps.sourceMix(docs)),
+    "dedup_neardup_survivors" -> (() => {
+      // the production path: star-contraction components (matches the
+      // query registration)
+      val comp = Dedup.starContractComponents(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1))
+        .select(col("id").as("doc_id"), col("component"))
+      Dedup.nearDupSurvivors(comp, docs)
+    }),
+    "dedup_components_labelprop" -> (() =>
+      // O(diameter) label propagation kept for the algorithm
+      // comparison (the star path above converges in O(log n))
+      Dedup.nearDupComponents(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1))),
+    "sim_knn_label_agreement" -> (() =>
+      Similarity.knnLabelAgreement(emb, k = 10, sampleMod = 100)),
+    "text_top_terms" -> (() => TextOps.topTerms(docs)),
+    "text_rare_bigrams" -> (() => TextOps.rareBigrams(docs)),
+    "text_source_overlap" -> (() => TextOps.sourceOverlap(docs)),
+    "text_diversity" -> (() => TextOps.diversity(docs)),
+    "sim_centroid_outliers" -> (() => Similarity.centroidOutliers(emb)),
+    "sketch_hll_docs" -> (() =>
+      graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")),
+    "text_chunk_split" -> (() => TextOps.chunkSplit(docs)),
+    "dedup_fuzzy_pairs" -> (() => Dedup.fuzzyPairs(docs)),
+    "dedup_ngram_jaccard_boiler" -> (() => {
+      // Injected boilerplate: every doc gets the same leading sentence.
+      // Uncapped, each boilerplate trigram alone would emit |docs|²
+      // join pairs (10¹⁰ here); the maxDf stop-gram cap drops them so
+      // pair work tracks true near-dups only.
+      val boiler = docs.withColumn("text",
+        concat(lit("all rights reserved terms of service apply here "),
+          col("text")))
+      Dedup.ngramJaccardPairs(boiler, threshold = 0.5)
+    }),
+    "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
+    "text_unigram_surprisal" -> (() => TextOps.unigramSurprisal(docs)),
+    "sim_sq8_topk" -> (() =>
+      Similarity.sq8TopK(emb,
+        emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),
+    "sim_pq_topk" -> (() =>
+      // ADC scoring reads the 8-byte codes table, never the vectors
+      Similarity.pqTopK(emb,
+        emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),
+    "graph_dup_triangles" -> (() =>
+      // degree-ordered orientation: wedge work stays O(m^1.5) even
+      // though replication multiplies the dup-graph edge count
+      graft.operators.Graph.triangleStats(
+        Dedup.nearDuplicatePairs(docs, threshold = 0.1)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+    "text_kn_bigrams" -> (() =>
+      TextOps.knBigramCounts(docs)
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)),
+    "text_dsir_select" -> (() =>
+      TextOps.dsirScores(docs, col("source") === "src0")
+        .orderBy(col("score").desc, col("doc_id")).limit(200)),
+    "text_bigram_surprisal" -> (() => TextOps.bigramSurprisal(docs)),
+    "text_pmi_collocations" -> (() =>
+      // type-table work only after the two token-stream aggs; the
+      // bounded limit keeps ranking off the global-sort path
+      TextOps.pmiCollocations(docs, minCount = 5, topN = 50)),
+    "text_bm25_topk" -> (() =>
+      TextOps.bm25TopK(docs, Seq("data", "model", "training"), k = 20)),
+    "sketch_cms_heavy" -> (() =>
+      graft.operators.Sketches.cmsHeavyHitters(docs, topN = 30)),
+    "dedup_incremental" -> (() => {
+      // batch = 1/50 of the corpus screened against the rest: work
+      // tracks |batch|·collisions, never corpus×corpus
+      val batch = docs.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      Dedup.incrementalNearDups(corpus, batch)
+    }),
+    "sim_semdedup" -> (() => Similarity.semDedup(emb)),
+    "dedup_ppjoin_exact_boiler" -> (() => {
+      // lossless path under injected boilerplate, composed the way a
+      // real pipeline orders it: exact dedup FIRST (collapses the 20x
+      // replica multiplicity — PPJoin's candidate work is quadratic in
+      // per-content copy count, because every copy pair is a TRUE
+      // result pair), then the prefix-filtered exact join, where the
+      // boilerplate shingles have corpus-wide df, sort past every
+      // prefix, and generate no candidates
+      val boiler = Dedup.exactDedup(docs).withColumn("text",
+        concat(lit("all rights reserved terms of service apply here "),
+          col("text")))
+      Dedup.ppjoinExactPairs(boiler, tNum = 1, tDen = 2)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }),
+    "sim_dim_stats" -> (() => Similarity.dimStats(emb)),
+    "sim_pca_power_i2" -> (() =>
+      // 10x corpus: the DECIMAL(38,0) envelope (dim·max|C|)^iters
+      // bounds exact iterations to 2 at this n — the documented
+      // exact-path/approximate-path crossover
+      Similarity.pcaPowerIteration(emb, iters = 2))
+  )
+
+  /** Event-stream probes, in run order (per-user history grows 20x —
+    * the per-user window stress case). */
+  def evProbes(spark: SparkSession,
+               ev: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "cdc_transition_matrix" -> (() =>
+      graft.operators.CdcOps.transitionMatrix(ev)),
+    "cdc_scd2_history" -> (() => graft.operators.CdcOps.scd2History(ev)),
+    "cdc_health_report" -> (() => graft.operators.CdcOps.healthReport(ev)),
+    "ts_zscore_anomalies" -> (() =>
+      graft.operators.TimeSeries.zscoreAnomalies(ev)),
+    "ts_sax_motifs" -> (() => graft.operators.TimeSeries.saxMotifs(ev)),
+    "cdc_running_watermark" -> (() =>
+      graft.operators.CdcOps.runningWatermark(ev)),
+    "cdc_version_prune" -> (() => graft.operators.CdcOps.versionPrune(ev)),
+    "graph_type_pagerank" -> (() => {
+      val edges = graft.operators.CdcOps.transitionMatrix(ev)
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n").as("w"))
+      graft.operators.Graph.pageRankInt(edges, iters = 3)
+    }),
+    "cdc_late_arrivals" -> (() =>
+      // decomposed prefix max over the 20x event stream
+      graft.operators.CdcOps.latenessProfile(ev)),
+    "ts_trend_slope" -> (() => graft.operators.TimeSeries.trendSlope(ev)),
+    "layout_zorder" -> (() =>
+      graft.operators.Layout.zorderLayout(ev,
+        pmod(col("user_id"), lit(1024L)),
+        expr("(hour(ts) * 60 + minute(ts)) div 2"),
+        bits = 10, fileBits = 6)),
+    "q_interval_merge" -> (() =>
+      graft.operators.CdcOps.mergeIntervals(
+        ev.select(col("user_id"),
+          graft.util.Cols.epochUs(col("ts")).as("start_us"),
+          (graft.util.Cols.epochUs(col("ts")) + 300000000L).as("end_us"),
+          col("event_id")),
+        "user_id", "start_us", "end_us", "event_id")),
+    "q_interval_join" -> (() => {
+      // keyed binned range join over the 20x stream: per-user click
+      // sessions × purchases, bin equi-key (no nested loop at any n)
+      val sessions = graft.operators.CdcOps.mergeIntervals(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"),
+            graft.util.Cols.epochUs(col("ts")).as("start_us"),
+            (graft.util.Cols.epochUs(col("ts")) + 600000000L).as("end_us"),
+            col("event_id")),
+        "user_id", "start_us", "end_us", "event_id")
+        .select(col("user_id"), col("span_start"), col("span_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), graft.util.Cols.epochUs(col("ts")).as("p_us"))
+      graft.operators.Relational.binnedIntervalJoin(purchases, "p_us",
+          sessions, "span_start", "span_end", 600000000L,
+          keys = Seq("user_id"))
+        .groupBy(col("user_id"), col("span_start"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_salted_join_hot" -> (() => {
+      // 90% of the 20x fact on ONE key — the shape saltedJoin exists
+      // for; dim 6 rows x 32 salts
+      val fact = ev.withColumn("k",
+        when(pmod(col("event_id"), lit(10L)) =!= 0L, 7L)
+          .otherwise(pmod(col("event_id"), lit(5L))))
+      val dim = spark.range(8).select(col("id").as("dk"),
+        concat(lit("attr"), col("id")).as("attr"))
+      graft.operators.Relational.saltedJoin(fact, "k", dim, "dk",
+          saltBuckets = 32, saltExpr = xxhash64(col("event_id")))
+        .groupBy(col("attr")).agg(count(lit(1)).as("n"))
+    }),
+    "cdc_snapshot_diff" -> (() => {
+      val evA = ev.withColumn("action",
+        graft.sources.AuditLogGenerator.action)
+      val t1 = graft.util.Cols.tsLit(evA, "ts", "2024-01-10 00:00:00")
+      val t2 = graft.util.Cols.tsLit(evA, "ts", "2024-01-20 00:00:00")
+      graft.operators.CdcOps.snapshotDiff(
+        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t1),
+        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t2))
+    })
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,14 +220,6 @@ object ScaleCheck {
         .drop("__copy")
     }
 
-    val docs = replicate(
-      ChangeLogSource.table(spark, sfDir, "documents"), "doc_id", docCopies)
-      .localCheckpoint(true)
-    val emb = replicate(
-      ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", embCopies)
-      .localCheckpoint(true)
-    println(s"SCALE docs=${docs.count()} embeddings=${emb.count()}")
-
     def time(name: String)(f: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val out = f
@@ -49,194 +227,20 @@ object ScaleCheck {
       println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    time("text_contamination") { TextOps.contamination(docs) }
-    time("text_shard_assign") { TextOps.shardAssign(docs) }
-    time("text_quality_deciles") { TextOps.qualityDeciles(docs) }
-    time("text_source_mix") { TextOps.sourceMix(docs) }
-    time("dedup_neardup_survivors") {
-      // the production path: star-contraction components (matches the
-      // query registration)
-      val comp = Dedup.starContractComponents(
-        Dedup.nearDuplicatePairs(docs, threshold = 0.1))
-        .select(col("id").as("doc_id"), col("component"))
-      Dedup.nearDupSurvivors(comp, docs)
-    }
-    time("dedup_components_labelprop") {
-      // O(diameter) label propagation kept for the algorithm
-      // comparison (the star path above converges in O(log n))
-      Dedup.nearDupComponents(
-        Dedup.nearDuplicatePairs(docs, threshold = 0.1))
-    }
-    time("sim_knn_label_agreement") {
-      Similarity.knnLabelAgreement(emb, k = 10, sampleMod = 100)
-    }
-    time("text_top_terms") { TextOps.topTerms(docs) }
-    time("text_rare_bigrams") { TextOps.rareBigrams(docs) }
-    time("text_source_overlap") { TextOps.sourceOverlap(docs) }
-    time("text_diversity") { TextOps.diversity(docs) }
-    time("sim_centroid_outliers") { Similarity.centroidOutliers(emb) }
-    time("sketch_hll_docs") {
-      graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")
-    }
-    time("text_chunk_split") { TextOps.chunkSplit(docs) }
-    time("dedup_fuzzy_pairs") { Dedup.fuzzyPairs(docs) }
-    time("dedup_ngram_jaccard_boiler") {
-      // Injected boilerplate: every doc gets the same leading sentence.
-      // Uncapped, each boilerplate trigram alone would emit |docs|²
-      // join pairs (10¹⁰ here); the maxDf stop-gram cap drops them so
-      // pair work tracks true near-dups only.
-      val boiler = docs.withColumn("text",
-        concat(lit("all rights reserved terms of service apply here "),
-          col("text")))
-      Dedup.ngramJaccardPairs(boiler, threshold = 0.5)
-    }
-    time("text_dup_spans") { TextOps.dupSpans(docs) }
-    time("text_unigram_surprisal") { TextOps.unigramSurprisal(docs) }
-    time("sim_sq8_topk") {
-      Similarity.sq8TopK(emb, emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)
-    }
-    time("sim_pq_topk") {
-      // ADC scoring reads the 8-byte codes table, never the vectors
-      Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)
-    }
-    time("graph_dup_triangles") {
-      // degree-ordered orientation: wedge work stays O(m^1.5) even
-      // though replication multiplies the dup-graph edge count
-      graft.operators.Graph.triangleStats(
-        Dedup.nearDuplicatePairs(docs, threshold = 0.1)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    }
-    time("text_kn_bigrams") {
-      TextOps.knBigramCounts(docs)
-        .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)
-    }
-    time("text_dsir_select") {
-      TextOps.dsirScores(docs, col("source") === "src0")
-        .orderBy(col("score").desc, col("doc_id")).limit(200)
-    }
-    time("text_bigram_surprisal") { TextOps.bigramSurprisal(docs) }
-    time("text_pmi_collocations") {
-      // type-table work only after the two token-stream aggs; the
-      // bounded limit keeps ranking off the global-sort path
-      TextOps.pmiCollocations(docs, minCount = 5, topN = 50)
-    }
-    time("text_bm25_topk") {
-      TextOps.bm25TopK(docs, Seq("data", "model", "training"), k = 20)
-    }
-    time("sketch_cms_heavy") {
-      graft.operators.Sketches.cmsHeavyHitters(docs, topN = 30)
-    }
-    time("dedup_incremental") {
-      // batch = 1/50 of the corpus screened against the rest: work
-      // tracks |batch|·collisions, never corpus×corpus
-      val batch = docs.filter(pmod(col("doc_id"), lit(50L)) === 0)
-      val corpus = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
-      Dedup.incrementalNearDups(corpus, batch)
-    }
-    time("sim_semdedup") {
-      Similarity.semDedup(emb)
-    }
-    time("dedup_ppjoin_exact_boiler") {
-      // lossless path under injected boilerplate, composed the way a
-      // real pipeline orders it: exact dedup FIRST (collapses the 20x
-      // replica multiplicity — PPJoin's candidate work is quadratic in
-      // per-content copy count, because every copy pair is a TRUE
-      // result pair), then the prefix-filtered exact join, where the
-      // boilerplate shingles have corpus-wide df, sort past every
-      // prefix, and generate no candidates
-      val boiler = Dedup.exactDedup(docs).withColumn("text",
-        concat(lit("all rights reserved terms of service apply here "),
-          col("text")))
-      Dedup.ppjoinExactPairs(boiler, tNum = 1, tDen = 2)
-        .groupBy().agg(count(lit(1)).as("n_pairs"))
-    }
-    time("sim_dim_stats") { Similarity.dimStats(emb) }
-    time("sim_pca_power_i2") {
-      // 10x corpus: the DECIMAL(38,0) envelope (dim·max|C|)^iters
-      // bounds exact iterations to 2 at this n — the documented
-      // exact-path/approximate-path crossover
-      Similarity.pcaPowerIteration(emb, iters = 2)
-    }
+    val docs = replicate(
+      ChangeLogSource.table(spark, sfDir, "documents"), "doc_id", docCopies)
+      .localCheckpoint(true)
+    val emb = replicate(
+      ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", embCopies)
+      .localCheckpoint(true)
+    println(s"SCALE docs=${docs.count()} embeddings=${emb.count()}")
+    docProbes(spark, docs, emb).foreach { case (n, f) => time(n)(f()) }
 
-    // events replicated the same way (per-user history grows 20x —
-    // the per-user window stress case)
     val ev = replicate(
       ChangeLogSource.table(spark, sfDir, "events"), "event_id", docCopies)
       .localCheckpoint(true)
     println(s"SCALE events=${ev.count()}")
-    time("cdc_transition_matrix") { graft.operators.CdcOps.transitionMatrix(ev) }
-    time("cdc_scd2_history") { graft.operators.CdcOps.scd2History(ev) }
-    time("cdc_health_report") { graft.operators.CdcOps.healthReport(ev) }
-    time("ts_zscore_anomalies") { graft.operators.TimeSeries.zscoreAnomalies(ev) }
-    time("ts_sax_motifs") { graft.operators.TimeSeries.saxMotifs(ev) }
-    time("cdc_running_watermark") {
-      graft.operators.CdcOps.runningWatermark(ev)
-    }
-    time("cdc_version_prune") { graft.operators.CdcOps.versionPrune(ev) }
-    time("graph_type_pagerank") {
-      val edges = graft.operators.CdcOps.transitionMatrix(ev)
-        .select(col("from_type").as("src"), col("to_type").as("dst"),
-          col("n").as("w"))
-      graft.operators.Graph.pageRankInt(edges, iters = 3)
-    }
-    time("cdc_late_arrivals") {
-      // decomposed prefix max over the 20x event stream
-      graft.operators.CdcOps.latenessProfile(ev)
-    }
-    time("ts_trend_slope") { graft.operators.TimeSeries.trendSlope(ev) }
-    time("layout_zorder") {
-      graft.operators.Layout.zorderLayout(ev,
-        pmod(col("user_id"), lit(1024L)),
-        expr("(hour(ts) * 60 + minute(ts)) div 2"),
-        bits = 10, fileBits = 6)
-    }
-    time("q_interval_merge") {
-      graft.operators.CdcOps.mergeIntervals(
-        ev.select(col("user_id"),
-          unix_micros(col("ts")).as("start_us"),
-          (unix_micros(col("ts")) + 300000000L).as("end_us"),
-          col("event_id")),
-        "user_id", "start_us", "end_us", "event_id")
-    }
-    time("q_interval_join") {
-      // keyed binned range join over the 20x stream: per-user click
-      // sessions × purchases, bin equi-key (no nested loop at any n)
-      val sessions = graft.operators.CdcOps.mergeIntervals(
-        ev.filter(col("event_type") === "click")
-          .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
-            (unix_micros(col("ts")) + 600000000L).as("end_us"),
-            col("event_id")),
-        "user_id", "start_us", "end_us", "event_id")
-        .select(col("user_id"), col("span_start"), col("span_end"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
-      graft.operators.Relational.binnedIntervalJoin(purchases, "p_us",
-          sessions, "span_start", "span_end", 600000000L,
-          keys = Seq("user_id"))
-        .groupBy(col("user_id"), col("span_start"))
-        .agg(count(lit(1)).as("n"))
-    }
-    time("q_salted_join_hot") {
-      // 90% of the 20x fact on ONE key — the shape saltedJoin exists
-      // for; dim 6 rows x 32 salts
-      val fact = ev.withColumn("k",
-        when(pmod(col("event_id"), lit(10L)) =!= 0L, 7L)
-          .otherwise(pmod(col("event_id"), lit(5L))))
-      val dim = spark.range(8).select(col("id").as("dk"),
-        concat(lit("attr"), col("id")).as("attr"))
-      graft.operators.Relational.saltedJoin(fact, "k", dim, "dk",
-          saltBuckets = 32, saltExpr = xxhash64(col("event_id")))
-        .groupBy(col("attr")).agg(count(lit(1)).as("n"))
-    }
-    time("cdc_snapshot_diff") {
-      val evA = ev.withColumn("action",
-        graft.sources.AuditLogGenerator.action)
-      val t1 = graft.util.Cols.tsLit(evA, "ts", "2024-01-10 00:00:00")
-      val t2 = graft.util.Cols.tsLit(evA, "ts", "2024-01-20 00:00:00")
-      graft.operators.CdcOps.snapshotDiff(
-        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t1),
-        graft.operators.CdcOps.snapshotAsOfWithActions(evA, t2))
-    }
+    evProbes(spark, ev).foreach { case (n, f) => time(n)(f()) }
     spark.stop()
   }
 }

@@ -1223,6 +1223,15 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Learned-KMeans IVF: rows+schema oracle-gated against the exact
+    // top-k (same 20x5 output shape); the HASH is ungated BY DESIGN —
+    // the learned coarse quantizer's recall gap (measured 0.5-0.7
+    // recall@5 at nprobe=4/16 on this near-uniform synthetic corpus)
+    // is precisely the approximation the operator trades for pruning,
+    // and no SQL oracle can replay a learned model. Determinism
+    // (seeded init) and a recall floor are spec-pinned
+    // (IvfLearnedSpec); the deterministic twin sim_ivf_det_topk
+    // hash-gates the probe-pruning shape itself.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = Similarity.buildIvf(emb, nCentroids = 16)
@@ -1442,7 +1451,8 @@ object SparkEntry {
           li, hi, "l_orderkey", "o_orderkey")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").as("sum_qty"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -1452,8 +1462,10 @@ object SparkEntry {
   // features) hashes through h60 — the first 15 md5 hex digits as a
   // 60-bit long — precisely so these queries are recomputable from
   // DuckDB builtins and fully hash-verified. The one remaining
-  // rows-only query is sim_ivf_topk: its coarse quantizer is learned
-  // (KMeans), which no SQL oracle can replay.
+  // partial gate is sim_ivf_topk: its coarse quantizer is learned
+  // (KMeans), which no SQL oracle can replay — rows+schema verify
+  // against the exact top-k; the hash records the recall gap by
+  // design (see the query's registration comment).
   def oracleSql: Map[String, String] = {
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -3082,6 +3094,25 @@ object SparkEntry {
               FROM s) WHERE rank <= 5
             ORDER BY query_id, rank""",
 
+      // DELIBERATE PARTIAL GATE (r5 verdict item 7): rows+schema
+      // verify against the EXACT top-k — same 20 queries x 5 rows,
+      // same columns — while the hash records the learned quantizer's
+      // recall gap. A hash mismatch here is expected and by design;
+      // rows/schema flipping false is a real defect.
+      "sim_ivf_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id, $cos AS sim
+                       FROM q CROSS JOIN c WHERE neighbor_id != query_id)
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+            ORDER BY query_id, rank""",
+
       "sim_sq8_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,
                         list_transform(embedding::DOUBLE[],
@@ -3937,9 +3968,9 @@ object SparkEntry {
                       CROSS JOIN generate_series(1, 64) AS t(i)
                       WHERE i <= len(embedding))
            SELECT dim, count(*) AS n,
-                  CAST(sum(qv) AS HUGEINT) AS sum_q,
+                  CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q,
                   CAST(sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT))
-                    AS HUGEINT) AS sumsq_q,
+                    AS DECIMAL(38,0)) AS sumsq_q,
                   min(qv) AS min_q, max(qv) AS max_q,
                   CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_zero
@@ -3958,8 +3989,11 @@ object SparkEntry {
                       FROM q a JOIN q b ON a.vec_id = b.vec_id
                         AND a.dim <= b.dim
                       GROUP BY a.dim, b.dim)
-           SELECT dim_a, dim_b, CAST(n AS BIGINT) AS n, s_a, s_b, s_ab,
-                  (n * s_ab - s_a * s_b) AS cov_n2
+           SELECT dim_a, dim_b, CAST(n AS BIGINT) AS n,
+                  CAST(s_a AS DECIMAL(38,0)) AS s_a,
+                  CAST(s_b AS DECIMAL(38,0)) AS s_b,
+                  CAST(s_ab AS DECIMAL(38,0)) AS s_ab,
+                  CAST(n * s_ab - s_a * s_b AS DECIMAL(38,0)) AS cov_n2
            FROM m ORDER BY dim_a, dim_b""",
 
       "q_fk_integrity" ->
@@ -4092,7 +4126,8 @@ object SparkEntry {
                        FROM c JOIN v1 ON v1.dim = c.dim_b GROUP BY c.dim_a),
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
-           SELECT dim, v FROM v3 ORDER BY dim""",
+           SELECT dim, CAST(v AS DECIMAL(38,0)) AS v
+           FROM v3 ORDER BY dim""",
 
       "sim_pca_scores" ->
         """WITH q AS (SELECT vec_id, i - 1 AS dim,
@@ -4115,7 +4150,8 @@ object SparkEntry {
                        FROM c JOIN v1 ON v1.dim = c.dim_b GROUP BY c.dim_a),
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
-           SELECT q.vec_id, sum(q.qv * v3.v) AS score
+           SELECT q.vec_id,
+                  CAST(sum(q.qv * v3.v) AS DECIMAL(38,0)) AS score
            FROM q JOIN v3 ON v3.dim = q.dim
            GROUP BY q.vec_id
            ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id LIMIT 20""",
@@ -4288,7 +4324,8 @@ object SparkEntry {
 
       "q_bloom_prefilter" ->
         """SELECT l_returnflag, count(*) AS n_items,
-                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS sum_qty
            FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                 WHERE o_totalprice > 400000.0)

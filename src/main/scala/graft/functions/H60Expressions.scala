@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -364,6 +364,54 @@ object CountInSetExpr {
       i += 1
     }
     count
+  }
+}
+
+/** `sorted_intersect_size(array<string>, array<string>) -> long`: the
+  * intersection cardinality of two string SETS already sorted in
+  * binary (`sort_array`) order — one linear merge instead of
+  * `size(array_intersect(a, b))`'s per-pair hash-set build over the
+  * full arrays. PPJoin verification spends ~all its CPU here
+  * (candidate pairs × full shingle arrays), so this is the verify
+  * kernel; the caller guarantees sortedness (sort once at the shingle
+  * build, not once per candidate pair). Merge compare is
+  * UTF8String.compare — the same binary ordering `sort_array`
+  * produces — and elements are assumed distinct (sets). */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects two array<string>, got $l, $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSizeExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectSizeExpr.compute($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_size"
+}
+
+object SortedIntersectSizeExpr {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1L; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
   }
 }
 

@@ -250,4 +250,9 @@ object functions {
   /** Occurrences of array elements belonging to a fixed set, one pass. */
   def count_in_set(c: Column, set: Seq[String]): Column =
     GraftBridge.toColumn(CountInSetExpr(GraftBridge.toExpression(c), set))
+
+  /** Intersection size of two SORTED string-set arrays (linear merge). */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SortedIntersectSizeExpr(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }

@@ -325,10 +325,16 @@ object Dedup {
     // count, the size count, the prefix ranking, AND both sides of
     // the verification join — five evaluations without this (measured
     // 7.9 s → ~3 s at sf0.1). Same materialize-once discipline as
-    // bfsHops / nearDupComponents.
-    val sh = shingleSets(docs, k).localCheckpoint()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      .cast("long")
+    // bfsHops / nearDupComponents. Arrays sorted HERE, once per
+    // document, so verification is a linear sorted merge per candidate
+    // pair (sorted_intersect_size) instead of array_intersect's
+    // per-pair hash-set build — the verify kernel was 105 s CPU of the
+    // whole 182-query bench before this.
+    val sh = shingleSets(docs, k)
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+      .localCheckpoint()
+    val inter = graft.functions.functions
+      .sorted_intersect_size(col("sh_a"), col("sh_b"))
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
     ppjoinCandidatesFrom(sh, tNum, tDen)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

@@ -31,11 +31,11 @@ object RangeJoin {
                    intervals: DataFrame, startCol: String, endCol: String,
                    bucketWidthUs: Long = 900000000L): DataFrame = {
     val p = points.withColumn("__bucket",
-      (unix_micros(col(tsCol)) / bucketWidthUs).cast("long"))
+      (graft.util.Cols.epochUs(col(tsCol)) / bucketWidthUs).cast("long"))
     val i = intervals.withColumn("__bucket",
       explode(sequence(
-        (unix_micros(col(startCol)) / bucketWidthUs).cast("long"),
-        (unix_micros(col(endCol)) / bucketWidthUs).cast("long"))))
+        (graft.util.Cols.epochUs(col(startCol)) / bucketWidthUs).cast("long"),
+        (graft.util.Cols.epochUs(col(endCol)) / bucketWidthUs).cast("long"))))
     p.join(i, "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

@@ -249,7 +249,8 @@ object TimeSeries {
    */
   def trendSlope(log: DataFrame): DataFrame = {
     val ev = log.select(col("user_id"),
-      expr("unix_micros(ts) div 60000000").cast("decimal(38,0)").as("x"),
+      expr("unix_micros(cast(ts as timestamp)) div 60000000")
+        .cast("decimal(38,0)").as("x"),
       floor(col("value") * 1048576.0).cast("decimal(38,0)").as("y"))
     ev.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),

@@ -83,9 +83,20 @@ object Sinks {
                     changes: DataFrame, partCol: String,
                     keyCol: String = "user_id", tsCol: String = "ts",
                     offsetCol: String = "event_id",
-                    actionCol: String = "action"): Unit = {
+                    actionCol: String = "action",
+                    maxTouchedPartitions: Int = 100000): Unit = {
     val touched = changes.select(col(partCol)).distinct()
+      .limit(maxTouchedPartitions + 1)
       .collect().map(_.get(0)).toSeq
+    // The collect above is partition METADATA, bounded by design — but
+    // a pathological batch touching every partition of a huge mirror
+    // must degrade LOUDLY (and before materializing the list), not as
+    // a driver OOM. 100k values ≈ single-digit MB; a batch past that
+    // is a full-mirror rewrite, which is not this operator's job.
+    require(touched.size <= maxTouchedPartitions,
+      s"compactMirror: batch touches > $maxTouchedPartitions partitions " +
+        "— that is a full-mirror rewrite, not incremental compaction; " +
+        "rewrite the mirror with a plain partitioned write instead")
     val current = spark.read.parquet(mirrorDir)
       .filter(col(partCol).isin(touched: _*))
     // localCheckpoint: materializes the fold (touched-partitions-sized,

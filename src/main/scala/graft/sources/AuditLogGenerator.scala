@@ -54,8 +54,8 @@ object AuditLogGenerator {
       pmod(col("event_id") * 2654435761L, lit(100000L)).as("relid"),
       lit("benchmarksql").as("session_user_name"),
       col("ts").as("action_tstamp_tx"),
-      (unix_micros(col("ts")) + 1000L).as("action_tstamp_stm_us"),
-      (unix_micros(col("ts")) + 2000L).as("action_tstamp_clk_us"),
+      (graft.util.Cols.epochUs(col("ts")) + 1000L).as("action_tstamp_stm_us"),
+      (graft.util.Cols.epochUs(col("ts")) + 2000L).as("action_tstamp_clk_us"),
       col("user_id").as("transaction_id"),
       lit("graft").as("application_name"),
       concat(lit("10.0.0."), pmod(col("user_id"), lit(256))).as("client_addr"),
@@ -75,7 +75,7 @@ object AuditLogGenerator {
     audit.select(col("event_id"),
       CdcOps.pipeLine(Seq(
         col("event_id"), col("schema_name"), col("table_name"), col("relid"),
-        col("session_user_name"), unix_micros(col("action_tstamp_tx")),
+        col("session_user_name"), graft.util.Cols.epochUs(col("action_tstamp_tx")),
         col("action_tstamp_stm_us"), col("action_tstamp_clk_us"),
         col("transaction_id"), col("application_name"), col("client_addr"),
         col("client_port"), col("client_query"), col("action"),

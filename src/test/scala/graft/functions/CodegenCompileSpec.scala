@@ -47,7 +47,8 @@ class CodegenCompileSpec extends SparkSpec {
       functions.srp_bucket($"vec", 4),
       functions.simhash64($"toks"),
       functions.minhash_signature($"toks", 8),
-      functions.rolling_fingerprints($"text", 4, 2)
+      functions.rolling_fingerprints($"text", 4, 2),
+      functions.sorted_intersect_size(sort_array($"toks"), sort_array($"toks"))
     ).collect()
     assert(out.length == 2)
   }

@@ -43,6 +43,21 @@ class PpjoinAndAuditSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted sets") {
+    val pairs = Seq(
+      (Array("a", "b", "c"), Array("b", "c", "d")),
+      (Array.empty[String], Array("a")),
+      (Array("a"), Array.empty[String]),
+      (Array("x", "y", "z"), Array("x", "y", "z")),
+      (Array("a", "c", "e"), Array("b", "d", "f"))
+    ).toDF("a", "b")
+    val got = pairs.select(
+        graft.functions.functions.sorted_intersect_size($"a", $"b").as("g"),
+        size(array_intersect($"a", $"b")).cast("long").as("e"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+  }
+
   test("prefix filter excludes corpus-wide boilerplate from candidates") {
     // every doc ends with the same boilerplate sentence; pairwise
     // similarity stays low, so prefixes (rarest half) never contain

@@ -112,7 +112,14 @@ class JdbcChangeLogSpec extends SparkSpec {
         AuditLogGenerator.hstoreString(col("changed_fields")))
     assert(env.columns.length == 17)
     env.write.mode("overwrite").jdbc(url, "envelope", props)
-    val back = spark.read.jdbc(url, "envelope", props)
+    // Derby TIMESTAMP is zoneless; when the envelope's tx timestamp is
+    // TIMESTAMP_NTZ (NTZ-flavored testdata) the faithful read-back
+    // mapping is preferTimestampNTZ, else the default instant type
+    val readProps = props
+    if (env.schema("action_tstamp_tx").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      readProps.setProperty("preferTimestampNTZ", "true")
+    val back = spark.read.jdbc(url, "envelope", readProps)
     // Derby uppercases unquoted identifiers on its side; Spark's JDBC
     // writer quotes, so names and types must both survive verbatim
     assert(back.columns.toSeq == env.columns.toSeq)

@@ -29,11 +29,11 @@ class FileChangeLogStreamSpec extends SparkSpec {
       .option("checkpointLocation", tmp()).start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("fcl_ns")
-      .agg(count(lit(1)), min(unix_micros($"ts")), max($"event_id"))
+      .agg(count(lit(1)), min(graft.util.Cols.epochUs($"ts")), max($"event_id"))
       .as[(Long, Long, Long)].head()
     val exp = graft.sources.ChangeLogSource
       .changeLog(spark, "/root/testdata/sf0.001")
-      .agg(count(lit(1)), min(unix_micros($"ts")), max($"event_id"))
+      .agg(count(lit(1)), min(graft.util.Cols.epochUs($"ts")), max($"event_id"))
       .as[(Long, Long, Long)].head()
     assert(got == exp) // same rows, same micros truncation as batch path
   }
