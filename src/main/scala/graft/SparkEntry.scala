@@ -537,6 +537,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))),
 
+    // component-level train/val assignment: near-copies can never
+    // straddle the split (eval-contamination guard)
+    "dedup_leakage_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), threshold = 0.1,
+          valPct = 10)
+        .orderBy(col("doc_id"))),
+
     "graph_dup_triangles" -> ((s, dir) =>
       // local clustering audit of the near-dup graph: triangles mark
       // genuine content clusters, triangle-free hubs mark LSH artifacts
@@ -633,6 +640,12 @@ object SparkEntry {
 
     "text_quality_deciles" -> ((s, dir) =>
       TextOps.qualityDeciles(t(s, dir, "documents"))),
+
+    // per-source document cap (the C4/RefinedWeb domain-cap step)
+    // through the bounded top-k aggregate — never a per-source window
+    "text_domain_cap" -> ((s, dir) =>
+      TextOps.domainCap(t(s, dir, "documents"), perSource = 50)
+        .orderBy(col("source"), col("rank"))),
 
     "text_lang_id" -> ((s, dir) =>
       TextOps.langIdHeuristic(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -1148,6 +1161,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // metadata-filtered vector search: the predicate prunes the
+    // corpus scan BEFORE any cosine (pre-filter, not post-filter)
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 20), 5,
+          col("label") === 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_neardup_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(emb.filter(col("vec_id") < 100), 0.3)
@@ -1480,13 +1502,17 @@ object SparkEntry {
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
     // quality score (matches TextOps.qualityScore): length gate +
     // mean-token-length gate + stopword-density gate, averaged
-    val qualityExpr =
+    // the three quality gates as a 0..3 count; quality = gates / 3
+    // (domain_cap uses the raw count — dividing by 3 and multiplying
+    // back is not double-exact for 2/3)
+    val qualityGates =
       s"""((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
                     + (CASE WHEN CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
                               / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
                            THEN 1.0 ELSE 0.0 END)
                     + (CASE WHEN CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
-                           THEN 1.0 ELSE 0.0 END)) / 3.0"""
+                           THEN 1.0 ELSE 0.0 END))"""
+    val qualityExpr = s"$qualityGates / 3.0"
     val cos = "list_dot_product(q, n) / " +
       "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(n, n)))"
 
@@ -3056,6 +3082,18 @@ object SparkEntry {
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM documents GROUP BY source ORDER BY source""",
 
+      "text_domain_cap" ->
+        s"""WITH g AS (SELECT doc_id, source,
+                         $qualityGates * 1000000.0 + n_chars AS key
+                       FROM documents),
+                 r AS (SELECT source, doc_id, key,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY key DESC, doc_id) AS rank
+                       FROM g)
+            SELECT source, CAST(rank AS INT) AS rank, doc_id,
+                   CAST(key AS BIGINT) AS cap_score
+            FROM r WHERE rank <= 50 ORDER BY source, rank""",
+
       "text_quality_deciles" ->
         s"""SELECT doc_id, CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS INT) AS decile
             FROM (SELECT doc_id, $qualityExpr AS q FROM documents)
@@ -3104,6 +3142,20 @@ object SparkEntry {
                        FROM embeddings WHERE vec_id < 20),
                  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n
                        FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id, $cos AS sim
+                       FROM q CROSS JOIN c WHERE neighbor_id != query_id)
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+            ORDER BY query_id, rank""",
+
+      "sim_filtered_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n
+                       FROM embeddings WHERE label = 1),
                  s AS (SELECT query_id, neighbor_id, $cos AS sim
                        FROM q CROSS JOIN c WHERE neighbor_id != query_id)
             SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
@@ -3364,6 +3416,25 @@ object SparkEntry {
                            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src ORDER BY doc_id""",
+
+      "dedup_leakage_split" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                 comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                          FROM reach GROUP BY src),
+                 assigned AS (SELECT d.doc_id,
+                                coalesce(c.component, d.doc_id) AS component
+                              FROM documents d
+                              LEFT JOIN comp c ON c.doc_id = d.doc_id)
+            SELECT doc_id, component,
+                   CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM assigned ORDER BY doc_id""",
 
       // identical fixpoint, different algorithm on the Spark side
       "dedup_components_star" ->

@@ -572,6 +572,40 @@ object Dedup {
       .orderBy(col("component"))
 
   /**
+   * Leakage-safe train/validation split: near-duplicate COMPONENTS —
+   * not documents — are the unit of assignment, so two near-copies
+   * can never land on opposite sides of the split (the classic eval
+   * contamination: a validation document whose near-duplicate sits in
+   * the training set measures memorization, not generalization).
+   * Components come from [[starContractComponents]] (the O(log n)
+   * path); documents with no near-dup are their own singleton
+   * component; the side is `h60(component) mod 100 < valPct` — a
+   * deterministic content-independent hash, so the split is
+   * reproducible, ~valPct% by component, and replayable by the SQL
+   * oracle.
+   *
+   * Scale shape: the component pass is the star contraction (keyed
+   * shuffles on a shrinking edge set); the assignment itself is one
+   * left join of the corpus against the (small — only docs that HAVE
+   * near-dups) component table plus a narrow hash map. No new
+   * data-sized shuffle beyond the join.
+   */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.1,
+                       valPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && valPct <= 100, s"valPct=$valPct")
+    val comp = starContractComponents(nearDuplicatePairs(docs, threshold))
+      .select(col("id").as("doc_id"), col("component"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(pmod(graft.functions.functions.h60(
+            col("component").cast("string")), lit(100L)) < valPct, "val")
+          .otherwise("train"))
+  }
+
+  /**
    * Fuzzy (edit-distance) near-dup pairs over normalized prefixes —
    * the dedup family's answer to typo/OCR variants that defeat exact
    * and shingle methods: docs whose first `prefixLen` normalized chars

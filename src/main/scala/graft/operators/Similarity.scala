@@ -73,6 +73,24 @@ object Similarity {
   }
 
   /**
+   * Metadata-FILTERED vector search: exact top-k cosine neighbors
+   * restricted to corpus vectors satisfying `pred` — the
+   * filtered-ANN pattern every retrieval pipeline needs (tenant /
+   * language / quality / label constraints on the candidate set).
+   * The predicate is applied BEFORE any similarity math, so Catalyst
+   * pushes it into the corpus scan (`PushedFilters` on a metadata
+   * column): the engine never computes a cosine for a vector the
+   * filter excludes — "pre-filtering", which (unlike post-filtering
+   * an unfiltered top-k) cannot return fewer than k matching results
+   * while matches exist. At scale the same shape composes with the
+   * IVF/SRP bucketed paths: predicate + bucket pruning on the
+   * persisted assigned table.
+   */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   pred: Column): DataFrame =
+    bruteForceTopK(corpus.filter(pred), queries, k)
+
+  /**
    * SQ8 scalar-quantized top-k — the memory-compression ANN variant:
    * each component is quantized to the int8 lattice (`floor(x·128)`,
    * exact power-of-two float scaling), and ranking runs on INTEGER dot

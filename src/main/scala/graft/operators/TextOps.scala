@@ -550,6 +550,48 @@ object TextOps {
   }
 
   /**
+   * Per-source document cap — the C4/RefinedWeb "domain cap" step: a
+   * crawl where one domain contributes millions of pages would
+   * dominate the mix, so each source keeps only its `perSource` best
+   * documents by (quality gates, length, doc_id) — the quality key is
+   * the [[qualityScore]] gate count (0..3, integer-exact) scaled past
+   * the length so quality strictly dominates, length breaks quality
+   * ties, doc_id makes it total.
+   *
+   * Scale shape: ranking runs through the bounded
+   * [[graft.functions.TopKByScore]] aggregate — map-side partial
+   * aggregation ships ≤ `perSource` candidates per partition per
+   * source across the shuffle, where the row_number()-window
+   * formulation would shuffle and sort EVERY document by source (and
+   * a hot source would be one giant sort partition — precisely the
+   * skew a domain cap exists to manage).
+   */
+  def domainCap(docs: DataFrame, perSource: Int = 100): DataFrame = {
+    require(perSource > 0, s"perSource=$perSource")
+    val staged = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      col("text"), wordTokens(col("text")).as("__toks"))
+    val toks = col("__toks")
+    val nTok = size(toks).cast("double")
+    val avgLen = totalTokenLen(toks).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(toks).cast("double") / greatest(nTok, lit(1.0))
+    // the three qualityScore gates as an integer count (no /3.0 — the
+    // divide-then-multiply round trip is not double-exact for 2/3)
+    val gates =
+      when(length(coalesce(col("text"), lit(""))).between(20, 100000),
+        lit(1.0)).otherwise(lit(0.0)) +
+        when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) +
+        when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
+    // gates ≤ 3, n_chars < 10⁶ by the length gate: both exact in double
+    val key = gates * lit(1000000.0) + col("n_chars").cast("double")
+    staged.groupBy(col("source"))
+      .agg(graft.functions.TopKByScore.top_k(
+        key, col("doc_id"), key, perSource).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.sim").cast("long").as("cap_score"))
+  }
+
+  /**
    * Overlapping token-window chunking — the complement of
    * [[packChunks]]: instead of packing short documents up to a budget,
    * split long ones into fixed-size windows advancing by `stride`
