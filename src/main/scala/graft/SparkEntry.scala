@@ -1271,6 +1271,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental IVF maintenance: a batch of new vectors assigned to
+    // the EXISTING index's centroids — batch-sized work, the indexed
+    // corpus never moves
+    "sim_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfDetAppend(emb.filter(col("vec_id") < 400),
+          emb.filter(col("vec_id") >= 400), stride = 29)
+        .orderBy(col("vec_id"))
+    }),
+
+    // per-dimension distribution drift between two corpus slices —
+    // the re-index trigger; exact integer cross-multiplied shifts
+    "sim_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    }),
+
     // out-of-order lateness profile — the watermark-sizing evidence;
     // running event-time max via the decomposed PrefixAgg
     "cdc_late_arrivals" -> ((s, dir) =>
@@ -3892,6 +3911,64 @@ object SparkEntry {
              UNION ALL SELECT query_id, 4, id FROM p4
              UNION ALL SELECT query_id, 5, id FROM p5)
            ORDER BY query_id, rank""",
+
+      "sim_ivf_append" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                          WHERE vec_id % 29 = 0 AND vec_id < 400),
+                asg AS (SELECT vec_id, bucket FROM (
+                  SELECT e.vec_id, c.cid AS bucket,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           c.cid) AS rn
+                  FROM e CROSS JOIN cents c WHERE e.vec_id < 400)
+                  WHERE rn = 1),
+                occ AS (SELECT bucket, count(*) AS n_before
+                        FROM asg GROUP BY bucket),
+                newa AS (SELECT vec_id, bucket FROM (
+                  SELECT e.vec_id, c.cid AS bucket,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                           c.cid) AS rn
+                  FROM e CROSS JOIN cents c WHERE e.vec_id >= 400)
+                  WHERE rn = 1)
+           SELECT n.vec_id, n.bucket,
+                  CAST(coalesce(o.n_before, 0) AS BIGINT) AS bucket_n_before
+           FROM newa n LEFT JOIN occ o ON o.bucket = n.bucket
+           ORDER BY n.vec_id""",
+
+      "sim_embedding_drift" ->
+        """WITH qa AS (SELECT i - 1 AS dim,
+                         CAST(floor(embedding[i] * 128) AS HUGEINT) AS qv
+                       FROM embeddings
+                       CROSS JOIN generate_series(1, 64) AS t(i)
+                       WHERE i <= len(embedding) AND vec_id % 2 = 0),
+                a AS (SELECT dim, count(*) AS n_ref, sum(qv) AS sum_ref,
+                        sum(qv * qv) AS ssq_ref,
+                        sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS zero_ref
+                      FROM qa GROUP BY dim),
+                qb AS (SELECT i - 1 AS dim,
+                         CAST(floor(embedding[i] * 128) AS HUGEINT) AS qv
+                       FROM embeddings
+                       CROSS JOIN generate_series(1, 64) AS t(i)
+                       WHERE i <= len(embedding) AND vec_id % 2 = 1),
+                b AS (SELECT dim, count(*) AS n_cur, sum(qv) AS sum_cur,
+                        sum(qv * qv) AS ssq_cur,
+                        sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS zero_cur
+                      FROM qb GROUP BY dim)
+           SELECT a.dim, CAST(n_ref AS BIGINT) AS n_ref,
+                  CAST(n_cur AS BIGINT) AS n_cur,
+                  CAST(sum_cur * n_ref - sum_ref * n_cur AS DECIMAL(38,0))
+                    AS mean_shift_n2,
+                  CAST(ssq_cur * n_ref - ssq_ref * n_cur AS DECIMAL(38,0))
+                    AS e2_shift_n2,
+                  CAST(zero_cur * n_ref - zero_ref * n_cur AS DECIMAL(38,0))
+                    AS zero_shift_n2
+           FROM a JOIN b ON b.dim = a.dim ORDER BY a.dim""",
 
       "sim_ivf_det_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -291,16 +291,19 @@ object Similarity {
    * production quantizer — this variant exists so the probe-pruning
    * shape itself has a hash-gated correctness row.
    */
-  def ivfDetTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 stride: Long = 29L, nprobe: Int = 2): DataFrame = {
-    require(stride > 0 && nprobe > 0, s"ivfDetTopK($stride, $nprobe)")
-    val cents = broadcast(
+  /** The deterministic stride-sampled centroid table (broadcast). */
+  private def strideCentroids(corpus: DataFrame, stride: Long): DataFrame =
+    broadcast(
       corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-    // nearest centroid per corpus vector: argmax over the broadcast
-    // centroid table — max_by aggregate keyed by vec_id (map-side
-    // partial), not a window over the corpus
-    val assignment = corpus.select(col("vec_id"), col("embedding"))
+
+  /** Nearest-centroid bucket per vector: broadcast cross join + keyed
+    * max_by argmax (map-side partial) — never a corpus-sized window.
+    * Cosine rounded to 1e-6, smaller centroid id on ties, so the
+    * assignment is engine-exact and SQL-replayable. */
+  private def nearestCentroid(vectors: DataFrame,
+                              cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(cents)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("c_emb")), 6).as("csim"),
@@ -308,6 +311,15 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"),
         struct(col("csim"), (-col("cid")).as("nc"))).as("bucket"))
+
+  def ivfDetTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 stride: Long = 29L, nprobe: Int = 2): DataFrame = {
+    require(stride > 0 && nprobe > 0, s"ivfDetTopK($stride, $nprobe)")
+    val cents = strideCentroids(corpus, stride)
+    // nearest centroid per corpus vector: argmax over the broadcast
+    // centroid table — max_by aggregate keyed by vec_id (map-side
+    // partial), not a window over the corpus
+    val assignment = nearestCentroid(corpus, cents)
     val assigned = corpus.select(col("vec_id"), col("embedding"))
       .join(assignment, "vec_id")
     // nprobe nearest centroids per query (query side is small)
@@ -329,6 +341,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
     topKRank(sim, k)
+  }
+
+  /**
+   * Incremental IVF index maintenance — the APPEND path: a batch of
+   * new vectors is assigned to the EXISTING index's centroids (from
+   * the already-indexed corpus), without touching or re-reading the
+   * indexed vectors. This is how a 100 TB vector store absorbs daily
+   * arrivals: the quantizer stays fixed (rebuilding it would move
+   * every stored vector between buckets — a full re-index), new
+   * vectors take one broadcast-join + argmax pass, and the output is
+   * exactly the rows to APPEND to the persisted bucket-partitioned
+   * assignment table. Per-bucket occupancy before/after rides along
+   * so the caller can see imbalance accrue and schedule the eventual
+   * re-quantization (the standard IVF maintenance loop).
+   *
+   * Scale shape: batch-sized work only — the corpus contributes its
+   * (tiny, broadcast) centroid sample and a per-bucket COUNT
+   * aggregate; its vectors never move.
+   */
+  def ivfDetAppend(corpus: DataFrame, batch: DataFrame,
+                   stride: Long = 29L): DataFrame = {
+    require(stride > 0, s"ivfDetAppend($stride)")
+    val cents = strideCentroids(corpus, stride)
+    val existing = nearestCentroid(corpus, cents)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_before"))
+    nearestCentroid(batch, cents)
+      .join(existing, Seq("bucket"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("bucket_n_before"))
+  }
+
+  /**
+   * Embedding distribution drift between a reference corpus slice and
+   * a current one — the re-index/re-train trigger: when the embedding
+   * model changes or content shifts, per-dimension moments move, and
+   * every similarity structure built on the old distribution (IVF
+   * centroids, SQ8 ranges, SRP planes) silently degrades. Joins the
+   * two [[dimStats]] lattices and reports cross-multiplied EXACT
+   * integer shift terms (`mean_shift_n2 = sum_cur·n_ref −
+   * sum_ref·n_cur`: the sign/magnitude of the per-dim mean shift
+   * scaled by n_ref·n_cur — no division, engine-exact), the same for
+   * second moments, and the zero-rate delta numerator.
+   *
+   * Scale shape: two one-pass dim-keyed aggregates (64 groups each)
+   * joined on dim — output O(dim), corpora never co-shuffle.
+   */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val a = dimStats(ref).select(col("dim"), col("n").as("n_ref"),
+      col("sum_q").as("sum_ref"), col("sumsq_q").as("ssq_ref"),
+      col("n_zero").as("zero_ref"))
+    val b = dimStats(cur).select(col("dim"), col("n").as("n_cur"),
+      col("sum_q").as("sum_cur"), col("sumsq_q").as("ssq_cur"),
+      col("n_zero").as("zero_cur"))
+    a.join(b, "dim")
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        (col("sum_cur") * col("n_ref") - col("sum_ref") * col("n_cur"))
+          .cast("decimal(38,0)").as("mean_shift_n2"),
+        (col("ssq_cur") * col("n_ref") - col("ssq_ref") * col("n_cur"))
+          .cast("decimal(38,0)").as("e2_shift_n2"),
+        // DECIMAL, not Long: counts reach ~10¹² per shard at the
+        // design point, so the cross products pass 2⁶³
+        (col("zero_cur").cast("decimal(38,0)") * col("n_ref") -
+          col("zero_ref").cast("decimal(38,0)") * col("n_cur"))
+          .cast("decimal(38,0)").as("zero_shift_n2"))
+      .orderBy(col("dim"))
   }
 
   /**
