@@ -1290,6 +1290,14 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(2L)) === 1))
     }),
 
+    // exact join-output cardinality without running the join — the
+    // pre-flight skew/explosion check before a big self-join
+    "q_join_size_estimate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Relational.joinSizeEstimate(ev, "user_id",
+        ev.filter(col("event_type") === "purchase"), "user_id", topK = 20)
+    }),
+
     // out-of-order lateness profile — the watermark-sizing evidence;
     // running event-time max via the decomposed PrefixAgg
     "cdc_late_arrivals" -> ((s, dir) =>
@@ -3911,6 +3919,27 @@ object SparkEntry {
              UNION ALL SELECT query_id, 4, id FROM p4
              UNION ALL SELECT query_id, 5, id FROM p5)
            ORDER BY query_id, rank""",
+
+      "q_join_size_estimate" ->
+        """WITH a AS (SELECT user_id AS key, count(*) AS n_left
+                      FROM events GROUP BY user_id),
+                b AS (SELECT user_id AS key, count(*) AS n_right
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY user_id),
+                pk AS (SELECT key, n_left, n_right,
+                         CAST(CAST(n_left AS HUGEINT) * n_right
+                           AS DECIMAL(38,0)) AS pairs
+                       FROM a JOIN b USING (key)),
+                tot AS (SELECT CAST(coalesce(sum(pairs), 0) AS DECIMAL(38,0))
+                          AS total_pairs,
+                          count(*) AS n_matching_keys
+                        FROM pk),
+                top AS (SELECT * FROM pk ORDER BY pairs DESC, key LIMIT 20)
+           SELECT key, n_left, n_right, pairs, total_pairs,
+                  CAST(n_matching_keys AS BIGINT) AS n_matching_keys,
+                  CAST((CAST(pairs AS HUGEINT) * 1000000) //
+                    CAST(total_pairs AS HUGEINT) AS BIGINT) AS share_ppm
+           FROM top, tot ORDER BY pairs DESC, key""",
 
       "sim_ivf_append" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -626,6 +626,49 @@ object Relational {
   }
 
   /**
+   * EXACT join-output cardinality WITHOUT running the join — the
+   * pre-flight a planner (or an engineer about to launch a 100 TB
+   * join) wants: per key, the join emits n_left·n_right rows, so two
+   * keyed COUNT aggregates joined on the (key, counts) tables — each
+   * orders of magnitude smaller than the data — give the exact total
+   * and, more importantly, WHICH keys dominate it. A single hot key
+   * pair (the many-to-many explosion [[hotKeyProfile]] flags on one
+   * side) shows up as a large `share_ppm` before any shuffle of the
+   * real data is paid for; the caller then picks [[saltedJoin]], a
+   * pre-aggregation, or a key blacklist.
+   *
+   * Scale shape: two map-side-combinable aggregates, one join of
+   * key-cardinality tables, a TakeOrdered top-k, and a broadcast
+   * 1-row total. Products and the total run in DECIMAL(38,0) — two
+   * 10⁹-row hot sides meet at 10¹⁸ pairs on ONE key, already at the
+   * Long edge.
+   */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       topK: Int = 20): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val b = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = a.join(b, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left").cast("decimal(38,0)") * col("n_right"))
+          .cast("decimal(38,0)").as("pairs"))
+    val total = perKey.agg(
+      coalesce(sum(col("pairs")), lit(0)).cast("decimal(38,0)")
+        .as("total_pairs"),
+      count(lit(1)).as("n_matching_keys"))
+    perKey.orderBy(col("pairs").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_left"), col("n_right"), col("pairs"),
+        col("total_pairs"), col("n_matching_keys"),
+        // `div` returns BIGINT for any operand type — engine-stable
+        expr("cast((pairs * 1000000) div total_pairs as bigint)")
+          .as("share_ppm"))
+      .orderBy(col("pairs").desc, col("key"))
+  }
+
+  /**
    * Point-in-interval join WITHOUT the nested-loop trap. A range
    * predicate (`start ≤ p AND p ≤ end`) has no equi-key, so Spark
    * plans BroadcastNestedLoopJoin — O(points × intervals) compared

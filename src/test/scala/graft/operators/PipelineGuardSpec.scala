@@ -96,6 +96,45 @@ class PipelineGuardSpec extends SparkSpec {
       "filter did not change any top-k (degenerate fixture)")
   }
 
+  test("joinSizeEstimate: total equals the materialized join exactly") {
+    val ev = graft.sources.ChangeLogSource.table(spark, dir, "events")
+    val right = ev.filter(col("event_type") === "purchase")
+    val est = Relational.joinSizeEstimate(ev, "user_id", right, "user_id")
+    val totalEst = est.select(col("total_pairs").cast("long"))
+      .as[Long].head()
+    val actual = ev.select(col("user_id"))
+      .join(right.select(col("user_id")), "user_id").count()
+    assert(totalEst == actual, s"estimate $totalEst vs actual $actual")
+    // share_ppm sums to ≤ 1e6 over the top keys and each row's pairs
+    // = n_left * n_right
+    val bad = est.filter(
+      col("pairs") =!= col("n_left").cast("decimal(38,0)") * col("n_right"))
+      .count()
+    assert(bad == 0L)
+    assert(est.agg(sum(col("share_ppm"))).as[Long].head() <= 1000000L)
+  }
+
+  test("dimStats shard-merge: re-summed halves equal the whole corpus") {
+    // the 100 TB claim in dimStats' doc — per-shard lattices merge by
+    // re-summing — proven on a real split (min/max via min/max, counts
+    // and moments via sums)
+    val whole = Similarity.dimStats(emb)
+    val a = Similarity.dimStats(emb.filter(pmod(col("vec_id"), lit(2L)) === 0))
+    val b = Similarity.dimStats(emb.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    val merged = a.unionByName(b)
+      .groupBy(col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"),
+        sum(col("sumsq_q")).as("sumsq_q"),
+        min(col("min_q")).as("min_q"), max(col("max_q")).as("max_q"),
+        sum(col("n_zero")).as("n_zero"))
+      .select(col("dim"), col("n"),
+        col("sum_q").cast("decimal(38,0)").as("sum_q"),
+        col("sumsq_q").cast("decimal(38,0)").as("sumsq_q"),
+        col("min_q"), col("max_q"), col("n_zero"))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      whole.collect().map(_.toSeq).toSet)
+  }
+
   test("filteredTopK pushes the metadata predicate into the corpus scan") {
     val df = Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), 3,
       col("label") === 1)
