@@ -117,6 +117,30 @@ class H60PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size == size(array_intersect) on 200 random sorted sets") {
+    val pairs = (1 to 200).map { _ =>
+      // overlapping alphabets so intersections are non-trivial; sets
+      // (distinct) and sorted — the caller contract
+      def set(): Seq[String] =
+        (0 to rnd.nextInt(20)).map(_ => randomString(6)).distinct.sorted
+      (set(), set())
+    }
+    val rows = pairs.toDF("a", "b").select(
+        graft.functions.functions.sorted_intersect_size($"a", $"b"),
+        size(array_intersect($"a", $"b")).cast("long"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+    // empty-vs-empty and identical-set edges
+    val edges = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a", "b", "é"), Seq("a", "b", "é"))).toDF("a", "b")
+    val got = edges.select(
+        graft.functions.functions.sorted_intersect_size($"a", $"b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 3L))
+  }
+
   test("count_in_set / array_total_strlen == filter/aggregate compositions") {
     val stop = Seq("the", "a", "of", "ω")
     val sets = (1 to 60).map(_ =>
