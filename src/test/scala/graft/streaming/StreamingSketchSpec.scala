@@ -54,6 +54,46 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding-drift monitor equals the batch lattice") {
+    import graft.operators.Similarity
+    // dimStats is count/sum/min/max on the integer lattice — fully
+    // mergeable — so the drift monitor runs as a LIVE streaming
+    // aggregate against a static reference lattice: continuous
+    // distribution monitoring of arriving embeddings at O(dim) state,
+    // the re-index trigger as a stream instead of a nightly job.
+    def vec(seed: Long): Seq[Float] =
+      (0 until 8).map(d => (((seed * 31 + d * 7) % 13) - 6) / 8.0f)
+    val ref = (0L until 50L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val arrivals1 = (100L until 140L).map(i => (i, vec(i * 3)))
+    val arrivals2 = (140L until 180L).map(i => (i, vec(i * 5)))
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val cur = input.toDF().toDF("vec_id", "embedding")
+    val drift = Similarity.embeddingDrift(ref, cur)
+    val q = drift.writeStream.format("memory")
+      .queryName("drift_stream").outputMode("complete").start()
+    try {
+      input.addData(arrivals1: _*)
+      q.processAllAvailable()
+      input.addData(arrivals2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_stream")
+        .select(col("dim"), col("n_ref"), col("n_cur"),
+          col("mean_shift_n2").cast("long"),
+          col("e2_shift_n2").cast("long"),
+          col("zero_shift_n2").cast("long"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Similarity.embeddingDrift(ref,
+          (arrivals1 ++ arrivals2).toDF("vec_id", "embedding"))
+        .select(col("dim"), col("n_ref"), col("n_cur"),
+          col("mean_shift_n2").cast("long"),
+          col("e2_shift_n2").cast("long"),
+          col("zero_shift_n2").cast("long"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == (0L until 8L).toSet)
+    } finally q.stop()
+  }
+
   test("foreachBatch HLL fold equals the whole-log register table") {
     import graft.operators.Sketches
     val input = MemoryStream[(Long, String, Long)](spark)
