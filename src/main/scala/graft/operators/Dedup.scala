@@ -155,12 +155,12 @@ object Dedup {
         col("y.doc_id").as("corpus_id"))
       .distinct()
     val shB = shingleSets(batch, k)
-      .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
+      .select(col("doc_id").as("batch_id"), sort_array(col("sh")).as("sh_b"))
     val shC = shingleSets(corpus, k)
-      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+      .select(col("doc_id").as("corpus_id"), sort_array(col("sh")).as("sh_c"))
     cands.join(shB, "batch_id").join(shC, "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
-        jaccard(col("sh_b"), col("sh_c")).as("jac"))
+        sortedJaccard(col("sh_b"), col("sh_c")).as("jac"))
       .filter(col("jac") >= threshold)
       .groupBy(col("batch_id"))
       .agg(
@@ -178,6 +178,19 @@ object Dedup {
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
+  /** [[jaccard]] over arrays the CALLER has already sorted (binary
+    * `sort_array` order): one linear codegen merge per pair instead of
+    * array_intersect's per-pair hash-set build. Sort once per document
+    * before the candidate join — each document appears in many
+    * candidate pairs, so the sort amortizes while the merge runs per
+    * pair (the same kernel economics as [[ppjoinExactPairs]]). */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.functions.sorted_intersect_size(a, b)
+      .cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
+  }
+
   /**
    * MinHash near-dedup, verified: LSH candidates re-checked with exact
    * shingle Jaccard ≥ `threshold`. Shingle arrays are joined only for
@@ -186,13 +199,16 @@ object Dedup {
    */
   def nearDuplicatePairs(docs: DataFrame, threshold: Double = 0.5,
                          perms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    // sorted once per document (not per candidate pair) so the exact
+    // verification is the linear sorted-merge kernel
     val sh = shingleSets(docs, k)
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"))
     val cands = lshCandidatePairs(docs, perms, bands, k)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
