@@ -601,6 +601,23 @@ object SparkEntry {
       TextOps.shardAssign(gated)
     }),
 
+    // Round-6 capstone: the curation pipeline with the new guards —
+    // per-source domain cap -> leakage-safe component split (train
+    // side) -> deterministic shard manifest. Each stage is the
+    // operator verified on its own above; the composition is what a
+    // real pretraining-data run executes.
+    "pipeline_curation_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val capped = docs.join(
+        TextOps.domainCap(docs, perSource = 50).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val train = capped.join(
+        Dedup.leakageSafeSplit(capped, threshold = 0.1, valPct = 10)
+          .filter(col("split") === "train").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextOps.shardAssign(train)
+    }),
+
     "text_shard_assign" -> ((s, dir) =>
       TextOps.shardAssign(t(s, dir, "documents"))),
 
@@ -3537,6 +3554,40 @@ object SparkEntry {
       "text_shard_assign" ->
         s"""WITH h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh
                        FROM documents)
+            SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hh % 8
+                     ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM h ORDER BY shard, pos""",
+
+      "pipeline_curation_manifest" ->
+        s"""WITH RECURSIVE
+                 g AS (SELECT doc_id, source,
+                         $qualityGates * 1000000.0 + n_chars AS key
+                       FROM documents),
+                 r AS (SELECT doc_id, row_number() OVER (PARTITION BY source
+                         ORDER BY key DESC, doc_id) AS rnk
+                       FROM g),
+                 capped AS (SELECT d.* FROM documents d
+                            JOIN r ON r.doc_id = d.doc_id AND r.rnk <= 50),
+                 ${lshPairCtesFrom("capped")},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+                 reach AS (SELECT src, dst FROM edges
+                           UNION
+                           SELECT r2.src, e.dst FROM reach r2
+                           JOIN edges e ON r2.dst = e.src),
+                 comp AS (SELECT src AS doc_id,
+                            least(src, min(dst)) AS component
+                          FROM reach GROUP BY src),
+                 assigned AS (SELECT c2.doc_id,
+                                coalesce(c.component, c2.doc_id) AS component
+                              FROM capped c2
+                              LEFT JOIN comp c ON c.doc_id = c2.doc_id),
+                 train AS (SELECT doc_id FROM assigned
+                           WHERE ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 >= 10),
+                 h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh
+                       FROM train)
             SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
                    CAST(row_number() OVER (PARTITION BY hh % 8
                      ORDER BY hh, doc_id) AS BIGINT) AS pos
