@@ -302,17 +302,36 @@ object Dedup {
       // ⌈t·s⌉ = (tNum·s + tDen − 1) div tDen, all integer
       .filter(col("rnk") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc_id"), col("g"), col("sz"))
+      .select(col("doc_id"), col("g"), col("sz"), col("rnk"))
     // prefix-shingle collision + PPJoin length filter: J ≥ t forces
     // t·max(|a|,|b|) ≤ min(|a|,|b|) (J ≤ min/max), so size-mismatched
     // collisions die BEFORE the distinct — measured 409k → 310k
-    // candidate pairs on the sf0.1 corpus at t = 1/2
+    // candidate pairs on the sf0.1 corpus at t = 1/2.
+    //
+    // PPJoin POSITIONAL filter (Xiao et al. §3.2) on top: both
+    // documents order shingles by the same global (df, shingle) rank,
+    // so for the EARLIEST collision (positions i, j) the overlap is
+    // bounded by 1 + min(|a|−i, |b|−j); J ≥ t needs overlap ≥
+    // ⌈t·(|a|+|b|)/(1+t)⌉ = ⌈tNum·(sza+szb)/(tNum+tDen)⌉. Taking
+    // max(bound) over a pair's collisions equals the earliest
+    // collision's bound (positions smallest ⇒ bound largest), so
+    // `max(bound) ≥ α` is LOSSLESS — it keeps every pair the
+    // first-collision filter keeps — while killing pairs whose only
+    // collisions sit at the tails of both prefixes (no room left for
+    // the required overlap) before their full shingle arrays are ever
+    // joined or merged.
+    val ubound = lit(1L) +
+      least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk"))
     prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * tNum <= col("b.sz") * tDen &&
           col("b.sz") * tNum <= col("a.sz") * tDen)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(max(ubound).as("ub"),
+        max(col("a.sz")).as("sza"), max(col("b.sz")).as("szb"))
+      .filter(col("ub") * (tNum + tDen) >=
+        (col("sza") + col("szb")) * tNum)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /**
