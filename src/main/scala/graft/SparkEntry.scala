@@ -1520,7 +1520,54 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(12,2)"))
             .cast("decimal(38,2)").as("sum_qty"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // zone-map audit over the natural write order: per row group
+    // (event_id div 1024), min/max stats for event time and user id
+    // plus skippability for one range predicate each — time zones are
+    // tight (append order ⇒ most groups skip), user zones cover the
+    // domain (nothing skips) — the measured case for the Z-order
+    // rewrite next to layout_zorder
+    "layout_zonemap" -> ((s, dir) =>
+      graft.operators.Layout.zoneMap(t(s, dir, "events"),
+        expr("event_id div 1024"),
+        Cols.epochUs(col("ts")), 1704844800000000L, 1704931199999999L,
+        col("user_id"), 10L, 19L)),
+
+    // small-file compaction plan over the per-source file manifest
+    // (each document stands in for one file of n_chars bytes)
+    "layout_compaction_plan" -> ((s, dir) =>
+      graft.operators.Layout.compactionPlan(
+        t(s, dir, "documents").select(col("source").as("part"),
+          col("doc_id").as("file_id"), col("n_chars").as("bytes")),
+        smallBytes = 256L, targetBytes = 1024L)),
+
+    // CUSUM changepoint per event type: the minute where the stream's
+    // arrival rate deviates furthest from its own constant-rate line
+    "ts_cusum_changepoint" -> ((s, dir) =>
+      graft.operators.TimeSeries.cusumChangepoints(t(s, dir, "events"))),
+
+    // 16-core of the user co-activity graph (hour×user bipartite
+    // projection, ≥8 shared hours): peeling strips casually-connected
+    // users; the core is the persistently co-active cluster
+    "graph_cooccur_kcore" -> ((s, dir) =>
+      Graph.kCore(
+          Graph.cooccurrenceEdges(t(s, dir, "events"),
+            date_trunc("hour", col("ts")), col("user_id"),
+            minShared = 8L),
+          k = 16)
+        .withColumnRenamed("node", "user_id")),
+
+    // common-neighbor link prediction on the co-activity graph: user
+    // pairs that behave alike (many shared neighbors) but never
+    // co-occur enough to edge — the "suggested link" primitive
+    // (entity resolution's transitive-match candidate list)
+    "graph_link_prediction" -> ((s, dir) =>
+      Graph.linkPrediction(
+        Graph.cooccurrenceEdges(t(s, dir, "events"),
+          date_trunc("hour", col("ts")), col("user_id"),
+          minShared = 8L),
+        maxDeg = 512, minCommon = 20))
   )
 
   // DuckDB oracle equivalents (identical aliases / ordering). The
@@ -1634,6 +1681,18 @@ object SparkEntry {
                     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1)"""
     val lshPairCtes = lshPairCtesFrom("documents")
+    // hour×user co-occurrence projection (the Spark side is
+    // Graph.cooccurrenceEdges: distinct (hour, user), per-hour
+    // self-join, pair count ≥ 8; no hour exceeds the 1024 group cap
+    // at oracle scale, mirrored here by omission)
+    val cooccurCtes =
+      """gi AS MATERIALIZED (SELECT DISTINCT date_trunc('hour', ts) AS g,
+                               user_id AS item FROM events),
+         cooc AS MATERIALIZED (SELECT x.item AS src, y.item AS dst,
+                                 count(*) AS shared
+                               FROM gi x JOIN gi y
+                                 ON x.g = y.g AND x.item < y.item
+                               GROUP BY 1, 2 HAVING count(*) >= 8)"""
 
     Map(
       "cdc_offset_discovery" ->
@@ -4557,7 +4616,109 @@ object SparkEntry {
            FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                 WHERE o_totalprice > 400000.0)
-           GROUP BY l_returnflag ORDER BY l_returnflag"""
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "layout_zonemap" ->
+        """SELECT event_id // 1024 AS rg, count(*) AS n_rows,
+                  min(epoch_us(ts)) AS min_d1, max(epoch_us(ts)) AS max_d1,
+                  min(user_id) AS min_d2, max(user_id) AS max_d2,
+                  (max(epoch_us(ts)) < 1704844800000000
+                   OR min(epoch_us(ts)) > 1704931199999999) AS skip_d1,
+                  (max(user_id) < 10 OR min(user_id) > 19) AS skip_d2
+           FROM events GROUP BY rg ORDER BY rg""",
+
+      "layout_compaction_plan" ->
+        """SELECT source AS part, count(*) AS n_files,
+                  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+                  CAST(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small,
+                  CAST(sum(CASE WHEN n_chars < 256 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS small_bytes,
+                  (CAST(sum(CASE WHEN n_chars < 256 THEN n_chars ELSE 0 END)
+                     AS BIGINT) + 1023) // 1024 AS n_compacted,
+                  CASE WHEN sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END) > 0
+                       THEN CAST(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END)
+                              AS BIGINT)
+                            - greatest(
+                                (CAST(sum(CASE WHEN n_chars < 256
+                                           THEN n_chars ELSE 0 END)
+                                   AS BIGINT) + 1023) // 1024, 1)
+                       ELSE 0 END AS files_saved
+           FROM documents GROUP BY source ORDER BY part""",
+
+      "ts_cusum_changepoint" ->
+        """WITH m AS (SELECT event_type, date_trunc('minute', ts) AS mn,
+                        count(*) AS c
+                      FROM events GROUP BY 1, 2),
+                t AS (SELECT event_type, mn,
+                        CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n,
+                        CAST(sum(c) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS tot,
+                        CAST(sum(c) OVER (PARTITION BY event_type
+                          ORDER BY mn ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS pre,
+                        CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY mn) AS BIGINT) AS k
+                      FROM m),
+                s AS (SELECT event_type, mn, n, tot,
+                        abs(n * pre - k * tot) AS s_abs,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY abs(n * pre - k * tot) DESC, mn) AS rn
+                      FROM t)
+           SELECT event_type, epoch_us(mn) AS cp_minute_us,
+                  CAST(s_abs AS BIGINT) AS s_abs, n AS n_minutes,
+                  tot AS total_events
+           FROM s WHERE rn = 1 ORDER BY event_type""",
+
+      "graph_cooccur_kcore" -> {
+        // unrolled peel: 16 rounds of (degree, keep, filter) — sound
+        // because peeling is idempotent after its fixpoint (the engine
+        // require()s convergence within the same bound). MATERIALIZED
+        // is load-bearing: DuckDB inlines plain CTEs, and each round
+        // references the previous one 3× — an inlined chain is a
+        // 3^16 plan blowup.
+        val peel = (1 to 16).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM
+                 (SELECT a AS node FROM e${i - 1}
+                  UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+              k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 16),
+              e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+                      WHERE a IN (SELECT node FROM k$i)
+                        AND b IN (SELECT node FROM k$i))"""
+        }.mkString(",\n")
+        s"""WITH $cooccurCtes,
+                e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cooc),
+                $peel
+           SELECT node AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+           FROM (SELECT a AS node FROM e16 UNION ALL SELECT b FROM e16)
+           GROUP BY 1 ORDER BY user_id"""
+      },
+
+      "graph_link_prediction" ->
+        s"""WITH $cooccurCtes,
+                e AS MATERIALIZED (SELECT src AS a, dst AS b FROM cooc),
+                adj AS (SELECT a AS node, b AS nbr FROM e
+                        UNION ALL SELECT b, a FROM e),
+                deg AS MATERIALIZED
+                  (SELECT node, count(*) AS degree FROM adj GROUP BY 1),
+                adjc AS MATERIALIZED
+                  (SELECT adj.node, adj.nbr FROM adj
+                   JOIN deg USING (node) WHERE degree <= 512),
+                w AS (SELECT x.nbr AS node_a, y.nbr AS node_b
+                      FROM adjc x JOIN adjc y
+                        ON x.node = y.node AND x.nbr < y.nbr),
+                cm AS (SELECT node_a, node_b, count(*) AS n_common
+                       FROM w GROUP BY 1, 2),
+                nonadj AS (SELECT cm.node_a, cm.node_b, cm.n_common FROM cm
+                           LEFT JOIN e ON cm.node_a = e.a AND cm.node_b = e.b
+                           WHERE e.a IS NULL)
+           SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+                  CAST(da.degree AS BIGINT) AS deg_a,
+                  CAST(db.degree AS BIGINT) AS deg_b
+           FROM nonadj JOIN deg da ON da.node = node_a
+           JOIN deg db ON db.node = node_b
+           WHERE n_common >= 20 ORDER BY node_a, node_b"""
     )
   }
 }

@@ -180,6 +180,156 @@ object Graph {
       .orderBy(col("deg_bits"))
   }
 
+  /**
+   * Co-occurrence projection of a bipartite `(group, item)` relation:
+   * an undirected edge `(src, dst, shared)` for every item pair seen
+   * together in ≥ `minShared` groups — the graph-construction
+   * primitive behind co-activity ("users active in the same hours"),
+   * market-basket, and co-citation analyses; [[kCore]] and
+   * [[linkPrediction]] consume it.
+   *
+   * Scale shape: the projection self-joins WITHIN each group, so work
+   * is Σ_g |g|² — the same quadratic-per-key hazard as the dedup
+   * shingle joins, guarded the same way: groups larger than
+   * `maxGroupSize` are excluded before the join (a group containing
+   * "everyone" — a flash-crowd hour, a viral basket — contributes
+   * |g|² pairs of no discriminative value; the df-cap discipline).
+   * One group-keyed size aggregate + anti-join, one group-keyed
+   * self-join, one pair-keyed count — all keyed, nothing global.
+   */
+  def cooccurrenceEdges(rel: DataFrame, group: org.apache.spark.sql.Column,
+                        item: org.apache.spark.sql.Column,
+                        minShared: Long = 2L,
+                        maxGroupSize: Long = 1024L): DataFrame = {
+    require(minShared >= 1L, s"minShared=$minShared")
+    require(maxGroupSize >= 2L, s"maxGroupSize=$maxGroupSize")
+    val gi = rel.select(group.as("g"), item.as("item")).distinct()
+    val big = gi.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxGroupSize).select(col("g"))
+    val gis = gi.join(big, Seq("g"), "left_anti")
+    gis.as("x").join(gis.as("y"),
+        col("x.g") === col("y.g") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("src"), col("y.item").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
+   * k-core decomposition by iterative peeling: repeatedly delete
+   * nodes of degree < k until every survivor has ≥ k neighbors inside
+   * the surviving subgraph. On the near-dup graph the 2-core is the
+   * "genuine cluster" skeleton — pendant nodes and chains (single
+   * LSH collisions, weak one-off matches) peel away, what remains is
+   * mutually-corroborated duplication; the same filter GraphFrames
+   * users run before trusting community structure.
+   *
+   * Returns `(node, core_degree)` — each survivor with its degree in
+   * the k-core subgraph (≥ k by the fixpoint). Exact and
+   * deterministic; the oracle replays the identical peel as unrolled
+   * round CTEs, which is sound because peeling is monotone (the
+   * survivor set only shrinks) and idempotent after convergence —
+   * extra oracle rounds are no-ops. `require`s convergence within
+   * `maxRounds` so an unconverged result fails LOUDLY rather than
+   * desynchronizing from the oracle.
+   *
+   * Scale shape: each round is one node-keyed degree aggregate and
+   * two semi-joins of the edge list against the survivor set — all
+   * keyed by graph ids, nothing global. The edge list shrinks
+   * monotonically and is re-checkpointed per round (same per-round
+   * materialization discipline as the components loop), so plan depth
+   * stays constant. Rounds needed = peel depth, which is ≤ graph
+   * degeneracy-peel diameter — single digits on dup graphs; the
+   * early exit stops at the measured fixpoint (edge count unchanged
+   * ⇒ subset + equal size ⇒ equal set ⇒ degrees unchanged).
+   */
+  def kCore(edges: DataFrame, k: Int = 2, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds=$maxRounds")
+    var cur = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = cur.count()
+    var converged = nEdges == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("node"))
+      val next = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = next.count()
+      converged = n2 == nEdges // monotone shrink: equal count = fixpoint
+      cur = next
+      nEdges = n2
+      round += 1
+    }
+    require(converged, s"kCore: no fixpoint within $maxRounds rounds")
+    cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /**
+   * Common-neighbor link prediction over an undirected edge list: for
+   * every NON-adjacent pair sharing ≥ `minCommon` neighbors, the
+   * shared-neighbor count plus both endpoint degrees (the reader
+   * assembles Jaccard/Adamic-Adar from these integers). On the
+   * near-dup graph these are the pairs the banded LSH likely MISSED —
+   * two documents each near-duplicate of the same third are
+   * candidates for a targeted exact re-check, closing recall without
+   * an all-pairs pass. The same primitive is entity-resolution's
+   * "transitive match suggestion".
+   *
+   * Scale shape: wedges enumerate at the shared neighbor (the
+   * center), so work is Σ_v deg(v)² — bounded by excluding centers
+   * with degree > `maxDeg` (a corpus-wide boilerplate hub's wedges
+   * are O(df²) noise, not linkage evidence: the same df-cap
+   * discipline as the dedup stop-gram guards; excluded mass is
+   * measurable via [[degreeProfile]]'s high octaves). One center-
+   * keyed self-join, one pair-keyed count, one anti-join against the
+   * edge set, two degree joins — all keyed, nothing global.
+   */
+  def linkPrediction(edges: DataFrame, maxDeg: Int = 64,
+                     minCommon: Int = 1): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg=$maxDeg")
+    require(minCommon >= 1, s"minCommon=$minCommon")
+    val e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val adjC = adj.join(deg.filter(col("degree") <= maxDeg).select(col("node")),
+      Seq("node"), "left_semi")
+    val wedges = adjC.as("x").join(adjC.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("node_a"), col("y.nbr").as("node_b"))
+    val common = wedges.groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(e, common("node_a") === e("a") && common("node_b") === e("b"),
+        "left_anti")
+      .filter(col("n_common") >= minCommon)
+      .join(deg.select(col("node").as("node_a"), col("degree").as("deg_a")),
+        "node_a")
+      .join(deg.select(col("node").as("node_b"), col("degree").as("deg_b")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(
         least(col("src"), col("dst")).as("a"),

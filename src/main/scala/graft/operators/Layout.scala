@@ -71,4 +71,83 @@ object Layout {
         (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
       .orderBy(col("zfile"))
   }
+
+  /**
+   * Zone-map audit: the per-row-group min/max statistics a parquet
+   * reader prunes with, plus — for one range predicate per dimension —
+   * whether each group is skippable. This is the planner's view of
+   * [[zorderLayout]]'s payoff measured on the ACTUAL layout: a
+   * dimension correlated with insertion order (event time in an
+   * append-only log) yields tight `[min,max]` zones and most groups
+   * skip; an uncorrelated dimension (user id) yields full-domain
+   * zones and nothing skips — the printed evidence for why that
+   * predicate needs a sort/Z-order rewrite before it can prune at
+   * 100 TB, where "groups skipped" is the difference between reading
+   * gigabytes and reading everything.
+   *
+   * `rg` stands in for the physical row group (caller supplies the
+   * grouping expression, e.g. `event_id div 4096` for the natural
+   * write order). Skippable for `[lo, hi]` ≡ `max < lo or min > hi` —
+   * exactly the parquet/iceberg stats predicate.
+   *
+   * Scale shape: ONE aggregate keyed by row group (map-side combined,
+   * output rows = #groups = data/4096, i.e. metadata-sized); the skip
+   * flags are per-group scalar arithmetic. All integers — the oracle
+   * replays it bit-for-bit.
+   */
+  def zoneMap(df: DataFrame, rg: Column,
+              dim1: Column, lo1: Long, hi1: Long,
+              dim2: Column, lo2: Long, hi2: Long): DataFrame =
+    df.select(rg.as("rg"), dim1.as("d1"), dim2.as("d2"))
+      .groupBy(col("rg"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("d1")).as("min_d1"), max(col("d1")).as("max_d1"),
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+      .select(col("rg"), col("n_rows"),
+        col("min_d1"), col("max_d1"), col("min_d2"), col("max_d2"),
+        (col("max_d1") < lo1 || col("min_d1") > hi1).as("skip_d1"),
+        (col("max_d2") < lo2 || col("min_d2") > hi2).as("skip_d2"))
+      .orderBy(col("rg"))
+
+  /**
+   * Small-file compaction plan over a file manifest
+   * `(part, file_id, bytes)` — the operational report that decides
+   * when a 100 TB table needs compacting and how much it wins. Files
+   * under `smallBytes` are compaction candidates; packing them
+   * greedily in id order into `targetBytes` outputs yields
+   * `ceil(small_bytes / target)` files (the bin-assignment mechanism
+   * itself is the exclusive-prefix-sum pack of
+   * [[Multimodal.shardPack]] — this is its planning face). Per
+   * partition: file counts before/after, candidate bytes, and the
+   * files eliminated — the read-amplification win, since every open
+   * costs a metadata round-trip and a seek.
+   *
+   * Scale shape: the manifest is metadata (one row per FILE, not per
+   * record — a 100 TB table is ~10⁵-10⁶ rows here), and the plan is
+   * ONE aggregate keyed by partition. `ceil` is integer-exact:
+   * `(b + t − 1) div t`.
+   */
+  def compactionPlan(manifest: DataFrame, smallBytes: Long,
+                     targetBytes: Long): DataFrame = {
+    require(smallBytes <= targetBytes,
+      s"smallBytes=$smallBytes > targetBytes=$targetBytes")
+    val small = col("bytes") < smallBytes
+    manifest.select(col("part"), col("file_id"), col("bytes"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(when(small, 1L).otherwise(0L)).as("n_small"),
+        sum(when(small, col("bytes")).otherwise(0L)).as("small_bytes"))
+      .select(col("part"), col("n_files"), col("total_bytes"),
+        col("n_small"), col("small_bytes"),
+        // `div` (integer division), not `/` (Spark's `/` on longs
+        // returns double)
+        expr(s"(small_bytes + ${targetBytes - 1L}) div $targetBytes")
+          .as("n_compacted"))
+      .withColumn("files_saved",
+        when(col("n_small") > 0L,
+          col("n_small") - greatest(col("n_compacted"), lit(1L)))
+          .otherwise(0L))
+      .orderBy(col("part"))
+  }
 }

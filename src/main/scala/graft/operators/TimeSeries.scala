@@ -247,6 +247,56 @@ object TimeSeries {
    * Scale shape: ONE user-keyed aggregate (all five moments partial/
    * map-side combinable), no join, no window, no sort of the events.
    */
+  /**
+   * CUSUM changepoint per event type over the per-minute arrival-count
+   * series — "when did this stream's behavior change": the minute
+   * maximizing the cleared-denominator cumulative deviation
+   *
+   *   S_k = n·(Σ_{i≤k} c_i) − k·(Σ c_i)   ( = n·Σ_{i≤k}(c_i − mean) )
+   *
+   * i.e. classic CUSUM against the series' own mean with the division
+   * multiplied away — pure integer arithmetic, so both engines agree
+   * bit-for-bit (same clearing trick as [[trendSlope]]'s num/den).
+   * |S| peaks where the cumulative arrivals deviate furthest from the
+   * constant-rate line: a rate step-change pins the peak at the step.
+   * Ties break to the earliest minute. Minutes with zero arrivals are
+   * not points of the series (the count rollup has no row to emit) —
+   * the statistic is over OBSERVED minutes, documented contract.
+   *
+   * Envelope: n·tot < 2⁶³ — holds to ~10⁶ observed minutes (two years
+   * at minute grain) × ~10¹² events; beyond that, lift the two
+   * products to DECIMAL(38,0).
+   *
+   * Scale shape: the only data-sized stage is the (type, minute)
+   * count rollup — keyed, map-side combinable. The windows run over
+   * the ROLLED-UP series (rows = observed minutes per type:
+   * time-range-sized metadata, ~5·10⁵/year), partitioned by type; the
+   * raw events are never sorted. Final output: one row per type.
+   */
+  def cusumChangepoints(log: DataFrame): DataFrame = {
+    val perMin = log
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("mn"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("mn"))
+    val prefixed = perMin.select(col("event_type"), col("mn"), col("c"),
+      count(lit(1)).over(byType).as("n"),
+      sum(col("c")).over(byType).as("tot"),
+      sum(col("c")).over(ordered.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("pre"),
+      row_number().over(ordered).cast("long").as("k"))
+    val scored = prefixed.select(col("event_type"), col("mn"), col("n"),
+        col("tot"),
+        abs(col("n") * col("pre") - col("k") * col("tot")).as("s_abs"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("s_abs").desc, col("mn"))))
+    scored.filter(col("rn") === 1)
+      .select(col("event_type"),
+        graft.util.Cols.epochUs(col("mn")).as("cp_minute_us"),
+        col("s_abs"), col("n").as("n_minutes"), col("tot").as("total_events"))
+      .orderBy(col("event_type"))
+  }
+
   def trendSlope(log: DataFrame): DataFrame = {
     val ev = log.select(col("user_id"),
       expr("unix_micros(cast(ts as timestamp)) div 60000000")

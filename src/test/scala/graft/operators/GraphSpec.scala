@@ -99,4 +99,69 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 5L, 5L), (2L, 1L, 5L)))
   }
+
+  test("kCore: cascade peel — chain into clique peels hop by hop") {
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6-7: for k=2 the
+    // chain peels from the FAR end one round at a time (7, then 6,
+    // then 5 — each drop lowers its neighbor below k), the clique
+    // survives with in-core degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k above the max clique degree empties the graph
+    assert(Graph.kCore(edges, k = 4).count() == 0L)
+    // duplicate/reversed edges and self-loops must not alter degrees
+    val messy = edges.unionAll(Seq((2L, 1L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst"))
+    assert(Graph.kCore(messy, k = 2).as[(Long, Long)].collect().toSeq
+      == core)
+  }
+
+  test("kCore refuses loudly when maxRounds is too small to converge") {
+    // a 10-chain needs ~4 peel rounds at k=2; cap at 1 must throw,
+    // not silently emit a half-peeled graph the oracle can't match
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.kCore(chain, k = 2, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
+  test("linkPrediction: shared neighbors of non-adjacent pairs, hub-capped") {
+    // path 1-2-3 plus 1-4-3: pairs (1,3) share {2,4}; (2,4) share
+    // {1,3}; adjacent pairs never appear
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 2L, 2L), (2L, 4L, 2L, 2L, 2L)))
+    // hub cap: a star's center exceeding maxDeg contributes no wedges
+    // — its leaves stop being "suggested links" through it
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.linkPrediction(star, maxDeg = 4).count() == 0L)
+    assert(Graph.linkPrediction(star, maxDeg = 5).count() == 10L)
+  }
+
+  test("cooccurrenceEdges: pair counts, minShared floor, hot-group cap") {
+    val rel = Seq(
+      // group g1: items 1,2,3 -> pairs (1,2),(1,3),(2,3)
+      ("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 3L), // dup row collapses
+      // group g2: items 1,2 -> pair (1,2) again => shared=2
+      ("g2", 1L), ("g2", 2L),
+      // group g3: over the cap (4 items > maxGroupSize=3) -> excluded
+      ("g3", 1L), ("g3", 2L), ("g3", 8L), ("g3", 9L))
+      .toDF("g", "item")
+    val got = Graph.cooccurrenceEdges(rel, $"g", $"item",
+        minShared = 1L, maxGroupSize = 3L)
+      .orderBy($"src", $"dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val floored = Graph.cooccurrenceEdges(rel, $"g", $"item",
+        minShared = 2L, maxGroupSize = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(floored == Seq((1L, 2L, 2L)))
+  }
 }

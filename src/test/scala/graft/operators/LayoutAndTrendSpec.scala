@@ -51,6 +51,60 @@ class LayoutAndTrendSpec extends SparkSpec {
     assert(filesTouchedByXRange == 4, s"z-layout touched $filesTouchedByXRange")
   }
 
+  // ---- zone maps ----
+
+  test("zoneMap: clustered dim skips, scattered dim never skips") {
+    // 4 groups of 10; d1 = row id (clustered by construction),
+    // d2 = id % 4 (every group covers the full domain)
+    val rows = (0L until 40L).map(i => (i, i, i % 4)).toDF("rid", "a", "b")
+    val zm = Layout.zoneMap(rows, expr("rid div 10"),
+        col("a"), 10L, 19L, // exactly group 1
+        col("b"), 1L, 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect()
+    assert(zm.length == 4)
+    zm.foreach { case (rg, n, minA, maxA, minB, maxB, skipA, skipB) =>
+      assert(n == 10L)
+      assert(minA == rg * 10 && maxA == rg * 10 + 9, "tight zones on a")
+      assert(minB == 0L && maxB == 3L, "full-domain zones on b")
+      assert(skipA == (rg != 1L), s"rg=$rg must skip iff not group 1")
+      assert(!skipB, "a full-domain zone can never skip")
+    }
+  }
+
+  test("zoneMap skip flag is exactly the parquet stats predicate") {
+    // boundary cases: zone touching lo, touching hi, fully below, above
+    val rows = Seq((0L, 5L), (1L, 10L), (2L, 20L), (3L, 21L))
+      .toDF("g", "x")
+    val got = Layout.zoneMap(rows, col("g"), col("x"), 10L, 20L,
+        col("x"), 10L, 20L)
+      .select(col("rg"), col("skip_d1")).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
+  }
+
+  // ---- compaction planning ----
+
+  test("compactionPlan: exact ceil packing, big files never counted") {
+    val manifest = Seq(
+      // p1: three small files (100+100+50=250 -> 1 target file), one big
+      ("p1", 1L, 100L), ("p1", 2L, 100L), ("p1", 3L, 50L), ("p1", 4L, 5000L),
+      // p2: only big files -> nothing to do
+      ("p2", 5L, 4000L), ("p2", 6L, 9999L),
+      // p3: small bytes exactly at a bin boundary (1024) -> 1 bin
+      ("p3", 7L, 512L), ("p3", 8L, 512L),
+      // p4: crosses the boundary (1025) -> 2 bins
+      ("p4", 9L, 513L), ("p4", 10L, 512L))
+      .toDF("part", "file_id", "bytes")
+    val plan = Layout.compactionPlan(manifest,
+        smallBytes = 1024L, targetBytes = 1024L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(plan("p1") == (("p1", 4L, 5250L, 3L, 250L, 1L, 2L)))
+    assert(plan("p2") == (("p2", 2L, 13999L, 0L, 0L, 0L, 0L)))
+    assert(plan("p3") == (("p3", 2L, 1024L, 2L, 1024L, 1L, 1L)))
+    assert(plan("p4") == (("p4", 2L, 1025L, 2L, 1025L, 2L, 0L)))
+  }
+
   // ---- OLS trend slope ----
 
   test("trendSlope: exact slopes, sign-split division, den=0 dropped") {

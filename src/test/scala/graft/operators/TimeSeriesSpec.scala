@@ -148,4 +148,20 @@ class TimeSeriesSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().toSet
     assert(flagged == Set(4L))
   }
+
+  test("cusumChangepoints: rate step pins the peak at the step minute") {
+    def mts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // type A: 1 event/min for minutes 0-9, then 5/min for 10-19.
+    // n=20, tot=60; |S_k| = |20·pre_k − 60k| peaks at k=10 (the last
+    // low-rate minute, minute 9): 20·10 − 600 = −400.
+    val a = (0 until 10).map(m => ("A", mts(m))) ++
+      (10 until 20).flatMap(m => Seq.fill(5)(("A", mts(m))))
+    // type B: constant rate -> S_k = 0 everywhere -> tie -> earliest
+    val b = (0 until 8).map(m => ("B", mts(m)))
+    val df = (a ++ b).toDF("event_type", "ts")
+    val got = TimeSeries.cusumChangepoints(df)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 9L * 60000000L, 400L, 20L, 60L)))
+    assert(got("B") == (("B", 0L, 0L, 8L, 8L)))
+  }
 }
