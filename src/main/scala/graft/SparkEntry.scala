@@ -507,6 +507,12 @@ object SparkEntry {
       Dedup.nearDuplicatePairs(t(s, dir, "documents"), threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // threshold-sensitivity sweep: Jaccard histogram of ALL candidate
+    // pairs in 1/20 bins + cumulative pairs at-or-above each bin —
+    // the plot that picks the production dedup threshold
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.jaccardThresholdSweep(t(s, dir, "documents"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFp(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -3159,6 +3165,38 @@ object SparkEntry {
             JOIN sizes nb ON nb.doc_id = inter.doc_b
             WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.1
             ORDER BY doc_a, doc_b""",
+
+      "dedup_threshold_sweep" ->
+        s"""WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split($norm, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(string_split($norm, ' ')) - 2),
+                            i -> string_split($norm, ' ')[i] || ' ' ||
+                                 string_split($norm, ' ')[i+1] || ' ' ||
+                                 string_split($norm, ' ')[i+2]))
+                          ELSE [array_to_string(string_split($norm, ' '), ' ')]
+                     END AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            kept AS (
+              SELECT doc_id, g FROM ex
+              WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            bk AS (SELECT (20 * i) // (na.n + nb.n - i) AS bucket
+                   FROM inter
+                   JOIN sizes na ON na.doc_id = inter.doc_a
+                   JOIN sizes nb ON nb.doc_id = inter.doc_b),
+            h AS (SELECT bucket, count(*) AS n_pairs FROM bk GROUP BY 1)
+            SELECT bucket, n_pairs,
+                   CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS pairs_ge
+            FROM h ORDER BY bucket""",
 
       "text_token_stats" ->
         s"""SELECT doc_id,

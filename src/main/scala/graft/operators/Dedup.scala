@@ -223,7 +223,18 @@ object Dedup {
    * scale, while this join streams its pairs; measured and rejected.)
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        k: Int = 3, maxDf: Int = 64): DataFrame = {
+                        k: Int = 3, maxDf: Int = 64): DataFrame =
+    ngramPairStats(docs, k, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared candidate machinery of [[ngramJaccardPairs]] and
+    * [[jaccardThresholdSweep]]: every pair sharing ≥ 1 post-cap
+    * shingle, with the exact integer triple (|a∩b|, |a|, |b|). */
+  private def ngramPairStats(docs: DataFrame, k: Int,
+                             maxDf: Int): DataFrame = {
     val sh = shingleSets(docs, k)
     // explode first, hash after: xxhash64 on the exploded column runs
     // inside whole-stage codegen, where hashing inside a transform()
@@ -255,10 +266,44 @@ object Dedup {
       // hint — AQE picks broadcast only when it genuinely fits
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a"), col("n_b"))
+  }
+
+  /**
+   * Threshold-sensitivity sweep for near-dedup: the Jaccard histogram
+   * of EVERY candidate pair (≥ 1 shared post-cap shingle), in
+   * `buckets` integer-exact bins `⌊buckets·|a∩b| / |a∪b|⌋`, plus the
+   * cumulative pair count at-or-above each bin — i.e. for every
+   * candidate threshold t = bucket/buckets, how many pairs a dedup at
+   * t would collapse. This is the plot an engineer reads BEFORE
+   * choosing the production threshold: genuine near-dup corpora show
+   * a bimodal histogram (a boilerplate hump near 0, a true-duplicate
+   * spike near 1) and the threshold goes in the valley; a unimodal
+   * smear means the shingle length or the df cap needs revisiting,
+   * not the threshold.
+   *
+   * Integer-exact everywhere (the bin is `(buckets·inter) div uni` —
+   * no double ever forms), so the oracle replays it bit-for-bit.
+   *
+   * Scale shape: identical to [[ngramJaccardPairs]] (same capped
+   * candidate machinery) up to the pair stats, then a ≤ buckets+1-row
+   * aggregate; the cumulative sum is a window over that always-small
+   * frame (bounded by `buckets`, never by data).
+   */
+  def jaccardThresholdSweep(docs: DataFrame, k: Int = 3, maxDf: Int = 64,
+                            buckets: Int = 20): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets")
+    val hist = ngramPairStats(docs, k, maxDf)
+      .select(expr(s"($buckets * inter) div (n_a + n_b - inter)")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    hist.withColumn("pairs_ge",
+        sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .orderBy(col("bucket"))
   }
 
   /**

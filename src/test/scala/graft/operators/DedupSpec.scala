@@ -83,6 +83,19 @@ class DedupSpec extends SparkSpec {
     assert(dflt((1L, 2L)) == 1.0)
   }
 
+  test("jaccardThresholdSweep: exact buckets and cumulative retention") {
+    // the 8-doc boilerplate fixture at maxDf=8: all 28 pairs have
+    // J = 1/7 -> bucket (20*1) div 7 = 2; add one exact-dup pair at
+    // J = 1 -> bucket 20
+    val boiler = (1 to 8)
+      .map(i => (100L + i, s"terms of service aa$i bb$i cc$i"))
+    val dups = Seq((200L, "xx yy zz ww"), (201L, "xx yy zz ww"))
+    val docs9 = (boiler ++ dups).toDF("doc_id", "text")
+    val sweep = Dedup.jaccardThresholdSweep(docs9, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sweep == Seq((2L, 28L, 29L), (20L, 1L, 1L)))
+  }
+
   test("minhash LSH finds exact duplicates as candidates and verifies them") {
     val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect()
