@@ -116,6 +116,10 @@ object ScaleCheck {
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }),
     "sim_dim_stats" -> (() => Similarity.dimStats(emb)),
+    "dedup_threshold_sweep" -> (() =>
+      // inherits ngramPairStats' capped candidate machinery; the
+      // histogram stage is O(buckets) regardless of corpus size
+      Dedup.jaccardThresholdSweep(docs)),
     "sim_pca_power_i2" -> (() =>
       // 10x corpus: the DECIMAL(38,0) envelope (dim·max|C|)^iters
       // bounds exact iterations to 2 at this n — the documented
@@ -152,6 +156,23 @@ object ScaleCheck {
         pmod(col("user_id"), lit(1024L)),
         expr("(hour(ts) * 60 + minute(ts)) div 2"),
         bits = 10, fileBits = 6)),
+    "ts_cusum_changepoint" -> (() =>
+      // windows run over the rolled-up minute series, never raw events
+      graft.operators.TimeSeries.cusumChangepoints(ev)),
+    "layout_zonemap" -> (() =>
+      graft.operators.Layout.zoneMap(ev, expr("event_id div 4096"),
+        graft.util.Cols.epochUs(col("ts")),
+        1704844800000000L, 1704931199999999L,
+        col("user_id"), 10L, 19L)),
+    "graph_cooccur_kcore" -> (() =>
+      // minute-grain projection at 20x users: per-group size stays
+      // under the hot-group cap, pair work is Σ|g|² bounded by it;
+      // the peel then runs on the aggregated edge list only
+      graft.operators.Graph.kCore(
+        graft.operators.Graph.cooccurrenceEdges(ev,
+          date_trunc("minute", col("ts")), col("user_id"),
+          minShared = 2L),
+        k = 4)),
     "q_interval_merge" -> (() =>
       graft.operators.CdcOps.mergeIntervals(
         ev.select(col("user_id"),
