@@ -301,4 +301,52 @@ class PlanAssertionsSpec extends SparkSpec {
     // the greedy rounds must never degenerate to a cartesian product
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("zoneMap is one keyed aggregate — no join, no window, no global sort") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(Layout.zoneMap(ev, expr("event_id div 1024"),
+      graft.util.Cols.epochUs(col("ts")), 0L, 1L, col("user_id"), 0L, 1L))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("cusum windows run on the rolled-up minute series, keyed by type") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val df = TimeSeries.cusumChangepoints(ev)
+    // raw events reduce through a keyed (type, minute) aggregate FIRST
+    val p = plan(df)
+    assert(p.contains("date_trunc") || p.contains("minute"), p)
+    // every window partitions by event_type — none global
+    val wins = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+    assert(wins.nonEmpty && wins.forall(_ == false),
+      s"unpartitioned cusum window: $wins")
+  }
+
+  test("threshold sweep: the only window runs over the bucket histogram") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = Dedup.jaccardThresholdSweep(docs)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    // one unpartitioned window is allowed — it sorts ≤ buckets+1 rows
+    // (the histogram), bounded by the operator parameter, never by data
+    assert(wins.length == 1, s"windows: ${wins.length}")
+    // and it must sit ABOVE the bucket aggregate (plans print
+    // top-down, so the window appears before the aggregate), i.e. it
+    // consumes the histogram, not the pair stream
+    val p = plan(df)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"), p)
+  }
+
+  test("co-occurrence projection joins on the group key only") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(Graph.cooccurrenceEdges(ev,
+      date_trunc("hour", col("ts")), col("user_id"), minShared = 2L))
+    assert(!p.contains("CartesianProduct"), p)
+    // hot-group exclusion rides an anti-join, not a count window
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
