@@ -1553,6 +1553,11 @@ object SparkEntry {
     "ts_cusum_changepoint" -> ((s, dir) =>
       graft.operators.TimeSeries.cusumChangepoints(t(s, dir, "events"))),
 
+    // sketch-accuracy audit: HLL estimate vs exact NDV per key, the
+    // estimator computed entirely on the integer lattice (no float)
+    "sketch_hll_ndv_error" -> ((s, dir) =>
+      graft.operators.Sketches.hllNdvError(t(s, dir, "events"))),
+
     // 16-core of the user co-activity graph (hour×user bipartite
     // projection, ≥8 shared hours): peeling strips casually-connected
     // users; the core is the persistently co-active cluster
@@ -4708,6 +4713,37 @@ object SparkEntry {
                   CAST(s_abs AS BIGINT) AS s_abs, n AS n_minutes,
                   tot AS total_events
            FROM s WHERE rn = 1 ORDER BY event_type""",
+
+      "sketch_hll_ndv_error" ->
+        s"""WITH h AS (SELECT event_type,
+                         ${h60("CAST(user_id AS VARCHAR)")} AS h
+                       FROM events),
+                b AS (SELECT event_type, h >> 54 AS bucket,
+                             h & ((1::BIGINT << 54) - 1) AS rem
+                      FROM h),
+                r AS (SELECT event_type, bucket,
+                        max(CASE WHEN rem = 0 THEN 55
+                                 ELSE 55 - length(bin(rem)) END) AS register
+                      FROM b GROUP BY 1, 2),
+                z AS (SELECT event_type,
+                        sum(1::BIGINT << (55 - register))
+                          + (64 - count(*)) * (1::BIGINT << 55) AS z
+                      FROM r GROUP BY 1),
+                est AS (SELECT event_type,
+                          CAST((709::HUGEINT * 4096 * (1::HUGEINT << 55))
+                            // (1000::HUGEINT * z) AS BIGINT)
+                            AS hll_estimate
+                        FROM z),
+                ex AS (SELECT event_type,
+                         count(DISTINCT user_id) AS exact_ndv
+                       FROM events GROUP BY 1)
+           SELECT ex.event_type, exact_ndv, hll_estimate,
+                  CAST(CASE WHEN hll_estimate < exact_ndv THEN -1
+                            WHEN hll_estimate > exact_ndv THEN 1
+                            ELSE 0 END
+                       * ((abs(hll_estimate - exact_ndv) * 1000000)
+                          // exact_ndv) AS BIGINT) AS err_ppm
+           FROM ex JOIN est USING (event_type) ORDER BY event_type""",
 
       "graph_cooccur_kcore" -> {
         // unrolled peel: 16 rounds of (degree, keep, filter) — sound

@@ -31,6 +31,27 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.4, s"estimate $est")
   }
 
+  test("hllNdvError: integer-lattice estimate matches the float reference") {
+    val ids = (1L to 1000L).map(i => (i, "k", i))
+      .toDF("event_id", "event_type", "user_id")
+    val row = Sketches.hllNdvError(ids)
+      .as[(String, Long, Long, Long)].head()
+    val (_, exact, est, errPpm) = row
+    assert(exact == 1000L)
+    // the lattice estimator is the float formula with α quantized to
+    // 709/1000 (|Δα|/α < 6e-4) and one truncating division — agree
+    // within that envelope
+    val regs = Sketches.hllRegisters(ids)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, b, r) => b -> r }.toMap
+    val ref = Sketches.estimate(regs)
+    assert(math.abs(est - ref) / ref < 1e-3, s"lattice $est vs float $ref")
+    // err_ppm is the sign-split exact ratio of the SAME two numbers
+    val expected = (if (est >= exact) 1L else -1L) *
+      (math.abs(est - exact) * 1000000L / exact)
+    assert(errPpm == expected)
+  }
+
   test("logHistogram: bins merge across splits; quantile bracket holds") {
     val src = events.withColumn("value", ($"user_id" + 1).cast("double"))
     val wholeSet = Sketches.logHistogram(src)
