@@ -1558,6 +1558,18 @@ object SparkEntry {
     "sketch_hll_ndv_error" -> ((s, dir) =>
       graft.operators.Sketches.hllNdvError(t(s, dir, "events"))),
 
+    // p50/p90/p99 BOUNDS per key from the mergeable log-histogram —
+    // the O(bins) read path of the sketch-family quantile story
+    "sketch_quantile_bounds" -> ((s, dir) =>
+      graft.operators.Sketches.quantileBounds(t(s, dir, "events"))),
+
+    // AMS sketch join-size estimate (nEst counters per table, no
+    // keyed shuffle) audited against the exact keyed computation
+    "sketch_ams_join_size" -> ((s, dir) =>
+      graft.operators.Sketches.amsJoinSize(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")),
+
     // 16-core of the user co-activity graph (hour×user bipartite
     // projection, ≥8 shared hours): peeling strips casually-connected
     // users; the core is the persistently co-active cluster
@@ -4744,6 +4756,72 @@ object SparkEntry {
                        * ((abs(hll_estimate - exact_ndv) * 1000000)
                           // exact_ndv) AS BIGINT) AS err_ppm
            FROM ex JOIN est USING (event_type) ORDER BY event_type""",
+
+      "sketch_quantile_bounds" ->
+        """WITH e AS (SELECT event_type,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                b AS (SELECT event_type, q,
+                        CAST(CASE WHEN q > 0 THEN length(bin(q))
+                                  WHEN q < 0 THEN -length(bin(-q))
+                                  ELSE 0 END AS BIGINT) AS bin
+                      FROM e),
+                h AS (SELECT event_type, bin, count(*) AS n,
+                        min(q) AS min_q, max(q) AS max_q
+                      FROM b GROUP BY 1, 2),
+                c AS (SELECT event_type, bin, min_q, max_q, n,
+                        CAST(sum(n) OVER (PARTITION BY event_type
+                          ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum,
+                        CAST(sum(n) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n_total
+                      FROM h),
+                p AS (SELECT c.*, q_pct
+                      FROM c CROSS JOIN (SELECT unnest([50, 90, 99])
+                                         AS q_pct) t
+                      WHERE cum >= (q_pct * n_total + 99) // 100)
+           SELECT event_type, CAST(q_pct AS INT) AS q_pct,
+                  min(bin) AS bin,
+                  min_by(min_q, bin) AS lo_q, min_by(max_q, bin) AS hi_q,
+                  max(n_total) AS n_total
+           FROM p GROUP BY event_type, q_pct
+           ORDER BY event_type, q_pct""",
+
+      "sketch_ams_join_size" ->
+        s"""WITH js AS (SELECT unnest(range(16)) AS j),
+                za AS (SELECT j, sum(1 - 2 * (${h60(
+                         "CAST(j AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)")}
+                         & 1)) AS z
+                       FROM lineitem CROSS JOIN js GROUP BY j),
+                zb AS (SELECT j, sum(1 - 2 * (${h60(
+                         "CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}
+                         & 1)) AS z
+                       FROM orders CROSS JOIN js GROUP BY j),
+                x AS (SELECT za.z * zb.z AS x
+                      FROM za JOIN zb USING (j)),
+                est AS (SELECT CAST(CASE WHEN sum(x) < 0 THEN -1
+                                         WHEN sum(x) > 0 THEN 1
+                                         ELSE 0 END
+                          * (abs(sum(x)) // 16) AS BIGINT)
+                          AS ams_estimate FROM x),
+                ex AS (SELECT CAST(coalesce(sum(na * nb), 0)
+                         AS DECIMAL(38,0)) AS exact_size FROM
+                       (SELECT l_orderkey AS key, count(*) AS na
+                        FROM lineitem GROUP BY 1) a
+                       JOIN (SELECT o_orderkey AS key, count(*) AS nb
+                             FROM orders GROUP BY 1) b USING (key))
+           SELECT CAST(16 AS INT) AS n_estimators, exact_size,
+                  ams_estimate,
+                  CASE WHEN exact_size = 0 THEN NULL
+                       ELSE CAST(CASE WHEN ams_estimate < exact_size
+                                      THEN -1
+                                      WHEN ams_estimate > exact_size
+                                      THEN 1 ELSE 0 END
+                            * ((abs(ams_estimate - exact_size)::HUGEINT
+                                * 1000000)
+                               // exact_size::HUGEINT) AS BIGINT)
+                  END AS err_ppm
+           FROM ex CROSS JOIN est""",
 
       "graph_cooccur_kcore" -> {
         // unrolled peel: 16 rounds of (degree, keep, filter) — sound

@@ -131,6 +131,117 @@ object Sketches {
   }
 
   /**
+   * AMS (Alon–Matias–Szegedy) join-size estimate vs the exact answer —
+   * the O(1)-state counterpart of [[Relational.joinSizeEstimate]]:
+   * each estimator j keeps ONE counter per table, the signed row sum
+   * Z_j = Σ_rows s_j(key) with s_j(key) ∈ {−1,+1} from the h60 hash
+   * of `j:key`; E[Z_j(A)·Z_j(B)] = Σ_k a_k·b_k = |A ⋈ B|, and the
+   * report averages `nEst` independent estimators next to the exact
+   * keyed computation with a signed ppm error. At 100 TB the sketch
+   * side is what runs continuously (nEst counters per table,
+   * mergeable across shards and streams, no keyed shuffle at all —
+   * the exact path shuffles BOTH tables by key); this query
+   * quantifies the variance you accept for that (σ/μ ≈
+   * √(2/nEst)·√(F₂(A)F₂(B))/|A⋈B|). Plain mean, not
+   * median-of-means, and md5-derived signs rather than 4-wise
+   * independent ones — both documented approximations, both
+   * oracle-replayable.
+   *
+   * All arithmetic integer: |Z| ≤ rows, the products ride
+   * DECIMAL(38,0) (safe to ~10¹⁹ rows/table), the mean is one
+   * integral division. Scale shape: one global aggregate per table
+   * computing all `nEst` sign-sums in a single pass (map-side
+   * combined to nEst longs per partition), one 1×1 join, plus the
+   * exact side's two keyed aggregates — which is the thing being
+   * audited.
+   */
+  def amsJoinSize(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String,
+                  nEst: Int = 16): DataFrame = {
+    require(nEst >= 1 && nEst <= 64, s"nEst=$nEst")
+    def signSums(df: DataFrame, key: String, prefix: String): DataFrame = {
+      val k = col(key).cast("string")
+      val aggs = (0 until nEst).map { j =>
+        sum(lit(1L) - lit(2L) *
+            graft.functions.functions.h60(
+              concat_ws(":", lit(j.toString), k)).bitwiseAND(lit(1L)))
+          .as(s"$prefix$j")
+      }
+      df.agg(aggs.head, aggs.drop(1): _*)
+    }
+    val za = signSums(left, leftKey, "za")
+    val zb = signSums(right, rightKey, "zb")
+    val exact = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("na"))
+      .join(right.groupBy(col(rightKey).as("key"))
+        .agg(count(lit(1)).as("nb")), "key")
+      .agg(coalesce(sum(expr("cast(na as decimal(38,0)) * nb")),
+        lit(0)).cast("decimal(38,0)").as("exact_size"))
+    val sumX = (0 until nEst)
+      .map(j => s"(cast(za$j as decimal(38,0)) * zb$j)").mkString(" + ")
+    za.crossJoin(zb)
+      // sign-split mean (house rule for negative dividends, cf.
+      // trendSlope): the estimator sum can be negative
+      .select(expr(s"cast(signum($sumX) as bigint) * " +
+        s"(abs($sumX) div $nEst)").as("ams_estimate"))
+      .crossJoin(exact)
+      .select(lit(nEst).as("n_estimators"), col("exact_size"),
+        col("ams_estimate"),
+        when(col("exact_size") === 0, lit(null).cast("long"))
+          .otherwise(
+            signum(col("ams_estimate") - col("exact_size")).cast("long") *
+              expr("(abs(cast(ams_estimate as decimal(38,0)) - exact_size)" +
+                " * 1000000) div exact_size"))
+          .as("err_ppm"))
+  }
+
+  /**
+   * Quantile BOUNDS from the mergeable log-histogram — the promised
+   * quantile path of the sketch family made concrete: for each key
+   * and each target percentile, the histogram bin bracketing that
+   * rank plus the bin's exact lattice `[lo_q, hi_q]` — a guaranteed
+   * enclosure of the true quantile with one-octave relative width,
+   * from state that merges across shards/streams by re-summing
+   * (unlike an exact percentile, which needs a per-key sort of the
+   * DATA at every refresh). This is how p50/p90/p99 dashboards run at
+   * 100 TB: registers flow map-side combined; this query is the
+   * O(bins) read path on top.
+   *
+   * Rank convention: the target rank is ceil(pct·N/100) (the upper
+   * quantile index), found as the first bin whose cumulative count
+   * reaches it. All arithmetic integer (`(pct·N + 99) div 100`), so
+   * the oracle replays it exactly.
+   *
+   * Scale shape: [[logHistogram]] is the only data-sized stage; the
+   * windows and the percentile probe run over ≤ ~128 rows per key
+   * (bin table), keyed by `keyCol` — never over data.
+   */
+  def quantileBounds(df: DataFrame, keyCol: String = "event_type",
+                     valueCol: String = "value",
+                     pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts=$pcts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val hist = logHistogram(df, keyCol, valueCol)
+      .withColumn("cum", sum(col("n")).over(w))
+    val tot = hist.groupBy(col(keyCol)).agg(sum(col("n")).as("n_total"))
+    val probes = hist.join(tot, keyCol)
+      .select(col(keyCol), col("bin"), col("min_q"), col("max_q"),
+        col("cum"), col("n_total"),
+        explode(lit(pcts.toArray)).as("q_pct"))
+      .filter(col("cum") >= expr("(q_pct * n_total + 99) div 100"))
+    probes.groupBy(col(keyCol), col("q_pct"))
+      .agg(min(col("bin")).as("bin"),
+        min_by(col("min_q"), col("bin")).as("lo_q"),
+        min_by(col("max_q"), col("bin")).as("hi_q"),
+        max(col("n_total")).as("n_total")) // constant per key
+      .orderBy(col(keyCol), col("q_pct"))
+  }
+
+  /**
    * Mergeable Bloom filter — the membership member of the sketch
    * family (MinHash = similarity, HLL = cardinality, histogram =
    * distribution, this = membership). Per key: an `mBits`-bit filter

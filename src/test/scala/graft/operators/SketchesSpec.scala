@@ -52,6 +52,69 @@ class SketchesSpec extends SparkSpec {
     assert(errPpm == expected)
   }
 
+  test("amsJoinSize matches a BigInt sign-sum reference exactly") {
+    // left: keys 1,1,2,3; right: keys 1,2,2,9 -> exact join size =
+    // 2·1 + 1·2 = 4
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val row = Sketches.amsJoinSize(l, "k", r, "k", nEst = 8)
+      .selectExpr("n_estimators", "cast(exact_size as long)",
+        "ams_estimate", "err_ppm")
+      .as[(Int, Long, Long, Option[Long])].head()
+    def sign(j: Int, k: Long): Long =
+      1L - 2L * (graft.functions.H60.hash(s"$j:$k") & 1L)
+    val ref = {
+      val xs = (0 until 8).map { j =>
+        val za = Seq(1L, 1L, 2L, 3L).map(sign(j, _)).sum
+        val zb = Seq(1L, 2L, 2L, 9L).map(sign(j, _)).sum
+        BigInt(za) * BigInt(zb)
+      }
+      val s = xs.sum
+      (s.signum * (s.abs / 8)).toLong
+    }
+    assert(row._1 == 8 && row._2 == 4L)
+    assert(row._3 == ref, s"got ${row._3}, reference $ref")
+    val expectedPpm = (if (ref >= 4L) 1L else -1L) *
+      (math.abs(ref - 4L) * 1000000L / 4L)
+    assert(row._4.contains(expectedPpm))
+    // empty intersection: exact 0, err undefined (null)
+    val disjoint = Sketches.amsJoinSize(l, "k",
+        Seq(100L).toDF("k"), "k", nEst = 4)
+      .selectExpr("cast(exact_size as long)", "err_ppm")
+      .as[(Long, Option[Long])].head()
+    assert(disjoint._1 == 0L && disjoint._2.isEmpty)
+  }
+
+  test("quantileBounds: brackets enclose the true quantiles, ranks exact") {
+    // key "a": values 1..100 (q = v·2^20, bins by log2) — true p50 =
+    // 50, p90 = 90, p99 = 99; each reported [lo_q, hi_q] must enclose
+    // the true quantile's lattice point and sit in the right octave
+    val rows = (1 to 100).map(v => ("a", v.toDouble))
+    val df = rows.toDF("event_type", "value")
+    val got = Sketches.quantileBounds(df)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    def enclose(pct: Int, trueV: Long): Unit = {
+      val (_, _, _, lo, hi, n) = got(pct)
+      val q = trueV * 1048576L
+      assert(n == 100L)
+      assert(lo <= q && q <= hi, s"p$pct: [$lo,$hi] misses $q")
+    }
+    enclose(50, 50L); enclose(90, 90L); enclose(99, 99L)
+    // rank convention: p50 of 1..100 -> rank 50 -> value 50 lives in
+    // bin len(bin(50·2^20)) = 26; p99 -> 99 -> bin 27
+    assert(got(50)._3 == 26L)
+    assert(got(99)._3 == 27L)
+    // a key with one value: every percentile collapses to that point
+    val one = Seq(("b", 7.0)).toDF("event_type", "value")
+    val g1 = Sketches.quantileBounds(one)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(g1.length == 3)
+    g1.foreach { case (_, _, _, lo, hi, n) =>
+      assert(n == 1L && lo == 7L * 1048576L && hi == lo)
+    }
+  }
+
   test("logHistogram: bins merge across splits; quantile bracket holds") {
     val src = events.withColumn("value", ($"user_id" + 1).cast("double"))
     val wholeSet = Sketches.logHistogram(src)
