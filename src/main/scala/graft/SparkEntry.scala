@@ -1581,16 +1581,21 @@ object SparkEntry {
           k = 16)
         .withColumnRenamed("node", "user_id")),
 
-    // common-neighbor link prediction on the co-activity graph: user
-    // pairs that behave alike (many shared neighbors) but never
-    // co-occur enough to edge — the "suggested link" primitive
-    // (entity resolution's transitive-match candidate list)
+    // common-neighbor link prediction on the kNN-sparsified
+    // co-activity graph: user pairs that behave alike (many shared
+    // strong neighbors) but are not themselves linked — the
+    // "suggested link" primitive. The top-10 sparsification is the
+    // scale guard: it bounds degree (and so wedge work) at any
+    // population, where the raw threshold graph's degree grows
+    // linearly with users
     "graph_link_prediction" -> ((s, dir) =>
       Graph.linkPrediction(
-        Graph.cooccurrenceEdges(t(s, dir, "events"),
-          date_trunc("hour", col("ts")), col("user_id"),
-          minShared = 8L),
-        maxDeg = 512, minCommon = 20))
+        Graph.topKNeighbors(
+          Graph.cooccurrenceEdges(t(s, dir, "events"),
+            date_trunc("hour", col("ts")), col("user_id"),
+            minShared = 8L),
+          k = 10),
+        maxDeg = 512, minCommon = 4))
   )
 
   // DuckDB oracle equivalents (identical aliases / ordering). The
@@ -4789,14 +4794,14 @@ object SparkEntry {
 
       "sketch_ams_join_size" ->
         s"""WITH js AS (SELECT unnest(range(16)) AS j),
-                za AS (SELECT j, sum(1 - 2 * (${h60(
-                         "CAST(j AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)")}
-                         & 1)) AS z
-                       FROM lineitem CROSS JOIN js GROUP BY j),
-                zb AS (SELECT j, sum(1 - 2 * (${h60(
-                         "CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}
-                         & 1)) AS z
-                       FROM orders CROSS JOIN js GROUP BY j),
+                ha AS (SELECT ${h60("CAST(l_orderkey AS VARCHAR)")} AS h
+                       FROM lineitem),
+                hb AS (SELECT ${h60("CAST(o_orderkey AS VARCHAR)")} AS h
+                       FROM orders),
+                za AS (SELECT j, sum(1 - 2 * ((h >> j) & 1)) AS z
+                       FROM ha CROSS JOIN js GROUP BY j),
+                zb AS (SELECT j, sum(1 - 2 * ((h >> j) & 1)) AS z
+                       FROM hb CROSS JOIN js GROUP BY j),
                 x AS (SELECT za.z * zb.z AS x
                       FROM za JOIN zb USING (j)),
                 est AS (SELECT CAST(CASE WHEN sum(x) < 0 THEN -1
@@ -4849,7 +4854,14 @@ object SparkEntry {
 
       "graph_link_prediction" ->
         s"""WITH $cooccurCtes,
-                e AS MATERIALIZED (SELECT src AS a, dst AS b FROM cooc),
+                dirs AS (SELECT src AS node, dst AS nbr, shared FROM cooc
+                         UNION ALL SELECT dst, src, shared FROM cooc),
+                rk AS (SELECT node, nbr, row_number() OVER (
+                         PARTITION BY node ORDER BY shared DESC, nbr)
+                         AS rn FROM dirs),
+                e AS MATERIALIZED
+                  (SELECT least(node, nbr) AS a, greatest(node, nbr) AS b
+                   FROM rk WHERE rn <= 10 GROUP BY 1, 2),
                 adj AS (SELECT a AS node, b AS nbr FROM e
                         UNION ALL SELECT b, a FROM e),
                 deg AS MATERIALIZED
@@ -4870,7 +4882,7 @@ object SparkEntry {
                   CAST(db.degree AS BIGINT) AS deg_b
            FROM nonadj JOIN deg da ON da.node = node_a
            JOIN deg db ON db.node = node_b
-           WHERE n_common >= 20 ORDER BY node_a, node_b"""
+           WHERE n_common >= 4 ORDER BY node_a, node_b"""
     )
   }
 }

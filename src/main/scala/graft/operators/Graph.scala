@@ -278,6 +278,40 @@ object Graph {
   }
 
   /**
+   * Top-K-neighbor sparsification of a weighted undirected edge list
+   * `(src, dst, shared)`: each node keeps its `k` strongest partners
+   * (weight desc, id asc — deterministic), an edge survives if EITHER
+   * endpoint selects it (union kNN graph), output canonical `(a, b)`.
+   *
+   * This is the construction that makes neighborhood mining scale: an
+   * absolute weight threshold over co-activity yields a
+   * constant-probability random graph whose degree grows LINEARLY
+   * with the population (measured here: 10× users → 10× degree → 100×
+   * wedge work in [[linkPrediction]]), while the kNN graph bounds
+   * degree by 2k at any n, so wedge counts grow linearly. The same
+   * reason ANN pipelines build kNN graphs instead of ε-ball graphs.
+   *
+   * Scale shape: one union (both directions), one row_number window
+   * PARTITIONED BY node (thousands of small partitions, never a
+   * global sort), one canonical distinct. Output ≤ n·k edges.
+   */
+  def topKNeighbors(edges: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val dirs = edges.select(col("src").as("node"), col("dst").as("nbr"),
+        col("shared"))
+      .unionAll(edges.select(col("dst").as("node"), col("src").as("nbr"),
+        col("shared")))
+    val byStrength = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+      .orderBy(col("shared").desc, col("nbr"))
+    dirs.withColumn("rn", row_number().over(byStrength))
+      .filter(col("rn") <= k)
+      .select(least(col("node"), col("nbr")).as("src"),
+        greatest(col("node"), col("nbr")).as("dst"))
+      .distinct()
+  }
+
+  /**
    * Common-neighbor link prediction over an undirected edge list: for
    * every NON-adjacent pair sharing ≥ `minCommon` neighbors, the
    * shared-neighbor count plus both endpoint degrees (the reader
@@ -301,18 +335,35 @@ object Graph {
                      minCommon: Int = 1): DataFrame = {
     require(maxDeg >= 1, s"maxDeg=$maxDeg")
     require(minCommon >= 1, s"minCommon=$minCommon")
-    val e = edges.select(
+    val eCk = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val adjC = adj.join(deg.filter(col("degree") <= maxDeg).select(col("node")),
-      Seq("node"), "left_semi")
-    val wedges = adjC.as("x").join(adjC.as("y"),
+    // checkpointed frames lose Catalyst stats (worst-case sizeInBytes),
+    // so without help every stage below plans a full shuffle join and
+    // the adj/deg subtree re-evaluates on BOTH sides of the wedge
+    // self-join (measured 4x on the bench query). The count is free on
+    // the materialized checkpoint; a small graph rides broadcast
+    // everywhere (what AQE would choose with real stats), a big one
+    // keeps the keyed shuffles — the bfsHops discipline.
+    val small = eCk.count() <= 1000000L
+    val e = if (small) broadcast(eCk) else eCk
+    val adj = eCk.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(eCk.select(col("b").as("node"), col("a").as("nbr")))
+    val degCk = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val deg = if (small) broadcast(degCk) else degCk
+    // materialize the hub-capped adjacency ONCE — the wedge self-join
+    // references it twice and every reference would otherwise rebuild
+    // union + degree-aggregate + semi-join from the edge checkpoint
+    val adjCk = adj.join(
+        degCk.filter(col("degree") <= maxDeg).select(col("node")),
+        Seq("node"), "left_semi")
+      .localCheckpoint()
+    val adjC = if (small) broadcast(adjCk) else adjCk
+    val wedges = adjCk.as("x").join(adjC.as("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .select(col("x.nbr").as("node_a"), col("y.nbr").as("node_b"))
     val common = wedges.groupBy(col("node_a"), col("node_b"))

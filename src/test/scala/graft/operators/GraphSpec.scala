@@ -145,6 +145,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPrediction(star, maxDeg = 5).count() == 10L)
   }
 
+  test("topKNeighbors: strongest k per node, union semantics, ties by id") {
+    // node 0 has partners 1..4 with weights 40,30,20,10; k=2 keeps
+    // {1,2} from 0's view — but 3 and 4 (degree 1) each keep their
+    // only partner 0, so union retains ALL edges at 0 except none
+    // dropped... use leaf-vs-leaf edges to see real drops:
+    val e = Seq(
+      (0L, 1L, 40L), (0L, 2L, 30L), (0L, 3L, 20L), (0L, 4L, 10L),
+      // 3-4 weak edge: both 3 and 4 prefer 0 (20,10 > 5 resp.) and
+      // have k=1... with k=2 both still keep it; with k=1 it drops
+      (3L, 4L, 5L))
+      .toDF("src", "dst", "shared")
+    val k2 = Graph.topKNeighbors(e, k = 2)
+      .orderBy($"src", $"dst").as[(Long, Long)].collect().toSeq
+    // union kNN: 0 selects {1,2}; 1 selects {0}; 2 selects {0};
+    // 3 selects {0,4}; 4 selects {0,3} -> all 5 edges survive
+    assert(k2 == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (3L, 4L)))
+    val k1 = Graph.topKNeighbors(e, k = 1)
+      .orderBy($"src", $"dst").as[(Long, Long)].collect().toSeq
+    // k=1: 0 keeps only 1 (strongest); 2,3,4 each keep 0 -> edge
+    // (3,4) drops (neither endpoint's top-1), (0,2),(0,3),(0,4)
+    // survive via the leaf side
+    assert(k1 == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    // deterministic tie-break: equal weights resolve to the lower id
+    val tie = Seq((9L, 5L, 7L), (9L, 3L, 7L)).toDF("src", "dst", "shared")
+    val t1 = Graph.topKNeighbors(tie, k = 1)
+      .orderBy($"src", $"dst").as[(Long, Long)].collect().toSeq
+    // 9's top-1 under (7,3) vs (7,5) is 3; 3 and 5 keep 9 anyway ->
+    // both edges survive through the leaf side
+    assert(t1 == Seq((3L, 9L), (5L, 9L)))
+  }
+
   test("cooccurrenceEdges: pair counts, minShared floor, hot-group cap") {
     val rel = Seq(
       // group g1: items 1,2,3 -> pairs (1,2),(1,3),(2,3)

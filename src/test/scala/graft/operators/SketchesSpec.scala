@@ -62,7 +62,7 @@ class SketchesSpec extends SparkSpec {
         "ams_estimate", "err_ppm")
       .as[(Int, Long, Long, Option[Long])].head()
     def sign(j: Int, k: Long): Long =
-      1L - 2L * (graft.functions.H60.hash(s"$j:$k") & 1L)
+      1L - 2L * ((graft.functions.H60.hash(s"$k") >> j) & 1L)
     val ref = {
       val xs = (0 until 8).map { j =>
         val za = Seq(1L, 1L, 2L, 3L).map(sign(j, _)).sum
