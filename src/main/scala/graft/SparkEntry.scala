@@ -1528,6 +1528,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // point-in-time enrichment — the feature-store leakage guard:
+    // every click is joined to the SCD2 version of the user's state
+    // (last purchase/error) that was current AT CLICK TIME, never a
+    // later one. SCD2 versioning + the union-window as-of join; the
+    // (user, instant) dedup keeps the highest version so same-instant
+    // state flips resolve deterministically on both engines
+    "cdc_pit_enrich" -> ((s, dir) =>
+      CdcOps.pitEnrich(t(s, dir, "events"),
+        stateFilter = col("event_type")
+          .isin((EventGroups.Second ++ EventGroups.Third): _*),
+        factFilter = col("event_type") === "click")),
+
     // zone-map audit over the natural write order: per row group
     // (event_id div 1024), min/max stats for event time and user id
     // plus skippability for one range predicate each — time zones are
@@ -4677,6 +4689,25 @@ object SparkEntry {
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                 WHERE o_totalprice > 400000.0)
            GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "cdc_pit_enrich" ->
+        """WITH h AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS version
+                      FROM events
+                      WHERE event_type IN ('purchase', 'error')),
+                dim AS (SELECT user_id, ts_us,
+                          CAST(max_by(version, version) AS BIGINT)
+                            AS state_version,
+                          max_by(event_type, version) AS state
+                        FROM h GROUP BY 1, 2),
+                f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                      FROM events WHERE event_type = 'click')
+           SELECT f.event_id, f.user_id, f.ts_us,
+                  d.state_version, d.state
+           FROM f ASOF LEFT JOIN dim d
+             ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
+           ORDER BY f.event_id""",
 
       "layout_zonemap" ->
         """SELECT event_id // 1024 AS rg, count(*) AS n_rows,

@@ -338,6 +338,46 @@ object CdcOps {
   }
 
   /**
+   * Point-in-time enrichment — the feature-store leakage guard: each
+   * fact row (`factFilter`) is joined to the [[scd2History]] version
+   * of its key's state (`stateFilter` events) that was current AT THE
+   * FACT'S TIMESTAMP — never a later one. Training features built
+   * through this join cannot see the future; joining "current state"
+   * instead is the classic label-leakage bug this operator exists to
+   * make impossible.
+   *
+   * Versions opening at the same instant (same-microsecond state
+   * flips) are collapsed to the HIGHEST version before the join, so
+   * both engines resolve ties identically. Facts preceding any state
+   * get a null version (left as-of semantics).
+   *
+   * Scale shape: SCD2 versioning is one user-keyed window; the as-of
+   * join is [[AsofJoin.asofJoin]]'s union + running-last window — one
+   * exchange per side, no range probe, no per-key quadratic pairing.
+   */
+  def pitEnrich(log: DataFrame, stateFilter: Column,
+                factFilter: Column): DataFrame = {
+    val hist = scd2History(log.filter(stateFilter))
+    val dim = hist
+      .select(col("user_id"), col("valid_from_us").as("ts_us"),
+        col("version"), col("event_type").as("state"))
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max_by(struct(col("version"), col("state")), col("version"))
+        .as("v"))
+      .select(col("user_id"), col("ts_us"),
+        col("v.version").cast("long").as("state_version"),
+        col("v.state").as("state"))
+    val facts = log.filter(factFilter)
+      .select(col("event_id"), col("user_id"),
+        graft.util.Cols.epochUs(col("ts")).as("ts_us"))
+    AsofJoin.asofJoin(facts, dim, "user_id", "ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof.state_version").as("state_version"),
+        col("asof.state").as("state"))
+      .orderBy(col("event_id"))
+  }
+
+  /**
    * Incremental aggregate maintenance — the algebraic heart of keeping
    * a per-key aggregate table current from a CDC stream without
    * rescanning history: `after = before ⊕ delta`, where `before` is

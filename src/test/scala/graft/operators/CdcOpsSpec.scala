@@ -314,4 +314,41 @@ class CdcOpsSpec extends SparkSpec {
       (7L, 5L, 3L, 2L, Some(3L), Some(2L)),
       (8L, 2L, 2L, 0L, Some(6L), None)))
   }
+
+  test("pitEnrich: facts see only the state current at their timestamp") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: states at t=10 (purchase, v1) and t=30 (error, v2);
+    // clicks at t=5 (before any state -> null), t=10 (same instant ->
+    // v1 visible, <= semantics), t=20 (v1), t=30 (v2), t=99 (v2).
+    // user 2: no state events -> all clicks null
+    val ev = Seq(
+      (100L, 1L, "purchase", ts(10)), (101L, 1L, "error", ts(30)),
+      (1L, 1L, "click", ts(5)), (2L, 1L, "click", ts(10)),
+      (3L, 1L, "click", ts(20)), (4L, 1L, "click", ts(30)),
+      (5L, 1L, "click", ts(99)), (6L, 2L, "click", ts(50)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = CdcOps.pitEnrich(ev,
+        stateFilter = $"event_type".isin("purchase", "error"),
+        factFilter = $"event_type" === "click")
+      .as[(Long, Long, Long, Option[Long], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L * 60000000L, None, None),
+      (2L, 1L, 10L * 60000000L, Some(1L), Some("purchase")),
+      (3L, 1L, 20L * 60000000L, Some(1L), Some("purchase")),
+      (4L, 1L, 30L * 60000000L, Some(2L), Some("error")),
+      (5L, 1L, 99L * 60000000L, Some(2L), Some("error")),
+      (6L, 2L, 50L * 60000000L, None, None)))
+    // same-instant state flip: two states at t=10 -> the HIGHER
+    // version wins deterministically
+    val flip = Seq(
+      (200L, 3L, "purchase", ts(10)), (201L, 3L, "error", ts(10)),
+      (7L, 3L, "click", ts(15)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val g2 = CdcOps.pitEnrich(flip,
+        stateFilter = $"event_type".isin("purchase", "error"),
+        factFilter = $"event_type" === "click")
+      .as[(Long, Long, Long, Option[Long], Option[String])].head()
+    assert(g2 == ((7L, 3L, 15L * 60000000L, Some(2L), Some("error"))))
+  }
 }
