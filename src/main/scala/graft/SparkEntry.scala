@@ -1565,6 +1565,14 @@ object SparkEntry {
     "ts_cusum_changepoint" -> ((s, dir) =>
       graft.operators.TimeSeries.cusumChangepoints(t(s, dir, "events"))),
 
+    // hourly LOCF regularization of one day per user: fixed-step
+    // series + staleness from the irregular stream (feature-builder
+    // resampling; staleness is the carried-too-far refusal knob)
+    "ts_gap_fill" -> ((s, dir) =>
+      graft.operators.TimeSeries.gapFillLocf(t(s, dir, "events"),
+        startUs = 1704844800000000L, points = 24,
+        stepUs = 3600000000L)),
+
     // sketch-accuracy audit: HLL estimate vs exact NDV per key, the
     // estimator computed entirely on the integer lattice (no float)
     "sketch_hll_ndv_error" -> ((s, dir) =>
@@ -4761,6 +4769,22 @@ object SparkEntry {
                   CAST(s_abs AS BIGINT) AS s_abs, n AS n_minutes,
                   tot AS total_events
            FROM s WHERE rn = 1 ORDER BY event_type""",
+
+      "ts_gap_fill" ->
+        """WITH grid AS (SELECT user_id,
+                           1704844800000000 + i * 3600000000 AS ts_us
+                         FROM (SELECT DISTINCT user_id FROM events)
+                         CROSS JOIN (SELECT unnest(range(24)) AS i)),
+                obs AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                          max_by(CAST(floor(value * 1048576) AS BIGINT),
+                                 event_id) AS q,
+                          max_by(event_id, event_id) AS src_event_id
+                        FROM events GROUP BY 1, 2)
+           SELECT g.user_id, g.ts_us, o.q AS value_q20, o.src_event_id,
+                  g.ts_us - o.ts_us AS staleness_us
+           FROM grid g ASOF LEFT JOIN obs o
+             ON g.user_id = o.user_id AND g.ts_us >= o.ts_us
+           ORDER BY g.user_id, g.ts_us""",
 
       "sketch_hll_ndv_error" ->
         s"""WITH h AS (SELECT event_type,

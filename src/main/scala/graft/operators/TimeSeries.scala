@@ -248,6 +248,52 @@ object TimeSeries {
    * map-side combinable), no join, no window, no sort of the events.
    */
   /**
+   * Time-grid regularization with last-observation-carried-forward —
+   * the resampling step between an irregular event stream and
+   * anything that wants fixed-step series (models, dashboards,
+   * windowed feature builders): for every series key and every grid
+   * instant `startUs + i·stepUs`, the latest observation at-or-before
+   * that instant (2⁻²⁰-lattice value), its source event id, and the
+   * staleness `grid − observation` — null before the first
+   * observation, and the staleness column is what a consumer
+   * thresholds to refuse values carried too far (the market-data
+   * rule; cf. [[AsofJoin.asofJoinWithin]]).
+   *
+   * Same-instant duplicate observations collapse to the highest
+   * event id before the join, so the carried value is deterministic
+   * on both engines.
+   *
+   * Scale shape: the grid is keys × points (explode of a bounded
+   * sequence — linear, no data-sized generation), observations
+   * reduce through one keyed (user, instant) aggregate, and the LOCF
+   * itself is [[AsofJoin.asofJoin]]'s union + running-last window:
+   * one exchange per side, never a per-key quadratic probe.
+   */
+  def gapFillLocf(log: DataFrame, startUs: Long, points: Int,
+                  stepUs: Long): DataFrame = {
+    require(points >= 1 && points <= 1000000, s"points=$points")
+    require(stepUs > 0, s"stepUs=$stepUs")
+    val grid = log.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0L), lit(points - 1L))).as("i"))
+      .select(col("user_id"), (lit(startUs) + col("i") * stepUs).as("ts_us"))
+    val obs = log.select(col("user_id"),
+        graft.util.Cols.epochUs(col("ts")).as("ts_us"),
+        floor(col("value") * 1048576.0).cast("long").as("q"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max_by(struct(col("event_id"), col("q")), col("event_id")).as("v"))
+      .select(col("user_id"), col("ts_us"), col("v.q").as("q"),
+        col("v.event_id").as("src_event_id"))
+    AsofJoin.asofJoin(grid, obs, "user_id", "ts_us")
+      .select(col("user_id"), col("ts_us"),
+        col("asof.q").as("value_q20"),
+        col("asof.src_event_id").as("src_event_id"),
+        (col("ts_us") - col("asof.ts_us")).as("staleness_us"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
+  /**
    * CUSUM changepoint per event type over the per-minute arrival-count
    * series — "when did this stream's behavior change": the minute
    * maximizing the cleared-denominator cumulative deviation

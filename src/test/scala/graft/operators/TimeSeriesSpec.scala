@@ -149,6 +149,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged == Set(4L))
   }
 
+  test("gapFillLocf: carried values, staleness, pre-history nulls, dup ties") {
+    def mts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val us = 60000000L
+    // user 1: obs at t=10 (v=2) and t=130 (v=5); two same-instant obs
+    // at t=130 — event 21 (v=5) must beat event 20 (v=7)? no: HIGHEST
+    // event id wins, so 21 (v=5) wins over 20 (v=7)
+    val ev = Seq(
+      (10L, 1L, mts(10), 2.0),
+      (20L, 1L, mts(130), 7.0), (21L, 1L, mts(130), 5.0),
+      (30L, 2L, mts(500), 1.0)) // user 2: outside the grid entirely
+      .toDF("event_id", "user_id", "ts", "value")
+    // grid: 4 hourly points from t=0
+    val got = TimeSeries.gapFillLocf(ev, startUs = 0L, points = 4,
+        stepUs = 60L * us)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val q2 = 2L * 1048576L; val q5 = 5L * 1048576L
+    assert(got == Seq(
+      (1L, 0L, None, None, None),
+      (1L, 60L * us, Some(q2), Some(10L), Some(50L * us)),
+      (1L, 120L * us, Some(q2), Some(10L), Some(110L * us)),
+      (1L, 180L * us, Some(q5), Some(21L), Some(50L * us)),
+      (2L, 0L, None, None, None),
+      (2L, 60L * us, None, None, None),
+      (2L, 120L * us, None, None, None),
+      (2L, 180L * us, None, None, None)))
+  }
+
   test("cusumChangepoints: rate step pins the peak at the step minute") {
     def mts(min: Int) = new java.sql.Timestamp(min * 60000L)
     // type A: 1 event/min for minutes 0-9, then 5/min for 10-19.
