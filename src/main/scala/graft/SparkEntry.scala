@@ -965,6 +965,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // scene-change detection over sampled frames: pHash jump above
+    // the drift band marks a boundary; the stub's known ground truth
+    // rides along, so the output IS the detector's precision audit
+    "mm_scene_changes" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+          col("text").cast("binary"), "video"))),
+
     // ---- corpus-level sketches (mergeable aggregate) ----
     "sketch_lang_minhash" -> ((s, dir) => {
       val sh = Dedup.shingleSets(
@@ -4769,6 +4777,46 @@ object SparkEntry {
                   CAST(s_abs AS BIGINT) AS s_abs, n AS n_minutes,
                   tot AS total_events
            FROM s WHERE rn = 1 ORDER BY event_type""",
+
+      "mm_scene_changes" ->
+        s"""WITH m AS (SELECT doc_id AS id, md5(text) AS ck,
+                         ${h60("text")} AS h
+                       FROM documents),
+                fr AS (SELECT id, ck,
+                         unnest(range(0, (h >> 32) % 240 + 1, 10)) AS f
+                       FROM m),
+                cu AS (SELECT id, ck, f,
+                         CASE WHEN f > 0 AND
+                                ${h60("ck || ':cut:' || f")} % 8 = 0
+                              THEN 1 ELSE 0 END AS cut
+                       FROM fr),
+                sc AS (SELECT id, ck, f, cut,
+                         CAST(sum(cut) OVER (PARTITION BY id ORDER BY f
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS BIGINT) AS scene
+                       FROM cu),
+                ph AS (SELECT id, f, cut, scene,
+                         xor(
+                           CAST(list_sum(list_transform(range(24), i ->
+                             CASE WHEN ${h60("ck || ':s:' || scene || ':' || i")}
+                                    % 2 = 0
+                                  THEN 1::BIGINT << i ELSE 0 END))
+                             AS BIGINT),
+                           CAST(list_sum(list_transform(range(24), i ->
+                             CASE WHEN ${h60("ck || ':d:' || f || ':' || i")}
+                                    % 12 = 0
+                                  THEN 1::BIGINT << i ELSE 0 END))
+                             AS BIGINT)) AS phv
+                       FROM sc),
+                lg AS (SELECT id, f, cut, scene, phv,
+                         lag(phv) OVER (PARTITION BY id ORDER BY f) AS prev
+                       FROM ph)
+           SELECT id AS doc_id, f AS frame,
+                  CAST(bit_count(xor(phv, prev)) AS BIGINT) AS hamming,
+                  scene, CAST(cut AS BIGINT) AS is_true_cut
+           FROM lg WHERE prev IS NOT NULL
+             AND bit_count(xor(phv, prev)) > 6
+           ORDER BY doc_id, frame""",
 
       "ts_gap_fill" ->
         """WITH grid AS (SELECT user_id,

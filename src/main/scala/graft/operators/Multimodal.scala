@@ -147,6 +147,68 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /**
+   * Video scene-change detection over sampled frames — temporal
+   * segmentation, the step between raw video and per-scene training
+   * clips: consecutive sampled frames are compared by perceptual-hash
+   * Hamming distance; a jump above `driftMax` marks a scene boundary.
+   * Emits one row per DETECTED boundary with the measured distance
+   * and, because the stub knows its own ground truth, an
+   * `is_true_cut` flag — so the query's output doubles as the
+   * detector's precision audit (threshold tuning reads false
+   * positives/negatives straight off it).
+   *
+   * The frame pHash STUB models real scene statistics in pure h60
+   * arithmetic (oracle-replayable): each (video, scene) has a stable
+   * 24-bit base signature; frames drift from it by ~2 random bits
+   * (codec noise); true cuts (h60-seeded, ~1/`cutMod` of frames)
+   * start a fresh scene signature. Within a scene consecutive
+   * distance stays ≈ ≤4; across a cut it jumps to ≈ bits/2. A real
+   * deployment swaps the stub for DCT-sign pHashes of decoded frames
+   * without touching the plan.
+   *
+   * Scale shape: frames explode per video (bounded by the sample
+   * stride), every window (scene prefix-sum, lag) partitions by
+   * video id; payload bytes are hashed once and never shuffle.
+   */
+  def sceneChanges(media: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload", everyN: Int = 10,
+                   bits: Int = 24, driftMax: Int = 6,
+                   cutMod: Int = 8): DataFrame = {
+    require(bits > 0 && bits <= 60, s"bits=$bits")
+    require(driftMax >= 1 && cutMod >= 2, s"driftMax=$driftMax cutMod=$cutMod")
+    import org.apache.spark.sql.expressions.Window
+    def h60c(parts: Column*): Column =
+      graft.functions.functions.h60(concat(parts: _*))
+    val w = Window.partitionBy(col("id")).orderBy(col("f"))
+    val frames = media.select(col(idCol).as("id"),
+      md5(col(payloadCol)).as("ck"),
+      explode(frameSampleStub(col(payloadCol), everyN)).as("f"))
+    val scenes = frames
+      .withColumn("cut",
+        (col("f") > 0 &&
+          h60c(col("ck"), lit(":cut:"), col("f").cast("string"))
+            % cutMod === 0).cast("long"))
+      .withColumn("scene", sum(col("cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val base = (0 until bits).map { i =>
+      when(h60c(col("ck"), lit(":s:"), col("scene").cast("string"),
+        lit(s":$i")) % 2 === 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val drift = (0 until bits).map { i =>
+      when(h60c(col("ck"), lit(":d:"), col("f").cast("string"),
+        lit(s":$i")) % (bits / 2) === 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    scenes.withColumn("ph", base.bitwiseXOR(drift))
+      .withColumn("prev_ph", lag(col("ph"), 1).over(w))
+      .filter(col("prev_ph").isNotNull &&
+        expr("bit_count(ph ^ prev_ph)") > driftMax)
+      .select(col("id").as(idCol), col("f").as("frame"),
+        expr("cast(bit_count(ph ^ prev_ph) as bigint)").as("hamming"),
+        col("scene"), col("cut").as("is_true_cut"))
+      .orderBy(col(idCol), col("frame"))
+  }
+
   // ---- batch-shaped decode (the mapInPandas analogue in Scala) ----
 
   final case class MediaRow(id: Long, payload: Array[Byte])

@@ -107,6 +107,57 @@ class MultimodalSpec extends SparkSpec {
     assert(ph(0) == ph(1) && ph(0) == ph(3))
   }
 
+  test("sceneChanges matches a Scala reference of the stub end-to-end") {
+    import graft.functions.H60
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // independent reference: same stub arithmetic via H60.hash
+    def ref(text: String, bits: Int = 24, everyN: Int = 10,
+            cutMod: Int = 8, driftMax: Int = 6): Seq[(Long, Long, Long, Long)] = {
+      val ck = md5hex(text)
+      val h = H60.hash(text)
+      val nFrames = ((h >> 32) % 240L) + 1L
+      val frames = 0L.until(nFrames, everyN.toLong)
+      var scene = 0L
+      var out = Vector.empty[(Long, Long, Long, Long)]
+      var prev = -1L
+      for (f <- frames) {
+        val cut = if (f > 0 && H60.hash(s"$ck:cut:$f") % cutMod == 0) 1L else 0L
+        scene += cut
+        val base = (0 until bits).map(i =>
+          if (H60.hash(s"$ck:s:$scene:$i") % 2 == 0) 1L << i else 0L).sum
+        val drift = (0 until bits).map(i =>
+          if (H60.hash(s"$ck:d:$f:$i") % (bits / 2) == 0) 1L << i else 0L).sum
+        val ph = base ^ drift
+        if (prev >= 0) {
+          val ham = java.lang.Long.bitCount(ph ^ prev).toLong
+          if (ham > driftMax) out :+= ((f, ham, scene, cut))
+        }
+        prev = ph
+      }
+      out
+    }
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs of glee"))
+    val media = Multimodal.asMedia(texts.toDF("doc_id", "text"),
+      "doc_id", $"text".cast("binary"), "video")
+    val got = Multimodal.sceneChanges(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toSeq.map(r =>
+        (r._2, r._3, r._4, r._5)).sortBy(_._1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Seq.empty) == ref(text),
+        s"doc $id detector != reference")
+    }
+    // determinism across runs
+    val again = Multimodal.sceneChanges(media)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(again == Multimodal.sceneChanges(media)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted)
+  }
+
   test("bpe-ish tokens and rolling fingerprints") {
     val df = Seq((1L, "Hello world, it's 42 times!")).toDF("doc_id", "text")
     val n = df.select(size(TextOps.bpeishTokens($"text"))).as[Int].head()
