@@ -1548,6 +1548,13 @@ object SparkEntry {
           .isin((EventGroups.Second ++ EventGroups.Third): _*),
         factFilter = col("event_type") === "click")),
 
+    // temporal-aggregate reading of the SCD2 history: per state, how
+    // long keys dwell there (open intervals closed at the horizon)
+    "cdc_state_dwell" -> ((s, dir) =>
+      CdcOps.stateDwell(t(s, dir, "events"),
+        stateFilter = col("event_type")
+          .isin((EventGroups.Second ++ EventGroups.Third): _*))),
+
     // zone-map audit over the natural write order: per row group
     // (event_id div 1024), min/max stats for event time and user id
     // plus skippability for one range predicate each — time zones are
@@ -4724,6 +4731,20 @@ object SparkEntry {
            FROM f ASOF LEFT JOIN dim d
              ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
            ORDER BY f.event_id""",
+
+      "cdc_state_dwell" ->
+        """WITH h AS (SELECT user_id, event_type, epoch_us(ts) AS from_us,
+                        epoch_us(lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id)) AS to_us
+                      FROM events
+                      WHERE event_type IN ('purchase', 'error')),
+                hor AS (SELECT max(epoch_us(ts)) AS h_us FROM events)
+           SELECT event_type AS state, count(*) AS n_intervals,
+                  CAST(sum(coalesce(to_us, h_us) - from_us) AS BIGINT)
+                    AS total_dwell_us,
+                  max(coalesce(to_us, h_us) - from_us) AS max_dwell_us
+           FROM h CROSS JOIN hor
+           GROUP BY event_type ORDER BY state""",
 
       "layout_zonemap" ->
         """SELECT event_id // 1024 AS rg, count(*) AS n_rows,

@@ -378,6 +378,34 @@ object CdcOps {
   }
 
   /**
+   * State dwell-time report from the SCD2 history — "how long do keys
+   * sit in each state": per state, the interval count and total/max
+   * dwell, with open (current) intervals closed at the log's
+   * observation horizon (max event time anywhere in the log) so the
+   * report is exact over what was observed rather than unbounded.
+   * The temporal-aggregate reading of [[scd2History]]; all integers
+   * on the epoch-micros lattice.
+   *
+   * Scale shape: SCD2 is one key-partitioned window; the horizon is a
+   * scalar aggregate broadcast into the plan; the report is one
+   * state-keyed aggregate (map-side combinable, output rows =
+   * #states).
+   */
+  def stateDwell(log: DataFrame, stateFilter: Column): DataFrame = {
+    val hist = scd2History(log.filter(stateFilter))
+    val horizon = log.agg(max(Cols.epochUs(col("ts"))).as("h_us"))
+    hist.crossJoin(broadcast(horizon))
+      .select(col("event_type").as("state"),
+        (coalesce(col("valid_to_us"), col("h_us")) - col("valid_from_us"))
+          .as("dwell_us"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dwell_us")).as("total_dwell_us"),
+        max(col("dwell_us")).as("max_dwell_us"))
+      .orderBy(col("state"))
+  }
+
+  /**
    * Incremental aggregate maintenance — the algebraic heart of keeping
    * a per-key aggregate table current from a CDC stream without
    * rescanning history: `after = before ⊕ delta`, where `before` is

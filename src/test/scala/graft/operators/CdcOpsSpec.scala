@@ -315,6 +315,23 @@ class CdcOpsSpec extends SparkSpec {
       (8L, 2L, 2L, 0L, Some(6L), None)))
   }
 
+  test("stateDwell: exact intervals, open states close at the horizon") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val us = 60000000L
+    // user 1: A at t=0 (10 min), B at t=10 (open -> horizon t=100 via
+    // a click event); user 2: A at t=50 (open -> 50 min)
+    val ev = Seq(
+      (1L, 1L, "A", ts(0)), (2L, 1L, "B", ts(10)),
+      (3L, 2L, "A", ts(50)),
+      (9L, 9L, "click", ts(100))) // horizon carrier, not a state
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = CdcOps.stateDwell(ev, $"event_type".isin("A", "B"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 60L * us, 50L * us),  // 10 + 50 min, max 50
+      ("B", 1L, 90L * us, 90L * us))) // t=10 -> horizon t=100
+  }
+
   test("pitEnrich: facts see only the state current at their timestamp") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     // user 1: states at t=10 (purchase, v1) and t=30 (error, v2);
