@@ -24,6 +24,32 @@ object Sinks {
     df.select(CdcOps.pipeLine(cols).as("value"))
       .write.mode(mode).text(path)
 
+  /**
+   * Z-ordered parquet write — the ACTIONABLE half of
+   * [[graft.operators.Layout.zorderLayout]]'s report: rows are
+   * range-partitioned on their Morton code into `2^fileBits` files
+   * and locally sorted by the code, so every output file's min/max
+   * column statistics expose a BOUNDED rectangle in (x, y) space and
+   * a reader's range predicate on EITHER dimension prunes files
+   * (Delta/Iceberg `OPTIMIZE ZORDER BY`, as a plain parquet write).
+   *
+   * Scale shape: the code is a codegen'd projection;
+   * `repartitionByRange` samples the code distribution (balanced
+   * files under skew); the local sort is per-partition. One shuffle —
+   * the same cost as any clustering write.
+   */
+  def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
+                    path: String, bits: Int = 16, fileBits: Int = 6,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits")
+    require(fileBits >= 1 && fileBits <= 2 * bits, s"fileBits=$fileBits")
+    df.withColumn("__z", graft.operators.Layout.mortonKey(xCol, yCol))
+      .repartitionByRange(1 << fileBits, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** S5 (generic): `|`-separated CSV of all columns, headerless —
     * byte-compatible with the chunk format for flat schemas. */
   def writePipeCsv(df: DataFrame, path: String,

@@ -68,4 +68,37 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy($"id").as[(Long, String, Double)].collect().toSeq ==
       Seq((1L, "a", 1.5), (2L, null, 2.5)))
   }
+
+  test("writeZOrdered: per-file stats form bounded rectangles that prune") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // full 64x64 grid -> 16 z-ordered files; each physical file's
+    // min/max stats must expose a 16x16 square (the zorderLayout
+    // report made REAL on disk)
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val dir = Files.createTempDirectory("zord").toString + "/z"
+    Sinks.writeZOrdered(grid, col("x"), col("y"), dir,
+      bits = 6, fileBits = 4)
+    val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size == 16, s"expected 16 files, got ${files.size}")
+    val rects = files.map { f =>
+      val s = spark.read.parquet(f)
+        .agg(min($"x"), max($"x"), min($"y"), max($"y"), count(lit(1)))
+        .as[(Long, Long, Long, Long, Long)].head()
+      s
+    }
+    rects.foreach { case (minX, maxX, minY, maxY, n) =>
+      assert(n == 256L)
+      assert(maxX - minX + 1 == 16L && maxY - minY + 1 == 16L,
+        s"file rect not a 16x16 square: [$minX,$maxX]x[$minY,$maxY]")
+    }
+    // the pruning claim: a 16-wide x range touches 4 of 16 files,
+    // where a y-major 1-D sort would touch ALL of them on x
+    val touched = rects.count { case (minX, maxX, _, _, _) =>
+      maxX >= 0L && minX <= 15L
+    }
+    assert(touched == 4, s"x-range touched $touched files")
+  }
 }
