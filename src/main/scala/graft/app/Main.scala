@@ -87,11 +87,16 @@ object Main {
         // runs use -Dgraft.sourceDir (file-backed source, no collect).
         val feederMax =
           sys.props.getOrElse("graft.feederMaxRows", "1000000").toInt
+        // ts converts to epoch micros INSIDE the plan (Cols.epochUs is
+        // NTZ-safe); a Row.getTimestamp here would ClassCastException
+        // on TIMESTAMP_NTZ parquet, which surfaces as LocalDateTime
+        import org.apache.spark.sql.functions.col
         val rows = ChangeLogSource.table(spark, sfDir, "events")
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), Cols.epochUs(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
           .orderBy("event_id").limit(feederMax)
           .collect()
-          .map(r => ChangeEvent(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+          .map(r => ChangeEvent(r.getLong(0), r.getLong(1),
             r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
           .sortBy(_.eventId)
         val bufName = s"main-${System.nanoTime()}"

@@ -69,4 +69,24 @@ class NtzCanarySpec extends SparkSpec {
     assert(failures.isEmpty,
       s"\nNTZ-unsafe plans (${failures.size}):\n${failures.mkString("\n")}")
   }
+
+  test("the app feeder's driver-side row access survives NTZ parquet") {
+    // Analysis-only canaries can't catch this class: `Row.getTimestamp`
+    // on a collected NTZ column throws ClassCastException (the value
+    // arrives as LocalDateTime) only AT RUNTIME — it broke
+    // app/Main's feeder while every plan analyzed clean. The guarded
+    // shape: convert to epoch micros INSIDE the plan, collect longs.
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("ntz-feeder").toString
+    toNtz(graft.sources.ChangeLogSource.table(spark, src, "events"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.sources.ChangeLogSource.table(spark, dir, "events")
+      .select(col("event_id"),
+        graft.util.Cols.epochUs(col("ts")).as("ts_us"))
+      .orderBy("event_id").limit(10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // getLong, never getTimestamp
+    assert(rows.length == 10)
+    assert(rows.forall(_._2 > 0L))
+  }
 }
