@@ -513,6 +513,12 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, dir) =>
       Dedup.jaccardThresholdSweep(t(s, dir, "documents"))),
 
+    // sketch-accuracy audit: MinHash signature-agreement estimate vs
+    // exact Jaccard per LSH-candidate pair (the similarity member of
+    // the HLL/AMS/MinHash audit trilogy)
+    "dedup_minhash_accuracy" -> ((s, dir) =>
+      Dedup.minhashAccuracy(t(s, dir, "documents"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFp(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -3222,6 +3228,33 @@ object SparkEntry {
             JOIN sizes nb ON nb.doc_id = inter.doc_b
             WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.1
             ORDER BY doc_a, doc_b""",
+
+      "dedup_minhash_accuracy" ->
+        s"""WITH $lshPairCtes,
+                m AS (SELECT c.doc_a, c.doc_b,
+                        CAST(list_sum(list_transform(range(32), j ->
+                          CASE WHEN sa.sig[CAST(j AS INT)+1]
+                                    = sb.sig[CAST(j AS INT)+1]
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+                        CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                          AS inter,
+                        CAST(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) AS BIGINT)
+                          AS uni
+                      FROM cand c
+                      JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b
+                      JOIN sigs sa ON sa.doc_id = c.doc_a
+                      JOIN sigs sb ON sb.doc_id = c.doc_b)
+           SELECT doc_a, doc_b, matches, inter, uni,
+                  (matches * 1000000) // 32 AS est_ppm,
+                  (inter * 1000000) // uni AS exact_ppm,
+                  CAST(CASE WHEN matches * uni - 32 * inter < 0 THEN -1
+                            WHEN matches * uni - 32 * inter > 0 THEN 1
+                            ELSE 0 END
+                       * ((abs(matches * uni - 32 * inter) * 1000000)
+                          // (32 * uni)) AS BIGINT) AS err_ppm
+           FROM m ORDER BY doc_a, doc_b""",
 
       "dedup_threshold_sweep" ->
         s"""WITH sh AS (

@@ -213,6 +213,54 @@ object Dedup {
   }
 
   /**
+   * MinHash estimate vs exact Jaccard, per LSH-candidate pair — the
+   * similarity member of the sketch-accuracy trilogy (HLL→NDV,
+   * AMS→join size, MinHash→Jaccard): signature agreement
+   * `matches/perms` is the estimator the banded index acts on; this
+   * audit puts it next to the exact shingle Jaccard with a signed
+   * ppm error, over exactly the pairs the pipeline would verify
+   * (LSH candidates — the operative population, biased toward high
+   * similarity, which is where threshold decisions live). Expected
+   * |error| ≈ √(J(1−J)/perms) ≈ 9 ppt at perms=32, J=0.5 — the
+   * number that justifies (or refuses) skipping exact verification.
+   *
+   * All integer: matches ≤ perms, the error clears denominators as
+   * `matches·uni − perms·inter` over `perms·uni`, sign-split ppm.
+   *
+   * Scale shape: identical to [[nearDuplicatePairs]] — candidates
+   * from the banded join (∝ collisions), shingle arrays and
+   * signatures joined only for candidate ids, the agreement count a
+   * 32-element zip per pair.
+   */
+  def minhashAccuracy(docs: DataFrame, perms: Int = 32, bands: Int = 8,
+                      k: Int = 3): DataFrame = {
+    val base = shingleSets(docs, k).select(col("doc_id"),
+      sort_array(col("sh")).as("sh"),
+      minhashSignature(col("sh"), perms).as("sig"))
+    lshCandidatePairs(docs, perms, bands, k)
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
+          " z -> z)) as bigint)").as("matches"),
+        graft.functions.functions.sorted_intersect_size(
+          col("sh_a"), col("sh_b")).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("inter"),
+        (col("sz") - col("inter")).as("uni"))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("inter"),
+        col("uni"),
+        expr(s"(matches * 1000000) div $perms").as("est_ppm"),
+        expr("(inter * 1000000) div uni").as("exact_ppm"),
+        (signum(expr(s"matches * uni - $perms * inter")).cast("long") *
+          expr(s"(abs(matches * uni - $perms * inter) * 1000000)" +
+            s" div ($perms * uni)")).as("err_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /**
    * N-gram Jaccard similarity of every pair sharing at least one
    * shingle — the explicit (non-MinHash) near-dup path. Shingles are
    * exploded to 8-byte digests; shared-shingle counts come from a

@@ -83,6 +83,27 @@ class DedupSpec extends SparkSpec {
     assert(dflt((1L, 2L)) == 1.0)
   }
 
+  test("minhashAccuracy: identical docs estimate exactly 1, errors exact") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg"), (2L, "aa bb cc dd ee ff gg"),
+      (3L, "aa bb cc dd ee ff xx yy")) // overlaps 1/2 partially
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashAccuracy(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // identical pair: all 32 signature positions agree, J exactly 1
+    val id = got((1L, 2L))
+    assert(id._3 == 32L && id._4 == id._5) // matches=32, inter=uni
+    assert(id._6 == 1000000L && id._7 == 1000000L && id._8 == 0L)
+    // every pair's err_ppm is exactly the cleared-fraction difference
+    got.values.foreach { case (_, _, m, i, u, est, ex, err) =>
+      assert(est == m * 1000000L / 32L)
+      assert(ex == i * 1000000L / u)
+      val d = m * u - 32L * i
+      assert(err == d.signum * (math.abs(d) * 1000000L / (32L * u)))
+    }
+  }
+
   test("jaccardThresholdSweep: exact buckets and cumulative retention") {
     // the 8-doc boilerplate fixture at maxDf=8: all 28 pairs have
     // J = 1/7 -> bucket (20*1) div 7 = 2; add one exact-dup pair at
