@@ -120,6 +120,16 @@ object ScaleCheck {
       // inherits ngramPairStats' capped candidate machinery; the
       // histogram stage is O(buckets) regardless of corpus size
       Dedup.jaccardThresholdSweep(docs)),
+    "dedup_minhash_accuracy" -> (() =>
+      // candidate-bounded like nearDuplicatePairs; the agreement
+      // count is a 32-element zip per candidate pair
+      Dedup.minhashAccuracy(docs)),
+    "mm_scene_changes" -> (() =>
+      // frames explode per video (bounded by sample stride); all
+      // windows partition by video id
+      graft.operators.Multimodal.sceneChanges(
+        graft.operators.Multimodal.asMedia(docs, "doc_id",
+          col("text").cast("binary"), "video"))),
     "sim_pca_power_i2" -> (() =>
       // 10x corpus: the DECIMAL(38,0) envelope (dim·max|C|)^iters
       // bounds exact iterations to 2 at this n — the documented
@@ -159,6 +169,15 @@ object ScaleCheck {
     "ts_cusum_changepoint" -> (() =>
       // windows run over the rolled-up minute series, never raw events
       graft.operators.TimeSeries.cusumChangepoints(ev)),
+    "ts_gap_fill" -> (() =>
+      // grid = keys x bounded points; the carry is the single-shuffle
+      // union-window as-of join
+      graft.operators.TimeSeries.gapFillLocf(ev,
+        startUs = 1704844800000000L, points = 24, stepUs = 3600000000L)),
+    "cdc_pit_enrich" -> (() =>
+      graft.operators.CdcOps.pitEnrich(ev,
+        stateFilter = col("event_type").isin("purchase", "error"),
+        factFilter = col("event_type") === "click")),
     "layout_zonemap" -> (() =>
       graft.operators.Layout.zoneMap(ev, expr("event_id div 4096"),
         graft.util.Cols.epochUs(col("ts")),
