@@ -167,8 +167,10 @@ object Sketches {
       // CPU on the sf0.1 bench query)
       val h = graft.functions.functions.h60(col(key).cast("string"))
       val aggs = (0 until nEst).map { j =>
-        sum(lit(1L) - lit(2L) *
-            shiftright(h, j).bitwiseAND(lit(1L))).as(s"$prefix$j")
+        // coalesce: an EMPTY table has sign-sum 0, not null (sum over
+        // zero rows is null in SQL) — keeps the estimate defined
+        coalesce(sum(lit(1L) - lit(2L) *
+            shiftright(h, j).bitwiseAND(lit(1L))), lit(0L)).as(s"$prefix$j")
       }
       df.agg(aggs.head, aggs.drop(1): _*)
     }

@@ -425,6 +425,35 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(Similarity.pqTopK(emb0, emb0, 5).count() == 0)
   }
 
+  test("round-6 operators tolerate empty input without throwing") {
+    val docs0 = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val edges0 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val wedges0 = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "shared")
+    val ev0 = Seq.empty[(Long, Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val rel0 = Seq.empty[(String, Long)].toDF("g", "item")
+    assert(Graph.kCore(edges0).count() == 0)
+    assert(Graph.linkPrediction(edges0).count() == 0)
+    assert(Graph.topKNeighbors(wedges0).count() == 0)
+    assert(Graph.cooccurrenceEdges(rel0, $"g", $"item").count() == 0)
+    assert(Dedup.jaccardThresholdSweep(docs0).count() == 0)
+    assert(Dedup.minhashAccuracy(docs0).count() == 0)
+    assert(graft.operators.TimeSeries.cusumChangepoints(ev0).count() == 0)
+    assert(graft.operators.TimeSeries.gapFillLocf(ev0, 0L, 4, 1000L)
+      .count() == 0)
+    assert(graft.operators.Sketches.quantileBounds(ev0).count() == 0)
+    // AMS on empty tables: defined zero estimate, null (not NaN) error
+    val ams = graft.operators.Sketches.amsJoinSize(
+        Seq.empty[Long].toDF("k"), "k", Seq.empty[Long].toDF("k"), "k")
+      .selectExpr("cast(exact_size as long)", "ams_estimate", "err_ppm")
+      .as[(Long, Long, Option[Long])].head()
+    assert(ams == ((0L, 0L, None)))
+    assert(graft.operators.CdcOps.stateDwell(ev0, lit(true)).count() == 0)
+    assert(graft.operators.CdcOps.pitEnrich(ev0, lit(true), lit(false))
+      .count() == 0)
+  }
+
   test("dsirScores: exact integer scores; target-like docs outrank") {
     // every token has corpus count 5 of nq=20 -> bits_q = 2 for all;
     // target (np=7, v=4): bits_p(alpha)=bits_p(beta)=1,
