@@ -4849,19 +4849,17 @@ object SparkEntry {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND
                            CURRENT ROW) AS BIGINT) AS scene
                        FROM cu),
-                ph AS (SELECT id, f, cut, scene,
-                         xor(
-                           CAST(list_sum(list_transform(range(24), i ->
-                             CASE WHEN ${h60("ck || ':s:' || scene || ':' || i")}
-                                    % 2 = 0
-                                  THEN 1::BIGINT << i ELSE 0 END))
-                             AS BIGINT),
-                           CAST(list_sum(list_transform(range(24), i ->
-                             CASE WHEN ${h60("ck || ':d:' || f || ':' || i")}
-                                    % 12 = 0
-                                  THEN 1::BIGINT << i ELSE 0 END))
-                             AS BIGINT)) AS phv
+                dh AS (SELECT id, f, cut, scene,
+                         ${h60("ck || ':s:' || scene")}
+                           & ((1::BIGINT << 24) - 1) AS base,
+                         ${h60("ck || ':d:' || f")} AS dhash
                        FROM sc),
+                ph AS (SELECT id, f, cut, scene,
+                         xor(base,
+                           (1::BIGINT << CAST(dhash % 24 AS INT))
+                           | (1::BIGINT << CAST((dhash >> 8) % 24 AS INT)))
+                           AS phv
+                       FROM dh),
                 lg AS (SELECT id, f, cut, scene, phv,
                          lag(phv) OVER (PARTITION BY id ORDER BY f) AS prev
                        FROM ph)

@@ -160,12 +160,15 @@ object Multimodal {
    *
    * The frame pHash STUB models real scene statistics in pure h60
    * arithmetic (oracle-replayable): each (video, scene) has a stable
-   * 24-bit base signature; frames drift from it by ~2 random bits
-   * (codec noise); true cuts (h60-seeded, ~1/`cutMod` of frames)
-   * start a fresh scene signature. Within a scene consecutive
-   * distance stays ≈ ≤4; across a cut it jumps to ≈ bits/2. A real
-   * deployment swaps the stub for DCT-sign pHashes of decoded frames
-   * without touching the plan.
+   * 24-bit base signature; frames drift from it by 1-2 random bit
+   * flips (codec noise); true cuts (h60-seeded, ~1/`cutMod` of
+   * frames) start a fresh scene signature. Within a scene
+   * consecutive distance is ≤ 4 by construction (two flips each
+   * side), so the default threshold admits NO false positives; the
+   * audit column surfaces false NEGATIVES (cuts whose fresh
+   * signature lands within `driftMax` — the irreducible miss rate of
+   * any distance detector). A real deployment swaps the stub for
+   * DCT-sign pHashes of decoded frames without touching the plan.
    *
    * Scale shape: frames explode per video (bounded by the sample
    * stride), every window (scene prefix-sum, lag) partitions by
@@ -191,15 +194,19 @@ object Multimodal {
             % cutMod === 0).cast("long"))
       .withColumn("scene", sum(col("cut"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val base = (0 until bits).map { i =>
-      when(h60c(col("ck"), lit(":s:"), col("scene").cast("string"),
-        lit(s":$i")) % 2 === 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val drift = (0 until bits).map { i =>
-      when(h60c(col("ck"), lit(":d:"), col("f").cast("string"),
-        lit(s":$i")) % (bits / 2) === 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    scenes.withColumn("ph", base.bitwiseXOR(drift))
+    // ONE hash per signature, bits read off it (the AMS discipline —
+    // a per-bit hash loop here was 49 md5 calls per frame and the
+    // heaviest probe in the 20x ScaleCheck at 49 s; this shape is 3)
+    val base = h60c(col("ck"), lit(":s:"), col("scene").cast("string"))
+      .bitwiseAND(lit((1L << bits) - 1L))
+    // drift: one or two random bit flips per frame (two draws off one
+    // hash; coinciding draws model a single-bit frame)
+    val driftH = h60c(col("ck"), lit(":d:"), col("f").cast("string"))
+    val drift = expr(s"shiftleft(cast(1 as bigint), cast(__dh % $bits as int))")
+      .bitwiseOR(expr(
+        s"shiftleft(cast(1 as bigint), cast((__dh >> 8) % $bits as int))"))
+    scenes.withColumn("__dh", driftH)
+      .withColumn("ph", base.bitwiseXOR(drift))
       .withColumn("prev_ph", lag(col("ph"), 1).over(w))
       .filter(col("prev_ph").isNotNull &&
         expr("bit_count(ph ^ prev_ph)") > driftMax)

@@ -126,10 +126,9 @@ class MultimodalSpec extends SparkSpec {
       for (f <- frames) {
         val cut = if (f > 0 && H60.hash(s"$ck:cut:$f") % cutMod == 0) 1L else 0L
         scene += cut
-        val base = (0 until bits).map(i =>
-          if (H60.hash(s"$ck:s:$scene:$i") % 2 == 0) 1L << i else 0L).sum
-        val drift = (0 until bits).map(i =>
-          if (H60.hash(s"$ck:d:$f:$i") % (bits / 2) == 0) 1L << i else 0L).sum
+        val base = H60.hash(s"$ck:s:$scene") & ((1L << bits) - 1L)
+        val dh = H60.hash(s"$ck:d:$f")
+        val drift = (1L << (dh % bits).toInt) | (1L << ((dh >> 8) % bits).toInt)
         val ph = base ^ drift
         if (prev >= 0) {
           val ham = java.lang.Long.bitCount(ph ^ prev).toLong
