@@ -3199,17 +3199,7 @@ object SparkEntry {
             GROUP BY md5($norm) ORDER BY doc_id""",
 
       "dedup_ngram_jaccard" ->
-        s"""WITH sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split($norm, ' ')) >= 3
-                          THEN list_distinct(list_transform(
-                            generate_series(1, len(string_split($norm, ' ')) - 2),
-                            i -> string_split($norm, ' ')[i] || ' ' ||
-                                 string_split($norm, ' ')[i+1] || ' ' ||
-                                 string_split($norm, ' ')[i+2]))
-                          ELSE [array_to_string(string_split($norm, ' '), ' ')]
-                     END AS s
-              FROM documents),
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
             ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
             -- stop-gram cap: shingles in > 64 docs are dropped before
             -- pairing (matches ngramJaccardPairs maxDf = 64)
@@ -3257,17 +3247,7 @@ object SparkEntry {
            FROM m ORDER BY doc_a, doc_b""",
 
       "dedup_threshold_sweep" ->
-        s"""WITH sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split($norm, ' ')) >= 3
-                          THEN list_distinct(list_transform(
-                            generate_series(1, len(string_split($norm, ' ')) - 2),
-                            i -> string_split($norm, ' ')[i] || ' ' ||
-                                 string_split($norm, ' ')[i+1] || ' ' ||
-                                 string_split($norm, ' ')[i+2]))
-                          ELSE [array_to_string(string_split($norm, ' '), ' ')]
-                     END AS s
-              FROM documents),
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
             ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
             kept AS (
               SELECT doc_id, g FROM ex
@@ -4867,7 +4847,7 @@ object SparkEntry {
                   CAST(bit_count(xor(phv, prev)) AS BIGINT) AS hamming,
                   scene, CAST(cut AS BIGINT) AS is_true_cut
            FROM lg WHERE prev IS NOT NULL
-             AND bit_count(xor(phv, prev)) > 6
+             AND (bit_count(xor(phv, prev)) > 6 OR cut = 1)
            ORDER BY doc_id, frame""",
 
       "ts_gap_fill" ->
@@ -4959,10 +4939,11 @@ object SparkEntry {
                        FROM hb CROSS JOIN js GROUP BY j),
                 x AS (SELECT za.z * zb.z AS x
                       FROM za JOIN zb USING (j)),
-                est AS (SELECT CAST(CASE WHEN sum(x) < 0 THEN -1
-                                         WHEN sum(x) > 0 THEN 1
-                                         ELSE 0 END
-                          * (abs(sum(x)) // 16) AS BIGINT)
+                est AS (SELECT CAST(CASE WHEN coalesce(sum(x), 0) < 0
+                                         THEN -1
+                                         WHEN coalesce(sum(x), 0) > 0
+                                         THEN 1 ELSE 0 END
+                          * (abs(coalesce(sum(x), 0)) // 16) AS BIGINT)
                           AS ams_estimate FROM x),
                 ex AS (SELECT CAST(coalesce(sum(na * nb), 0)
                          AS DECIMAL(38,0)) AS exact_size FROM

@@ -234,10 +234,27 @@ object Dedup {
    */
   def minhashAccuracy(docs: DataFrame, perms: Int = 32, bands: Int = 8,
                       k: Int = 3): DataFrame = {
+    // sign the corpus ONCE: sorted shingles + signature materialized
+    // together (the persisted signature table a production pipeline
+    // keeps); banding, the candidate join, and both pair sides read
+    // the checkpoint — a lshCandidatePairs call here would re-run the
+    // 32-permutation MinHash kernel over the whole corpus a second
+    // time (its bucket projection defeats ReuseExchange)
     val base = shingleSets(docs, k).select(col("doc_id"),
-      sort_array(col("sh")).as("sh"),
-      minhashSignature(col("sh"), perms).as("sig"))
-    lshCandidatePairs(docs, perms, bands, k)
+        sort_array(col("sh")).as("sh"),
+        minhashSignature(col("sh"), perms).as("sig"))
+      .localCheckpoint()
+    val buckets = base.select(col("doc_id"),
+        posexplode(graft.functions.functions.lsh_bands(col("sig"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("sig").as("sig_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),

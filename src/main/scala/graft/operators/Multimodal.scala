@@ -152,11 +152,12 @@ object Multimodal {
    * segmentation, the step between raw video and per-scene training
    * clips: consecutive sampled frames are compared by perceptual-hash
    * Hamming distance; a jump above `driftMax` marks a scene boundary.
-   * Emits one row per DETECTED boundary with the measured distance
-   * and, because the stub knows its own ground truth, an
-   * `is_true_cut` flag — so the query's output doubles as the
-   * detector's precision audit (threshold tuning reads false
-   * positives/negatives straight off it).
+   * Emits one row per detection OR true cut, with the measured
+   * distance and the stub's own ground-truth `is_true_cut` flag, so
+   * the output is the COMPLETE confusion table for threshold tuning:
+   * `cut=1 ∧ hamming>driftMax` detected, `cut=1 ∧ hamming≤driftMax`
+   * missed (present in the output, not silently dropped),
+   * `cut=0 ∧ hamming>driftMax` false positive.
    *
    * The frame pHash STUB models real scene statistics in pure h60
    * arithmetic (oracle-replayable): each (video, scene) has a stable
@@ -165,9 +166,9 @@ object Multimodal {
    * frames) start a fresh scene signature. Within a scene
    * consecutive distance is ≤ 4 by construction (two flips each
    * side), so the default threshold admits NO false positives; the
-   * audit column surfaces false NEGATIVES (cuts whose fresh
-   * signature lands within `driftMax` — the irreducible miss rate of
-   * any distance detector). A real deployment swaps the stub for
+   * misses that remain (cuts whose fresh signature lands within
+   * `driftMax` — the irreducible miss rate of any distance detector)
+   * appear as `cut=1, hamming ≤ driftMax` rows. A real deployment swaps the stub for
    * DCT-sign pHashes of decoded frames without touching the plan.
    *
    * Scale shape: frames explode per video (bounded by the sample
@@ -209,7 +210,7 @@ object Multimodal {
       .withColumn("ph", base.bitwiseXOR(drift))
       .withColumn("prev_ph", lag(col("ph"), 1).over(w))
       .filter(col("prev_ph").isNotNull &&
-        expr("bit_count(ph ^ prev_ph)") > driftMax)
+        (expr("bit_count(ph ^ prev_ph)") > driftMax || col("cut") === 1))
       .select(col("id").as(idCol), col("f").as("frame"),
         expr("cast(bit_count(ph ^ prev_ph) as bigint)").as("hamming"),
         col("scene"), col("cut").as("is_true_cut"))

@@ -39,10 +39,12 @@ object Sinks {
    * the same cost as any clustering write.
    */
   def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
-                    path: String, bits: Int = 16, fileBits: Int = 6,
+                    path: String, fileBits: Int = 6,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
-    require(bits >= 1 && bits <= 16, s"bits=$bits")
-    require(fileBits >= 1 && fileBits <= 2 * bits, s"fileBits=$fileBits")
+    // dims are mortonKey's fixed 16-bit contract (coordinates wrap
+    // through its 0xFFFF mask); fileBits capped so the Int shift
+    // can't wrap (1 << 31 is negative, 1 << 32 is 1)
+    require(fileBits >= 1 && fileBits <= 30, s"fileBits=$fileBits")
     df.withColumn("__z", graft.operators.Layout.mortonKey(xCol, yCol))
       .repartitionByRange(1 << fileBits, col("__z"))
       .sortWithinPartitions(col("__z"))

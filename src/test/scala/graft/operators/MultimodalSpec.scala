@@ -132,7 +132,8 @@ class MultimodalSpec extends SparkSpec {
         val ph = base ^ drift
         if (prev >= 0) {
           val ham = java.lang.Long.bitCount(ph ^ prev).toLong
-          if (ham > driftMax) out :+= ((f, ham, scene, cut))
+          // detections OR true cuts: the complete confusion table
+          if (ham > driftMax || cut == 1L) out :+= ((f, ham, scene, cut))
         }
         prev = ph
       }

@@ -78,8 +78,7 @@ class SinksSpec extends SparkSpec {
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
       (x.toLong, y.toLong))).toDF("x", "y")
     val dir = Files.createTempDirectory("zord").toString + "/z"
-    Sinks.writeZOrdered(grid, col("x"), col("y"), dir,
-      bits = 6, fileBits = 4)
+    Sinks.writeZOrdered(grid, col("x"), col("y"), dir, fileBits = 4)
     val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq
     assert(files.size == 16, s"expected 16 files, got ${files.size}")
