@@ -73,7 +73,16 @@ object Bench {
     // noop sink: forces full evaluation of every output column
     // (count() would let Catalyst prune the projection and undercount
     // the real work).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_QUERIES=a,b,c runs only the
+    // named queries (the driver never sets it, so driver runs always
+    // cover the full surface).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val c0 = cpuNs()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
