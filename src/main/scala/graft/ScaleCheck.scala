@@ -49,6 +49,11 @@ object ScaleCheck {
     "text_source_overlap" -> (() => TextOps.sourceOverlap(docs)),
     "text_diversity" -> (() => TextOps.diversity(docs)),
     "sim_centroid_outliers" -> (() => Similarity.centroidOutliers(emb)),
+    "sim_kmeans_assign" -> (() =>
+      // each Lloyd round: broadcast k*dim centroid rows + keyed aggs;
+      // the lattice is checkpointed once, no corpus self-join at any n
+      Similarity.kmeansAssign(emb)),
+    "text_k_anonymity" -> (() => TextOps.kAnonymity(docs)),
     "sketch_hll_docs" -> (() =>
       graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")),
     "text_chunk_split" -> (() => TextOps.chunkSplit(docs)),
@@ -161,6 +166,12 @@ object ScaleCheck {
       // decomposed prefix max over the 20x event stream
       graft.operators.CdcOps.latenessProfile(ev)),
     "ts_trend_slope" -> (() => graft.operators.TimeSeries.trendSlope(ev)),
+    "ts_ewma_smooth" -> (() =>
+      // 8 lag() calls share ONE user-keyed window sort at 20x
+      graft.operators.TimeSeries.ewmaSmooth(ev)),
+    "ts_seasonal_profile" -> (() =>
+      // <=168 cells from one keyed agg regardless of event count
+      graft.operators.TimeSeries.seasonalProfile(ev)),
     "layout_zorder" -> (() =>
       graft.operators.Layout.zorderLayout(ev,
         pmod(col("user_id"), lit(1024L)),

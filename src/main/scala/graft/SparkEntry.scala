@@ -1344,6 +1344,23 @@ object SparkEntry {
     "ts_trend_slope" -> ((s, dir) =>
       graft.operators.TimeSeries.trendSlope(t(s, dir, "events"))),
 
+    // truncated half-life EWMA per series (exact partial head windows)
+    "ts_ewma_smooth" -> ((s, dir) =>
+      graft.operators.TimeSeries.ewmaSmooth(t(s, dir, "events"))),
+
+    // (day-of-week, hour) load profile; arithmetic dow, no date fns
+    "ts_seasonal_profile" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalProfile(t(s, dir, "events"))),
+
+    // deterministic Lloyd k-means on the sq8 lattice — the hash-gated
+    // twin of sim_ivf_topk's learned coarse quantizer
+    "sim_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"))),
+
+    // k-anonymity equivalence classes over (lang, source, length bin)
+    "text_k_anonymity" -> ((s, dir) =>
+      TextOps.kAnonymity(t(s, dir, "documents"))),
+
     // Morton (Z-order) layout plan: per-file row count + the exact
     // (user, half-minute-of-day) rectangle its min/max stats expose
     "layout_zorder" -> ((s, dir) =>
@@ -4283,12 +4300,117 @@ object SparkEntry {
                              (n*sxy - sx*sy) AS num,
                              (n*sxx - sx*sx) AS den
                       FROM a WHERE (n*sxx - sx*sx) > 0)
-           SELECT user_id, n_events, num, den,
+           SELECT user_id, n_events,
+                  CAST(num AS DECIMAL(38,0)) AS num,
+                  CAST(den AS DECIMAL(38,0)) AS den,
                   CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
                             ELSE 0 END
                        * ((abs(num) * 1000000) // den) AS BIGINT)
                     AS slope_ppm_per_min
            FROM d ORDER BY user_id""",
+
+      // truncated EWMA: weights 2^(7-k) over the 8 most recent rows,
+      // divided by the weight mass actually present (exact partial
+      // head); // and Spark div both truncate toward zero
+      "ts_ewma_smooth" ->
+        """WITH e AS (SELECT user_id, event_id, ts,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                l AS (SELECT user_id, event_id, q,
+                        lag(q, 1) OVER w AS q1, lag(q, 2) OVER w AS q2,
+                        lag(q, 3) OVER w AS q3, lag(q, 4) OVER w AS q4,
+                        lag(q, 5) OVER w AS q5, lag(q, 6) OVER w AS q6,
+                        lag(q, 7) OVER w AS q7
+                      FROM e WINDOW w AS (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+           SELECT user_id, event_id, q AS value_q20,
+                  (128*q + 64*coalesce(q1, 0) + 32*coalesce(q2, 0)
+                   + 16*coalesce(q3, 0) + 8*coalesce(q4, 0)
+                   + 4*coalesce(q5, 0) + 2*coalesce(q6, 0)
+                   + coalesce(q7, 0))
+                  // (128 + CASE WHEN q1 IS NULL THEN 0 ELSE 64 END
+                     + CASE WHEN q2 IS NULL THEN 0 ELSE 32 END
+                     + CASE WHEN q3 IS NULL THEN 0 ELSE 16 END
+                     + CASE WHEN q4 IS NULL THEN 0 ELSE 8 END
+                     + CASE WHEN q5 IS NULL THEN 0 ELSE 4 END
+                     + CASE WHEN q6 IS NULL THEN 0 ELSE 2 END
+                     + CASE WHEN q7 IS NULL THEN 0 ELSE 1 END)
+                    AS ewma_q20,
+                  CAST(1 + CASE WHEN q1 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q2 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q3 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q4 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q5 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q6 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN q7 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                    AS n_lags
+           FROM l ORDER BY user_id, event_id""",
+
+      // arithmetic dow/hour from epoch micros (engine-neutral week
+      // start: (days+4)%7, 0=Sunday); sums clamped to BIGINT at the
+      // edge (DuckDB sum would widen to HUGEINT)
+      "ts_seasonal_profile" ->
+        """WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                        (epoch_us(ts) // 3600000000) % 24 AS hr,
+                        CAST(floor(value * 1048576) AS BIGINT) AS q
+                      FROM events),
+                c AS (SELECT dow, hr, count(*) AS n,
+                        CAST(sum(q) AS BIGINT) AS sum_q20
+                      FROM e GROUP BY dow, hr),
+                t AS (SELECT count(*) AS n_total FROM events)
+           SELECT dow, hr, n, sum_q20,
+                  (sum_q20 * 1000) // n AS avg_q20m,
+                  (n * 1000000) // n_total AS share_ppm
+           FROM c CROSS JOIN t ORDER BY dow, hr""",
+
+      // deterministic Lloyd on the sq8 lattice: init = first k ids,
+      // (distance, cluster) tie-break, truncated-integer-mean update —
+      // every iteration replays bit-for-bit (k=8, iters=2)
+      "sim_kmeans_assign" ->
+        """WITH lat AS (SELECT vec_id, i - 1 AS dim,
+                          CAST(floor(embedding[i] * 128) AS BIGINT) AS qv
+                        FROM embeddings
+                        CROSS JOIN generate_series(1, 64) AS t(i)
+                        WHERE i <= len(embedding)),
+                c0 AS (SELECT vec_id AS cluster, dim, qv AS cv
+                       FROM lat WHERE vec_id < 8),
+                d1 AS (SELECT l.vec_id, c.cluster,
+                         CAST(sum((l.qv - c.cv) * (l.qv - c.cv))
+                           AS BIGINT) AS d
+                       FROM lat l JOIN c0 c USING (dim) GROUP BY 1, 2),
+                a1 AS (SELECT vec_id, cluster, d FROM (
+                         SELECT vec_id, cluster, d,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cluster) AS rn
+                         FROM d1) WHERE rn = 1),
+                c1 AS (SELECT a.cluster, l.dim,
+                         CAST(sum(l.qv) AS BIGINT) // count(*) AS cv
+                       FROM lat l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+                d2 AS (SELECT l.vec_id, c.cluster,
+                         CAST(sum((l.qv - c.cv) * (l.qv - c.cv))
+                           AS BIGINT) AS d
+                       FROM lat l JOIN c1 c USING (dim) GROUP BY 1, 2),
+                a2 AS (SELECT vec_id, cluster, d FROM (
+                         SELECT vec_id, cluster, d,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cluster) AS rn
+                         FROM d2) WHERE rn = 1),
+                sz AS (SELECT cluster, count(*) AS cluster_n
+                       FROM a2 GROUP BY cluster)
+           SELECT vec_id, cluster, d AS dist_q, cluster_n
+           FROM a2 JOIN sz USING (cluster) ORDER BY vec_id""",
+
+      "text_k_anonymity" ->
+        """WITH c AS (SELECT lang, source,
+                        n_chars - (n_chars % 256) AS chars_bin,
+                        count(*) AS n
+                      FROM documents GROUP BY 1, 2, 3),
+                t AS (SELECT count(*) AS n_total FROM documents)
+           SELECT lang, source, chars_bin, n,
+                  CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT)
+                    AS at_risk,
+                  (n * 1000000) // n_total AS share_ppm
+           FROM c CROSS JOIN t ORDER BY lang, source, chars_bin""",
 
       "layout_zorder" ->
         """WITH pts AS (SELECT (user_id % 1024) AS x,

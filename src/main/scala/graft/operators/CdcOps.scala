@@ -332,7 +332,7 @@ object CdcOps {
         graft.util.Cols.epochUs(col(tsCol)).as("valid_from_us"),
         graft.util.Cols.epochUs(lead(col(tsCol), 1).over(w))
           .as("valid_to_us"),
-        row_number().over(w).as("version"))
+        row_number().over(w).cast("long").as("version"))
       .withColumn("is_current", col("valid_to_us").isNull)
       .orderBy(col(keyCol), col("version"))
   }

@@ -181,7 +181,8 @@ object Relational {
       .orderBy(col("o_totalprice").desc)
     orders.select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice"),
-        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
         percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"))
       .filter(col("rnk") <= k)
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
@@ -226,7 +227,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= k)
       .orderBy(col("o_custkey"), col("rn"))
   }

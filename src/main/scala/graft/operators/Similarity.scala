@@ -51,7 +51,7 @@ object Similarity {
       .agg(graft.functions.TopKByScore.top_k(
         round(col("sim"), 6), col("neighbor_id"), col("sim"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor_id"), round(col("col.sim"), 4).as("sim"))
 
   /**
@@ -594,7 +594,7 @@ object Similarity {
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist2_xn2").desc, col("vec_id"))
     dist.select(col("vec_id"), col("label"), col("dist2_xn2"),
-        col("n_label"), row_number().over(w).as("rnk"))
+        col("n_label"), row_number().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= topK)
       .orderBy(col("label"), col("rnk"))
   }
@@ -867,5 +867,55 @@ object Similarity {
         col("s_a"), col("s_b"), col("s_ab"),
         (col("n") * col("s_ab") - col("s_a") * col("s_b")).as("cov_n2"))
       .orderBy(col("dim_a"), col("dim_b"))
+  }
+
+  /**
+   * Deterministic Lloyd k-means on the sq8 lattice — the fully
+   * hash-gateable counterpart of the learned-KMeans coarse quantizer
+   * behind [[ivfTopK]]: init is the first `k` vectors by id (no RNG),
+   * distances are integer L2 on the quantized lattice with
+   * (distance, cluster-id) tie-breaks, and the centroid update is the
+   * truncating integer mean (`div` ≡ DuckDB `//`, both
+   * truncate-toward-zero), so every iteration — not just the final
+   * assignment — is bit-reproducible in the DuckDB oracle. Emits the
+   * final assignment with its distance and cluster size.
+   *
+   * Scale shape: the lattice (vec_id, dim, qv) is built once and
+   * localCheckpointed (one corpus scan feeds all iterations — at
+   * cluster scale this is the persisted quantized table); each
+   * iteration is one broadcast join against the k·dim centroid rows
+   * (a few KB), one (vec_id, cluster)-keyed partial-aggregated sum,
+   * one per-vec argmin aggregate, one (cluster, dim)-keyed mean — no
+   * corpus self-join, no window over data-sized partitions, rounds
+   * fixed at `iters`.
+   */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeansAssign k=$k iters=$iters")
+    val lat = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 128.0).cast("long").as("qv"))
+      .localCheckpoint(true)
+    var cent = lat.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("dim"), col("qv").as("cv"))
+    def assign(c: DataFrame): DataFrame =
+      lat.join(broadcast(c), "dim")
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d").as("dist_q"))
+    var a = assign(cent)
+    for (_ <- 2 to iters) {
+      cent = lat.join(a.select(col("vec_id"), col("cluster")), "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr("sum(qv) div count(1)").as("cv"))
+      a = assign(cent)
+    }
+    val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
+    a.join(broadcast(sizes), "cluster")
+      .select(col("vec_id"), col("cluster"), col("dist_q"), col("cluster_n"))
+      .orderBy(col("vec_id"))
   }
 }

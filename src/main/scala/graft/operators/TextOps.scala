@@ -476,7 +476,7 @@ object TextOps {
       .orderBy((col("tf").cast("double") / col("dfreq")).desc, col("term"))
     tf.join(df, "term")
       .select(col("doc_id"), col("term"), col("tf"), col("dfreq"),
-        row_number().over(w).as("rnk"))
+        row_number().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= k)
       .orderBy(col("doc_id"), col("rnk"))
   }
@@ -977,5 +977,36 @@ object TextOps {
       .orderBy(col("ratio_floor").desc, col("c_ab").desc,
         col("w1"), col("w2"))
       .limit(topN)
+  }
+
+  /**
+   * k-anonymity audit over the corpus metadata — the privacy-side
+   * complement of the PII scrub: documents are grouped into
+   * equivalence classes by their quasi-identifier tuple
+   * (lang, source, length bucket of `binWidth` chars); any class with
+   * fewer than `kMin` members is re-identifiable under linkage attack
+   * and gets flagged. Output is the full class table (size, flag, and
+   * the class's share of the corpus in ppm), so both the release
+   * decision ("suppress the at-risk classes") and the utility cost
+   * ("how many documents would that drop") read off one result.
+   *
+   * Scale shape: one keyed aggregate to the class table (bounded by
+   * the quasi-identifier cross-product, ≪ corpus) plus a broadcast
+   * single-row total; no window, no self-join.
+   */
+  def kAnonymity(docs: DataFrame, kMin: Long = 5L,
+                 binWidth: Long = 256L): DataFrame = {
+    require(kMin >= 1 && binWidth >= 1, s"kMin=$kMin binWidth=$binWidth")
+    val classes = docs
+      .select(col("lang"), col("source"),
+        (col("n_chars") - pmod(col("n_chars"), lit(binWidth))).as("chars_bin"))
+      .groupBy(col("lang"), col("source"), col("chars_bin"))
+      .agg(count(lit(1)).as("n"))
+    val total = docs.select(count(lit(1)).as("n_total"))
+    classes.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("chars_bin"), col("n"),
+        (col("n") < kMin).cast("long").as("at_risk"),
+        expr("(n * 1000000) div n_total").as("share_ppm"))
+      .orderBy(col("lang"), col("source"), col("chars_bin"))
   }
 }

@@ -343,6 +343,74 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /**
+   * Per-user EWMA smoothing (half-life = one observation) on the 2⁻²⁰
+   * value lattice, truncated at `lags` terms: the smoothed value at
+   * row i is Σₖ 2^(lags-1-k)·q_{i-k} over the k ∈ [0, lags) rows that
+   * exist, divided (truncating integer division — identical semantics
+   * in Spark `div` and DuckDB `//`) by the sum of the weights that
+   * were actually available, so the head of each series is an exact
+   * partial-window EWMA rather than a NULL run or a zero-padded bias.
+   * The truncated tail it drops carries weight < 2^-lags of the
+   * total — below the q20 lattice resolution for lags ≥ 8.
+   *
+   * Everything is integer: q ≤ 2²⁰·|value|, times weight ≤ 2⁷, times
+   * 8 terms ⇒ |num| ≤ 2³⁰·|value| — far inside Long for any sane
+   * metric range. Deterministic ordering is (ts, event_id).
+   *
+   * Scale shape: one user-partitioned window (thousands of small
+   * partitions, no global sort); the `lags` lag() calls share the
+   * single window sort — one shuffle, one sort, lags-row lookback
+   * buffer per partition.
+   */
+  def ewmaSmooth(log: DataFrame, lags: Int = 8): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags=$lags")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = log.select(col("user_id"), col("event_id"), col("ts"),
+      floor(col("value") * 1048576.0).cast("long").as("q"))
+    val terms = (0 until lags).map { k =>
+      val weight = 1L << (lags - 1 - k)
+      val l = if (k == 0) col("q") else lag(col("q"), k).over(w)
+      (coalesce(l * weight, lit(0L)),
+        when(l.isNotNull, lit(weight)).otherwise(lit(0L)),
+        when(l.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    ev.withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .withColumn("n_lags", terms.map(_._3).reduce(_ + _))
+      .select(col("user_id"), col("event_id"), col("q").as("value_q20"),
+        expr("num div den").as("ewma_q20"), col("n_lags"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /**
+   * Seasonal load profile: events bucketed by (day-of-week,
+   * hour-of-day) with count, lattice value sum, milli-resolution
+   * truncated mean, and each cell's traffic share in ppm. Day-of-week
+   * is computed arithmetically from epoch microseconds
+   * (`(days + 4) % 7`, 0 = Sunday — 1970-01-01 was a Thursday) rather
+   * than via engine date functions, whose week-start conventions
+   * differ between Spark and DuckDB.
+   *
+   * Scale shape: one keyed aggregate to at most 168 cells; the grand
+   * total joins back as a broadcast single row (no global window).
+   */
+  def seasonalProfile(log: DataFrame): DataFrame = {
+    val cells = log.select(graft.util.Cols.epochUs(col("ts")).as("us"),
+        floor(col("value") * 1048576.0).cast("long").as("q"))
+      .select(expr("((us div 86400000000) + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hr"), col("q"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q20"))
+    val total = log.select(count(lit(1)).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hr"), col("n"), col("sum_q20"),
+        expr("(sum_q20 * 1000) div n").as("avg_q20m"),
+        expr("(n * 1000000) div n_total").as("share_ppm"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   def trendSlope(log: DataFrame): DataFrame = {
     val ev = log.select(col("user_id"),
       expr("unix_micros(cast(ts as timestamp)) div 60000000")

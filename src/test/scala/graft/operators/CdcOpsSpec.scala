@@ -162,7 +162,7 @@ class CdcOpsSpec extends SparkSpec {
         (4L, 8L, t1, "x"))
       .toDF("event_id", "user_id", "ts", "event_type")
     val got = CdcOps.scd2History(ev)
-      .as[(Long, Long, String, Long, Option[Long], Int, Boolean)].collect()
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)].collect()
       .map(r => (r._1, r._6) -> r).toMap
     def us(t: Timestamp) = t.getTime * 1000L
     val (_, _, _, from1, to1, _, cur1) = got((7L, 1))

@@ -19,10 +19,10 @@ class IvfAndSkewSpec extends SparkSpec {
     // nprobe = all centroids -> exact search
     val ivf = Similarity.ivfTopK(index, queries, k = 3, nprobe = 4)
       .select("query_id", "rank", "neighbor_id")
-      .as[(Long, Int, Long)].collect().sorted
+      .as[(Long, Long, Long)].collect().sorted
     val brute = Similarity.bruteForceTopK(emb, queries, 3)
       .select("query_id", "rank", "neighbor_id")
-      .as[(Long, Int, Long)].collect().sorted
+      .as[(Long, Long, Long)].collect().sorted
     assert(ivf.toSeq == brute.toSeq)
   }
 
@@ -55,7 +55,7 @@ class IvfAndSkewSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val index = Similarity.buildIvf(emb, nCentroids = 8)
     val got = Similarity.ivfTopK(index, emb.filter($"vec_id" < 3), 3, nprobe = 2)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(got.groupBy(_._1).forall { case (_, rs) =>
       rs.map(_._2).sorted.toSeq == (1 to rs.size) && rs.size <= 3 })
   }

@@ -36,7 +36,7 @@ class IvfLearnedSpec extends SparkSpec {
     val index = Similarity.buildIvf(emb, nCentroids = 16)
     val out = Similarity.ivfTopK(index, queries, 5, nprobe = 4)
       .select(col("query_id"), col("rank"))
-      .as[(Long, Int)].collect()
+      .as[(Long, Long)].collect()
     assert(out.length == 100)
     val byQuery = out.groupBy(_._1)
     assert(byQuery.size == 20)

@@ -102,7 +102,7 @@ class JoinOpsSpec extends SparkSpec {
     val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
     val topk = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 10)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(topk.length == 1 && topk.head._2 == 1)
   }
 

@@ -349,4 +349,40 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("ewma: the 8 lag terms share one user-keyed window — none global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val df = TimeSeries.ewmaSmooth(ev)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.length == 1, s"windows: ${wins.length}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "global ewma window")
+  }
+
+  test("seasonal profile: keyed agg + broadcast total, no window") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(TimeSeries.seasonalProfile(ev))
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+    assert(p.contains("BroadcastExchange"), p)          // 1-row total
+  }
+
+  test("kmeans: centroids broadcast each round; no corpus self-join") {
+    val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    val p = plan(Similarity.kmeansAssign(emb, k = 4, iters = 2))
+    // every join in the loop is an equi-join with a broadcast build
+    // side (k*dim centroid rows / vec->cluster assignment / sizes)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("k-anonymity: one keyed aggregate over metadata, no window") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.kAnonymity(docs))
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -164,7 +164,7 @@ class RelationalTpchSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
     val got = Relational.rankFamily(orders)
-      .as[(String, Long, Double, Int, Int, Double, Double)].collect()
+      .as[(String, Long, Double, Long, Long, Double, Double)].collect()
       .map(r => r._2 -> ((r._4, r._5, r._6, r._7))).toMap
     assert(got(1L) == ((1, 1, 0.0, 2.0 / 3.0)))   // tie at rank 1
     assert(got(2L) == ((1, 1, 0.0, 2.0 / 3.0)))

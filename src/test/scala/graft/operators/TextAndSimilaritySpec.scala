@@ -90,7 +90,7 @@ class TextAndSimilaritySpec extends SparkSpec {
       (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 2)
-      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+      .orderBy($"rank").as[(Long, Long, Long, Double)].collect()
     assert(got.length == 2)
     assert(got(0)._3 == 1L) // closest direction
     assert(got(1)._3 == 2L)
@@ -338,7 +338,7 @@ class TextAndSimilaritySpec extends SparkSpec {
       (3L, "common common date"))
       .toDF("doc_id", "text")
     val got = TextOps.topTerms(docs, k = 3)
-      .as[(Long, String, Long, Long, Int)].collect()
+      .as[(Long, String, Long, Long, Long)].collect()
       .groupBy(_._1).map { case (d, rs) =>
         d -> rs.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq }
     // df: apple 1, banana 2, cherry 1, common 3, date 1
@@ -377,7 +377,7 @@ class TextAndSimilaritySpec extends SparkSpec {
       (3L, Seq(1.0f, 0.0f), 0), (9L, Seq(-1.0f, 0.0f), 0))
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.centroidOutliers(emb)
-      .as[(Long, Int, Long, Long, Int)].collect().sortBy(_._5)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._5)
     // dim0 sums: S = 3*1024 - 1024 = 2048, n = 4
     // outlier term: (-4096 - 2048)^2 ; inlier: (4096 - 2048)^2
     assert(got.head == ((9L, 0, 6144L * 6144L, 4L, 1)))
@@ -498,7 +498,7 @@ class TextAndSimilaritySpec extends SparkSpec {
       (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.sq8TopK(emb, emb.filter($"vec_id" === 0L), 2)
-      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+      .orderBy($"rank").as[(Long, Long, Long, Double)].collect()
     assert(got.map(_._3).toSeq == Seq(1L, 2L))
     // scores are exact integers: q(1.0)=128, q(0.9)=115 (floor), so
     // dot(0,1) = 128*115 = 14720; dot(0,2) = 0
@@ -554,7 +554,7 @@ class TextAndSimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val got = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0L), 3,
         m = 2, dim = 4, stride = 1L, nCodes = 2)
-      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+      .orderBy($"rank").as[(Long, Long, Long, Double)].collect()
     // ADC(query 0, neighbor 2) = dot([128,0],[128,0]) +
     // dot([0,128],[0,128]) = 32768; neighbors 1 and 3 carry codes
     // (1,1) -> ADC 0, tie broken by neighbor_id
@@ -572,9 +572,9 @@ class TextAndSimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val pq = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0L), 15,
         m = 4, dim = 8, stride = 1L, nCodes = 16)
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     val sq = Similarity.sq8TopK(emb, emb.filter($"vec_id" === 0L), 15)
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(pq == sq)
   }
 
@@ -587,16 +587,16 @@ class TextAndSimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < 3)
     val brute = Similarity.bruteForceTopK(emb, queries, 5)
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     val two = Similarity.matryoshkaTopK(emb, queries, 5,
         prefixDims = 16, overfetch = 8) // 8*5 = 40 >= corpus
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(two == brute)
     // tight overfetch is a real prefilter: still k rows per query,
     // ranked by the full-dim cosine
     val tight = Similarity.matryoshkaTopK(emb, queries, 5,
         prefixDims = 16, overfetch = 1)
-      .as[(Long, Int, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq
     assert(tight.count(_._2 <= 5) == 15)
   }
 
@@ -608,5 +608,45 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(TableGroups.All.contains("bmsql_stock"))
     assert(TableGroups.resolve("all").toSet == TableGroups.All.toSet)
     intercept[IllegalArgumentException](TableGroups.resolve("nope"))
+  }
+
+  test("kmeansAssign: two planted clusters converge; exact centroids") {
+    // quantized: 0->(0,0) 1->(128,128) 2->(12,0) 3->(115,128); init =
+    // vecs 0,1; update -> c0=(6,0), c1=(121,128); reassign is stable
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 36L, 2L),            // (0-6)^2
+      (1L, 1L, 49L, 2L),            // (128-121)^2
+      (2L, 0L, 36L, 2L),            // (12-6)^2
+      (3L, 1L, 36L, 2L)))           // (115-121)^2
+  }
+
+  test("kmeansAssign: exact distance tie breaks to the lower cluster") {
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, k = 2, iters = 1)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, c, _, _) => id -> c }.toMap
+    assert(got(2L) == 0L) // dist 128^2 to both centroids -> cluster 0
+  }
+
+  test("kAnonymity flags classes under k and exposes exact shares") {
+    val docs = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 200L),
+      (3L, "en", "web", 130L), (4L, "en", "web", 90L),
+      (5L, "en", "web", 10L),                       // class of 5: safe
+      (6L, "de", "web", 400L))                      // class of 1: at risk
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = TextOps.kAnonymity(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", "web", 256L, 1L, 1L, 166666L),
+      ("en", "web", 0L, 5L, 0L, 833333L)))
   }
 }

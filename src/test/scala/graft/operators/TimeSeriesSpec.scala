@@ -42,6 +42,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == expect && expect.nonEmpty)
   }
 
+  test("ewmaSmooth: exact truncated EWMA incl. partial head windows") {
+    val ev = Seq((1L, 1L, ts(1), 1.0), (2L, 1L, ts(2), 2.0),
+      (3L, 1L, ts(3), 3.0)).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewmaSmooth(ev)
+      .select("event_id", "ewma_q20", "n_lags")
+      .as[(Long, Long, Long)].collect().toSeq
+    val q = 1048576L
+    assert(got == Seq(
+      (1L, q, 1L),                                     // head: itself
+      (2L, (128 * 2 * q + 64 * q) / 192, 2L),
+      (3L, (128 * 3 * q + 64 * 2 * q + 32 * q) / 224, 3L)))
+  }
+
+  test("ewmaSmooth: negative values truncate toward zero (div ≡ //)") {
+    val ev = Seq((1L, 1L, ts(1), -1.0), (2L, 1L, ts(2), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewmaSmooth(ev)
+      .select("event_id", "ewma_q20").as[(Long, Long)].collect().toMap
+    // num = -67108864, den = 192 -> -349525.33 truncates to -349525
+    assert(got(2L) == -349525L && got(1L) == -1048576L)
+  }
+
+  test("ewmaSmooth: constant series is a fixed point; lags cap at 8") {
+    val ev = (1 to 12).map(i => (i.toLong, 1L, ts(i), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewmaSmooth(ev)
+      .select("event_id", "ewma_q20", "n_lags")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._2 == 5L * 1048576))
+    assert(got.filter(_._1 >= 8).forall(_._3 == 8L))
+  }
+
+  test("seasonalProfile: arithmetic dow/hour cells, exact shares") {
+    // 2024-01-01 is a Monday -> dow 1 under (days+4)%7 with 0=Sunday
+    val ev = Seq((1L, 1L, ts(1, 12), 1.0), (2L, 2L, ts(1, 12), 2.0),
+      (3L, 1L, ts(2, 3), 4.0)).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.seasonalProfile(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val q = 1048576L
+    assert(got == Seq(
+      (1L, 12L, 2L, 3 * q, 3 * q * 1000 / 2, 666666L),
+      (2L, 3L, 1L, 4 * q, 4 * q * 1000, 333333L)))
+  }
+
   test("saxMotifs groups users by rank-discretized daily shape") {
     // users 1 and 2: rising daily sums over 8 days -> word 11223344;
     // user 3: falling -> 44332211; user 4: only 3 days -> dropped

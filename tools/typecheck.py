@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Declared-type parity audit (r5 verdict item 3, generalized): for
+every query, DESCRIBE the Spark parquet output and the DuckDB oracle
+result and demand IDENTICAL column types. Values being equal is not
+enough — the driver's hash gate stringifies by declared type, and r5
+lost 5 queries to DECIMAL(38,0)-vs-HUGEINT / DECIMAL(22,2)-vs-
+DECIMAL(38,2) drift that tools/check.py (value-level) cannot see."""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def types_of(con, rel_sql):
+    rows = con.sql(f"DESCRIBE {rel_sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name not in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"MISSING-OUTPUT {name}")
+            n_bad += 1
+            continue
+        try:
+            st = types_of(con, f"SELECT * FROM read_parquet({files!r})")
+            ot = types_of(con, f"({oracle[name]})")
+        except Exception as e:
+            print(f"ERROR          {name}: {e}")
+            n_bad += 1
+            continue
+        diffs = []
+        for c in sorted(set(st) | set(ot)):
+            a, b = st.get(c, "<absent>"), ot.get(c, "<absent>")
+            if a != b:
+                diffs.append(f"{c}: spark={a} oracle={b}")
+        if diffs:
+            n_bad += 1
+            print(f"TYPE-MISMATCH  {name}: " + "; ".join(diffs))
+        else:
+            n_ok += 1
+    print(f"\n{n_ok} type-identical, {n_bad} mismatched")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
