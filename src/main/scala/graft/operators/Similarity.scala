@@ -889,7 +889,8 @@ object Similarity {
    * corpus self-join, no window over data-sized partitions, rounds
    * fixed at `iters`.
    */
-  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                   checkpointFinal: Boolean = true): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeansAssign k=$k iters=$iters")
     val lat = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -913,6 +914,11 @@ object Similarity {
         .agg(expr("sum(qv) div count(1)").as("cv"))
       a = assign(cent)
     }
+    // the final assignment feeds both output branches (rows + sizes);
+    // checkpoint so the Lloyd lineage runs once, not per branch
+    // (checkpointFinal=false keeps the full lineage visible for plan
+    // assertions)
+    if (checkpointFinal) a = a.localCheckpoint(true)
     val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
     a.join(broadcast(sizes), "cluster")
       .select(col("vec_id"), col("cluster"), col("dist_q"), col("cluster_n"))

@@ -369,7 +369,9 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("kmeans: centroids broadcast each round; no corpus self-join") {
     val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
-    val p = plan(Similarity.kmeansAssign(emb, k = 4, iters = 2))
+    // checkpointFinal=false exposes the full Lloyd lineage to the plan
+    val p = plan(Similarity.kmeansAssign(emb, k = 4, iters = 2,
+      checkpointFinal = false))
     // every join in the loop is an equi-join with a broadcast build
     // side (k*dim centroid rows / vec->cluster assignment / sizes)
     assert(p.contains("BroadcastHashJoin"), p)
