@@ -636,6 +636,42 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(2L) == 0L) // dist 128^2 to both centroids -> cluster 0
   }
 
+  test("kmeansAssign matches a reference Lloyd on seeded random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      i -> Seq.fill(4)(rnd.nextFloat() * 2 - 1))
+    val (k, iters) = (4, 2)
+    val got = Similarity.kmeansAssign(
+        vecs.toDF("vec_id", "embedding"), k = k, iters = iters)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent reference: same lattice, first-k init, (d, cluster)
+    // tie-break, truncating integer mean (Long / truncates like div)
+    val lat = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 128.0).toLong).toArray
+    }.toMap
+    var cent: Map[Long, Array[Long]] =
+      (0L until k.toLong).map(c => c -> lat(c)).toMap
+    def assign(): Map[Long, (Long, Long)] = lat.map { case (id, qv) =>
+      val (d, c) = cent.toSeq.map { case (c, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min
+      id -> ((c, d))
+    }
+    var a = assign()
+    for (_ <- 2 to iters) {
+      cent = a.groupBy(_._2._1).map { case (c, members) =>
+        val qs = members.keys.toSeq.map(lat)
+        c -> Array.tabulate(4)(d =>
+          qs.map(_(d)).sum / qs.size)
+      }
+      a = assign()
+    }
+    val sizes = a.groupBy(_._2._1).map { case (c, m) => c -> m.size.toLong }
+    val expect = a.map { case (id, (c, d)) => id -> ((c, d, sizes(c))) }
+    assert(got == expect)
+  }
+
   test("kAnonymity flags classes under k and exposes exact shares") {
     val docs = Seq(
       (1L, "en", "web", 100L), (2L, "en", "web", 200L),

@@ -74,6 +74,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.filter(_._1 >= 8).forall(_._3 == 8L))
   }
 
+  test("ewmaSmooth matches a Long-reference EWMA on a seeded random series") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (i % 5).toLong + 1L, ts(1 + rnd.nextInt(25), rnd.nextInt(24)),
+        rnd.nextDouble() * 200.0 - 100.0)
+    }
+    val got = TimeSeries.ewmaSmooth(
+        rows.toDF("event_id", "user_id", "ts", "value"))
+      .select("user_id", "event_id", "ewma_q20", "n_lags")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val expect = rows.groupBy(_._2).flatMap { case (u, rs) =>
+      val series = rs.sortBy(r => (r._3.getTime, r._1))
+        .map(r => r._1 -> math.floor(r._4 * 1048576.0).toLong)
+      series.zipWithIndex.map { case ((eid, _), i) =>
+        val lags = (0 to math.min(7, i)).map(k => series(i - k)._2)
+        val num = lags.zipWithIndex.map { case (q, k) => q << (7 - k) }.sum
+        val den = lags.indices.map(k => 1L << (7 - k)).sum
+        (u, eid) -> ((num / den, lags.size.toLong)) // Long / truncates = div
+      }
+    }
+    assert(got == expect)
+  }
+
   test("seasonalProfile: arithmetic dow/hour cells, exact shares") {
     // 2024-01-01 is a Monday -> dow 1 under (days+4)%7 with 0=Sunday
     val ev = Seq((1L, 1L, ts(1, 12), 1.0), (2L, 2L, ts(1, 12), 2.0),
