@@ -54,6 +54,7 @@ object ScaleCheck {
       // the lattice is checkpointed once, no corpus self-join at any n
       Similarity.kmeansAssign(emb)),
     "text_k_anonymity" -> (() => TextOps.kAnonymity(docs)),
+    "text_k_anonymity_ladder" -> (() => TextOps.kAnonymityLadder(docs)),
     "sketch_hll_docs" -> (() =>
       graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")),
     "text_chunk_split" -> (() => TextOps.chunkSplit(docs)),
@@ -172,6 +173,9 @@ object ScaleCheck {
     "ts_seasonal_profile" -> (() =>
       // <=168 cells from one keyed agg regardless of event count
       graft.operators.TimeSeries.seasonalProfile(ev)),
+    "ts_seasonal_anomalies" -> (() =>
+      // cell stats broadcast back; the event side never shuffles
+      graft.operators.TimeSeries.seasonalAnomalies(ev)),
     "layout_zorder" -> (() =>
       graft.operators.Layout.zorderLayout(ev,
         pmod(col("user_id"), lit(1024L)),

@@ -1361,6 +1361,14 @@ object SparkEntry {
     "text_k_anonymity" -> ((s, dir) =>
       TextOps.kAnonymity(t(s, dir, "documents"))),
 
+    // generalization ladder: coarsest bin width reaching k-anonymity
+    "text_k_anonymity_ladder" -> ((s, dir) =>
+      TextOps.kAnonymityLadder(t(s, dir, "documents"))),
+
+    // cell-conditioned z-score: anomalous for ITS OWN (dow, hour) cell
+    "ts_seasonal_anomalies" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalAnomalies(t(s, dir, "events"))),
+
     // Morton (Z-order) layout plan: per-file row count + the exact
     // (user, half-minute-of-day) rectangle its min/max stats expose
     "layout_zorder" -> ((s, dir) =>
@@ -4399,6 +4407,35 @@ object SparkEntry {
                        FROM a2 GROUP BY cluster)
            SELECT vec_id, cluster, d AS dist_q, cluster_n
            FROM a2 JOIN sz USING (cluster) ORDER BY vec_id""",
+
+      // cell-conditioned z-score, cleared-division verdict in HUGEINT
+      "ts_seasonal_anomalies" ->
+        """WITH e AS (SELECT event_id,
+                        ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                        (epoch_us(ts) // 3600000000) % 24 AS hr,
+                        CAST(floor(value * 1048576) AS HUGEINT) AS q
+                      FROM events),
+                a AS (SELECT dow, hr, sum(q) AS s, sum(q*q) AS qq,
+                             count(*) AS n
+                      FROM e GROUP BY dow, hr)
+           SELECT event_id, dow, hr, CAST(q AS BIGINT) AS value_q20,
+                  n AS n_cell
+           FROM e JOIN a USING (dow, hr)
+           WHERE (q*n - s)*(q*n - s) > (qq*n - s*s)*9
+           ORDER BY event_id""",
+
+      "text_k_anonymity_ladder" ->
+        """WITH w AS (SELECT CAST(unnest([256, 512, 1024, 2048]) AS BIGINT)
+                        AS width),
+                c AS (SELECT width, lang, source,
+                        n_chars - (n_chars % width) AS bin, count(*) AS n
+                      FROM documents CROSS JOIN w GROUP BY 1, 2, 3, 4)
+           SELECT width, count(*) AS n_classes,
+                  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_at_risk,
+                  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                    AS docs_at_risk
+           FROM c GROUP BY width ORDER BY width""",
 
       "text_k_anonymity" ->
         """WITH c AS (SELECT lang, source,

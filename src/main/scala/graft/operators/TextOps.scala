@@ -994,6 +994,38 @@ object TextOps {
    * the quasi-identifier cross-product, ≪ corpus) plus a broadcast
    * single-row total; no window, no self-join.
    */
+  /**
+   * Generalization ladder for [[kAnonymity]] — the remediation side:
+   * for each candidate length-bin width the class count, the number of
+   * classes still under `kMin`, and the documents they strand, so the
+   * release pipeline can read off the COARSEST quasi-identifier
+   * granularity that reaches k-anonymity (or see that none on the
+   * ladder does and suppression is required).
+   *
+   * Scale shape: widths explode a constant ≤|ladder| fan-out over the
+   * metadata columns only (text never moves), then two keyed
+   * aggregates — classes, then per-width rollup to |ladder| rows.
+   */
+  def kAnonymityLadder(docs: DataFrame, kMin: Long = 5L,
+                       widths: Seq[Long] = Seq(256L, 512L, 1024L, 2048L))
+      : DataFrame = {
+    require(kMin >= 1 && widths.nonEmpty && widths.forall(_ >= 1),
+      s"kMin=$kMin widths=$widths")
+    val classes = docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        explode(array(widths.map(lit): _*)).as("width"))
+      .select(col("width"), col("lang"), col("source"),
+        (col("n_chars") - pmod(col("n_chars"), col("width"))).as("bin"))
+      .groupBy(col("width"), col("lang"), col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy(col("width"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < kMin, 1L).otherwise(0L)).as("n_at_risk"),
+        sum(when(col("n") < kMin, col("n")).otherwise(0L))
+          .as("docs_at_risk"))
+      .orderBy(col("width"))
+  }
+
   def kAnonymity(docs: DataFrame, kMin: Long = 5L,
                  binWidth: Long = 256L): DataFrame = {
     require(kMin >= 1 && binWidth >= 1, s"kMin=$kMin binWidth=$binWidth")

@@ -411,6 +411,43 @@ object TimeSeries {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /**
+   * Seasonal-aware anomaly detection: an event is flagged iff its
+   * value deviates more than `zNumer/zDenom` population standard
+   * deviations from ITS OWN (day-of-week, hour) cell — traffic that is
+   * normal at Monday 09:00 but anomalous at Sunday 03:00, which the
+   * global [[zscoreAnomalies]] cannot see. Same cleared-division
+   * integer verdict `(q·n − s)²·zDen² > (n·Q − s²)·zNum²` on the q20
+   * lattice (squares formed IN decimal; envelope |value| ≤ 10⁴ and
+   * n ≤ 10⁹ per cell stays inside DECIMAL(38,0)); the arithmetic
+   * dow/hour keys are shared with [[seasonalProfile]].
+   *
+   * Scale shape: one ≤168-cell aggregate, broadcast back over the
+   * event scan — the event side never shuffles, never sorts.
+   */
+  def seasonalAnomalies(log: DataFrame, zNumer: Int = 3,
+                        zDenom: Int = 1): DataFrame = {
+    val ev = log.select(col("event_id"),
+        graft.util.Cols.epochUs(col("ts")).as("us"),
+        floor(col("value") * 1048576.0).cast("long").as("q"))
+      .select(col("event_id"), col("q"),
+        expr("((us div 86400000000) + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hr"))
+    val qDec = col("q").cast("decimal(19,0)")
+    val cells = ev.groupBy(col("dow"), col("hr")).agg(
+      sum(col("q")).as("s"), sum(qDec * qDec).as("qq"),
+      count(lit(1)).as("n"))
+    val dev = (col("q") * col("n") - col("s")).cast("decimal(38,0)")
+    val sBig = col("s").cast("decimal(38,0)")
+    ev.join(broadcast(cells), Seq("dow", "hr"))
+      .filter(dev * dev * lit(zDenom * zDenom) >
+        (col("qq").cast("decimal(38,0)") * col("n") - sBig * sBig) *
+          lit(zNumer * zNumer))
+      .select(col("event_id"), col("dow"), col("hr"),
+        col("q").as("value_q20"), col("n").as("n_cell"))
+      .orderBy(col("event_id"))
+  }
+
   def trendSlope(log: DataFrame): DataFrame = {
     val ev = log.select(col("user_id"),
       expr("unix_micros(cast(ts as timestamp)) div 60000000")

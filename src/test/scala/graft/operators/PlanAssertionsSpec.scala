@@ -387,4 +387,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("seasonal anomalies: cell stats broadcast, events never sort-merge") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(TimeSeries.seasonalAnomalies(ev))
+    assert(p.contains("BroadcastHashJoin"), p) // <=168 cells build side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("k-anonymity ladder: constant explode fan-out + keyed aggregates") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.kAnonymityLadder(docs))
+    assert(p.contains("Generate"), p) // ladder explode, |widths| fan-out
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -672,6 +672,22 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("kAnonymityLadder: coarser widths merge at-risk classes away") {
+    // 3 docs at 100 chars + 3 at 300: width 256 splits them into two
+    // classes of 3 (both under k=5, 6 docs stranded); width >= 512
+    // merges them into one safe class of 6
+    val docs = ((1 to 3).map(i => (i.toLong, "en", "web", 100L)) ++
+      (4 to 6).map(i => (i.toLong, "en", "web", 300L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = TextOps.kAnonymityLadder(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (256L, 2L, 2L, 6L),
+      (512L, 1L, 0L, 0L),
+      (1024L, 1L, 0L, 0L),
+      (2048L, 1L, 0L, 0L)))
+  }
+
   test("kAnonymity flags classes under k and exposes exact shares") {
     val docs = Seq(
       (1L, "en", "web", 100L), (2L, "en", "web", 200L),

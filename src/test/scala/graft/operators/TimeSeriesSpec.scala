@@ -110,6 +110,27 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, 1L, 4 * q, 4 * q * 1000, 333333L)))
   }
 
+  test("seasonalAnomalies flags only the within-cell outlier") {
+    // cell (Mon, 12): ten 10s and one 1000 -> z = 3.16 > 3 flags 1000
+    // cell (Tue, 3): constant -> zero variance, zero deviation, silent
+    val rows = (1 to 10).map(i => (i.toLong, 1L, ts(1, 12), 10.0)) ++
+      Seq((11L, 1L, ts(1, 12), 1000.0)) ++
+      (12 to 14).map(i => (i.toLong, 2L, ts(2, 3), 7.0))
+    val got = TimeSeries.seasonalAnomalies(
+        rows.toDF("event_id", "user_id", "ts", "value"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((11L, 1L, 12L, 1000L * 1048576, 11L)))
+  }
+
+  test("seasonalAnomalies: a 2-sigma point passes at z=3, flags at z=3/2") {
+    val rows = (1 to 4).map(i => (i.toLong, 1L, ts(1, 12), 10.0)) ++
+      Seq((5L, 1L, ts(1, 12), 100.0)) // z = 2.05
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    assert(TimeSeries.seasonalAnomalies(df).count() == 0L)
+    assert(TimeSeries.seasonalAnomalies(df, zNumer = 3, zDenom = 2)
+      .select("event_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("saxMotifs groups users by rank-discretized daily shape") {
     // users 1 and 2: rising daily sums over 8 days -> word 11223344;
     // user 3: falling -> 44332211; user 4: only 3 days -> dropped
