@@ -79,7 +79,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] unknown SPARK_GRAFT_QUERIES names: ${unknown.mkString(",")}")
+        SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

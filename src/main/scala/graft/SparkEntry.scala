@@ -4363,11 +4363,11 @@ object SparkEntry {
                         CAST(floor(value * 1048576) AS BIGINT) AS q
                       FROM events),
                 c AS (SELECT dow, hr, count(*) AS n,
-                        CAST(sum(q) AS BIGINT) AS sum_q20
+                        CAST(sum(q) AS HUGEINT) AS sum_q20
                       FROM e GROUP BY dow, hr),
                 t AS (SELECT count(*) AS n_total FROM events)
-           SELECT dow, hr, n, sum_q20,
-                  (sum_q20 * 1000) // n AS avg_q20m,
+           SELECT dow, hr, n, CAST(sum_q20 AS DECIMAL(38,0)) AS sum_q20,
+                  CAST((sum_q20 * 1000) // n AS BIGINT) AS avg_q20m,
                   (n * 1000000) // n_total AS share_ppm
            FROM c CROSS JOIN t ORDER BY dow, hr""",
 

@@ -897,7 +897,12 @@ object Similarity {
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         floor(col("x").cast("double") * 128.0).cast("long").as("qv"))
       .localCheckpoint(true)
-    var cent = lat.filter(col("vec_id") < k)
+    // init = the k LOWEST ids actually present (sparse or offset id
+    // spaces included), matching "first k vectors by id" — a plain
+    // vec_id < k filter would silently under-seed such corpora
+    val initIds = broadcast(corpus.select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(k))
+    var cent = lat.join(initIds, "vec_id")
       .select(col("vec_id").as("cluster"), col("dim"), col("qv").as("cv"))
     def assign(c: DataFrame): DataFrame =
       lat.join(broadcast(c), "dim")

@@ -980,21 +980,6 @@ object TextOps {
   }
 
   /**
-   * k-anonymity audit over the corpus metadata — the privacy-side
-   * complement of the PII scrub: documents are grouped into
-   * equivalence classes by their quasi-identifier tuple
-   * (lang, source, length bucket of `binWidth` chars); any class with
-   * fewer than `kMin` members is re-identifiable under linkage attack
-   * and gets flagged. Output is the full class table (size, flag, and
-   * the class's share of the corpus in ppm), so both the release
-   * decision ("suppress the at-risk classes") and the utility cost
-   * ("how many documents would that drop") read off one result.
-   *
-   * Scale shape: one keyed aggregate to the class table (bounded by
-   * the quasi-identifier cross-product, ≪ corpus) plus a broadcast
-   * single-row total; no window, no self-join.
-   */
-  /**
    * Generalization ladder for [[kAnonymity]] — the remediation side:
    * for each candidate length-bin width the class count, the number of
    * classes still under `kMin`, and the documents they strand, so the
@@ -1026,6 +1011,21 @@ object TextOps {
       .orderBy(col("width"))
   }
 
+  /**
+   * k-anonymity audit over the corpus metadata — the privacy-side
+   * complement of the PII scrub: documents are grouped into
+   * equivalence classes by their quasi-identifier tuple
+   * (lang, source, length bucket of `binWidth` chars); any class with
+   * fewer than `kMin` members is re-identifiable under linkage attack
+   * and gets flagged. Output is the full class table (size, flag, and
+   * the class's share of the corpus in ppm), so both the release
+   * decision ("suppress the at-risk classes") and the utility cost
+   * ("how many documents would that drop") read off one result.
+   *
+   * Scale shape: one keyed aggregate to the class table (bounded by
+   * the quasi-identifier cross-product, ≪ corpus) plus a broadcast
+   * single-row total; no window, no self-join.
+   */
   def kAnonymity(docs: DataFrame, kMin: Long = 5L,
                  binWidth: Long = 256L): DataFrame = {
     require(kMin >= 1 && binWidth >= 1, s"kMin=$kMin binWidth=$binWidth")

@@ -402,10 +402,16 @@ object TimeSeries {
       .select(expr("((us div 86400000000) + 4) % 7").as("dow"),
         expr("(us div 3600000000) % 24").as("hr"), col("q"))
       .groupBy(col("dow"), col("hr"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q20"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sum: a cell aggregates corpus/168 events, so a Long
+        // sum would wrap inside the anomaly op's documented envelope
+        sum(col("q").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("sum_q20"))
     val total = log.select(count(lit(1)).as("n_total"))
     cells.crossJoin(broadcast(total))
       .select(col("dow"), col("hr"), col("n"), col("sum_q20"),
+        // IntegralDivide on decimal yields Long; the quotient is
+        // value-scaled (≤ 2²⁰·|value|·10³) — safely inside BIGINT
         expr("(sum_q20 * 1000) div n").as("avg_q20m"),
         expr("(n * 1000000) div n_total").as("share_ppm"))
       .orderBy(col("dow"), col("hr"))
@@ -418,8 +424,10 @@ object TimeSeries {
    * normal at Monday 09:00 but anomalous at Sunday 03:00, which the
    * global [[zscoreAnomalies]] cannot see. Same cleared-division
    * integer verdict `(q·n − s)²·zDen² > (n·Q − s²)·zNum²` on the q20
-   * lattice (squares formed IN decimal; envelope |value| ≤ 10⁴ and
-   * n ≤ 10⁹ per cell stays inside DECIMAL(38,0)); the arithmetic
+   * lattice — sums, deviations, and squares ALL formed in decimal (a
+   * cell's n is corpus-scale, so even q·n overflows Long inside the
+   * envelope); envelope |value| ≤ 10⁴ and n ≤ 10⁹ per cell keeps
+   * n·Q − s² within DECIMAL(38,0). The arithmetic
    * dow/hour keys are shared with [[seasonalProfile]].
    *
    * Scale shape: one ≤168-cell aggregate, broadcast back over the
@@ -434,14 +442,16 @@ object TimeSeries {
         expr("((us div 86400000000) + 4) % 7").as("dow"),
         expr("(us div 3600000000) % 24").as("hr"))
     val qDec = col("q").cast("decimal(19,0)")
+    // sums and products formed IN decimal from the start (a cell's n
+    // is corpus-sized/168, so q*n and sum(q) overflow Long well inside
+    // the documented envelope — unlike the per-user zscore shape)
     val cells = ev.groupBy(col("dow"), col("hr")).agg(
-      sum(col("q")).as("s"), sum(qDec * qDec).as("qq"),
+      sum(qDec).as("s"), sum(qDec * qDec).as("qq"),
       count(lit(1)).as("n"))
-    val dev = (col("q") * col("n") - col("s")).cast("decimal(38,0)")
-    val sBig = col("s").cast("decimal(38,0)")
+    val dev = qDec * col("n") - col("s")
     ev.join(broadcast(cells), Seq("dow", "hr"))
       .filter(dev * dev * lit(zDenom * zDenom) >
-        (col("qq").cast("decimal(38,0)") * col("n") - sBig * sBig) *
+        (col("qq") * col("n") - col("s") * col("s")) *
           lit(zNumer * zNumer))
       .select(col("event_id"), col("dow"), col("hr"),
         col("q").as("value_q20"), col("n").as("n_cell"))

@@ -65,8 +65,11 @@ object StreamingEwma {
           } else {
             val prev = state.getOption.getOrElse(EwmaState(Nil, Long.MinValue))
             // batch-order fold: the same (ts, event_id) total order as
-            // the batch operator's window sort
-            val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            // the batch operator's window sort. getTime alone is
+            // millisecond-truncated — include the sub-second nanos so
+            // microsecond timestamps order exactly like the window's
+            val ordered = rows.toSeq.sortBy(e =>
+              (e.ts.getTime / 1000, e.ts.getNanos, e.eventId))
             var lags = prev.lags
             var maxTs = prev.maxTsMs
             val out = ordered.map { e =>

@@ -636,6 +636,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got(2L) == 0L) // dist 128^2 to both centroids -> cluster 0
   }
 
+  test("kmeansAssign seeds k clusters on sparse/offset id spaces") {
+    // ids start at 100: a vec_id < k init filter would seed ZERO
+    // centroids and return an empty frame; first-k-by-id must seed 2
+    val emb = Seq(
+      (100L, Seq(0.0f, 0.0f)), (101L, Seq(1.0f, 1.0f)),
+      (102L, Seq(0.1f, 0.0f)), (103L, Seq(0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(100L, 101L, 102L, 103L))
+    assert(got.map(_._2).distinct.sorted == Seq(100L, 101L))
+    assert(got.forall(_._4 == 2L))
+  }
+
   test("kmeansAssign matches a reference Lloyd on seeded random vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>

@@ -103,6 +103,8 @@ class TimeSeriesSpec extends SparkSpec {
     val ev = Seq((1L, 1L, ts(1, 12), 1.0), (2L, 2L, ts(1, 12), 2.0),
       (3L, 1L, ts(2, 3), 4.0)).toDF("event_id", "user_id", "ts", "value")
     val got = TimeSeries.seasonalProfile(ev)
+      .selectExpr("dow", "hr", "n", "cast(sum_q20 as long) AS sum_q20",
+        "avg_q20m", "share_ppm")  // sum is DECIMAL(38,0) at the edge
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     val q = 1048576L
     assert(got == Seq(

@@ -30,9 +30,14 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    for name in sorted(os.listdir(out_dir)):
+    # iterate the ORACLE list, not the output listing: a query that
+    # crashed before writing must show up as MISSING-OUTPUT, not fall
+    # out of the audit silently
+    for name in sorted(oracle):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d) or name not in oracle:
+        if not os.path.isdir(d):
+            print(f"MISSING-OUTPUT {name}")
+            n_bad += 1
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
