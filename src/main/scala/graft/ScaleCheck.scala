@@ -176,6 +176,10 @@ object ScaleCheck {
     "ts_seasonal_anomalies" -> (() =>
       // cell stats broadcast back; the event side never shuffles
       graft.operators.TimeSeries.seasonalAnomalies(ev)),
+    "sketch_sample_sum_audit" -> (() =>
+      // both sums fold in ONE keyed pass (conditional aggregation)
+      graft.operators.Sketches.sampleSumAudit(ev, "event_type",
+        "event_id", floor(col("value") * 1048576.0).cast("long"))),
     "layout_zorder" -> (() =>
       graft.operators.Layout.zorderLayout(ev,
         pmod(col("user_id"), lit(1024L)),

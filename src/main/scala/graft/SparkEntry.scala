@@ -1369,6 +1369,12 @@ object SparkEntry {
     "ts_seasonal_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.seasonalAnomalies(t(s, dir, "events"))),
 
+    // Bernoulli-sample SUM estimate vs exact, per type (AQP audit)
+    "sketch_sample_sum_audit" -> ((s, dir) =>
+      graft.operators.Sketches.sampleSumAudit(t(s, dir, "events"),
+        "event_type", "event_id",
+        floor(col("value") * 1048576.0).cast("long"))),
+
     // Morton (Z-order) layout plan: per-file row count + the exact
     // (user, half-minute-of-day) rectangle its min/max stats expose
     "layout_zorder" -> ((s, dir) =>
@@ -4423,6 +4429,38 @@ object SparkEntry {
            FROM e JOIN a USING (dow, hr)
            WHERE (q*n - s)*(q*n - s) > (qq*n - s*s)*9
            ORDER BY event_id""",
+
+      // Bernoulli-sample SUM audit: membership via the h60 sampling
+      // predicate (bit-reproducible), sums in HUGEINT, estimate is a
+      // pure multiply (pct divides 100), decimal at the edge
+      "sketch_sample_sum_audit" ->
+        s"""WITH e AS (SELECT event_type,
+                        CAST(CAST(floor(value * 1048576) AS BIGINT)
+                          AS HUGEINT) AS q,
+                        ${h60("CAST(event_id AS VARCHAR) || ':graft'")}
+                          % 100 < 10 AS in_s
+                      FROM events),
+                a AS (SELECT event_type, count(*) AS n,
+                        CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_sampled,
+                        sum(q) AS exact_sum_q,
+                        coalesce(sum(CASE WHEN in_s THEN q END), 0)
+                          AS sample_sum_q
+                      FROM e GROUP BY event_type),
+                b AS (SELECT event_type, n, n_sampled, exact_sum_q,
+                        sample_sum_q * 10 AS est_sum_q
+                      FROM a)
+           SELECT event_type, n, n_sampled,
+                  CAST(exact_sum_q AS DECIMAL(38,0)) AS exact_sum_q,
+                  CAST(est_sum_q AS DECIMAL(38,0)) AS est_sum_q,
+                  CASE WHEN exact_sum_q = 0 THEN NULL
+                       ELSE CAST(CASE WHEN est_sum_q < exact_sum_q THEN -1
+                                      WHEN est_sum_q > exact_sum_q THEN 1
+                                      ELSE 0 END
+                            * ((abs(est_sum_q - exact_sum_q) * 1000000)
+                               // abs(exact_sum_q)) AS BIGINT)
+                  END AS err_ppm
+           FROM b ORDER BY event_type""",
 
       "text_k_anonymity_ladder" ->
         """WITH w AS (SELECT CAST(unnest([256, 512, 1024, 2048]) AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -474,5 +474,56 @@ object Sketches {
       .drop("__bloom" +: (0 until k).map(i => s"__pos$i"): _*)
     screened.join(dim.select(col(dimKey).as(factKey)), Seq(factKey),
       "left_semi")
+  }
+
+  /**
+   * Bernoulli-sample SUM estimator with its exact audit — completing
+   * the approximate-query-processing accuracy set (HLL→NDV,
+   * AMS→join size, MinHash→Jaccard, log-histogram→quantiles): per
+   * group, the deterministic `pct`% hash sample's value sum scaled by
+   * 100/pct against the exact sum, with a sign-split ppm error. The
+   * sample predicate is [[TextOps.hashSample]]'s
+   * (h60(id:salt) mod 100 < pct) — no RNG state, stable under
+   * re-partitioning, and the DuckDB oracle replays membership exactly,
+   * so the ESTIMATE itself is bit-reproducible, not just the audit.
+   *
+   * All sums ride DECIMAL(38,0) (HUGEINT twin on the oracle side).
+   * `pct` must divide 100, so the scaled estimate is a pure decimal
+   * MULTIPLY by 100/pct — no division of a possibly-huge sum ever
+   * happens (an integral divide would bottleneck through Long and
+   * wrap inside the decimal envelope). err_ppm is NULL when the exact
+   * sum is zero (no error is defined), the [[amsJoinSize]]
+   * convention.
+   *
+   * Scale shape: one keyed aggregate over the scan — the sample
+   * membership and both sums fold in the same pass (conditional
+   * aggregation), mergeable across shards by re-summing.
+   */
+  def sampleSumAudit(df: DataFrame, groupCol: String, idCol: String,
+                     valueQ: Column, pct: Int = 10,
+                     salt: String = "graft"): DataFrame = {
+    require(pct >= 1 && pct <= 100 && 100 % pct == 0, s"pct=$pct")
+    val factor = 100L / pct
+    val inSample = graft.functions.functions.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 100 < pct
+    val qDec = valueQ.cast("decimal(38,0)")
+    df.select(col(groupCol), qDec.as("q"), inSample.as("in_s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("q")).as("exact_sum_q"),
+        coalesce(sum(when(col("in_s"), col("q"))), lit(0))
+          .cast("decimal(38,0)").as("sample_sum_q"))
+      .select(col(groupCol), col("n"), col("n_sampled"),
+        col("exact_sum_q"),
+        (col("sample_sum_q") * factor).cast("decimal(38,0)")
+          .as("est_sum_q"))
+      .withColumn("err_ppm",
+        when(col("exact_sum_q") === 0, lit(null).cast("long"))
+          .otherwise(
+            signum(col("est_sum_q") - col("exact_sum_q")).cast("long") *
+              expr("(abs(est_sum_q - exact_sum_q) * 1000000)" +
+                " div abs(exact_sum_q)")))
+      .orderBy(col(groupCol))
   }
 }

@@ -396,6 +396,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("sample-sum audit: one aggregate pass, no join, no window") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val p = plan(Sketches.sampleSumAudit(ev, "event_type", "event_id",
+      floor(col("value") * 1048576.0).cast("long")))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+  }
+
   test("k-anonymity ladder: constant explode fan-out + keyed aggregates") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.kAnonymityLadder(docs))

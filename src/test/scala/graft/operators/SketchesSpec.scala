@@ -180,4 +180,44 @@ class SketchesSpec extends SparkSpec {
     val expected = if (rem == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rem))
     assert(reg == expected)
   }
+
+  test("sampleSumAudit: estimate = sample sum x 100/pct, exact membership") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i, rnd.nextInt(1000).toLong - 300L))
+    val df = rows.toDF("event_type", "event_id", "q")
+    val got = Sketches.sampleSumAudit(df, "event_type", "event_id",
+        col("q"), pct = 10)
+      .selectExpr("event_type", "n", "n_sampled",
+        "cast(exact_sum_q as long)", "cast(est_sum_q as long)", "err_ppm")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // reference membership: the SAME h60 predicate via hashSample
+    val sampled = TextOps.hashSample(df, "event_id", 10)
+      .select("event_id").as[Long].collect().toSet
+    for (g <- Seq("a", "b")) {
+      val all = rows.filter(_._1 == g)
+      val inS = all.filter(r => sampled(r._2))
+      val (n, ns) = (all.size.toLong, inS.size.toLong)
+      val exact = all.map(_._3).sum
+      val est = inS.map(_._3).sum * 10
+      val (_, gn, gns, gexact, gest, gerr) = got(g)
+      assert((gn, gns, gexact, gest) == ((n, ns, exact, est)), g)
+      val err = BigInt(est - exact).abs * 1000000 / BigInt(exact).abs
+      assert(gerr.get == (if (est >= exact) err.toLong else -err.toLong), g)
+    }
+  }
+
+  test("sampleSumAudit: zero exact sum yields NULL error; pct must divide 100") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 1L, 5L), ("a", 2L, -5L))
+      .toDF("event_type", "event_id", "q")
+    val got = Sketches.sampleSumAudit(df, "event_type", "event_id",
+        col("q")).select("err_ppm").as[Option[Long]].head()
+    assert(got.isEmpty)
+    intercept[IllegalArgumentException](
+      Sketches.sampleSumAudit(df, "event_type", "event_id", col("q"),
+        pct = 30))
+  }
 }
