@@ -4387,7 +4387,9 @@ object SparkEntry {
                         CROSS JOIN generate_series(1, 64) AS t(i)
                         WHERE i <= len(embedding)),
                 c0 AS (SELECT vec_id AS cluster, dim, qv AS cv
-                       FROM lat WHERE vec_id < 8),
+                       FROM lat WHERE vec_id IN
+                         (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 8)),
                 d1 AS (SELECT l.vec_id, c.cluster,
                          CAST(sum((l.qv - c.cv) * (l.qv - c.cv))
                            AS BIGINT) AS d

@@ -504,8 +504,7 @@ object Sketches {
                      salt: String = "graft"): DataFrame = {
     require(pct >= 1 && pct <= 100 && 100 % pct == 0, s"pct=$pct")
     val factor = 100L / pct
-    val inSample = graft.functions.functions.h60(
-      concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 100 < pct
+    val inSample = TextOps.samplePredicate(col(idCol), pct, salt)
     val qDec = valueQ.cast("decimal(38,0)")
     df.select(col(groupCol), qDec.as("q"), inSample.as("in_s"))
       .groupBy(col(groupCol))

@@ -79,8 +79,14 @@ object TextOps {
    */
   def hashSample(df: DataFrame, idCol: String, pct: Int,
                  salt: String = "graft"): DataFrame =
-    df.filter(graft.functions.functions.h60(
-      concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 100 < pct)
+    df.filter(samplePredicate(col(idCol), pct, salt))
+
+  /** The h60 Bernoulli-membership predicate behind [[hashSample]] —
+    * shared (not re-derived) by [[Sketches.sampleSumAudit]] so the
+    * estimator can never drift from the sampler it audits. */
+  def samplePredicate(id: Column, pct: Int, salt: String): Column =
+    graft.functions.functions.h60(
+      concat(id.cast("string"), lit(":"), lit(salt))) % 100 < pct
 
   /**
    * Deterministic WEIGHTED sampling: keep a row with probability equal

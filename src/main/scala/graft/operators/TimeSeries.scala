@@ -426,8 +426,13 @@ object TimeSeries {
    * integer verdict `(q·n − s)²·zDen² > (n·Q − s²)·zNum²` on the q20
    * lattice — sums, deviations, and squares ALL formed in decimal (a
    * cell's n is corpus-scale, so even q·n overflows Long inside the
-   * envelope); envelope |value| ≤ 10⁴ and n ≤ 10⁹ per cell keeps
-   * n·Q − s² within DECIMAL(38,0). The arithmetic
+   * envelope). Envelope: |value| ≤ 10⁴ AND n ≤ 10⁸ per cell keeps
+   * every product — dev² ≤ (2·q·n)² ≈ 4.4·10³⁶ is the largest —
+   * inside DECIMAL(38,0); past it, coarsen the lattice or shard the
+   * cells before auditing (a 38-digit overflow nulls the predicate
+   * under non-ANSI Spark, silently DROPPING the most extreme
+   * anomalies — the worst possible failure mode for an anomaly
+   * detector). The arithmetic
    * dow/hour keys are shared with [[seasonalProfile]].
    *
    * Scale shape: one ≤168-cell aggregate, broadcast back over the

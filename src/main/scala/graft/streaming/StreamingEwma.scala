@@ -68,8 +68,11 @@ object StreamingEwma {
             // the batch operator's window sort. getTime alone is
             // millisecond-truncated — include the sub-second nanos so
             // microsecond timestamps order exactly like the window's
+            // floorDiv, not /: plain division truncates toward zero
+            // and mis-orders pre-1970 sub-second pairs
             val ordered = rows.toSeq.sortBy(e =>
-              (e.ts.getTime / 1000, e.ts.getNanos, e.eventId))
+              (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+                e.eventId))
             var lags = prev.lags
             var maxTs = prev.maxTsMs
             val out = ordered.map { e =>

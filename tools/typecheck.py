@@ -29,11 +29,15 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional name filter (argv[3:]) mirrors Verify's dev-only
+    # single-query mode — without it a partial dump would drown in
+    # spurious MISSING-OUTPUT lines
+    only = set(sys.argv[3:])
     n_ok = n_bad = 0
     # iterate the ORACLE list, not the output listing: a query that
     # crashed before writing must show up as MISSING-OUTPUT, not fall
     # out of the audit silently
-    for name in sorted(oracle):
+    for name in sorted(only if only else oracle):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             print(f"MISSING-OUTPUT {name}")
