@@ -133,6 +133,29 @@ class TimeSeriesSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("seasonalAnomalies matches a BigInt reference on seeded random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, 1L, ts(1 + rnd.nextInt(3), rnd.nextInt(4)),
+        rnd.nextDouble() * 8000.0 - 4000.0) // near the lattice envelope
+    }
+    val got = TimeSeries.seasonalAnomalies(
+        rows.toDF("event_id", "user_id", "ts", "value"),
+        zNumer = 3, zDenom = 2)
+      .select("event_id").as[Long].collect().toSet
+    // independent verdict: (q*n - s)^2 * zDen^2 > (n*qq - s^2) * zNum^2
+    // in BigInt, cells keyed by the same (day, hour)
+    val expect = rows.groupBy(r => (r._3.getTime / 86400000L,
+        r._3.getTime / 3600000L % 24)).flatMap { case (_, rs) =>
+      val qs = rs.map(r => r._1 -> BigInt(math.floor(r._4 * 1048576.0).toLong))
+      val n = BigInt(qs.size); val s = qs.map(_._2).sum
+      val qq = qs.map(q => q._2 * q._2).sum
+      qs.collect { case (eid, q)
+        if (q * n - s).pow(2) * 4 > (n * qq - s * s) * 9 => eid }
+    }.toSet
+    assert(got == expect && expect.nonEmpty)
+  }
+
   test("saxMotifs groups users by rank-discretized daily shape") {
     // users 1 and 2: rising daily sums over 8 days -> word 11223344;
     // user 3: falling -> 44332211; user 4: only 3 days -> dropped
