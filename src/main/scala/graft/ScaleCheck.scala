@@ -163,6 +163,13 @@ object ScaleCheck {
           col("n").as("w"))
       graft.operators.Graph.pageRankInt(edges, iters = 3)
     }),
+    "graph_type_ppr" -> (() => {
+      val edges = graft.operators.CdcOps.transitionMatrix(ev)
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n").as("w"))
+      graft.operators.Graph.personalizedPageRankInt(edges,
+        seed = "purchase", iters = 3)
+    }),
     "cdc_late_arrivals" -> (() =>
       // decomposed prefix max over the 20x event stream
       graft.operators.CdcOps.latenessProfile(ev)),

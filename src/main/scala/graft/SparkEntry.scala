@@ -1083,6 +1083,15 @@ object SparkEntry {
       Graph.pageRankInt(edges, iters = 3)
     }),
 
+    // seed-biased proximity: all mass starts at (and teleports back
+    // to) "purchase" — what behavior FOLLOWS a purchase
+    "graph_type_ppr" -> ((s, dir) => {
+      val edges = CdcOps.transitionMatrix(t(s, dir, "events"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n").as("w"))
+      Graph.personalizedPageRankInt(edges, seed = "purchase", iters = 3)
+    }),
+
     "graph_type_hops" -> ((s, dir) => {
       // BFS distance from the 'click' behavior over observed event-
       // type transitions — reachability with hop counts, unrolled
@@ -2625,6 +2634,56 @@ object SparkEntry {
                          JOIN outw o ON e.src = o.src GROUP BY e.dst),
                 r3 AS (SELECT node, CAST(150000000 +
                          (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS rank_q
+                       FROM nodes LEFT JOIN c3 ON node = c3.dst)
+           SELECT node, rank_q FROM r3 ORDER BY node""",
+
+      // personalized: init and teleport mass confined to the seed;
+      // same unrolled HUGEINT rounds as graph_type_pagerank
+      "graph_type_ppr" ->
+        """WITH seq AS (SELECT event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS from_type
+                        FROM events),
+                e AS (SELECT from_type AS src, event_type AS dst,
+                        count(*) AS w
+                      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+                nodes AS (SELECT src AS node FROM e
+                          UNION SELECT dst FROM e),
+                outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+                r0 AS (SELECT node,
+                         CAST(CASE WHEN node = 'purchase'
+                              THEN 1000000000 ELSE 0 END AS BIGINT)
+                           AS rank_q
+                       FROM nodes),
+                c1 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r0 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r1 AS (SELECT node, CAST(
+                         CASE WHEN node = 'purchase'
+                              THEN 150000000 ELSE 0 END
+                         + (17 * coalesce(c1.s, 0)) // 20 AS BIGINT)
+                           AS rank_q
+                       FROM nodes LEFT JOIN c1 ON node = c1.dst),
+                c2 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r1 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r2 AS (SELECT node, CAST(
+                         CASE WHEN node = 'purchase'
+                              THEN 150000000 ELSE 0 END
+                         + (17 * coalesce(c2.s, 0)) // 20 AS BIGINT)
+                           AS rank_q
+                       FROM nodes LEFT JOIN c2 ON node = c2.dst),
+                c3 AS (SELECT e.dst,
+                         sum((CAST(r.rank_q AS HUGEINT) * e.w) // o.wout) AS s
+                       FROM r2 r JOIN e ON r.node = e.src
+                         JOIN outw o ON e.src = o.src GROUP BY e.dst),
+                r3 AS (SELECT node, CAST(
+                         CASE WHEN node = 'purchase'
+                              THEN 150000000 ELSE 0 END
+                         + (17 * coalesce(c3.s, 0)) // 20 AS BIGINT)
+                           AS rank_q
                        FROM nodes LEFT JOIN c3 ON node = c3.dst)
            SELECT node, rank_q FROM r3 ORDER BY node""",
 

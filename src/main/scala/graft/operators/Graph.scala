@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -77,6 +77,57 @@ object Graph {
       ranks = nodes.join(inSum, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr(s"(cast(${dampNum} as decimal(38,0)) * " +
+            s"coalesce(in_sum, cast(0 as decimal(38,0)))) div ${dampDen}"))
+            .as("rank_q"))
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  /**
+   * Personalized PageRank (single-seed) in the same exact-integer
+   * frame as [[pageRankInt]]: ALL rank mass starts at `seed` and the
+   * teleport term returns mass ONLY to `seed`, so the stationary
+   * vector measures proximity TO THE SEED rather than global
+   * importance — the classic retrieval/recommendation primitive
+   * ("what behavior follows a purchase", seed-biased related-item
+   * ranking). Identical per-iteration arithmetic (weight-proportional
+   * shares and the damped update, every division a truncating
+   * integral divide on the decimal lattice), so the oracle unrolls it
+   * the same way; nodes unreachable from the seed report rank 0.
+   *
+   * Scale shape: same as [[pageRankInt]] — `iters` unrolled rounds of
+   * keyed join + keyed aggregate in ONE Catalyst plan, no window, no
+   * cartesian, no driver loop.
+   */
+  def personalizedPageRankInt(edges: DataFrame, seed: String,
+                              iters: Int = 3, scale: Long = 1000000000L,
+                              dampNum: Long = 17L,
+                              dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping=$dampNum/$dampDen must be in (0,1)")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("w") > 0)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .select(col("src").as("osrc"), col("wout"))
+    val baseMass = scale * (dampDen - dampNum) / dampDen
+    def seedBase: Column =
+      when(col("node") === seed, lit(baseMass)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(col("node") === seed, lit(scale)).otherwise(lit(0L))
+        .as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .join(outw, col("src") === col("osrc"))
+        .select(col("dst"),
+          expr("(cast(rank_q as decimal(38,0)) * w) div wout").as("share"))
+      val inSum = contrib.groupBy(col("dst"))
+        .agg(sum(col("share").cast("decimal(38,0)")).as("in_sum"))
+      ranks = nodes.join(inSum, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (seedBase + expr(s"(cast(${dampNum} as decimal(38,0)) * " +
             s"coalesce(in_sum, cast(0 as decimal(38,0)))) div ${dampDen}"))
             .as("rank_q"))
     }

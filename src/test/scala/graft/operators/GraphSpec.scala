@@ -33,6 +33,32 @@ class GraphSpec extends SparkSpec {
     assert(got("d") == base)
   }
 
+  test("personalizedPageRankInt matches a seed-based BigInt reference") {
+    val edges = Seq(
+      ("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L), ("a", "c", 1L),
+      ("d", "e", 5L)) // d,e: disconnected from the seed component
+    val got = Graph.personalizedPageRankInt(
+        edges.toDF("src", "dst", "w"), seed = "a", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val baseMass = BigInt(1000000000L * 3 / 20)
+    def refIterSeed(r: Map[String, BigInt]): Map[String, BigInt] = {
+      val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _, w) =>
+        r(u) * w / wout(u)
+      }.sum).toMap
+      nodes.map(n => n -> ((if (n == "a") baseMass else BigInt(0)) +
+        BigInt(17) * in.getOrElse(n, BigInt(0)) / 20)).toMap
+    }
+    var ref = nodes.map(n =>
+      n -> (if (n == "a") BigInt(1000000000L) else BigInt(0))).toMap
+    for (_ <- 1 to 3) ref = refIterSeed(ref)
+    assert(got == ref.map { case (k, v) => k -> v.toLong })
+    // mass never reaches the component the seed cannot see
+    assert(got("d") == 0L && got("e") == 0L)
+    assert(got("a") > got("b") && got("b") > 0L)
+  }
+
   test("pageRankInt: rank mass flows toward the sink-heavy node") {
     // star into z: z must outrank every leaf
     val edges = Seq(("a", "z", 1L), ("b", "z", 1L), ("c", "z", 1L),
