@@ -1576,9 +1576,12 @@ object SparkEntry {
       graft.operators.Sketches.bloomPrefilterSemiJoin(
           li, hi, "l_orderkey", "o_orderkey")
         .groupBy(col("l_returnflag"))
+        // quantity leaves as exact BIGINT cents (no DECIMAL at the
+        // output edge — r6 verdict item 1): the decimal(12,2) sum is
+        // internal, ×100 is lossless at scale 2
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(38,2)").as("sum_qty"))
+          (sum(col("l_quantity").cast("decimal(12,2)")) * 100)
+            .cast("long").as("sum_qty_cents"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -4243,7 +4246,9 @@ object SparkEntry {
                           count(*) AS n_matching_keys
                         FROM pk),
                 top AS (SELECT * FROM pk ORDER BY pairs DESC, key LIMIT 20)
-           SELECT key, n_left, n_right, pairs, total_pairs,
+           SELECT key, n_left, n_right,
+                  CAST(pairs AS BIGINT) AS pairs,
+                  CAST(total_pairs AS BIGINT) AS total_pairs,
                   CAST(n_matching_keys AS BIGINT) AS n_matching_keys,
                   CAST((CAST(pairs AS HUGEINT) * 1000000) //
                     CAST(total_pairs AS HUGEINT) AS BIGINT) AS share_ppm
@@ -4299,11 +4304,11 @@ object SparkEntry {
                       FROM qb GROUP BY dim)
            SELECT a.dim, CAST(n_ref AS BIGINT) AS n_ref,
                   CAST(n_cur AS BIGINT) AS n_cur,
-                  CAST(sum_cur * n_ref - sum_ref * n_cur AS DECIMAL(38,0))
+                  CAST(sum_cur * n_ref - sum_ref * n_cur AS BIGINT)
                     AS mean_shift_n2,
-                  CAST(ssq_cur * n_ref - ssq_ref * n_cur AS DECIMAL(38,0))
+                  CAST(ssq_cur * n_ref - ssq_ref * n_cur AS BIGINT)
                     AS e2_shift_n2,
-                  CAST(zero_cur * n_ref - zero_ref * n_cur AS DECIMAL(38,0))
+                  CAST(zero_cur * n_ref - zero_ref * n_cur AS BIGINT)
                     AS zero_shift_n2
            FROM a JOIN b ON b.dim = a.dim ORDER BY a.dim""",
 
@@ -4374,8 +4379,8 @@ object SparkEntry {
                              (n*sxx - sx*sx) AS den
                       FROM a WHERE (n*sxx - sx*sx) > 0)
            SELECT user_id, n_events,
-                  CAST(num AS DECIMAL(38,0)) AS num,
-                  CAST(den AS DECIMAL(38,0)) AS den,
+                  CAST(num AS BIGINT) AS num,
+                  CAST(den AS BIGINT) AS den,
                   CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
                             ELSE 0 END
                        * ((abs(num) * 1000000) // den) AS BIGINT)
@@ -4431,7 +4436,7 @@ object SparkEntry {
                         CAST(sum(q) AS HUGEINT) AS sum_q20
                       FROM e GROUP BY dow, hr),
                 t AS (SELECT count(*) AS n_total FROM events)
-           SELECT dow, hr, n, CAST(sum_q20 AS DECIMAL(38,0)) AS sum_q20,
+           SELECT dow, hr, n, CAST(sum_q20 AS BIGINT) AS sum_q20,
                   CAST((sum_q20 * 1000) // n AS BIGINT) AS avg_q20m,
                   (n * 1000000) // n_total AS share_ppm
            FROM c CROSS JOIN t ORDER BY dow, hr""",
@@ -4512,8 +4517,8 @@ object SparkEntry {
                         sample_sum_q * 10 AS est_sum_q
                       FROM a)
            SELECT event_type, n, n_sampled,
-                  CAST(exact_sum_q AS DECIMAL(38,0)) AS exact_sum_q,
-                  CAST(est_sum_q AS DECIMAL(38,0)) AS est_sum_q,
+                  CAST(exact_sum_q AS BIGINT) AS exact_sum_q,
+                  CAST(est_sum_q AS BIGINT) AS est_sum_q,
                   CASE WHEN exact_sum_q = 0 THEN NULL
                        ELSE CAST(CASE WHEN est_sum_q < exact_sum_q THEN -1
                                       WHEN est_sum_q > exact_sum_q THEN 1
@@ -4621,9 +4626,9 @@ object SparkEntry {
                       CROSS JOIN generate_series(1, 64) AS t(i)
                       WHERE i <= len(embedding))
            SELECT dim, count(*) AS n,
-                  CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q,
+                  CAST(sum(qv) AS BIGINT) AS sum_q,
                   CAST(sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT))
-                    AS DECIMAL(38,0)) AS sumsq_q,
+                    AS BIGINT) AS sumsq_q,
                   min(qv) AS min_q, max(qv) AS max_q,
                   CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_zero
@@ -4643,10 +4648,10 @@ object SparkEntry {
                         AND a.dim <= b.dim
                       GROUP BY a.dim, b.dim)
            SELECT dim_a, dim_b, CAST(n AS BIGINT) AS n,
-                  CAST(s_a AS DECIMAL(38,0)) AS s_a,
-                  CAST(s_b AS DECIMAL(38,0)) AS s_b,
-                  CAST(s_ab AS DECIMAL(38,0)) AS s_ab,
-                  CAST(n * s_ab - s_a * s_b AS DECIMAL(38,0)) AS cov_n2
+                  CAST(s_a AS BIGINT) AS s_a,
+                  CAST(s_b AS BIGINT) AS s_b,
+                  CAST(s_ab AS BIGINT) AS s_ab,
+                  CAST(n * s_ab - s_a * s_b AS BIGINT) AS cov_n2
            FROM m ORDER BY dim_a, dim_b""",
 
       "q_fk_integrity" ->
@@ -4779,7 +4784,7 @@ object SparkEntry {
                        FROM c JOIN v1 ON v1.dim = c.dim_b GROUP BY c.dim_a),
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
-           SELECT dim, CAST(v AS DECIMAL(38,0)) AS v
+           SELECT dim, CAST(v AS VARCHAR) AS v
            FROM v3 ORDER BY dim""",
 
       "sim_pca_scores" ->
@@ -4804,7 +4809,7 @@ object SparkEntry {
                 v3 AS (SELECT c.dim_a AS dim, sum(c.cv * v2.v) AS v
                        FROM c JOIN v2 ON v2.dim = c.dim_b GROUP BY c.dim_a)
            SELECT q.vec_id,
-                  CAST(sum(q.qv * v3.v) AS DECIMAL(38,0)) AS score
+                  CAST(sum(q.qv * v3.v) AS VARCHAR) AS score
            FROM q JOIN v3 ON v3.dim = q.dim
            GROUP BY q.vec_id
            ORDER BY abs(sum(q.qv * v3.v)) DESC, q.vec_id LIMIT 20""",
@@ -4977,8 +4982,8 @@ object SparkEntry {
 
       "q_bloom_prefilter" ->
         """SELECT l_returnflag, count(*) AS n_items,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
-                    AS DECIMAL(38,2)) AS sum_qty
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100
+                    AS BIGINT) AS sum_qty_cents
            FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                 WHERE o_totalprice > 400000.0)
@@ -5204,7 +5209,7 @@ object SparkEntry {
                           * (abs(coalesce(sum(x), 0)) // 16) AS BIGINT)
                           AS ams_estimate FROM x),
                 ex AS (SELECT CAST(coalesce(sum(na * nb), 0)
-                         AS DECIMAL(38,0)) AS exact_size FROM
+                         AS BIGINT) AS exact_size FROM
                        (SELECT l_orderkey AS key, count(*) AS na
                         FROM lineitem GROUP BY 1) a
                        JOIN (SELECT o_orderkey AS key, count(*) AS nb

@@ -661,8 +661,15 @@ object Relational {
       count(lit(1)).as("n_matching_keys"))
     perKey.orderBy(col("pairs").desc, col("key")).limit(topK)
       .crossJoin(broadcast(total))
-      .select(col("key"), col("n_left"), col("n_right"), col("pairs"),
-        col("total_pairs"), col("n_matching_keys"),
+      // Output edge: pairs/total_pairs leave as BIGINT (the decimal
+      // products stay internal — r6 verdict item 1). Envelope: int64
+      // holds 9·10¹⁸ pairs — two 10⁹-row hot sides on one key; a
+      // join bigger than that isn't runnable anyway, and share_ppm
+      // (formed on the decimals above) still reads correctly.
+      .select(col("key"), col("n_left"), col("n_right"),
+        col("pairs").cast("long").as("pairs"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        col("n_matching_keys"),
         // `div` returns BIGINT for any operand type — engine-stable
         expr("cast((pairs * 1000000) div total_pairs as bigint)")
           .as("share_ppm"))

@@ -128,8 +128,9 @@ class PipelineGuardSpec extends SparkSpec {
         min(col("min_q")).as("min_q"), max(col("max_q")).as("max_q"),
         sum(col("n_zero")).as("n_zero"))
       .select(col("dim"), col("n"),
-        col("sum_q").cast("decimal(38,0)").as("sum_q"),
-        col("sumsq_q").cast("decimal(38,0)").as("sumsq_q"),
+        // the public edge is BIGINT (r7); re-summed longs stay long
+        col("sum_q").cast("long").as("sum_q"),
+        col("sumsq_q").cast("long").as("sumsq_q"),
         col("min_q"), col("max_q"), col("n_zero"))
     assert(merged.collect().map(_.toSeq).toSet ==
       whole.collect().map(_.toSeq).toSet)

@@ -1,7 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL
 in DuckDB over the sf parquet tables and compare (columns sorted by
-name, row-sorted, value-hashed) against the Verify parquet output."""
+name, row-sorted, value-hashed) against the Verify parquet output.
+
+Comparison is EXACT-precision (r6 verdict item 2): values come from
+`fetchall()` as native Python objects and stringify losslessly —
+`Decimal` via fixed-point `:f` (never scientific), `float` via `repr`
+(shortest round-trip). The previous pandas `fetchdf()` path round-
+tripped DECIMAL(38,0) through float64, which is lossy above 2**53 and
+rendering-normalizing — it reported OK for 11 queries the driver's
+hash gate failed."""
+import decimal
 import glob
 import hashlib
 import json
@@ -13,13 +22,25 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def cell(v):
+    if isinstance(v, decimal.Decimal):
+        return f"{v:f}"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(cell(x) for x in v) + "]"
+    return str(v)
+
+
 def canon(con, rel_sql):
-    df = con.sql(rel_sql).fetchdf()
-    df = df.reindex(sorted(df.columns), axis=1)
-    rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
+    rel = con.sql(rel_sql)
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    types = {cols[i]: str(rel.types[i]) for i in order}
+    rows = [tuple(cell(r[i]) for i in order) for r in rel.fetchall()]
     rows.sort()
     h = hashlib.md5(repr(rows).encode()).hexdigest()
-    return df.dtypes.to_dict(), len(rows), h, rows
+    return types, len(rows), h, rows
 
 
 def main():
