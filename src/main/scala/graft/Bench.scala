@@ -87,6 +87,13 @@ object Bench {
         SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // Fail fast on an all-typo filter: zero selected queries would
+    // otherwise "complete" with an empty table and a plausible-looking
+    // near-zero total — a silent non-run.
+    if (selected.isEmpty)
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_QUERIES selected zero known queries " +
+          s"(given: ${only.map(_.mkString(",")).getOrElse("")})")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val c0 = cpuNs()
       val t0 = System.nanoTime()
@@ -99,6 +106,19 @@ object Bench {
     val wallByName = results.map { case (n, (w, _)) => n -> w }.toMap
     val total = results.map(_._2._1).sum
     val cpuTotal = results.map(_._2._2).sum
+    val (loadAfter, jifAfter) = procSample()
+    // host-wide steal% and busy% over the run window (jiffy deltas;
+    // /proc/stat cpu fields: user nice system idle iowait irq softirq
+    // steal ...). Carried in the driver-parsed line too (r6 verdict
+    // item 7) so a contended driver run self-labels without anyone
+    // opening bench_full.json.
+    val (stealPct, busyPct) =
+      if (jifBefore.length > 7 && jifAfter.length > 7) {
+        val d = jifAfter.zip(jifBefore).map { case (a, b) => a - b }
+        val tot = d.sum.toDouble.max(1.0)
+        val idle = d(3) + (if (d.length > 4) d(4) else 0L)
+        (d(7) / tot * 100.0, (tot - idle) / tot * 100.0)
+      } else (-1.0, -1.0)
     // The harness that captures this line keeps only a ~2000-char tail
     // of stdout (observed: round-2's 2.4 KB line was front-truncated
     // and unparseable). Emit millisecond precision and, if the line
@@ -110,7 +130,9 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""cpu_total":${fmt(cpuTotal)},"queries":$m$om,"sf":"$sfDir"}"""
+        s""""cpu_total":${fmt(cpuTotal)},"steal_pct":${fmt(stealPct)},""" +
+        s""""host_busy_pct":${fmt(busyPct)},""" +
+        s""""queries":$m$om,"sf":"$sfDir"}"""
     }
     val bySlow = wallByName.toSeq.sortBy(-_._2)
     val full = line(bySlow, 0)
@@ -125,17 +147,6 @@ object Bench {
         }
         s
       }
-    val (loadAfter, jifAfter) = procSample()
-    // host-wide steal% and busy% over the run window (jiffy deltas;
-    // /proc/stat cpu fields: user nice system idle iowait irq softirq
-    // steal ...)
-    val (stealPct, busyPct) =
-      if (jifBefore.length > 7 && jifAfter.length > 7) {
-        val d = jifAfter.zip(jifBefore).map { case (a, b) => a - b }
-        val tot = d.sum.toDouble.max(1.0)
-        val idle = d(3) + (if (d.length > 4) d(4) else 0L)
-        (d(7) / tot * 100.0, (tot - idle) / tot * 100.0)
-      } else (-1.0, -1.0)
     // Full-precision per-query {wall, cpu} record for local analysis
     // (not driver-parsed — the parsed line above is size-capped).
     // Written twice: the driver-overwritten canonical path plus a

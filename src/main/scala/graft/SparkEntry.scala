@@ -1302,8 +1302,24 @@ object SparkEntry {
     // hash-gates the probe-pruning shape itself.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
       val index = Similarity.buildIvf(emb, nCentroids = 16)
-      Similarity.ivfTopK(index, emb.filter(col("vec_id") < 20), 5, nprobe = 4)
+      val ivf = Similarity.ivfTopK(index, queries, 5, nprobe = 4)
+      // r6 verdict item 4: the measured recall@5 vs exact ground
+      // truth rides IN the output (every row carries the one corpus-
+      // level number), so the driver's schema gate pins the column
+      // and a quantizer regression moves recall_ppm, not a vibe. The
+      // oracle's exact top-k carries 1000000 there — the hash gap IS
+      // the documented recall gap. Cost: brute force over the same
+      // 20 broadcast queries sim_recall_report already pays for.
+      val brute = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recall = ivf.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("n_true")))
+        .select(expr("(n_hits * 1000000) div n_true").as("recall_ppm"))
+      ivf.crossJoin(broadcast(recall))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3440,7 +3456,10 @@ object SparkEntry {
       // verify against the EXACT top-k — same 20 queries x 5 rows,
       // same columns — while the hash records the learned quantizer's
       // recall gap. A hash mismatch here is expected and by design;
-      // rows/schema flipping false is a real defect.
+      // rows/schema flipping false is a real defect. The exact side's
+      // recall_ppm is definitionally 1000000 (r6 verdict item 4); the
+      // Spark side carries ITS measured recall@5, so the schema gate
+      // pins the audit column and the hash gap is the recall gap.
       "sim_ivf_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
                        FROM embeddings WHERE vec_id < 20),
@@ -3448,7 +3467,8 @@ object SparkEntry {
                        FROM embeddings),
                  s AS (SELECT query_id, neighbor_id, $cos AS sim
                        FROM q CROSS JOIN c WHERE neighbor_id != query_id)
-            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim,
+                   CAST(1000000 AS BIGINT) AS recall_ppm FROM (
               SELECT query_id, neighbor_id, sim,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rank

@@ -555,9 +555,13 @@ object Dedup {
     // Production clusters would use reliable checkpointing to a
     // checkpoint dir instead.
     val edgesCk = edges.localCheckpoint(true)
-    var labels = edgesCk.select(col("src").as("id")).distinct()
+    // labelsCk is ALWAYS the checkpoint-backed frame itself (release
+    // pattern-matches the plan root, so a projection wrapper would
+    // silently defeat it); the id/label projection is re-derived
+    var labelsCk = edgesCk.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var labels = labelsCk
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -575,6 +579,11 @@ object Dedup {
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .localCheckpoint(true)
       changed = next.filter(col("label") < col("old")).count()
+      // next is materialized (the count above) — release the
+      // superseded round so storage is 2 label frames + the pinned
+      // edge list, not O(rounds) (r6 verdict item 6)
+      graft.util.Checkpoints.release(labelsCk)
+      labelsCk = next
       labels = next.select(col("id"), col("label"))
       round += 1
     }
@@ -583,6 +592,9 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"nearDupComponents did not converge in $maxRounds rounds " +
         s"($changed labels still changing); raise maxRounds")
+    // the result references only the final labels checkpoint — the
+    // edge list's blocks are dead weight once the loop exits
+    graft.util.Checkpoints.release(edgesCk)
     labels.withColumnRenamed("label", "component")
   }
 
@@ -662,9 +674,13 @@ object Dedup {
     var done = false
     while (!done && round < maxRounds) {
       // one checkpoint per round: truncates lineage, materializes the
-      // (shrinking) edge set once
+      // (shrinking) edge set once; the superseded round's blocks are
+      // released so storage is 2 copies, not O(log n) rounds' worth
+      // (r6 verdict item 6)
+      val prevEdges = edges
       edges = starRound(edges).localCheckpoint(true)
       val cur = sig(edges)
+      graft.util.Checkpoints.release(prevEdges)
       done = cur == prev
       prev = cur
       round += 1

@@ -948,7 +948,12 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         floor(col("x").cast("double") * 128.0).cast("long").as("qv"))
-      .localCheckpoint(true)
+      // LAZY checkpoint: the lattice still materializes exactly once
+      // (first action) and feeds every Lloyd round from storage, but
+      // merely CONSTRUCTING the frame — Explain, plan audits — no
+      // longer executes the corpus scan as a side effect (unlike
+      // every other operator builder, which is plan-only)
+      .localCheckpoint(false)
     // init = the k LOWEST ids actually present (sparse or offset id
     // spaces included), matching "first k vectors by id" — a plain
     // vec_id < k filter would silently under-seed such corpora
@@ -972,10 +977,11 @@ object Similarity {
       a = assign(cent)
     }
     // the final assignment feeds both output branches (rows + sizes);
-    // checkpoint so the Lloyd lineage runs once, not per branch
+    // checkpoint so the Lloyd lineage runs once, not per branch —
+    // lazily, same reason as the lattice above
     // (checkpointFinal=false keeps the full lineage visible for plan
     // assertions)
-    if (checkpointFinal) a = a.localCheckpoint(true)
+    if (checkpointFinal) a = a.localCheckpoint(false)
     val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
     a.join(broadcast(sizes), "cluster")
       .select(col("vec_id"), col("cluster"), col("dist_q"), col("cluster_n"))

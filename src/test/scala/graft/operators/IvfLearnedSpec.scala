@@ -55,4 +55,17 @@ class IvfLearnedSpec extends SparkSpec {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall@5 collapsed to $recall")
   }
+
+  test("sim_ivf_topk query carries its measured recall_ppm on every row") {
+    // r6 verdict item 4: the recall audit is IN the driver-gated
+    // output — one corpus-level number repeated on all 100 rows, so
+    // the schema gate pins the column and a quantizer regression
+    // moves a number. Same floor as the operator-level test.
+    val out = graft.SparkEntry.queries("sim_ivf_topk")(spark, dir)
+      .select(col("recall_ppm")).as[Long].collect()
+    assert(out.length == 100)
+    assert(out.toSet.size == 1, s"recall_ppm must be corpus-level")
+    assert(out.head >= 400000L && out.head <= 1000000L,
+      s"recall_ppm=${out.head} outside [400000, 1000000]")
+  }
 }
