@@ -821,6 +821,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // snapshot reconciliation between two catch-up points: per change
+    // class (inserted/deleted/updated/unchanged) the key count and
+    // range — both per-point states folded in ONE keyed aggregate
+    // over one scan (conditional max_by), tombstone-aware
+    "cdc_reconcile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("action", graft.sources.AuditLogGenerator.action)
+      CdcOps.reconcileSnapshots(ev,
+        Cols.tsLit(ev, "ts", "2024-01-10 00:00:00"),
+        Cols.tsLit(ev, "ts", "2024-01-20 00:00:00"))
+    }),
+
     "cdc_sessionize" -> ((s, dir) =>
       CdcOps.sessionize(t(s, dir, "events"))
         .select(col("user_id"),
@@ -3098,6 +3110,38 @@ object SparkEntry {
                      ORDER BY ts DESC, event_id DESC) AS rn
                  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
            WHERE rn = 1 AND action <> 'D' ORDER BY user_id""",
+
+      "cdc_reconcile" ->
+        """WITH e AS (SELECT *,
+                   CASE WHEN event_type IN ('signup', 'purchase') THEN 'I'
+                        WHEN event_type IN ('click', 'view') THEN 'U'
+                        ELSE 'D' END AS action
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'),
+                r1 AS (SELECT user_id, action AS a1, event_id AS o1 FROM
+                   (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+                   WHERE rn = 1),
+                r2 AS (SELECT user_id, action AS a2, event_id AS o2 FROM
+                   (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+                   WHERE rn = 1),
+                j AS (SELECT r2.user_id,
+                        (r1.user_id IS NOT NULL AND a1 <> 'D') AS live1,
+                        (a2 <> 'D') AS live2, o1, o2
+                      FROM r2 LEFT JOIN r1 ON r1.user_id = r2.user_id),
+                c AS (SELECT user_id,
+                        CASE WHEN NOT live1 AND live2 THEN 'inserted'
+                             WHEN live1 AND NOT live2 THEN 'deleted'
+                             WHEN live1 AND live2 AND o1 <> o2
+                               THEN 'updated'
+                             WHEN live1 AND live2 THEN 'unchanged'
+                        END AS change
+                      FROM j)
+           SELECT change, CAST(count(*) AS BIGINT) AS n_keys,
+                  min(user_id) AS min_key, max(user_id) AS max_key
+           FROM c WHERE change IS NOT NULL
+           GROUP BY change ORDER BY change""",
 
       "cdc_changes_between" ->
         """WITH r AS (

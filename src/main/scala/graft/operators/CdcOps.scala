@@ -246,6 +246,58 @@ object CdcOps {
       actionCol)
 
   /**
+   * Snapshot reconciliation: the sync-audit a CDC consumer runs after
+   * a catch-up — per key, was it live at `t1`, live at `t2`, and did
+   * its latest version move — rolled up to one row per change class
+   * (`inserted` / `deleted` / `updated` / `unchanged`) with the key
+   * range of each class. Tombstone-aware: a key whose latest action
+   * at a point is `D` is NOT live there, so "deleted" means a real
+   * delete landed in `(t1, t2]`, not merely "no more rows". This is
+   * [[changesBetween]]'s state-level complement: that one lists what
+   * CHANGED per entity; this one also proves what did NOT change and
+   * what disappeared — the numbers a mirror-vs-source reconciliation
+   * report is made of. (Truncates: fold through
+   * [[snapshotAsOfWithActions]] first; this audit reads I/U/D logs.)
+   *
+   * Both per-point states fold in ONE keyed aggregate over a single
+   * scan of `ts ≤ t2`: `max_by` with a conditional ordering key
+   * (null past `t1` — null order keys are skipped on both engines)
+   * extracts the latest-at-t1 row in the same pass as latest-at-t2 —
+   * no self-join of two snapshots, no window sort.
+   *
+   * Scale shape: one map-side-combinable aggregate to #keys rows,
+   * then a ≤4-group rollup — the scan is touched once; at 100 TB the
+   * only shuffle is the key-count-sized (key, r1, r2) frame.
+   */
+  def reconcileSnapshots(log: DataFrame, t1: Column, t2: Column,
+                         keyCol: String = "user_id", tsCol: String = "ts",
+                         offsetCol: String = "event_id",
+                         actionCol: String = "action"): DataFrame = {
+    val pos = struct(col(tsCol), col(offsetCol))
+    val st = log.filter(col(tsCol) <= t2)
+      .groupBy(col(keyCol))
+      .agg(
+        max_by(struct(col(actionCol).as("a"), col(offsetCol).as("o")),
+          when(col(tsCol) <= t1, pos)).as("r1"),
+        max_by(struct(col(actionCol).as("a"), col(offsetCol).as("o")),
+          pos).as("r2"))
+    val live1 = col("r1").isNotNull && col("r1.a") =!= "D"
+    val live2 = col("r2").isNotNull && col("r2.a") =!= "D"
+    st.select(col(keyCol),
+        when(!live1 && live2, "inserted")
+          .when(live1 && !live2, "deleted")
+          .when(live1 && live2 && col("r1.o") =!= col("r2.o"), "updated")
+          .when(live1 && live2, "unchanged").as("change"))
+      // dead at both points (e.g. deleted before t1): not a change
+      // class — absent from the report, same as absent from a mirror
+      .filter(col("change").isNotNull)
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+      .orderBy(col("change"))
+  }
+
+  /**
    * Time-travel diff: per-entity change summary over `(from, to]` —
    * how many changes landed and the value movement between two
    * freshness points.

@@ -368,4 +368,44 @@ class CdcOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long], Option[String])].head()
     assert(g2 == ((7L, 3L, 15L * 60000000L, Some(2L), Some("error"))))
   }
+
+  test("reconcileSnapshots classifies every change class, tombstone-aware") {
+    // t1 = :10, t2 = :20. users:
+    //  1 I@:05 then silence              -> unchanged
+    //  2 I@:05, U@:15                    -> updated
+    //  3 I@:15 only                      -> inserted
+    //  4 I@:05, D@:15                    -> deleted
+    //  5 D@:05 (dead at t1), silence     -> absent (no class)
+    //  6 I@:02, U@:08 (both before t1)   -> unchanged (same latest row)
+    //  7 I@:25 only (past t2)            -> absent
+    //  8 I@:05, D@:12, I@:18             -> updated (re-insert moves the row)
+    val ev = Seq(
+      (1L, 1L, "I"), (2L, 2L, "I"), (6L, 2L, "U"), (7L, 3L, "I"),
+      (3L, 4L, "I"), (8L, 4L, "D"), (4L, 5L, "D"),
+      (5L, 6L, "I"), (51L, 6L, "U"), (9L, 7L, "I"),
+      (10L, 8L, "I"), (11L, 8L, "D"), (12L, 8L, "I"))
+      .map { case (id, u, a) =>
+        val sec = id match {
+          case 1L | 2L | 3L | 4L | 10L => 5L
+          case 5L => 2L
+          case 51L => 8L
+          case 6L | 7L => 15L
+          case 8L => 15L
+          case 11L => 12L
+          case 12L => 18L
+          case 9L => 25L
+        }
+        (id, u, ts(f"2024-01-01 00:00:$sec%02d"), a)
+      }
+      .toDF("event_id", "user_id", "ts", "action")
+    val got = CdcOps.reconcileSnapshots(ev,
+        lit(ts("2024-01-01 00:00:10")), lit(ts("2024-01-01 00:00:20")))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "unchanged" -> ((2L, 1L, 6L)),
+      "updated" -> ((2L, 2L, 8L)),
+      "inserted" -> ((1L, 3L, 3L)),
+      "deleted" -> ((1L, 4L, 4L))))
+  }
 }
