@@ -264,6 +264,16 @@ object ScaleCheck {
       graft.operators.CdcOps.snapshotDiff(
         graft.operators.CdcOps.snapshotAsOfWithActions(evA, t1),
         graft.operators.CdcOps.snapshotAsOfWithActions(evA, t2))
+    }),
+    "cdc_reconcile" -> (() => {
+      // the one-pass state-level twin of snapshot_diff: both
+      // per-point states fold in a single keyed aggregate (no
+      // snapshot self-join), so the probe pins that ONE scan shape
+      val evA = ev.withColumn("action",
+        graft.sources.AuditLogGenerator.action)
+      graft.operators.CdcOps.reconcileSnapshots(evA,
+        graft.util.Cols.tsLit(evA, "ts", "2024-01-10 00:00:00"),
+        graft.util.Cols.tsLit(evA, "ts", "2024-01-20 00:00:00"))
     })
   )
 
