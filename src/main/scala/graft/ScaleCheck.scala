@@ -58,6 +58,10 @@ object ScaleCheck {
     "sketch_hll_docs" -> (() =>
       graft.operators.Sketches.hllRegisters(docs, "source", "doc_id")),
     "text_chunk_split" -> (() => TextOps.chunkSplit(docs)),
+    "text_pack_sequences" -> (() =>
+      // nShards-keyed windows only — the probe pins that inflating
+      // the corpus inflates per-shard sorts, never a global one
+      TextOps.packSequences(docs)),
     "dedup_fuzzy_pairs" -> (() => Dedup.fuzzyPairs(docs)),
     "dedup_ngram_jaccard_boiler" -> (() => {
       // Injected boilerplate: every doc gets the same leading sentence.

@@ -633,6 +633,13 @@ object SparkEntry {
     "text_shard_assign" -> ((s, dir) =>
       TextOps.shardAssign(t(s, dir, "documents"))),
 
+    // concat-and-chunk sequence-packing plan: per doc its shard, pack
+    // position, token offsets and [first_seq, last_seq] under a fixed
+    // 512-token sequence budget — the training-layout step; text
+    // never moves, one keyed window per shard
+    "text_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"))),
+
     "sim_knn_label_agreement" -> ((s, dir) =>
       Similarity.knnLabelAgreement(t(s, dir, "embeddings"))),
 
@@ -3882,6 +3889,29 @@ object SparkEntry {
                    CAST(row_number() OVER (PARTITION BY hh % 8
                      ORDER BY hh, doc_id) AS BIGINT) AS pos
             FROM h ORDER BY shard, pos""",
+
+      // sum() OVER in DuckDB widens BIGINT to HUGEINT — every offset
+      // column casts back to BIGINT at the edge (r7 discipline)
+      "text_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id,
+                         CAST(len($toks) AS BIGINT) AS n_tokens,
+                         ${h60("doc_id::VARCHAR || ':graft'")} AS hh
+                       FROM documents),
+                s AS (SELECT doc_id, n_tokens,
+                        CAST(hh % 8 AS INT) AS shard, hh
+                      FROM t WHERE n_tokens > 0),
+                w AS (SELECT doc_id, shard, n_tokens,
+                        CAST(row_number() OVER win AS BIGINT) AS pos,
+                        sum(n_tokens) OVER win AS end_off
+                      FROM s WINDOW win AS (PARTITION BY shard
+                        ORDER BY hh, doc_id))
+           SELECT doc_id, shard, pos, n_tokens,
+                  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                  CAST((end_off - n_tokens) // 512 AS BIGINT) AS first_seq,
+                  CAST((end_off - 1) // 512 AS BIGINT) AS last_seq,
+                  CAST(((end_off - 1) // 512)
+                    - ((end_off - n_tokens) // 512) + 1 AS BIGINT) AS n_seqs
+           FROM w ORDER BY shard, pos""",
 
       "pipeline_curation_manifest" ->
         s"""WITH RECURSIVE

@@ -801,6 +801,51 @@ object TextOps {
   }
 
   /**
+   * Concat-and-chunk sequence-packing PLAN — the training-layout step
+   * after curation: documents are (conceptually) concatenated in a
+   * deterministic hash order within each shard and sliced into fixed
+   * `budget`-token training sequences, the standard LLM pretraining
+   * layout (docs may split across sequence boundaries; nothing is
+   * padded or wasted, unlike greedy first-fit bins). This emits the
+   * plan only — per document its shard, pack position, token offsets
+   * and the `[first_seq, last_seq]` range it lands in — so the writer
+   * that later streams text into sequence files is a pure lookup; no
+   * text moves here.
+   *
+   * Determinism: order within a shard is (h60(doc_id:salt), doc_id) —
+   * re-partitioning and re-runs give byte-identical plans, and the
+   * salt re-shuffles the curriculum without touching data. Zero-token
+   * docs carry no trainable content and are excluded from the plan.
+   *
+   * Scale shape: one row per doc through a (shard)-keyed window —
+   * `nShards` bounded-size sorts, no global order; both the running
+   * offset and the position ride the SAME window sort. At 100 TB,
+   * pick nShards ≈ cluster parallelism; each shard's plan is
+   * independent, so writers scale with shards.
+   */
+  def packSequences(docs: DataFrame, budget: Long = 512L,
+                    nShards: Int = 8, salt: String = "graft"): DataFrame = {
+    require(budget >= 1, s"packSequences budget=$budget")
+    require(nShards >= 1, s"packSequences nShards=$nShards")
+    val h = graft.functions.functions.h60(
+      concat(col("doc_id").cast("string"), lit(":"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard"), h.as("__h"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w)) // inclusive
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        expr(s"(end_off - n_tokens) div $budget").as("first_seq"),
+        expr(s"(end_off - 1) div $budget").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /**
    * BM25 keyword retrieval over the corpus, top-`k` documents for one
    * bag of query terms — the classic Robertson–Spärck Jones ranking
    * (k1 = 1.2, b = 0.75) re-expressed on the engine's exact integer

@@ -8,6 +8,37 @@ import graft.model.TableGroups
 class TextAndSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("packSequences matches a reference fold; offsets contiguous") {
+    // docs with 1..6 ws-tokens plus an empty and a blank doc (both
+    // excluded from the plan); tiny budget so boundary splits happen
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e"), (6L, "a b c d e f"), (7L, ""), (8L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, budget = 4L, nShards = 2)
+      .as[(Long, Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // reference: same hash order, sequential fold per shard
+    val ref = (1L to 6L).map { id =>
+      val h = graft.functions.H60.hash(s"$id:graft")
+      (id, (h % 2).toInt, h, id)
+    }.groupBy(_._2).flatMap { case (shard, ds) =>
+      var off = 0L
+      ds.sortBy(d => (d._3, d._4)).zipWithIndex.map { case (d, i) =>
+        val n = d._1 // doc_id == its token count by construction
+        val start = off; off += n
+        d._1 -> ((shard, i + 1L, n, start, start / 4L, (off - 1) / 4L,
+          (off - 1) / 4L - start / 4L + 1L))
+      }
+    }
+    assert(got == ref)
+    assert(!got.contains(7L) && !got.contains(8L)) // no empty docs
+    // token conservation per shard: last end offset == sum of tokens
+    got.values.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum == rs.map(r => r._4 + r._3).max)
+    }
+  }
+
   test("tokenStats: counts, empty and multi-space edge cases") {
     val docs = Seq(
       (1L, "a bb  ccc"), (2L, ""), (3L, "   "), (4L, "single"))
