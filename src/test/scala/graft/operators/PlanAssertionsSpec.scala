@@ -413,4 +413,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("reconcile: one scan, one keyed aggregate pair, no join/window") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+      .withColumn("action", graft.sources.AuditLogGenerator.action)
+    val p = plan(CdcOps.reconcileSnapshots(ev,
+      graft.util.Cols.tsLit(ev, "ts", "2024-01-10 00:00:00"),
+      graft.util.Cols.tsLit(ev, "ts", "2024-01-20 00:00:00")))
+    // both per-point states fold in ONE pass: no snapshot self-join,
+    // no window sort; conditional max_by = partial+final SortAggregate
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("sequence packing: shard-keyed window only, no global data sort") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.packSequences(docs))
+    // position + running offset ride ONE window, partitioned by shard
+    // (the only Sort preceding it is the window's per-shard sort; the
+    // trailing rangepartitioning sort is the output-order convention)
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
