@@ -408,4 +408,41 @@ class CdcOpsSpec extends SparkSpec {
       "inserted" -> ((1L, 3L, 3L)),
       "deleted" -> ((1L, 4L, 4L))))
   }
+
+  test("reconcileSnapshots agrees with the two-snapshot fold on random logs") {
+    // property cross-check of two INDEPENDENT implementations: the
+    // one-pass conditional-max_by aggregate vs materializing both
+    // snapshots through foldActions — on 300 seeded-random events
+    // (ties, dead keys, re-inserts included), every class's key set
+    // must match the snapshot-derived classification exactly
+    val rnd = new scala.util.Random(7)
+    val actions = Array("I", "U", "U", "U", "D")
+    val ev = (1L to 300L).map { id =>
+      (id, 1L + rnd.nextInt(40),
+        ts(f"2024-01-01 00:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        actions(rnd.nextInt(actions.length)))
+    }.toDF("event_id", "user_id", "ts", "action")
+    val t1 = lit(ts("2024-01-01 00:20:00"))
+    val t2 = lit(ts("2024-01-01 00:40:00"))
+    def snapIds(asOf: org.apache.spark.sql.Column): Map[Long, Long] =
+      CdcOps.snapshotAsOfWithActions(ev, asOf)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toMap
+    val a = snapIds(t1)
+    val b = snapIds(t2)
+    val want = (a.keySet ++ b.keySet).groupBy { k =>
+      (a.contains(k), b.contains(k)) match {
+        case (false, true) => "inserted"
+        case (true, false) => "deleted"
+        case (true, true) =>
+          if (a(k) != b(k)) "updated" else "unchanged"
+        case _ => "absent"
+      }
+    }.map { case (c, ks) => c -> ((ks.size.toLong, ks.min, ks.max)) }
+    val got = CdcOps.reconcileSnapshots(ev, t1, t2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.keySet == Set("inserted", "deleted", "updated", "unchanged"))
+  }
 }
