@@ -1615,8 +1615,8 @@ object SparkEntry {
         // output edge — r6 verdict item 1): the decimal(12,2) sum is
         // internal, ×100 is lossless at scale 2
         .agg(count(lit(1)).as("n_items"),
-          (sum(col("l_quantity").cast("decimal(12,2)")) * 100)
-            .cast("long").as("sum_qty_cents"))
+          Cols.longEdge(sum(col("l_quantity").cast("decimal(12,2)")) * 100,
+            "bloomPrefilter sum_qty_cents").as("sum_qty_cents"))
         .orderBy(col("l_returnflag"))
     }),
 

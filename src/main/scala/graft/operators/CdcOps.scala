@@ -294,6 +294,12 @@ object CdcOps {
       .groupBy(col("change"))
       .agg(count(lit(1)).as("n_keys"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+      // fail-fast on swapped points: t1 > t2 would silently truncate
+      // the t1 state (the scan filters ts <= t2) and misclassify;
+      // assert_true returns NULL (row kept) when ordered, raises when
+      // not — evaluated on the ≤4-row rollup, so it costs nothing
+      .filter(assert_true(t1 <= t2,
+        lit("reconcileSnapshots: t1 must be <= t2")).isNull)
       .orderBy(col("change"))
   }
 

@@ -664,11 +664,14 @@ object Relational {
       // Output edge: pairs/total_pairs leave as BIGINT (the decimal
       // products stay internal — r6 verdict item 1). Envelope: int64
       // holds 9·10¹⁸ pairs — two 10⁹-row hot sides on one key; a
-      // join bigger than that isn't runnable anyway, and share_ppm
-      // (formed on the decimals above) still reads correctly.
+      // join bigger than that isn't runnable anyway, share_ppm
+      // (formed on the decimals above) still reads correctly, and
+      // past the envelope the guarded casts raise, never NULL.
       .select(col("key"), col("n_left"), col("n_right"),
-        col("pairs").cast("long").as("pairs"),
-        col("total_pairs").cast("long").as("total_pairs"),
+        graft.util.Cols.longEdge(col("pairs"), "joinSizeEstimate pairs")
+          .as("pairs"),
+        graft.util.Cols.longEdge(col("total_pairs"),
+          "joinSizeEstimate total_pairs").as("total_pairs"),
         col("n_matching_keys"),
         // `div` returns BIGINT for any operand type — engine-stable
         expr("cast((pairs * 1000000) div total_pairs as bigint)")

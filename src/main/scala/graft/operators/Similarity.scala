@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Cols
+
 /**
  * Similarity search over an embedding column (`embeddings` table:
  * `vec_id, embedding: array<float>, label`).
@@ -400,16 +402,21 @@ object Similarity {
       // EDGE is BIGINT (r6 verdict item 1 — no DECIMAL may leave a
       // query). Envelope for the edge: |shift| ≤ 2·128·n_ref·n_cur,
       // int64 to ~4·10⁷ values per slice per dim at full magnitude
-      // (measured max 3.3·10⁷ at sf0.1, 2.8·10¹¹ headroom); beyond
-      // it, divide through by a common n scale before emitting.
+      // (measured max 3.3·10⁷ at sf0.1, 2.8·10¹¹ headroom); past it
+      // the guarded cast RAISES (matching the oracle's CAST error —
+      // a silent NULL here would unreport a real drift), and the
+      // remedy is dividing through by a common n scale upstream.
       .select(col("dim"), col("n_ref"), col("n_cur"),
-        (col("sum_cur") * col("n_ref") - col("sum_ref") * col("n_cur"))
-          .cast("long").as("mean_shift_n2"),
-        (col("ssq_cur") * col("n_ref") - col("ssq_ref") * col("n_cur"))
-          .cast("long").as("e2_shift_n2"),
-        (col("zero_cur").cast("decimal(38,0)") * col("n_ref") -
-          col("zero_ref").cast("decimal(38,0)") * col("n_cur"))
-          .cast("long").as("zero_shift_n2"))
+        Cols.longEdge(
+          col("sum_cur") * col("n_ref") - col("sum_ref") * col("n_cur"),
+          "embeddingDrift mean_shift_n2").as("mean_shift_n2"),
+        Cols.longEdge(
+          col("ssq_cur") * col("n_ref") - col("ssq_ref") * col("n_cur"),
+          "embeddingDrift e2_shift_n2").as("e2_shift_n2"),
+        Cols.longEdge(
+          col("zero_cur").cast("decimal(38,0)") * col("n_ref") -
+            col("zero_ref").cast("decimal(38,0)") * col("n_cur"),
+          "embeddingDrift zero_shift_n2").as("zero_shift_n2"))
       .orderBy(col("dim"))
   }
 
@@ -766,8 +773,8 @@ object Similarity {
     // past that, shard the corpus and merge [[dimStatsDec]] frames.
     dimStatsDec(corpus)
       .select(col("dim"), col("n"),
-        col("sum_q").cast("long").as("sum_q"),
-        col("sumsq_q").cast("long").as("sumsq_q"),
+        Cols.longEdge(col("sum_q"), "dimStats sum_q").as("sum_q"),
+        Cols.longEdge(col("sumsq_q"), "dimStats sumsq_q").as("sumsq_q"),
         col("min_q"), col("max_q"), col("n_zero"))
       .orderBy(col("dim"))
 
@@ -895,10 +902,10 @@ object Similarity {
     // slice); a bigger corpus shards through [[dimCovarianceDec]].
     dimCovarianceDec(corpus)
       .select(col("dim_a"), col("dim_b"), col("n"),
-        col("s_a").cast("long").as("s_a"),
-        col("s_b").cast("long").as("s_b"),
-        col("s_ab").cast("long").as("s_ab"),
-        col("cov_n2").cast("long").as("cov_n2"))
+        Cols.longEdge(col("s_a"), "dimCovariance s_a").as("s_a"),
+        Cols.longEdge(col("s_b"), "dimCovariance s_b").as("s_b"),
+        Cols.longEdge(col("s_ab"), "dimCovariance s_ab").as("s_ab"),
+        Cols.longEdge(col("cov_n2"), "dimCovariance cov_n2").as("cov_n2"))
       .orderBy(col("dim_a"), col("dim_b"))
 
   /** The exact-DECIMAL covariance lattice behind [[dimCovariance]] —

@@ -193,9 +193,11 @@ object Sketches {
       // Output edge: exact_size leaves as BIGINT (the decimal Σna·nb
       // stays internal — r6 verdict item 1). Envelope: int64 holds a
       // join fanout of 9·10¹⁸ pairs — beyond any join this audit
-      // would precede (measured 6·10⁵ at sf0.1).
+      // would precede (measured 6·10⁵ at sf0.1); guarded cast raises
+      // past it rather than NULLing the audit.
       .select(lit(nEst).as("n_estimators"),
-        col("exact_size").cast("long").as("exact_size"),
+        graft.util.Cols.longEdge(col("exact_size"), "amsJoinSize exact_size")
+          .as("exact_size"),
         col("ams_estimate"),
         when(col("exact_size") === 0, lit(null).cast("long"))
           .otherwise(
@@ -532,10 +534,13 @@ object Sketches {
       // r6 verdict item 1). Envelope: Σ|q| per group ≤ 9·10¹⁸, i.e.
       // ~9·10¹² rows at the q20 lattice's |value| ≤ 10³ (measured
       // 1.1·10¹² at sf0.1, 8·10⁶ headroom); the err_ppm above was
-      // already formed on the exact decimals.
+      // already formed on the exact decimals, and the guarded casts
+      // raise past the envelope rather than NULLing the audit.
       .select(col(groupCol), col("n"), col("n_sampled"),
-        col("exact_sum_q").cast("long").as("exact_sum_q"),
-        col("est_sum_q").cast("long").as("est_sum_q"), col("err_ppm"))
+        graft.util.Cols.longEdge(col("exact_sum_q"),
+          "sampleSumAudit exact_sum_q").as("exact_sum_q"),
+        graft.util.Cols.longEdge(col("est_sum_q"),
+          "sampleSumAudit est_sum_q").as("est_sum_q"), col("err_ppm"))
       .orderBy(col(groupCol))
   }
 }

@@ -411,9 +411,11 @@ object TimeSeries {
     cells.crossJoin(broadcast(total))
       // sum_q20 leaves as BIGINT (decimal stays internal — r6 verdict
       // item 1): a cell sums corpus/168 q20 values, so int64 holds to
-      // ~4·10¹² events at |value| ≤ 10³ (measured 4.2·10¹⁰ at sf0.1)
+      // ~4·10¹² events at |value| ≤ 10³ (measured 4.2·10¹⁰ at sf0.1);
+      // past the envelope the guarded cast raises, never NULLs
       .select(col("dow"), col("hr"), col("n"),
-        col("sum_q20").cast("long").as("sum_q20"),
+        graft.util.Cols.longEdge(col("sum_q20"), "seasonalProfile sum_q20")
+          .as("sum_q20"),
         // IntegralDivide on decimal yields Long; the quotient is
         // value-scaled (≤ 2²⁰·|value|·10³) — safely inside BIGINT
         expr("(sum_q20 * 1000) div n").as("avg_q20m"),
@@ -485,10 +487,11 @@ object TimeSeries {
       // driver's hash renderer treats DECIMAL asymmetrically; r6
       // verdict item 1). Envelope: num ≈ n²·x̄·ȳ per user — measured
       // max 1.5·10¹⁵ at sf0.1, ~6·10³ headroom to int64; past ~10⁵
-      // events/user the exact pair needs a VARCHAR edge instead.
+      // events/user the guarded cast RAISES (as the oracle's CAST
+      // does) and the exact pair needs a VARCHAR edge instead.
       .select(col("user_id"), col("n_events"),
-        col("num").cast("long").as("num"),
-        col("den").cast("long").as("den"),
+        graft.util.Cols.longEdge(col("num"), "trendSlope num").as("num"),
+        graft.util.Cols.longEdge(col("den"), "trendSlope den").as("den"),
         (signum(col("num")).cast("long") *
           expr("(abs(num) * 1000000) div den").cast("long"))
           .as("slope_ppm_per_min"))

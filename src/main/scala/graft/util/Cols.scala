@@ -27,4 +27,21 @@ object Cols {
     }
     lit(value).cast(dt)
   }
+
+  /**
+   * LOUD decimal→BIGINT output-edge cast (the r7 no-DECIMAL-at-edge
+   * discipline's failure mode fix): Spark's non-ANSI decimal→long cast
+   * returns NULL on overflow, so a value past the documented envelope
+   * would silently blank the column — the worst outcome for an audit
+   * metric — while the DuckDB oracle's `CAST(... AS BIGINT)` raises.
+   * This cast raises on BOTH engines: past ±2⁶³−1 the query fails with
+   * the operator's named envelope instead of reporting nulls.
+   * Edge frames are aggregate-sized (≤ thousands of rows), so the
+   * per-row range check costs nothing.
+   */
+  def longEdge(c: Column, what: String): Column =
+    when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+      raise_error(concat(lit(s"$what exceeds the BIGINT output envelope: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
 }

@@ -445,4 +445,37 @@ class CdcOpsSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got.keySet == Set("inserted", "deleted", "updated", "unchanged"))
   }
+
+  test("reconcileSnapshots raises on swapped points instead of misclassifying") {
+    val ev = Seq((1L, 1L, ts("2024-01-01 00:00:05"), "I"))
+      .toDF("event_id", "user_id", "ts", "action")
+    val e = intercept[Exception] {
+      CdcOps.reconcileSnapshots(ev,
+        lit(ts("2024-01-01 00:00:20")), lit(ts("2024-01-01 00:00:10")))
+        .collect()
+    }
+    assert(e.toString.contains("t1 must be <= t2") ||
+      Option(e.getCause).exists(_.toString.contains("t1 must be <= t2")),
+      e.toString)
+  }
+
+  test("longEdge raises past the BIGINT envelope instead of NULLing") {
+    // the r7 output-edge discipline's failure mode: Spark's non-ANSI
+    // decimal->long cast NULLs on overflow while the oracle raises —
+    // the guarded cast must raise on BOTH engines
+    import graft.util.Cols
+    val in = Seq("9223372036854775807", "-9223372036854775808")
+      .toDF("s").select(col("s").cast("decimal(38,0)").as("d"))
+    val ok = in.select(Cols.longEdge(col("d"), "test").as("v"))
+      .as[Long].collect().sorted
+    assert(ok.toSeq == Seq(Long.MinValue, Long.MaxValue))
+    val over = Seq("9223372036854775808").toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("d"))
+    val e = intercept[Exception] {
+      over.select(Cols.longEdge(col("d"), "test overflow").as("v")).collect()
+    }
+    assert(e.toString.contains("BIGINT output envelope") ||
+      Option(e.getCause).exists(_.toString.contains("BIGINT output envelope")),
+      e.toString)
+  }
 }

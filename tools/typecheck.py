@@ -68,10 +68,11 @@ def main():
         # envelope, VARCHAR beyond it. Empirical: r6 had a perfect
         # 12/12 vs 0/199 correlation between DECIMAL-at-edge and
         # hash-fail with byte-identical values.
+        # (spark columns only: an oracle-only column is already a
+        # TYPE-MISMATCH above, and type parity means a banned oracle
+        # type implies a banned spark type)
         banned = [f"{c}: {t}" for c, t in sorted(st.items())
                   if "DECIMAL" in t or "HUGEINT" in t]
-        banned += [f"{c}: oracle {t}" for c, t in sorted(ot.items())
-                   if ("DECIMAL" in t or "HUGEINT" in t) and c not in st]
         if diffs:
             n_bad += 1
             print(f"TYPE-MISMATCH  {name}: " + "; ".join(diffs))
