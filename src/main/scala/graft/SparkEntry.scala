@@ -1337,7 +1337,14 @@ object SparkEntry {
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .crossJoin(brute.agg(count(lit(1)).as("n_true")))
-        .select(expr("(n_hits * 1000000) div n_true").as("recall_ppm"))
+        // degenerate-corpus guard: an empty ground-truth set would
+        // NULL the division on Spark while the oracle hard-codes the
+        // literal — raise loudly instead of decode-failing downstream
+        .select(when(col("n_true") > 0,
+            expr("(n_hits * 1000000) div n_true"))
+          .otherwise(raise_error(lit(
+            "sim_ivf_topk: empty brute-force ground truth")).cast("long"))
+          .as("recall_ppm"))
       ivf.crossJoin(broadcast(recall))
         .orderBy(col("query_id"), col("rank"))
     }),

@@ -274,7 +274,16 @@ object CdcOps {
                          offsetCol: String = "event_id",
                          actionCol: String = "action"): DataFrame = {
     val pos = struct(col(tsCol), col(offsetCol))
-    val st = log.filter(col(tsCol) <= t2)
+    // fail-fast on swapped points: t1 > t2 would silently truncate
+    // the t1 state (the scan filters ts <= t2) and misclassify. The
+    // guard sits on the pre-aggregation scan so it fires whenever ANY
+    // input row exists (on the post-rollup frame an empty log has no
+    // rows to evaluate it on and the swap passes silently — ADVICE
+    // r7); the predicate is row-independent, so per-row cost is one
+    // comparison. assert_true is NULL (row kept) when ordered.
+    val guarded = log.filter(assert_true(t1 <= t2,
+      lit("reconcileSnapshots: t1 must be <= t2")).isNull)
+    val st = guarded.filter(col(tsCol) <= t2)
       .groupBy(col(keyCol))
       .agg(
         max_by(struct(col(actionCol).as("a"), col(offsetCol).as("o")),
@@ -294,12 +303,6 @@ object CdcOps {
       .groupBy(col("change"))
       .agg(count(lit(1)).as("n_keys"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
-      // fail-fast on swapped points: t1 > t2 would silently truncate
-      // the t1 state (the scan filters ts <= t2) and misclassify;
-      // assert_true returns NULL (row kept) when ordered, raises when
-      // not — evaluated on the ≤4-row rollup, so it costs nothing
-      .filter(assert_true(t1 <= t2,
-        lit("reconcileSnapshots: t1 must be <= t2")).isNull)
       .orderBy(col("change"))
   }
 

@@ -17,21 +17,27 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the executor-storage blocks behind a `localCheckpoint()`ed
-   *  frame. No-op for frames that aren't checkpoint-backed (their
-   *  plan root is not the materialized [[LogicalRDD]]), so callers
-   *  can release unconditionally in loop epilogues. Non-blocking:
-   *  the removal races nothing — the caller has already checkpointed
-   *  the successor round. */
-  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-    case _              => ()
-  }
+   *  frame. Finds every [[LogicalRDD]] leaf in the analyzed plan (not
+   *  just a bare root), so a projection/filter wrapper added over the
+   *  checkpointed frame by a future refactor is still released rather
+   *  than silently leaking O(rounds) storage (ADVICE r7). No-op for
+   *  frames with no checkpoint-backed leaf, so callers can release
+   *  unconditionally in loop epilogues. Non-blocking: the removal
+   *  races nothing — the caller has already checkpointed the
+   *  successor round. Callers release SUPERSEDED frames only: every
+   *  checkpoint leaf under the frame is freed, so do not release a
+   *  frame that shares a live checkpoint with one still in use. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    }
 
-  /** The storage-registered RDD id behind a checkpointed frame, if
-   *  any — spec hook for asserting a round's blocks were actually
-   *  dropped from `sc.getPersistentRDDs`. */
-  def rddId(df: DataFrame): Option[Int] = df.queryExecution.analyzed match {
-    case lr: LogicalRDD => Some(lr.rdd.id)
-    case _              => None
-  }
+  /** The storage-registered RDD ids behind a checkpointed frame —
+   *  spec hook for asserting a round's blocks were actually dropped
+   *  from `sc.getPersistentRDDs`. */
+  def rddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd.id }
+
+  /** First checkpoint-backed RDD id, if any (legacy spec hook). */
+  def rddId(df: DataFrame): Option[Int] = rddIds(df).headOption
 }

@@ -43,5 +43,13 @@ object Cols {
     when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
       raise_error(concat(lit(s"$what exceeds the BIGINT output envelope: "),
         c.cast("string"))).cast("long"))
+      // integral-only: Spark's decimal→long cast truncates toward
+      // zero while the oracle's CAST(.. AS BIGINT) rounds half-up —
+      // a fractional value would silently diverge by 1 (ADVICE r7).
+      // Every current edge is integral by construction; raise rather
+      // than pick a rounding if that ever stops being true.
+      .when(c =!= floor(c),
+        raise_error(concat(lit(s"$what is not integral at the BIGINT " +
+          "output edge: "), c.cast("string"))).cast("long"))
       .otherwise(c.cast("long"))
 }

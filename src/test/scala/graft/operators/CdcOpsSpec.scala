@@ -478,4 +478,41 @@ class CdcOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("BIGINT output envelope")),
       e.toString)
   }
+
+  test("longEdge raises on a fractional value instead of truncating") {
+    // ADVICE r7: Spark decimal->long truncates toward zero, DuckDB's
+    // CAST rounds half-up — a fractional edge value would silently
+    // diverge by 1 between engines, so the guarded cast rejects it
+    import graft.util.Cols
+    val frac = Seq("12.50").toDF("s")
+      .select(col("s").cast("decimal(18,2)").as("d"))
+    val e = intercept[Exception] {
+      frac.select(Cols.longEdge(col("d"), "test frac").as("v")).collect()
+    }
+    assert(e.toString.contains("not integral") ||
+      Option(e.getCause).exists(_.toString.contains("not integral")),
+      e.toString)
+    // integral-valued scale>0 decimals still pass
+    val ok = Seq("12.00").toDF("s")
+      .select(col("s").cast("decimal(18,2)").as("d"))
+      .select(Cols.longEdge(col("d"), "test").as("v")).as[Long].collect()
+    assert(ok.toSeq == Seq(12L))
+  }
+
+  test("reconcileSnapshots swapped-points guard fires even when the scan is empty") {
+    // ADVICE r7: with the guard on the post-rollup frame, a log whose
+    // rows all fall past t2 produced zero rollup rows and the swap
+    // passed silently; on the pre-aggregation scan it fires whenever
+    // any input row exists
+    val ev = Seq((1L, 1L, ts("2024-01-01 00:00:55"), "I"))
+      .toDF("event_id", "user_id", "ts", "action")
+    val e = intercept[Exception] {
+      CdcOps.reconcileSnapshots(ev,
+        lit(ts("2024-01-01 00:00:20")), lit(ts("2024-01-01 00:00:10")))
+        .collect()
+    }
+    assert(e.toString.contains("t1 must be <= t2") ||
+      Option(e.getCause).exists(_.toString.contains("t1 must be <= t2")),
+      e.toString)
+  }
 }

@@ -40,6 +40,19 @@ class CheckpointReleaseSpec extends SparkSpec {
     assert(!persistedIds.contains(id.get))
   }
 
+  test("Checkpoints.release reaches a checkpoint wrapped by projection/filter") {
+    // ADVICE r7: a refactor that passes a select/filter over the
+    // checkpointed frame must still release the underlying blocks —
+    // release() collects LogicalRDD leaves, not just a bare root
+    val ck = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      .localCheckpoint(true)
+    val wrapped = ck.filter(col("a") > 1L).select(col("b"))
+    val ids = Checkpoints.rddIds(wrapped)
+    assert(ids.nonEmpty && ids.forall(persistedIds.contains))
+    Checkpoints.release(wrapped)
+    assert(ids.forall(i => !persistedIds.contains(i)))
+  }
+
   test("kCore retains at most the final checkpoint after a deep peel") {
     // chain into clique: each chain hop peels in its own round, so
     // this run takes ~6 rounds — without per-round release it would
