@@ -1146,6 +1146,12 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(t(s, dir, "documents"))),
 
+    "text_dup_spans_maximal" -> ((s, dir) =>
+      // maximal shared substrings: consecutive duplicated span starts
+      // chained into runs, so boilerplate longer than the 8-token
+      // window is measured whole (r7 verdict item 4)
+      TextOps.dupSpanRuns(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -2753,6 +2759,38 @@ object SparkEntry {
                      * 1000000) // count(*) AS dup_ppm
             FROM sp JOIN df USING (fp)
             GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_dup_spans_maximal" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+                 s AS (SELECT doc_id, toks, len(toks) AS n
+                       FROM d WHERE len(toks) >= 8),
+                 st AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, CAST(n - 7 AS BIGINT)))
+                            AS i
+                        FROM s),
+                 sp AS (SELECT doc_id, i,
+                          md5(array_to_string(
+                            list_slice(toks, i, i + 7), ' ')) AS fp
+                        FROM st),
+                 df AS (SELECT fp, count(DISTINCT doc_id) AS nd
+                        FROM sp GROUP BY fp),
+                 dup AS (SELECT doc_id, i FROM sp JOIN df USING (fp)
+                         WHERE nd >= 2),
+                 isl AS (SELECT doc_id, i,
+                           i - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY i) AS grp
+                         FROM dup),
+                 runs AS (SELECT doc_id,
+                            CAST(min(i) AS BIGINT) AS start_i,
+                            CAST(count(*) + 7 AS BIGINT) AS span_tokens
+                          FROM isl GROUP BY doc_id, grp)
+            SELECT doc_id, count(*) AS n_runs,
+                   CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+                   CAST(arg_max(start_i,
+                     span_tokens * 2147483648 - start_i) AS BIGINT)
+                     AS longest_start,
+                   CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+            FROM runs GROUP BY doc_id ORDER BY doc_id""",
 
       "text_unigram_surprisal" ->
         s"""WITH occ AS (SELECT doc_id, unnest($wtoks) AS tok

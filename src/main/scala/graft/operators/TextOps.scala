@@ -751,18 +751,7 @@ object TextOps {
    * the cheap screen when span-level exactness isn't required.
    */
   def dupSpans(docs: DataFrame, window: Int = 8): DataFrame = {
-    require(window > 0, s"window=$window")
-    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
-      .filter(col("n") >= window)
-    // one row per span start (1-based); slice AFTER the explode, never
-    // inside a lambda (same staging rule as chunkSplit)
-    val spans = staged
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), col("n") - lit(window - 1))).as("i"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(window))))
-          .as("fp"))
+    val spans = spanTable(docs, window).drop("i")
     val df = spans.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     spans.join(df, "fp")
@@ -772,6 +761,70 @@ object TextOps {
           .as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         expr("(n_dup_spans * 1000000) div n_spans").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One row per sliding `window`-token span: `(doc_id, i, fp)` with
+    * `i` the 1-based start token index and `fp` the md5 of the
+    * space-joined span. Slice AFTER the explode, never inside a lambda
+    * (same staging rule as chunkSplit). Shared by [[dupSpans]] (doc
+    * rollup) and [[dupSpanRuns]] (maximal-run extraction). */
+  private def spanTable(docs: DataFrame, window: Int): DataFrame = {
+    require(window > 0, s"window=$window")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .filter(col("n") >= window)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - lit(window - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(window))))
+          .as("fp"))
+  }
+
+  /**
+   * Maximal shared-substring extraction — the [[dupSpans]] follow-up
+   * from Lee et al. (2022): a shared region LONGER than the fixed
+   * `window` shows up as a RUN of consecutive duplicated span starts,
+   * and chaining those starts recovers the full region without ever
+   * materializing a suffix array. Per document: its maximal runs of
+   * consecutive duplicated-somewhere span starts, rolled up to
+   * `doc_id, n_runs, max_span_tokens, longest_start, dup_tokens` —
+   * `max_span_tokens` = `run_len + window − 1` of the longest run
+   * (the length in tokens of the longest substring this doc shares
+   * with ANY other doc, exact for regions ≥ window), `longest_start`
+   * its 1-based token offset (earliest on ties), `dup_tokens` the
+   * total token coverage of all duplicated regions. Docs with no
+   * duplicated span are absent (nothing to report). All integers —
+   * engine-exact.
+   *
+   * Scale shape: [[spanTable]]'s narrow explode + the fp-keyed df
+   * count (same as dupSpans), then ONE doc-keyed window for the
+   * gaps-and-islands grouping (`i − row_number`) — per-doc sorts,
+   * nothing global. The longest-run argmax packs (span_tokens,
+   * −start) into one 64-bit ordering key (`span_tokens·2³¹ − start`,
+   * collision-free while docs stay under 2³¹ tokens — any real doc)
+   * so both engines pick the same run with a scalar `max_by`.
+   */
+  def dupSpanRuns(docs: DataFrame, window: Int = 8): DataFrame = {
+    val spans = spanTable(docs, window)
+    val df = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val dup = spans.join(df, "fp").filter(col("nd") >= 2)
+      .select(col("doc_id"), col("i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = dup
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).cast("long").as("start_i"),
+        (count(lit(1)) + lit(window - 1).cast("long")).as("span_tokens"))
+    runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        max_by(col("start_i"),
+          col("span_tokens") * lit(2147483648L) - col("start_i"))
+          .as("longest_start"),
+        sum(col("span_tokens")).as("dup_tokens"))
       .orderBy(col("doc_id"))
   }
 

@@ -435,6 +435,46 @@ class TextAndSimilaritySpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("dupSpanRuns: chained runs measure a shared region longer than the window") {
+    // docs 1 and 2 share a 12-token region (tokens 1..12 of doc 1 =
+    // tokens 1..12 of doc 2) -> 5 consecutive duplicated span starts
+    // (1..5) chain into ONE run of span_tokens = 5 + 7 = 12; doc 1
+    // also shares a separate 8-token region with doc 3 at start 16
+    val shared12 = "a b c d e f g h i j k l"
+    val shared8 = "m n o p q r s t"
+    val docs = Seq(
+      (1L, s"$shared12 x y z $shared8"),
+      (2L, s"$shared12 q0 q1"),
+      (3L, s"w0 w1 $shared8 w2"),
+      (4L, "u0 u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanRuns(docs, window = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: runs at starts 1..5 (12 tokens) and 16 (8 tokens);
+    // doc 2: one run, starts 1..5; doc 3: one run at start 3;
+    // doc 4: no duplicated span -> absent
+    assert(got == Seq(
+      (1L, 2L, 12L, 1L, 20L),
+      (2L, 1L, 12L, 1L, 12L),
+      (3L, 1L, 8L, 3L, 8L)))
+  }
+
+  test("dupSpanRuns longest_start picks the earliest among equal-length runs") {
+    // doc 1 shares two DISJOINT 8-token regions with docs 2 and 3 ->
+    // two runs of equal span_tokens=8; longest_start must be the
+    // earlier one (start 1), and dupSpans' doc rollup still agrees
+    val r1 = "a b c d e f g h"
+    val r2 = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$r1 gap1 $r2"),
+      (2L, s"x0 $r1 x1"),
+      (3L, s"y0 y1 $r2"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanRuns(docs, window = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((1L, 2L, 8L, 1L, 16L)))
+  }
+
   test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
     // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
     // bits(b)=bits(c)=len(bin(5))-1=2
