@@ -1152,6 +1152,17 @@ object SparkEntry {
       // window is measured whole (r7 verdict item 4)
       TextOps.dupSpanRuns(t(s, dir, "documents"))),
 
+    "text_bpe_learn" -> ((s, dir) =>
+      // tokenizer training: 8 deterministic top-1 pair-merge rounds
+      // over the corpus vocab (r7 verdict item 7); the oracle replays
+      // every round through a chained-CTE pipeline
+      TextOps.bpeLearn(t(s, dir, "documents"))),
+
+    "text_bpe_fertility" -> ((s, dir) =>
+      // corpus compression under the LEARNED merges — what the
+      // trained tokenizer actually bought vs raw chars
+      TextOps.bpeFertility(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -1750,6 +1761,51 @@ object SparkEntry {
     // BPE pattern quoted for SQL (leading ' doubled)
     val bpeSql = "'" + TextOps.BpePattern.replace("'", "''") + "'"
     val wtoks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')"
+    // Chained-CTE replay of the BPE training loop (text_bpe_learn /
+    // text_bpe_fertility): w0 = sentinelized char-level vocab; per
+    // round r, p_r counts adjacent pairs, t_r takes the deterministic
+    // top-1, w_r applies it with a plain left-to-right replace — the
+    // same greedy semantics as the Spark side's Sent-string replace.
+    // MATERIALIZED throughout: each w_r is referenced twice (p_{r+1}
+    // and w_{r+1}) and DuckDB's CTE inlining would otherwise make the
+    // plan exponential in rounds (the r6 k-core lesson).
+    def bpeCtes(merges: Int): String = {
+      val sb = new StringBuilder
+      sb.append(s"""w0 AS MATERIALIZED (
+           SELECT word, freq,
+                  regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s
+           FROM (SELECT word, count(*) AS freq FROM (
+                   SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                     $bpeSql)) AS word FROM documents)
+                 WHERE NOT regexp_matches(word, '^${TextOps.SpaceRun}$$')
+                   AND NOT contains(word, chr(1))
+                 GROUP BY word))""")
+      for (r <- 1 to merges) {
+        sb.append(s""",
+         p$r AS MATERIALIZED (
+           SELECT l[i] AS a, l[i + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT freq, l,
+                   unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT)))
+                     AS i
+                 FROM (SELECT freq,
+                         regexp_extract_all(s, '\\x01([^\\x01]+)', 1) AS l
+                       FROM w${r - 1}))
+           GROUP BY a, b),
+         t$r AS MATERIALIZED (
+           SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         w$r AS MATERIALIZED (
+           SELECT word, freq,
+             replace(s, (SELECT chr(1) || a || chr(1) || b FROM t$r),
+                        (SELECT chr(1) || a || b FROM t$r)) AS s
+           FROM w${r - 1})""")
+      }
+      sb.toString
+    }
+    val bpeMergeRows = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym,
+            b AS right_sym, a || b AS merged, cnt AS pair_count
+          FROM t$r""").mkString("\n UNION ALL ")
     val nstop = s"len(list_filter($wtoks, t -> t IN $stopIn))"
     // quality score (matches TextOps.qualityScore): length gate +
     // mean-token-length gate + stopword-density gate, averaged
@@ -2791,6 +2847,22 @@ object SparkEntry {
                      AS longest_start,
                    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
             FROM runs GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_bpe_learn" ->
+        s"""WITH ${bpeCtes(8)}
+            SELECT * FROM ($bpeMergeRows) ORDER BY merge_round""",
+
+      "text_bpe_fertility" ->
+        s"""WITH ${bpeCtes(8)}
+            SELECT n_vocab, n_words, n_chars, n_symbols,
+                   (n_symbols * 1000000) // n_words AS syms_per_word_ppm,
+                   (n_symbols * 1000000) // n_chars AS syms_per_char_ppm
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                         CAST(sum(freq) AS BIGINT) AS n_words,
+                         CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+                         CAST(sum(freq * len(regexp_extract_all(s,
+                           '\\x01([^\\x01]+)', 1))) AS BIGINT) AS n_symbols
+                  FROM w8)""",
 
       "text_unigram_surprisal" ->
         s"""WITH occ AS (SELECT doc_id, unnest($wtoks) AS tok

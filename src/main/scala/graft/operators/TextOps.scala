@@ -672,6 +672,124 @@ object TextOps {
         expr("(n_bytes * 1000000) div n_tokens").as("bytes_per_tok_ppm"),
         expr("(n_tokens * 1000000) div n_words").as("tok_per_word_ppm"))
 
+  /** Symbol-boundary sentinel for the BPE vocab strings: every symbol
+    * in a segmentation is prefixed by `\u0001` (SOH), so a pair (a, b)
+    * occurs exactly as the substring `\u0001a\u0001b` and a plain
+    * left-to-right non-overlapping string `replace` of that substring
+    * with `\u0001ab` IS the greedy BPE merge application — on both
+    * engines, with identical semantics ("aaaa" under merge (a,a)
+    * becomes (aa)(aa), because the second scan resumes after the
+    * first match's replacement). Input words containing the sentinel
+    * are excluded from the vocab (they would corrupt boundaries). */
+  private val Sent = "\u0001"
+
+  private def bpeSyms(s: Column): Column =
+    regexp_extract_all(s, lit(Sent + "([^" + Sent + "]+)"), lit(1))
+
+  /** The corpus word-frequency vocab with sentinelized char-level
+    * segmentations — the ONE corpus scan all BPE rounds fold over. */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(bpeishTokens(col("text"))).as("word"))
+      .filter(!col("word").rlike("^" + SpaceRun + "$") &&
+        !col("word").contains(Sent))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        regexp_replace(col("word"), "(.)", Sent + "$1").as("s"))
+
+  /** Adjacent-symbol pair counts of a vocab frame, freq-weighted
+    * (every adjacent position counts, the standard BPE statistic). */
+  private def bpePairs(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), bpeSyms(col("s")).as("l"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("l"), lit(1), greatest(size_(col("l")) - 1, lit(0))),
+        slice(col("l"), lit(2), greatest(size_(col("l")) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Shared BPE training loop: returns (merge table, final vocab).
+    * See [[bpeLearn]] for semantics and the scale story. */
+  private[operators] def bpeState(docs: DataFrame,
+                                  merges: Int): (DataFrame, DataFrame) = {
+    require(merges >= 1 && merges <= 64, s"merges=$merges")
+    var vocab = bpeVocab(docs).localCheckpoint(false)
+    val rounds = Seq.newBuilder[DataFrame]
+    for (r <- 1 to merges) {
+      // deterministic top-1: count desc, then lexicographically
+      // smallest (a, b) — binary string order, identical on both
+      // engines for UTF-8. TakeOrderedAndProject, never a global sort.
+      val top = bpePairs(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(false)
+      rounds += top.select(lit(r.toLong).as("merge_round"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_count"))
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(col("word"), col("freq"),
+          replace(col("s"),
+            concat(lit(Sent), col("a"), lit(Sent), col("b")),
+            concat(lit(Sent), col("a"), col("b"))).as("s"))
+        .localCheckpoint(false)
+    }
+    (rounds.result().reduce(_ union _).orderBy(col("merge_round")), vocab)
+  }
+
+  /**
+   * BPE merge learning — the tokenizer-TRAINING stage of the
+   * pretraining pipeline (Sennrich et al., 2016): `merges` rounds of
+   * "count adjacent symbol pairs over the corpus vocab, merge the
+   * most frequent pair everywhere", emitting the learned merge table
+   * `merge_round, left_sym, right_sym, merged, pair_count`. Fully
+   * deterministic (ties break to the lexicographically smallest
+   * pair), so the whole table is hash-gateable against a chained-CTE
+   * oracle that replays every round. Greedy merge application is a
+   * plain string `replace` over sentinelized segmentations (see
+   * [[Sent]]) — byte-identical semantics on both engines, no per-row
+   * loops.
+   *
+   * Scale shape: the ONE corpus scan is the initial word-frequency
+   * aggregate; every round after that runs on the VOCAB table
+   * (distinct pre-tokens — Zipf-bounded, orders of magnitude smaller
+   * than the corpus, ~10⁷ rows even at 100 TB). Per round: one
+   * vocab-keyed pair aggregate (map-side combinable), a top-1 via
+   * TakeOrderedAndProject (no global sort), and one broadcast 1-row
+   * join applying the merge. Rounds chain through LAZY
+   * `localCheckpoint`s (each materializes once at first action, plan
+   * construction stays side-effect-free — the kmeansAssign
+   * discipline); all `merges`+1 persisted frames are vocab-sized, so
+   * storage is bounded and small by construction. Precondition: the
+   * vocab must still contain ≥ 1 distinct pair at every round (any
+   * real corpus does; a degenerate few-char corpus exhausts pairs and
+   * the remaining rounds emit nothing).
+   */
+  def bpeLearn(docs: DataFrame, merges: Int = 8): DataFrame =
+    bpeState(docs, merges)._1
+
+  /**
+   * Corpus fertility under the LEARNED merges — [[tokenizerFertility]]
+   * re-scored with [[bpeLearn]]'s output applied: after `merges`
+   * rounds, the corpus-level vocab size, word/char/symbol totals and
+   * the integer-ppm compression ratios (symbols per word, symbols per
+   * char — the numbers that say what the learned tokenizer actually
+   * bought). Envelope: `n_symbols·10⁶` must stay under 2⁶³ —
+   * ~9·10¹² symbols, a ~40 TB text corpus; past that the ppm pair
+   * goes through the decimal lattice (same direction as
+   * unigramSurprisal's documented edge).
+   */
+  def bpeFertility(docs: DataFrame, merges: Int = 8): DataFrame =
+    bpeState(docs, merges)._2
+      .select(col("freq"), length(col("word")).cast("long").as("ch"),
+        size_(bpeSyms(col("s"))).cast("long").as("sy"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("ch")).as("n_chars"),
+        sum(col("freq") * col("sy")).as("n_symbols"))
+      .select(col("n_vocab"), col("n_words"), col("n_chars"),
+        col("n_symbols"),
+        expr("(n_symbols * 1000000) div n_words").as("syms_per_word_ppm"),
+        expr("(n_symbols * 1000000) div n_chars").as("syms_per_char_ppm"))
+
   /**
    * DSIR-style importance scores — data selection via importance
    * resampling (Xie et al., 2023): rank corpus documents by how much

@@ -475,6 +475,43 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.head == ((1L, 2L, 8L, 1L, 16L)))
   }
 
+  test("bpeLearn replays the hand-computed merge sequence with smallest-pair ties") {
+    // vocab: "low"(1), " low"(1), " lower"(1) — char pairs:
+    // (l,o)=3, (o,w)=3, (' ',l)=2, (w,e)=1, (e,r)=1
+    // r1: tie at 3 -> lex smallest (l,o) -> "lo"
+    // r2: (lo,w)=3 -> "low";  r3: (' ',low)=2 -> " low"
+    // r4: tie at 1 -> (" low",e) < (e,r) -> " lowe"
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextOps.bpeLearn(docs, merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "l", "o", "lo", 3L),
+      (2L, "lo", "w", "low", 3L),
+      (3L, " ", "low", " low", 2L),
+      (4L, " low", "e", " lowe", 1L)))
+  }
+
+  test("bpeLearn greedy replace is non-overlapping left-to-right (aaaa -> aa aa)") {
+    // "aaaa" vocab: pairs (a,a)=3 -> merge (a,a); applying it greedily
+    // must segment "aaaa" as (aa)(aa), so round 2's top pair is
+    // (aa,aa)=1 — an overlap bug would leave (aa,a) instead
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeLearn(docs, merges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 3L),
+      (2L, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("bpeFertility re-scores the corpus under the learned merges") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextOps.bpeFertility(docs, merges = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // after 4 merges: "low"->[low] 1 sym, " low"->[" low"] 1,
+    // " lower"->[" lowe", r] 2; chars 3+4+6=13, symbols 4
+    assert(got == Seq((3L, 3L, 13L, 4L, 1333333L, 307692L)))
+  }
+
   test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
     // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
     // bits(b)=bits(c)=len(bin(5))-1=2
