@@ -589,6 +589,13 @@ object SparkEntry {
     "text_contamination" -> ((s, dir) =>
       TextOps.contamination(t(s, dir, "documents"))),
 
+    "text_contamination_fuzzy" -> ((s, dir) =>
+      // edit-tolerant decontamination: normalized-alnum shingle
+      // candidates + edit-budget / prefix-Levenshtein verify, so a
+      // 1-edit near-verbatim benchmark line is still caught
+      // (r7 verdict item 8)
+      TextOps.contaminationFuzzy(t(s, dir, "documents"))),
+
     // The flagship composition: the whole curation pipeline as ONE
     // declarative plan — exact dedup -> near-dup survivor selection ->
     // quality gate -> deterministic shard manifest. Every stage is the
@@ -1837,16 +1844,20 @@ object SparkEntry {
                ELSE [array_to_string(string_split($norm, ' '), ' ')]
           END"""
     // word-k-shingle set for arbitrary k (matches Dedup.shingleSets(k))
-    def shinglesSql(k: Int): String = {
-      val terms = (0 until k).map(j => s"string_split($norm, ' ')[i+$j]")
+    def shinglesSqlOn(normExpr: String, k: Int): String = {
+      val terms = (0 until k).map(j => s"string_split($normExpr, ' ')[i+$j]")
         .mkString(" || ' ' || ")
-      s"""CASE WHEN len(string_split($norm, ' ')) >= $k
+      s"""CASE WHEN len(string_split($normExpr, ' ')) >= $k
                THEN list_distinct(list_transform(
-                 generate_series(1, len(string_split($norm, ' ')) - ${k - 1}),
+                 generate_series(1, len(string_split($normExpr, ' ')) - ${k - 1}),
                  i -> $terms))
-               ELSE [array_to_string(string_split($norm, ' '), ' ')]
+               ELSE [array_to_string(string_split($normExpr, ' '), ' ')]
           END"""
     }
+    def shinglesSql(k: Int): String = shinglesSqlOn(norm, k)
+    // normalizedAlnum: punctuation AND whitespace runs -> one space
+    val normp =
+      "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
 
     // MinHash permutation coefficients (identical to H60.permA/permB)
     val permA = (0 until 32).map(graft.functions.H60.permA).mkString("[", ", ", "]")
@@ -3998,6 +4009,34 @@ object SparkEntry {
             SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
             FROM train t JOIN held h ON t.gram = h.gram
             GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+      "text_contamination_fuzzy" ->
+        s"""WITH base AS (SELECT doc_id, ${shinglesSqlOn(normp, 4)} AS sh,
+                            substr($normp, 1, 64) AS pfx
+                          FROM documents),
+                 held AS (SELECT doc_id AS held_id,
+                            CAST(len(sh) AS BIGINT) AS n_held,
+                            pfx AS pfx_h, unnest(sh) AS gram
+                          FROM base WHERE doc_id % 50 = 0),
+                 train AS (SELECT doc_id AS train_id, pfx AS pfx_t,
+                             unnest(sh) AS gram
+                           FROM base WHERE doc_id % 50 != 0),
+                 hot AS (SELECT gram FROM train GROUP BY gram
+                         HAVING count(*) > 64),
+                 capped AS (SELECT * FROM train
+                            WHERE gram NOT IN (SELECT gram FROM hot)),
+                 pairs AS (SELECT train_id, held_id,
+                             CAST(count(*) AS BIGINT) AS n_shared,
+                             CAST(max(n_held) AS BIGINT) AS n_held,
+                             max(pfx_t) AS pfx_t, max(pfx_h) AS pfx_h
+                           FROM capped JOIN held USING (gram)
+                           GROUP BY train_id, held_id)
+            SELECT train_id, held_id, n_shared, n_held,
+                   CAST(levenshtein(pfx_t, pfx_h) AS BIGINT) AS lev_pfx
+            FROM pairs
+            WHERE n_shared >= n_held - 8
+               OR levenshtein(pfx_t, pfx_h) <= 8
+            ORDER BY train_id, held_id""",
 
       "text_shard_assign" ->
         s"""WITH h AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':graft'")} AS hh

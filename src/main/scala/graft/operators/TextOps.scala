@@ -342,6 +342,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Alphanumeric normalization for fuzzy matching: lower-case, every
+    * run of non-alphanumerics (punctuation AND whitespace) collapses
+    * to one space — so "Fox, jumps!" ≡ "fox jumps". Engine-identical
+    * (explicit class, 'g'-flagged on the DuckDB side). */
+  def normalizedAlnum(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))),
+      "[^a-z0-9]+", " "))
+
+  /**
+   * Edit-tolerant decontamination — [[contamination]]'s answer to
+   * benchmark leakage that survives whitespace/punctuation drift and
+   * small edits (the way real eval lines leak into crawls). Composes
+   * the normalized-shingle machinery with the [[Dedup.fuzzyPairs]]
+   * screen discipline: candidate (train, held) pairs come from shared
+   * `k`-token shingles over [[normalizedAlnum]] text (df-capped at
+   * `maxDf` train docs — boilerplate shingles generate candidate
+   * floods, not evidence), and a pair is flagged when EITHER the
+   * shingle evidence survives an edit budget (`n_shared ≥ n_held −
+   * k·editBudget` — a single token edit kills at most `k` shingles,
+   * so a near-verbatim inclusion keeps most of them, wherever it sits
+   * in the train doc) OR the normalized `prefixLen`-char prefixes are
+   * within Levenshtein `maxDist` (the fuzzy-block verify, catching
+   * short held lines whose few shingles an edit can wipe out).
+   * Output: `train_id, held_id, n_shared, n_held, lev_pfx` — all
+   * integers, engine-exact (Levenshtein is unit-cost on both).
+   *
+   * Scale shape: one shingle-keyed join (df-capped, never skewed), a
+   * pair-keyed rollup, and a per-pair O(prefixLen²) verify on the
+   * candidate set only — the fuzzyPairs cost shape; no all-pairs path.
+   */
+  def contaminationFuzzy(docs: DataFrame, heldoutMod: Long = 50,
+                         k: Int = 4, maxDf: Int = 64, prefixLen: Int = 64,
+                         maxDist: Int = 8, editBudget: Int = 2): DataFrame = {
+    val normp = normalizedAlnum(col("text"))
+    val base = docs.select(col("doc_id"),
+      graft.functions.functions.word_shingles(normp, k).as("sh"),
+      substring(normp, 1, prefixLen).as("pfx"))
+    val held = base.filter(pmod(col("doc_id"), lit(heldoutMod)) === 0)
+      .select(col("doc_id").as("held_id"),
+        size_(col("sh")).cast("long").as("n_held"),
+        col("pfx").as("pfx_h"), explode(col("sh")).as("gram"))
+    val train = base.filter(pmod(col("doc_id"), lit(heldoutMod)) =!= 0)
+      .select(col("doc_id").as("train_id"), col("pfx").as("pfx_t"),
+        explode(col("sh")).as("gram"))
+    // hot-shingle anti-join, partial-agg + broadcast-tiny hot list
+    // (the fuzzyPairs stop-block guard, keyed on the gram)
+    val hot = train.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gram"))
+    val capped = train.join(hot, Seq("gram"), "left_anti")
+    capped.join(held, "gram")
+      .groupBy(col("train_id"), col("held_id"))
+      // prefixes are constant per id: max() carries them through the
+      // one pair-keyed shuffle instead of two extra joins
+      .agg(count(lit(1)).as("n_shared"), max(col("n_held")).as("n_held"),
+        max(col("pfx_t")).as("pfx_t"), max(col("pfx_h")).as("pfx_h"))
+      .withColumn("lev_pfx",
+        levenshtein(col("pfx_t"), col("pfx_h")).cast("long"))
+      .filter(col("n_shared") >= col("n_held") - lit(k.toLong * editBudget)
+        || col("lev_pfx") <= maxDist)
+      .select(col("train_id"), col("held_id"), col("n_shared"),
+        col("n_held"), col("lev_pfx"))
+      .orderBy(col("train_id"), col("held_id"))
+  }
+
   /**
    * N-gram novelty: per document, how many of its distinct word
    * `k`-grams appear here FIRST (no earlier doc_id contains them) —

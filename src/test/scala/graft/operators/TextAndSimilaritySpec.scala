@@ -475,6 +475,48 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got.head == ((1L, 2L, 8L, 1L, 16L)))
   }
 
+  test("contaminationFuzzy catches a 1-edit near-verbatim benchmark line") {
+    // held doc 50: a 20-token benchmark line (17 4-gram shingles).
+    // train doc 1 embeds it with ONE token edited (india -> indiana)
+    // plus case/punctuation drift: the edit kills at most 4 shingles,
+    // 13 of 17 survive >= 17 - 4*2 = 9 -> caught. train doc 2 shares
+    // only 6 consecutive tokens (3 shingles < 9, distant prefix) ->
+    // not flagged. train doc 3 is unrelated -> no candidate at all.
+    val line = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val edited = "Alpha bravo, charlie delta; echo foxtrot golf hotel " +
+      "indiana juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango."
+    val docs = Seq(
+      (50L, line),
+      (1L, edited),
+      (2L, "zulu yankee xray golf hotel india juliet kilo lima whiskey " +
+        "victor uniform tree stone river mountain lake forest desert"),
+      (3L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contaminationFuzzy(docs)
+      .select(col("train_id"), col("held_id"), col("n_shared"),
+        col("n_held"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 50L, 13L, 17L)))
+  }
+
+  test("contaminationFuzzy prefix-Levenshtein screen catches a short edited line") {
+    // held doc 100: a 6-token line -> with < k*editBudget+1 shingles
+    // the shingle budget is trivially permissive, but a SHORT line
+    // whose one shared shingle survives must still be caught via the
+    // candidate join; and a 1-char prefix drift keeps lev small
+    val docs = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (1L, "the quick brown fox jumped high and ran away into the woods"),
+      (2L, "completely unrelated content about something else entirely"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contaminationFuzzy(docs, heldoutMod = 50)
+      .select(col("train_id"), col("held_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 100L)))
+  }
+
   test("bpeLearn replays the hand-computed merge sequence with smallest-pair ties") {
     // vocab: "low"(1), " low"(1), " lower"(1) — char pairs:
     // (l,o)=3, (o,w)=3, (' ',l)=2, (w,e)=1, (e,r)=1
