@@ -99,13 +99,21 @@ object Sinks {
    * the committer itself materializes), not data — the one place a
    * driver-side collect is the correct shape.
    *
-   * Caveat (spec-pinned): dynamic overwrite replaces only partitions
-   * PRESENT in the written frame, so a batch whose deletes empty a
-   * partition entirely leaves the old files in place — the same
-   * no-delete-without-data edge every dynamic-overwrite mirror has;
-   * a table format with a deletion log (Delta/Iceberg) is the
-   * production answer. Guarded here: if a touched partition folds to
-   * zero rows, this throws rather than silently resurrecting rows.
+   * Full-partition deletes (the one edge dynamic overwrite cannot
+   * serve — it replaces only partitions PRESENT in the written frame)
+   * go through a DELETION-MANIFEST sidecar: a tiny tombstone parquet
+   * under `_graft_deleted_partitions/` (underscore-prefixed, so plain
+   * parquet readers of the mirror root never list it) holding the
+   * string-rendered partition values that are logically dropped.
+   * [[readMirror]] honors it; a later batch that re-inserts rows into
+   * a dropped partition un-drops it (the manifest entry is removed and
+   * the partition folds from EMPTY, never from its stale files). This
+   * is the Delta/Iceberg deletion-log idea at minimum viable size.
+   * Crash window (documented, same class as the data write itself,
+   * which is also not atomic across partitions): the data write lands
+   * before the manifest update, so a crash between the two leaves a
+   * drained partition's stale files VISIBLE until the batch retries —
+   * retrying the batch is the recovery, as for any partial batch.
    */
   def compactMirror(spark: SparkSession, mirrorDir: String,
                     changes: DataFrame, partCol: String,
@@ -113,9 +121,16 @@ object Sinks {
                     offsetCol: String = "event_id",
                     actionCol: String = "action",
                     maxTouchedPartitions: Int = 100000): Unit = {
-    val touched = changes.select(col(partCol)).distinct()
+    // partition values are compared STRING-RENDERED throughout (the
+    // same rendering the partition directory names use): the mirror
+    // read-back may re-infer a narrower type than the writer's (long
+    // columns come back int), and typed driver-side equality would
+    // silently miss across that gap. The cast-to-string filters still
+    // partition-prune — pruning evaluates the predicate over the
+    // partition-values row, casts included.
+    val touched = changes.select(col(partCol).cast("string")).distinct()
       .limit(maxTouchedPartitions + 1)
-      .collect().map(_.get(0)).toSeq
+      .collect().map(_.getString(0)).toSeq
     // The collect above is partition METADATA, bounded by design — but
     // a pathological batch touching every partition of a huge mirror
     // must degrade LOUDLY (and before materializing the list), not as
@@ -125,24 +140,82 @@ object Sinks {
       s"compactMirror: batch touches > $maxTouchedPartitions partitions " +
         "— that is a full-mirror rewrite, not incremental compaction; " +
         "rewrite the mirror with a plain partitioned write instead")
-    val current = spark.read.parquet(mirrorDir)
-      .filter(col(partCol).isin(touched: _*))
+    val dropped = droppedPartitions(spark, mirrorDir)
+    val touchedCur = spark.read.parquet(mirrorDir)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    // a previously-dropped partition folds from EMPTY: its stale
+    // files are invisible through the manifest, so a re-insert batch
+    // cannot resurrect pre-drop rows
+    val current =
+      if (dropped.isEmpty) touchedCur
+      else touchedCur.filter(
+        !col(partCol).cast("string").isin(dropped.toSeq: _*))
     // localCheckpoint: materializes the fold (touched-partitions-sized,
     // small vs the mirror) and truncates lineage, so the write-back to
-    // the path being read is legal and the emptied-partition guard
-    // shares the one fold
+    // the path being read is legal and the survivor scan shares the
+    // one fold
     val updated = CdcOps.applyChangesWithActions(current, changes,
       keyCol, tsCol, offsetCol, actionCol).localCheckpoint()
-    val survivors = updated.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val emptied = touched.filterNot(survivors.contains)
-    require(emptied.isEmpty,
-      s"compactMirror: batch empties partition(s) ${emptied.mkString(",")} " +
-        "— dynamic overwrite cannot delete a partition; use a format " +
-        "with a deletion log for full-partition deletes")
+    val survivors = updated.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val emptied = touched.filterNot(survivors.contains).toSet
+    val revived = dropped.intersect(survivors)
     updated.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(mirrorDir)
+    val newDropped = (dropped -- revived) ++ emptied
+    if (newDropped != dropped)
+      writeDeletionManifest(spark, mirrorDir, newDropped)
+  }
+
+  /** Manifest subdirectory under the mirror root — underscore-prefixed
+    * so Spark/parquet file listing treats it as hidden. */
+  private[sinks] val DeletionManifestDir = "_graft_deleted_partitions"
+
+  private def manifestFsPath(spark: SparkSession, mirrorDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(mirrorDir, DeletionManifestDir)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** The logically-dropped partition values (string-rendered) of a
+    * mirror — empty when no manifest exists. Manifest reads are
+    * partition METADATA (bounded by the partition count), the same
+    * driver-side shape as the touched-partition list. */
+  def droppedPartitions(spark: SparkSession, mirrorDir: String): Set[String] = {
+    val (p, fs) = manifestFsPath(spark, mirrorDir)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString)
+      .select(col("part_value").cast("string"))
+      .collect().map(_.getString(0)).toSet
+  }
+
+  private def writeDeletionManifest(spark: SparkSession, mirrorDir: String,
+                                    dropped: Set[String]): Unit = {
+    import spark.implicits._
+    // built from driver-side metadata, so overwriting the path just
+    // read is dependency-free; coalesce(1): the manifest is tiny and
+    // one file keeps the read cheap
+    spark.createDataset(dropped.toSeq.sorted).toDF("part_value")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(manifestFsPath(spark, mirrorDir)._1.toString)
+  }
+
+  /**
+   * Manifest-honoring mirror reader — the read half of
+   * [[compactMirror]]'s deletion-log contract: partitions listed in
+   * the deletion manifest are filtered out (their stale files may
+   * still exist on disk; dynamic overwrite cannot remove a directory).
+   * The filter is a partition-prunable NOT-IN over the partition
+   * column, so dropped partitions' files are never read, not merely
+   * dropped post-scan.
+   */
+  def readMirror(spark: SparkSession, mirrorDir: String,
+                 partCol: String): DataFrame = {
+    val dropped = droppedPartitions(spark, mirrorDir)
+    val df = spark.read.parquet(mirrorDir)
+    if (dropped.isEmpty) df
+    else df.filter(!col(partCol).cast("string").isin(dropped.toSeq: _*))
   }
 }

@@ -11,8 +11,11 @@ import graft.operators.CdcOps
  * Incremental mirror compaction: a change batch touching 2 of 8
  * partitions rewrites ONLY those partition directories (untouched leaf
  * files are bit-identical afterwards), the folded result equals the
- * full delete-aware mirror fold, and a batch that would empty a
- * partition is refused rather than silently resurrecting rows.
+ * full delete-aware mirror fold, and a batch that drains a partition
+ * round-trips through the deletion-manifest sidecar — the partition
+ * is absent from [[Sinks.readMirror]], untouched partitions stay
+ * bit-identical, and a later re-insert un-drops it without
+ * resurrecting pre-drop rows.
  */
 class CompactMirrorSpec extends SparkSpec {
   import spark.implicits._
@@ -73,19 +76,63 @@ class CompactMirrorSpec extends SparkSpec {
     assert(!byKey.contains(2L) && byKey(65L) == "ins" && byKey(1L) == "upd")
   }
 
-  test("a batch emptying a partition is refused") {
+  test("a batch draining a partition round-trips through the deletion manifest") {
     val dir = Files.createTempDirectory("mirror2").toString + "/m"
     val base = Seq((1L, 1L, ts(1), "seed", 1.0, "I", 0L),
-      (2L, 2L, ts(1), "seed", 2.0, "I", 1L)).toDF(
+      (2L, 2L, ts(1), "seed", 2.0, "I", 1L),
+      (3L, 3L, ts(1), "seed", 3.0, "I", 2L)).toDF(
       "user_id", "event_id", "ts", "event_type", "value", "action", "part")
     base.write.partitionBy("part").parquet(dir)
+    val before = leafFiles(java.nio.file.Paths.get(dir))
+
     val killAll = Seq((2L, 10L, ts(10), "del", 0.0, "D", 1L)).toDF(
       "user_id", "event_id", "ts", "event_type", "value", "action", "part")
-    val e = intercept[IllegalArgumentException] {
-      Sinks.compactMirror(spark, dir, killAll, partCol = "part")
+    Sinks.compactMirror(spark, dir, killAll, partCol = "part")
+
+    // the drained partition is absent through the manifest-honoring
+    // reader (its stale files may remain on disk — that's the point)
+    val live = Sinks.readMirror(spark, dir, "part")
+    assert(live.select($"user_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Sinks.droppedPartitions(spark, dir) == Set("1"))
+    // the manifest filter PRUNES: the scan selects 2 of 3 partition
+    // directories — dropped files are never read, not filtered post-scan
+    val scanned = live.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
     }
-    assert(e.getMessage.contains("empties partition"))
-    // mirror unchanged
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(scanned == Seq(2), s"expected 2 pruned-in partitions, got $scanned")
+    // untouched partitions: bit-identical leaf files
+    val after = leafFiles(java.nio.file.Paths.get(dir))
+    val untouchedBefore = before.filterNot(_._1.contains("part=1"))
+    val untouchedAfter = after.filterNot(_._1.contains("part=1"))
+      .filterNot(_._1.contains(Sinks.DeletionManifestDir))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched partition files must not be rewritten")
+  }
+
+  test("a re-insert into a dropped partition un-drops it without resurrection") {
+    val dir = Files.createTempDirectory("mirror3").toString + "/m"
+    val base = Seq((1L, 1L, ts(1), "seed", 1.0, "I", 0L),
+      (2L, 2L, ts(1), "old", 2.0, "I", 1L),
+      (9L, 3L, ts(1), "old", 9.0, "I", 1L)).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    base.write.partitionBy("part").parquet(dir)
+    // batch 1 drains part=1 (deletes both keys)
+    val drain = Seq((2L, 10L, ts(10), "del", 0.0, "D", 1L),
+      (9L, 11L, ts(10), "del", 0.0, "D", 1L)).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    Sinks.compactMirror(spark, dir, drain, partCol = "part")
+    assert(Sinks.droppedPartitions(spark, dir) == Set("1"))
+    // batch 2 re-inserts ONE key into part=1: the partition must come
+    // back with exactly that key — the pre-drop keys 2 and 9 must NOT
+    // resurrect from the stale files
+    val revive = Seq((7L, 20L, ts(20), "new", 7.0, "I", 1L)).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    Sinks.compactMirror(spark, dir, revive, partCol = "part")
+    assert(Sinks.droppedPartitions(spark, dir).isEmpty)
+    val live = Sinks.readMirror(spark, dir, "part")
+      .select($"user_id", $"part".cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(live == Set((1L, 0L), (7L, 1L)))
   }
 }
