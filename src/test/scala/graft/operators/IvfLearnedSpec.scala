@@ -8,12 +8,15 @@ import graft.SparkSpec
  * The learned-KMeans IVF path's pinnable properties — everything about
  * `sim_ivf_topk` that ISN'T the learned model itself (which the driver
  * oracle gates on rows+schema only, by design):
- * determinism under the fixed seed, exact output shape, and a recall
- * floor against the brute-force ground truth (measured 0.51 at
- * sf0.001 / 0.69 at sf0.01 with nprobe=4 of 16 on the near-uniform
- * synthetic corpus — the worst case for a clustered index; the floor
- * asserts the index is genuinely ranking, not returning arbitrary
- * bucket-mates).
+ * determinism under the fixed seed, exact output shape, and TWO recall
+ * floors against brute-force ground truth: 0.4 on the near-uniform
+ * synthetic corpus (measured 0.51 at sf0.001 / 0.69 at sf0.01 with
+ * nprobe=4 of 16 — the adversarial case, where IVF recall is expected
+ * to be poor and the floor pins "still genuinely ranking"), and 0.9 on
+ * a planted-cluster corpus (the regime IVF exists for, where the
+ * learned quantizer must recover the cluster structure — r7 verdict
+ * item 3, so the driver artifact's recall_ppm reads without a
+ * footnote).
  */
 class IvfLearnedSpec extends SparkSpec {
   import spark.implicits._
@@ -54,6 +57,33 @@ class IvfLearnedSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall@5 collapsed to $recall")
+  }
+
+  test("ivfTopK recall@5 on a planted-cluster corpus clears 0.9") {
+    // r7 verdict item 3: the near-uniform floor above (0.4) mostly
+    // pins "no worse than before" — on data with real cluster
+    // structure (the regime IVF exists for) the learned quantizer
+    // must EARN its keep. 16 planted angular clusters, 100 vectors
+    // each (center ± 5% noise): a query's true top-5 are its
+    // cluster-mates, so recall@5 collapses unless KMeans recovers the
+    // planted partition and the probe ranking finds the right bucket.
+    val rnd = new scala.util.Random(42)
+    val centers = Seq.fill(16)(Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0L until 1600L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvf(emb, nCentroids = 16)
+    val ivf = Similarity.ivfTopK(index, q, 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"planted-cluster recall@5 = $recall < 0.9")
   }
 
   test("sim_ivf_topk query carries its measured recall_ppm on every row") {
