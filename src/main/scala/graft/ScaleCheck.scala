@@ -281,6 +281,206 @@ object ScaleCheck {
     })
   )
 
+  /** Replicate a table `copies`× with ids offset per copy so keys
+    * stay unique. */
+  private def replicate(df: DataFrame, idCol: String,
+                        copies: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
+      .withColumn(idCol, col(idCol) + col("__copy") * lit(n * 2))
+      .drop("__copy")
+  }
+
+  /** Replicate documents with every TOKEN prefixed by a per-copy tag,
+    * so cross-copy shingles never collide. Plain replication makes
+    * every copy-pair a TRUE near-dup: pair-based dedup work then grows
+    * quadratically in the copy count — an artifact of replication, not
+    * of scale (a real 100× corpus has 100× more dup CLUSTERS of the
+    * same size, not 100×-bigger clusters). Tagging each token (rather
+    * than interleaving salt tokens — tried first, and catastrophic:
+    * interleaving degrades every word TRIGRAM shingle to an effective
+    * uni/bigram, df explodes, and the PPJoin prefix filter loses its
+    * selectivity, 80 GB of spill at 20×) preserves each copy's
+    * internal n-gram/df structure exactly — token count, shingle
+    * count, and within-copy similarity are unchanged — while making
+    * copies mutually disjoint in token space. The duplication PROFILE
+    * scales, the way real growth does. The tag is letters-only so
+    * `wordTokens`' [a-z]+ extraction still sees one token. Known
+    * distortion (uniform across scales, so ratios stay meaningful):
+    * tagged words no longer match stopword/quality dictionaries.
+    */
+  private def replicateSalted(docs: DataFrame, copies: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    docs.crossJoin(spark.range(copies).select(col("id").as("__copy")))
+      .withColumn("text", regexp_replace(col("text"),
+        lit("(" + TextOps.NonSpace + "+)"),
+        concat(lit("z"),
+          translate(col("__copy").cast("string"),
+            "0123456789", "abcdefghij"),
+          lit("q$1"))))
+      .withColumn("doc_id", col("doc_id") + col("__copy") * lit(n * 2))
+      .drop("__copy")
+  }
+
+  /**
+   * The heaviest operators (r7 bench CPU order + the r7 verdict's
+   * named list) as thunks over replicated frames — the 100× scaling
+   * measurement set (`runMain graft.ScaleCheck exp`). Graph probes
+   * inherit plain event replication (same users, 100× history), so
+   * their hot-group/hub caps are the binding mechanism — expected
+   * sublinear; doc probes run on SALTED copies so pair work scales
+   * with the data, not with the replication artifact.
+   */
+  def heavyProbes(spark: SparkSession, docs: DataFrame, emb: DataFrame,
+                  ev: DataFrame): Seq[(String, () => DataFrame)] = {
+    import graft.operators.{CdcOps, Graph, Multimodal}
+    Seq(
+      "graph_link_prediction" -> (() =>
+        Graph.linkPrediction(
+          Graph.topKNeighbors(
+            Graph.cooccurrenceEdges(ev, date_trunc("hour", col("ts")),
+              col("user_id"), minShared = 8L), k = 10),
+          maxDeg = 512, minCommon = 4)),
+      "graph_cooccur_kcore" -> (() =>
+        Graph.kCore(
+          Graph.cooccurrenceEdges(ev, date_trunc("minute", col("ts")),
+            col("user_id"), minShared = 2L),
+          k = 4)),
+      "dedup_ppjoin_exact" -> (() =>
+        Dedup.ppjoinExactPairs(docs, tNum = 1, tDen = 2)
+          .groupBy().agg(count(lit(1)).as("n_pairs"))),
+      "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
+      "text_dup_spans_maximal" -> (() => TextOps.dupSpanRuns(docs)),
+      "dedup_components_star" -> (() =>
+        Dedup.starContractComponents(
+          Dedup.nearDuplicatePairs(docs, threshold = 0.1))),
+      "dedup_components" -> (() =>
+        Dedup.nearDupComponents(
+          Dedup.nearDuplicatePairs(docs, threshold = 0.1))),
+      "dedup_neardup_survivors" -> (() => {
+        val comp = Dedup.starContractComponents(
+            Dedup.nearDuplicatePairs(docs, threshold = 0.1))
+          .select(col("id").as("doc_id"), col("component"))
+        Dedup.nearDupSurvivors(comp, docs)
+      }),
+      "dedup_ngram_jaccard" -> (() =>
+        Dedup.ngramJaccardPairs(docs, threshold = 0.5)),
+      "dedup_threshold_sweep" -> (() => Dedup.jaccardThresholdSweep(docs)),
+      "dedup_leakage_split" -> (() =>
+        Dedup.leakageSafeSplit(docs, threshold = 0.1, valPct = 10)),
+      "text_bigram_surprisal" -> (() => TextOps.bigramSurprisal(docs)),
+      "text_pack_sequences" -> (() => TextOps.packSequences(docs)),
+      "text_bpe_learn" -> (() => TextOps.bpeLearn(docs)),
+      "sim_mmr_select" -> (() =>
+        Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2), k = 5)),
+      "pipeline_training_manifest" -> (() => {
+        val exact = Dedup.exactDedup(docs)
+        val comps = Dedup.nearDupComponents(
+            Dedup.nearDuplicatePairs(exact, threshold = 0.1))
+          .select(col("id").as("doc_id"), col("component"))
+        val survivors = Dedup.nearDupSurvivors(comps, exact)
+          .select(col("survivor_id"))
+        val dropped = comps.join(survivors,
+            comps("doc_id") === survivors("survivor_id"), "left_anti")
+          .select(col("doc_id"))
+        val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+        val gated = kept.join(
+          TextOps.qualityScore(kept).filter(col("quality") >= 0.5)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        TextOps.shardAssign(gated)
+      }),
+      "pipeline_curation_manifest" -> (() => {
+        val capped = docs.join(
+          TextOps.domainCap(docs, perSource = 50).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val train = capped.join(
+          Dedup.leakageSafeSplit(capped, threshold = 0.1, valPct = 10)
+            .filter(col("split") === "train").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        TextOps.shardAssign(train)
+      }),
+      "pipeline_media_manifest" -> (() => {
+        val media = Multimodal.asMedia(docs, "doc_id",
+          col("text").cast("binary"), "image")
+        val pairs = Multimodal.phashNearDupPairs(media)
+          .select(col("doc_a"), col("doc_b"))
+        val comp = Dedup.starContractComponents(pairs)
+        val survivors = comp.groupBy(col("component"))
+          .agg(min(col("id")).as("doc_id"))
+        val keep = media.join(comp.select(col("id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("meta"))
+          .unionByName(media.join(survivors.select(col("doc_id")),
+            Seq("doc_id"), "left_semi").select(col("doc_id"), col("meta")))
+        Multimodal.shardPack(keep)
+      }),
+      "cdc_gap_detection" -> (() => CdcOps.gapDetection(ev))
+    )
+  }
+
+  /** The 100×-vs-20× scaling measurement (r7 verdict item 1): run the
+    * heavy set at both scales and print per-operator wall times and
+    * the growth ratio against the 5× data growth. */
+  private def runExponent(spark: SparkSession, sfDir: String): Unit = {
+    val scales = Seq(20, 100)
+    val perScale = scales.map { s =>
+      val docs = replicateSalted(
+        ChangeLogSource.table(spark, sfDir, "documents"), s)
+        .localCheckpoint(true)
+      val emb = replicate(
+        ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", s / 2)
+        .localCheckpoint(true)
+      val ev = replicate(
+        ChangeLogSource.table(spark, sfDir, "events"), "event_id", s)
+        .localCheckpoint(true)
+      println(s"SCALEEXP scale=${s}x docs=${docs.count()} " +
+        s"emb=${emb.count()} events=${ev.count()}")
+      // several probes checkpoint INTERNAL frames (ppjoin's sorted
+      // shingle table, kmeans lattices, the BPE vocab chain) that they
+      // have no loop epilogue to release; left alone they accumulate
+      // across reps and probes, and the 100× phase ends up measuring
+      // storage-eviction churn instead of the operator. Drop every
+      // persisted RDD that isn't one of the three replicated tables
+      // after each rep.
+      val keep = Seq(docs, emb, ev)
+        .flatMap(graft.util.Checkpoints.rddIds).toSet
+      def dropProbeStorage(): Unit =
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!keep(id)) rdd.unpersist(blocking = false)
+        }
+      val times = heavyProbes(spark, docs, emb, ev).map { case (n, f) =>
+        // min of 2 runs: scaling noise is ADDITIVE (GC pauses from the
+        // released previous scale, host contention), so the min is the
+        // clean estimate of the operator's own cost — the first pass
+        // of the first sweep showed 20× numbers inflated 3× by
+        // transients, inverting ratios
+        val dt = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try f().write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            // keep the sweep alive: one pathological probe must not
+            // cost the other measurements; FAILED is loud in the log
+            println(s"SCALEEXP   ${s}x $n FAILED: ${e.getMessage}")
+          }
+          dropProbeStorage()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"SCALEEXP   ${s}%3dx $n%-28s $dt%8.2f s")
+        n -> dt
+      }
+      Seq(docs, emb, ev).foreach(graft.util.Checkpoints.release)
+      times
+    }
+    val t20 = perScale(0).toMap
+    println(f"SCALEEXP ${"operator"}%-28s ${"t20x"}%8s ${"t100x"}%8s ${"ratio"}%7s   (data grows 5.00x)")
+    perScale(1).foreach { case (n, t100) =>
+      val r = t100 / t20(n).max(1e-9)
+      println(f"SCALEEXP $n%-28s ${t20(n)}%8.2f $t100%8.2f $r%7.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -293,11 +493,10 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
-      val n = df.count()
-      df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
-        .withColumn(idCol, col(idCol) + col("__copy") * lit(n * 2))
-        .drop("__copy")
+    if (args.headOption.contains("exp")) {
+      runExponent(spark, sfDir)
+      spark.stop()
+      return
     }
 
     def time(name: String)(f: => DataFrame): Unit = {
