@@ -1170,6 +1170,11 @@ object SparkEntry {
       // trained tokenizer actually bought vs raw chars
       TextOps.bpeFertility(t(s, dir, "documents"))),
 
+    "text_bpe_encode" -> ((s, dir) =>
+      // the inference half: per-doc token counts under the learned
+      // segmentation — the budget a training-layout planner uses
+      TextOps.bpeEncode(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -2874,6 +2879,25 @@ object SparkEntry {
                          CAST(sum(freq * len(regexp_extract_all(s,
                            '\\x01([^\\x01]+)', 1))) AS BIGINT) AS n_symbols
                   FROM w8)""",
+
+      "text_bpe_encode" ->
+        s"""WITH ${bpeCtes(8)},
+                 wordsyms AS (SELECT word,
+                     CAST(len(regexp_extract_all(s,
+                       '\\x01([^\\x01]+)', 1)) AS BIGINT) AS n_syms
+                   FROM w8),
+                 dw AS (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                       $bpeSql)) AS word
+                   FROM documents),
+                 fw AS (SELECT doc_id, word FROM dw
+                        WHERE NOT regexp_matches(word,
+                            '^${TextOps.SpaceRun}$$')
+                          AND NOT contains(word, chr(1)))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_syms) AS BIGINT) AS n_tokens
+            FROM fw JOIN wordsyms USING (word)
+            GROUP BY doc_id ORDER BY doc_id""",
 
       "text_unigram_surprisal" ->
         s"""WITH occ AS (SELECT doc_id, unnest($wtoks) AS tok

@@ -855,6 +855,35 @@ object TextOps {
         expr("(n_symbols * 1000000) div n_chars").as("syms_per_char_ppm"))
 
   /**
+   * Per-document token counts under the LEARNED merges — the
+   * inference half of [[bpeLearn]] and the number a training-layout
+   * planner actually budgets with (whitespace counts over-estimate;
+   * the learned segmentation is what the model sees). Re-derives the
+   * trained vocab, then one corpus pass: explode doc words, join the
+   * vocab's final segmentation length, roll up per doc. Output:
+   * `doc_id, n_words, n_tokens` — integers, engine-exact against the
+   * same chained-CTE oracle as the trainer.
+   *
+   * Scale shape: the vocab-side join input is the Zipf-bounded vocab
+   * (AQE broadcast at any realistic size); the corpus side is one
+   * narrow explode + a doc-keyed rollup. Docs whose every token is
+   * whitespace-run/sentinel-bearing produce no rows (nothing to
+   * count).
+   */
+  def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val vocab = bpeState(docs, merges)._2
+      .select(col("word"),
+        size_(bpeSyms(col("s"))).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(bpeishTokens(col("text"))).as("word"))
+      .filter(!col("word").rlike("^" + SpaceRun + "$") &&
+        !col("word").contains(Sent))
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * DSIR-style importance scores — data selection via importance
    * resampling (Xie et al., 2023): rank corpus documents by how much
    * more probable they are under a TARGET domain's unigram LM than

@@ -554,6 +554,18 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((3L, 3L, 13L, 4L, 1333333L, 307692L)))
   }
 
+  test("bpeEncode counts per-doc tokens under the learned segmentation") {
+    // same corpus as the trainer spec: after 4 merges "low" -> [low],
+    // " low" -> [" low"], " lower" -> [" lowe", r]; doc 1 has all
+    // three words -> 3 words, 4 tokens; doc 2 repeats "low low" ->
+    // words ["low", " low"] -> 2 words, 2 tokens
+    val docs = Seq((1L, "low low lower"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, merges = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 4L), (2L, 2L, 2L)))
+  }
+
   test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
     // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
     // bits(b)=bits(c)=len(bin(5))-1=2
