@@ -223,6 +223,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("dupSpanRuns: fp-keyed df join + exactly one doc-keyed window") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.dupSpanRuns(docs).limit(1))
+    // span df joins on the fingerprint; the gaps-and-islands
+    // row_number is the ONLY window, and it partitions by doc_id
+    // (per-doc sorts, nothing global)
+    assert(p.contains("hashpartitioning(fp"), p)
+    val df2 = TextOps.dupSpanRuns(docs)
+    val wins = df2.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected 1 window, got ${wins.size}")
+    assert(wins.head.partitionSpec.exists(_.toString.contains("doc_id")))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("contaminationFuzzy: gram-keyed join, no window, nothing quadratic") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.contaminationFuzzy(docs).limit(1))
+    // candidates come from the gram-keyed equi-join (df-capped);
+    // the verify is a per-row levenshtein on the candidate set —
+    // no window, no cartesian, no nested loop anywhere
+    assert(p.contains("hashpartitioning(gram"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bpeEncode: corpus side joins the vocab, rollup is doc-keyed, no window") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.bpeEncode(docs, merges = 2).limit(1))
+    // the learned vocab rides a broadcast (Zipf-bounded side); the
+    // per-doc rollup is a partial-aggregated keyed count — no window,
+    // no cartesian
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq: codebook and LUT broadcast; encode is a min_by aggregate") {
     val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
     val p = plan(Similarity.pqTopK(emb, emb.filter($"vec_id" < 3), 2))
