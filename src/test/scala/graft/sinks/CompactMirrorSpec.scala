@@ -110,6 +110,56 @@ class CompactMirrorSpec extends SparkSpec {
       "untouched partition files must not be rewritten")
   }
 
+  test("streaming foreachBatch compaction drains and revives partitions live") {
+    // the end-to-end consumer shape: each micro-batch folds into the
+    // on-disk mirror via compactMirror; one batch drains a partition
+    // (manifest drop), a later one revives it — and the final
+    // readMirror must equal the one-shot batch fold over everything
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("mirror-live").toString + "/m"
+    val base = (1L to 8L).map(u =>
+      (u, u, ts(u), "seed", u * 1.0, "I", u % 4)).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    base.write.partitionBy("part").parquet(dir)
+
+    val cols = Seq("user_id", "event_id", "ts", "event_type", "value",
+      "action", "part")
+    val input =
+      MemoryStream[(Long, Long, java.sql.Timestamp, String, Double,
+        String, Long)](spark)
+    val q = input.toDF().toDF(cols: _*).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.compactMirror(spark, dir, batch, partCol = "part")
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("mirror-live-ck").toString)
+      .start()
+    // keys 2 and 6 are partition 2's whole population
+    val b1 = Seq((1L, 100L, ts(100), "upd", 11.0, "U", 1L))
+    val b2 = Seq((2L, 101L, ts(101), "del", 0.0, "D", 2L),
+      (6L, 102L, ts(101), "del", 0.0, "D", 2L))
+    val b3 = Seq((9L, 103L, ts(103), "ins", 9.0, "I", 1L),
+      (14L, 104L, ts(104), "ins", 14.0, "I", 2L))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(Sinks.droppedPartitions(spark, dir) == Set("2"))
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(Sinks.droppedPartitions(spark, dir).isEmpty)
+    val live = Sinks.readMirror(spark, dir, "part")
+      .select($"user_id", $"event_id", $"value", $"part".cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val want = CdcOps.applyChangesWithActions(base,
+        (b1 ++ b2 ++ b3).toDF(cols: _*))
+      .select($"user_id", $"event_id", $"value", $"part")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(live == want, s"live mirror diverges: $live vs $want")
+    assert(live.exists(r => r._1 == 14L && r._4 == 2L) &&
+      !live.exists(_._1 == 2L) && !live.exists(_._1 == 6L))
+  }
+
   test("a re-insert into a dropped partition un-drops it without resurrection") {
     val dir = Files.createTempDirectory("mirror3").toString + "/m"
     val base = Seq((1L, 1L, ts(1), "seed", 1.0, "I", 0L),
