@@ -74,6 +74,20 @@ object ScaleCheck {
       Dedup.ngramJaccardPairs(boiler, threshold = 0.5)
     }),
     "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
+    "text_dup_spans_maximal" -> (() =>
+      // the maximal-run chain adds ONE doc-keyed window on top of the
+      // dup_spans shape — per-doc sorts only
+      TextOps.dupSpanRuns(docs)),
+    "text_contamination_fuzzy" -> (() =>
+      // candidate work keyed by df-capped shingles; the levenshtein
+      // verify touches candidates only
+      TextOps.contaminationFuzzy(docs)),
+    "text_bpe_learn" -> (() =>
+      // every round runs on the vocab table, never the corpus
+      TextOps.bpeLearn(docs)),
+    "text_bpe_encode" -> (() =>
+      // one corpus pass against the learned vocab
+      TextOps.bpeEncode(docs)),
     "text_unigram_surprisal" -> (() => TextOps.unigramSurprisal(docs)),
     "sim_sq8_topk" -> (() =>
       Similarity.sq8TopK(emb,
