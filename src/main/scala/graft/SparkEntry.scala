@@ -1175,6 +1175,11 @@ object SparkEntry {
       // segmentation — the budget a training-layout planner uses
       TextOps.bpeEncode(t(s, dir, "documents"))),
 
+    "text_dup_span_pairs" -> ((s, dir) =>
+      // pair-level maximal common spans: WHO shares the boilerplate,
+      // via diagonal gaps-and-islands over matched span positions
+      TextOps.dupSpanPairs(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -2879,6 +2884,46 @@ object SparkEntry {
                          CAST(sum(freq * len(regexp_extract_all(s,
                            '\\x01([^\\x01]+)', 1))) AS BIGINT) AS n_symbols
                   FROM w8)""",
+
+      "text_dup_span_pairs" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+                 s AS (SELECT doc_id, toks, len(toks) AS n
+                       FROM d WHERE len(toks) >= 8),
+                 st AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, CAST(n - 7 AS BIGINT)))
+                            AS i
+                        FROM s),
+                 sp AS (SELECT doc_id, i,
+                          md5(array_to_string(
+                            list_slice(toks, i, i + 7), ' ')) AS fp
+                        FROM st),
+                 keepfp AS (SELECT fp FROM sp GROUP BY fp
+                            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 16),
+                 c AS (SELECT doc_id, i, fp FROM sp
+                       WHERE fp IN (SELECT fp FROM keepfp)),
+                 m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.i AS ia, b.i AS ib, a.i - b.i AS diag
+                       FROM c a JOIN c b USING (fp)
+                       WHERE a.doc_id < b.doc_id),
+                 isl AS (SELECT doc_a, doc_b, diag, ia,
+                           ia - row_number() OVER (
+                             PARTITION BY doc_a, doc_b, diag
+                             ORDER BY ia) AS grp
+                         FROM m),
+                 runs AS (SELECT doc_a, doc_b, diag,
+                            CAST(min(ia) AS BIGINT) AS sa,
+                            CAST(count(*) + 7 AS BIGINT) AS span_tokens
+                          FROM isl GROUP BY doc_a, doc_b, diag, grp)
+            SELECT doc_a, doc_b, count(*) AS n_runs,
+                   CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+                   CAST(arg_max(sa,
+                     span_tokens * 4398046511104 - sa * 2097152
+                       - (sa - diag)) AS BIGINT) AS start_a,
+                   CAST(arg_max(sa - diag,
+                     span_tokens * 4398046511104 - sa * 2097152
+                       - (sa - diag)) AS BIGINT) AS start_b,
+                   CAST(sum(span_tokens) AS BIGINT) AS shared_tokens
+            FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
 
       "text_bpe_encode" ->
         s"""WITH ${bpeCtes(8)},

@@ -1039,6 +1039,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * PAIR-level maximal common spans — [[dupSpanRuns]] names how much
+   * duplicated text a doc carries; this one names WITH WHOM: for each
+   * document pair sharing at least one rare duplicated span, the
+   * maximal shared regions, chained exactly. Matched span positions
+   * (i_a, i_b) from a shared fingerprint lie on a DIAGONAL
+   * (i_a − i_b constant while both docs advance together), so a
+   * maximal common substring is a gaps-and-islands run within
+   * (pair, diagonal) — the classic dot-plot diagonal chain, computed
+   * with one keyed window instead of a suffix automaton. Output per
+   * pair: `doc_a, doc_b, n_runs, max_span_tokens, start_a, start_b`
+   * (1-based token offsets of the longest shared region, earliest on
+   * ties) and `shared_tokens` (coverage summed per diagonal run;
+   * overlapping runs on DIFFERENT diagonals each count — the honest
+   * repeat-structure reading). All integers — engine-exact.
+   *
+   * Scale shape: the position join is keyed by fingerprint and
+   * df-capped at `maxDf` DISTINCT docs (2 ≤ nd ≤ maxDf): spans shared
+   * corpus-wide are boilerplate, already measured doc-level by
+   * [[dupSpanRuns]], and would otherwise emit C(nd, 2) rows — the
+   * same stop-gram discipline as every pair operator here. The
+   * islands window partitions by (pair, diagonal) — bounded by the
+   * shorter doc, never data-sized.
+   */
+  def dupSpanPairs(docs: DataFrame, window: Int = 8,
+                   maxDf: Int = 16): DataFrame = {
+    val spans = spanTable(docs, window)
+    val df = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("fp"))
+    val capped = spans.join(df, "fp")
+    val a = capped.select(col("fp"), col("doc_id").as("doc_a"),
+      col("i").cast("long").as("ia"))
+    val b = capped.select(col("fp"), col("doc_id").as("doc_b"),
+      col("i").cast("long").as("ib"))
+    val matched = a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    val runs = matched
+      .withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("sa"),
+        (count(lit(1)) + lit(window - 1).cast("long")).as("span_tokens"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        // (span desc, s_a asc, s_b asc) packed into one 63-bit scalar
+        // key (span·2⁴² − s_a·2²¹ − s_b): injective while docs stay
+        // under 2²¹ tokens, so both engines pick the same run with a
+        // scalar max_by/arg_max — two equal-length runs CAN share s_a
+        // on different diagonals, so s_b must be in the tie-break
+        max_by(struct(col("sa").as("s_a"),
+            (col("sa") - col("diag")).as("s_b")),
+          col("span_tokens") * lit(4398046511104L) -
+            col("sa") * lit(2097152L) - (col("sa") - col("diag")))
+          .as("m"),
+        sum(col("span_tokens")).as("shared_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("n_runs"),
+        col("max_span_tokens"), col("m.s_a").as("start_a"),
+        col("m.s_b").as("start_b"), col("shared_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
 

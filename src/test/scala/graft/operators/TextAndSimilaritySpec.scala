@@ -554,6 +554,38 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((3L, 3L, 13L, 4L, 1333333L, 307692L)))
   }
 
+  test("dupSpanPairs chains the longest common region per pair on the diagonal") {
+    // docs 1 and 2 share a 12-token region at different offsets
+    // (doc 1: tokens 1..12; doc 2: tokens 3..14) -> one diagonal run,
+    // span 12, starts (1, 3); docs 1 and 3 share an 8-token region
+    val r12 = "a b c d e f g h i j k l"
+    val r8 = "m n o p q r s t"
+    val docs = Seq(
+      (1L, s"$r12 x y $r8"),
+      (2L, s"w0 w1 $r12 w2"),
+      (3L, s"v0 $r8 v1 v2"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanPairs(docs, window = 8)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 12L, 1L, 3L, 12L),
+      (1L, 3L, 1L, 8L, 15L, 2L, 8L)))
+  }
+
+  test("dupSpanPairs tie-break includes start_b when equal runs share start_a") {
+    // doc 1's single 8-token region appears TWICE in doc 2 (offsets 2
+    // and 11) -> two equal-length runs with the same s_a=1; the packed
+    // key must pick the smaller s_b deterministically
+    val r8 = "a b c d e f g h"
+    val docs = Seq(
+      (1L, r8),
+      (2L, s"z0 $r8 z1 $r8 z2"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanPairs(docs, window = 8)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 8L, 1L, 2L, 16L)))
+  }
+
   test("bpeEncode counts per-doc tokens under the learned segmentation") {
     // same corpus as the trainer spec: after 4 merges "low" -> [low],
     // " low" -> [" low"], " lower" -> [" lowe", r]; doc 1 has all
