@@ -1180,6 +1180,11 @@ object SparkEntry {
       // via diagonal gaps-and-islands over matched span positions
       TextOps.dupSpanPairs(t(s, dir, "documents"))),
 
+    "text_pack_bpe" -> ((s, dir) =>
+      // the full pretraining layout composition: learn merges ->
+      // count per doc under the learned segmentation -> pack
+      TextOps.packSequencesBpe(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -4137,6 +4142,43 @@ object SparkEntry {
                   CAST(((end_off - 1) // 512)
                     - ((end_off - n_tokens) // 512) + 1 AS BIGINT) AS n_seqs
            FROM w ORDER BY shard, pos""",
+
+      "text_pack_bpe" ->
+        s"""WITH ${bpeCtes(8)},
+                 wordsyms AS (SELECT word,
+                     CAST(len(regexp_extract_all(s,
+                       '\\x01([^\\x01]+)', 1)) AS BIGINT) AS n_syms
+                   FROM w8),
+                 dw AS (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                       $bpeSql)) AS word
+                   FROM documents),
+                 fw AS (SELECT doc_id, word FROM dw
+                        WHERE NOT regexp_matches(word,
+                            '^${TextOps.SpaceRun}$$')
+                          AND NOT contains(word, chr(1))),
+                 enc AS (SELECT doc_id,
+                           CAST(sum(n_syms) AS BIGINT) AS n_tokens
+                         FROM fw JOIN wordsyms USING (word)
+                         GROUP BY doc_id),
+                 t AS (SELECT doc_id, n_tokens,
+                         ${h60("doc_id::VARCHAR || ':graft'")} AS hh
+                       FROM enc),
+                 ps AS (SELECT doc_id, n_tokens,
+                          CAST(hh % 8 AS INT) AS shard, hh
+                        FROM t WHERE n_tokens > 0),
+                 pw AS (SELECT doc_id, shard, n_tokens,
+                          CAST(row_number() OVER win AS BIGINT) AS pos,
+                          sum(n_tokens) OVER win AS end_off
+                        FROM ps WINDOW win AS (PARTITION BY shard
+                          ORDER BY hh, doc_id))
+            SELECT doc_id, shard, pos, n_tokens,
+                   CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                   CAST((end_off - n_tokens) // 512 AS BIGINT) AS first_seq,
+                   CAST((end_off - 1) // 512 AS BIGINT) AS last_seq,
+                   CAST(((end_off - 1) // 512)
+                     - ((end_off - n_tokens) // 512) + 1 AS BIGINT) AS n_seqs
+            FROM pw ORDER BY shard, pos""",
 
       "pipeline_curation_manifest" ->
         s"""WITH RECURSIVE

@@ -1155,15 +1155,27 @@ object TextOps {
    * independent, so writers scale with shards.
    */
   def packSequences(docs: DataFrame, budget: Long = 512L,
-                    nShards: Int = 8, salt: String = "graft"): DataFrame = {
+                    nShards: Int = 8, salt: String = "graft"): DataFrame =
+    packSequencesCounts(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, nShards, salt)
+
+  /** [[packSequences]] over a precomputed `(doc_id, n_tokens)` budget
+    * frame — the packing plan is independent of HOW tokens were
+    * counted, so any tokenizer (whitespace, [[bpeEncode]]'s learned
+    * segmentation, an external count column) feeds the same
+    * shard-keyed window. */
+  def packSequencesCounts(counts: DataFrame, budget: Long = 512L,
+                          nShards: Int = 8,
+                          salt: String = "graft"): DataFrame = {
     require(budget >= 1, s"packSequences budget=$budget")
     require(nShards >= 1, s"packSequences nShards=$nShards")
     val h = graft.functions.functions.h60(
       concat(col("doc_id").cast("string"), lit(":"), lit(salt)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
-    docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+    counts.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         pmod(h, lit(nShards.toLong)).cast("int").as("shard"), h.as("__h"))
       .filter(col("n_tokens") > 0)
       .withColumn("pos", row_number().over(w).cast("long"))
@@ -1175,6 +1187,18 @@ object TextOps {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** The pretraining layout under the LEARNED tokenizer: sequence
+    * packing budgeted by [[bpeEncode]]'s per-doc token counts instead
+    * of whitespace counts — the composition a real run executes
+    * (corpus → learn merges → count → pack). Same one-window scale
+    * shape; the budgets ride the vocab join. */
+  def packSequencesBpe(docs: DataFrame, merges: Int = 8,
+                       budget: Long = 512L, nShards: Int = 8,
+                       salt: String = "graft"): DataFrame =
+    packSequencesCounts(
+      bpeEncode(docs, merges).select(col("doc_id"), col("n_tokens")),
+      budget, nShards, salt)
 
   /**
    * BM25 keyword retrieval over the corpus, top-`k` documents for one

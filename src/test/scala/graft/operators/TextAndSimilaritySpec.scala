@@ -598,6 +598,22 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 4L), (2L, 2L, 2L)))
   }
 
+  test("packSequencesBpe packs with learned-tokenizer budgets") {
+    // same trained corpus: doc 1 -> 4 BPE tokens, doc 2 -> 2; packing
+    // must consume exactly bpeEncode's counts (whitespace would say
+    // 3 and 2) and conserve tokens within each shard
+    val docs = Seq((1L, "low low lower"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(docs, merges = 4)
+      .select(col("doc_id"), col("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    // the n_tokens column in the packing plan IS the learned count
+    val packed = TextOps.packSequencesBpe(docs, merges = 4, budget = 3L)
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)]
+      .collect().toMap
+    assert(packed == enc && enc == Map(1L -> 4L, 2L -> 2L))
+  }
+
   test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
     // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
     // bits(b)=bits(c)=len(bin(5))-1=2
