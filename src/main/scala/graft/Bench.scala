@@ -104,7 +104,6 @@ object Bench {
     // materialization) is honestly re-paid each run.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
-    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val c0 = cpuNs()
@@ -115,7 +114,11 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
       }
-      name -> ((median(runs.map(_._1)), median(runs.map(_._2))), runs)
+      // the run WITH the median wall, whole: independently-medianed
+      // wall and cpu can pair numbers no run exhibited, skewing the
+      // cpu-vs-wall contention read the env fields exist for
+      val med = runs.sortBy(_._1).apply((runs.size - 1) / 2)
+      name -> (med, runs)
     }
     val wallByName = results.map { case (n, ((w, _), _)) => n -> w }.toMap
     val total = results.map(_._2._1._1).sum

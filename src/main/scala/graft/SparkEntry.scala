@@ -1795,7 +1795,8 @@ object SparkEntry {
       val sb = new StringBuilder
       sb.append(s"""w0 AS MATERIALIZED (
            SELECT word, freq,
-                  regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s
+                  regexp_replace(word, '(?s)(.)', chr(1) || '\\1', 'g')
+                    AS s
            FROM (SELECT word, count(*) AS freq FROM (
                    SELECT unnest(regexp_extract_all(coalesce(text, ''),
                      $bpeSql)) AS word FROM documents)
@@ -1818,8 +1819,10 @@ object SparkEntry {
            SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
          w$r AS MATERIALIZED (
            SELECT word, freq,
-             replace(s, (SELECT chr(1) || a || chr(1) || b FROM t$r),
-                        (SELECT chr(1) || a || b FROM t$r)) AS s
+             CASE WHEN (SELECT count(*) FROM t$r) = 0 THEN s
+                  ELSE replace(s,
+                    (SELECT chr(1) || a || chr(1) || b FROM t$r),
+                    (SELECT chr(1) || a || b FROM t$r)) END AS s
            FROM w${r - 1})""")
       }
       sb.toString
@@ -4106,10 +4109,13 @@ object SparkEntry {
                            FROM capped JOIN held USING (gram)
                            GROUP BY train_id, held_id)
             SELECT train_id, held_id, n_shared, n_held,
-                   CAST(levenshtein(pfx_t, pfx_h) AS BIGINT) AS lev_pfx
+                   CAST(levenshtein(substr(pfx_t, 1,
+                     CAST(length(pfx_h) AS INT)), pfx_h) AS BIGINT)
+                     AS lev_pfx
             FROM pairs
-            WHERE n_shared >= n_held - 8
-               OR levenshtein(pfx_t, pfx_h) <= 8
+            WHERE (n_shared >= n_held - 8 AND n_shared * 2 >= n_held)
+               OR levenshtein(substr(pfx_t, 1,
+                    CAST(length(pfx_h) AS INT)), pfx_h) <= 8
             ORDER BY train_id, held_id""",
 
       "text_shard_assign" ->

@@ -275,12 +275,28 @@ object CdcOps {
                          actionCol: String = "action"): DataFrame = {
     val pos = struct(col(tsCol), col(offsetCol))
     // fail-fast on swapped points: t1 > t2 would silently truncate
-    // the t1 state (the scan filters ts <= t2) and misclassify. The
-    // guard sits on the pre-aggregation scan so it fires whenever ANY
-    // input row exists (on the post-rollup frame an empty log has no
-    // rows to evaluate it on and the swap passes silently — ADVICE
-    // r7); the predicate is row-independent, so per-row cost is one
-    // comparison. assert_true is NULL (row kept) when ordered.
+    // the t1 state (the scan filters ts <= t2) and misclassify. When
+    // both points are LITERALS (every production call — lit()/tsLit
+    // freshness points), validate eagerly on the driver: a row-level
+    // guard alone can be skipped entirely by parquet pushdown when
+    // `ts <= t2` prunes every row group (review r8), and an empty log
+    // has no rows to evaluate it on.
+    try {
+      // evaluated over range(1): a table-free, millisecond job that
+      // covers every CONSTANT point expression, not just bare lits
+      val ok = log.sparkSession.range(1)
+        .select(coalesce(t1 <= t2, lit(true)).as("ok"))
+        .head().getBoolean(0)
+      require(ok, "reconcileSnapshots: t1 must be <= t2")
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case _: org.apache.spark.sql.AnalysisException =>
+        () // points reference log columns: the row guard below applies
+    }
+    // non-literal points keep the row-level belt: the predicate is
+    // row-independent (one comparison per row); assert_true is NULL
+    // (row kept) when ordered. Best-effort under pushdown — the
+    // driver-side check above is the authoritative gate.
     val guarded = log.filter(assert_true(t1 <= t2,
       lit("reconcileSnapshots: t1 must be <= t2")).isNull)
     val st = guarded.filter(col(tsCol) <= t2)

@@ -359,12 +359,17 @@ object TextOps {
    * `k`-token shingles over [[normalizedAlnum]] text (df-capped at
    * `maxDf` train docs — boilerplate shingles generate candidate
    * floods, not evidence), and a pair is flagged when EITHER the
-   * shingle evidence survives an edit budget (`n_shared ≥ n_held −
-   * k·editBudget` — a single token edit kills at most `k` shingles,
-   * so a near-verbatim inclusion keeps most of them, wherever it sits
-   * in the train doc) OR the normalized `prefixLen`-char prefixes are
-   * within Levenshtein `maxDist` (the fuzzy-block verify, catching
-   * short held lines whose few shingles an edit can wipe out).
+   * shingle evidence survives an edit budget with a majority floor
+   * (`n_shared ≥ max(n_held − k·editBudget, ⌈n_held/2⌉)` — a single
+   * token edit kills at most `k` shingles, so a near-verbatim
+   * inclusion keeps most of them wherever it sits in the train doc;
+   * the majority floor keeps the branch from going vacuous on short
+   * held lines, where the budget alone would flag any 1-shingle
+   * match) OR the held line's normalized prefix is within Levenshtein
+   * `maxDist` of the train doc's LENGTH-MATCHED prefix (the
+   * fuzzy-block verify for short lines — truncated to the held
+   * prefix's length so embedding in a longer doc isn't charged as
+   * edits).
    * Output: `train_id, held_id, n_shared, n_held, lev_pfx` — all
    * integers, engine-exact (Levenshtein is unit-cost on both).
    *
@@ -397,9 +402,21 @@ object TextOps {
       // one pair-keyed shuffle instead of two extra joins
       .agg(count(lit(1)).as("n_shared"), max(col("n_held")).as("n_held"),
         max(col("pfx_t")).as("pfx_t"), max(col("pfx_h")).as("pfx_h"))
+      // the train prefix is TRUNCATED to the held prefix's length:
+      // the held line is usually EMBEDDED in a longer train doc, and
+      // an untruncated compare would charge the length difference as
+      // edits (review r8)
       .withColumn("lev_pfx",
-        levenshtein(col("pfx_t"), col("pfx_h")).cast("long"))
-      .filter(col("n_shared") >= col("n_held") - lit(k.toLong * editBudget)
+        levenshtein(col("pfx_t").substr(lit(1), length(col("pfx_h"))),
+          col("pfx_h")).cast("long"))
+      // shingle branch: the edit budget AND a majority floor — for a
+      // short held line (n_held ≤ k·editBudget) the budget alone is
+      // vacuous and a single shared 4-gram would flag any train doc
+      // (review r8); requiring ⌈n_held/2⌉ keeps the branch meaningful
+      // at every length, and genuinely short lines are the prefix
+      // screen's job
+      .filter((col("n_shared") >= col("n_held") - lit(k.toLong * editBudget)
+          && col("n_shared") * 2 >= col("n_held"))
         || col("lev_pfx") <= maxDist)
       .select(col("train_id"), col("held_id"), col("n_shared"),
         col("n_held"), col("lev_pfx"))
@@ -757,8 +774,12 @@ object TextOps {
       .filter(!col("word").rlike("^" + SpaceRun + "$") &&
         !col("word").contains(Sent))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // (?s): Java's '.' excludes U+0085/U+2028/U+2029 (its line
+      // terminators) while RE2's excludes only \n — a word containing
+      // one would sentinelize differently per engine (the \x0B class
+      // of bug, review r8); DOTALL makes both match every char
       .select(col("word"), col("freq"),
-        regexp_replace(col("word"), "(.)", Sent + "$1").as("s"))
+        regexp_replace(col("word"), "(?s)(.)", Sent + "$1").as("s"))
 
   /** Adjacent-symbol pair counts of a vocab frame, freq-weighted
     * (every adjacent position counts, the standard BPE statistic). */
@@ -790,11 +811,17 @@ object TextOps {
         col("a").as("left_sym"), col("b").as("right_sym"),
         concat(col("a"), col("b")).as("merged"),
         col("cnt").as("pair_count"))
-      vocab = vocab.crossJoin(broadcast(top))
+      // LEFT join, not crossJoin: a corpus that exhausts its pairs
+      // before `merges` rounds has an EMPTY top-1 frame, and a cross
+      // join would annihilate the whole vocab (review r8) — the
+      // remaining rounds must be identity, matching the oracle's
+      // exhausted-round CASE
+      vocab = vocab.join(broadcast(top), lit(true), "left")
         .select(col("word"), col("freq"),
-          replace(col("s"),
-            concat(lit(Sent), col("a"), lit(Sent), col("b")),
-            concat(lit(Sent), col("a"), col("b"))).as("s"))
+          when(col("a").isNull, col("s"))
+            .otherwise(replace(col("s"),
+              concat(lit(Sent), col("a"), lit(Sent), col("b")),
+              concat(lit(Sent), col("a"), col("b")))).as("s"))
         .localCheckpoint(false)
     }
     (rounds.result().reduce(_ union _).orderBy(col("merge_round")), vocab)
@@ -823,10 +850,12 @@ object TextOps {
    * `localCheckpoint`s (each materializes once at first action, plan
    * construction stays side-effect-free — the kmeansAssign
    * discipline); all `merges`+1 persisted frames are vocab-sized, so
-   * storage is bounded and small by construction. Precondition: the
-   * vocab must still contain ≥ 1 distinct pair at every round (any
-   * real corpus does; a degenerate few-char corpus exhausts pairs and
-   * the remaining rounds emit nothing).
+   * storage is bounded and small by construction. A corpus that
+   * exhausts its pairs before `merges` rounds is at fixpoint: the
+   * remaining rounds emit no merge rows and leave the vocab unchanged
+   * (spec-pinned; the merge application is a LEFT join against the
+   * possibly-empty top-1 frame, identical to the oracle's
+   * exhausted-round CASE).
    */
   def bpeLearn(docs: DataFrame, merges: Int = 8): DataFrame =
     bpeState(docs, merges)._1

@@ -128,7 +128,7 @@ object Sinks {
     // silently miss across that gap. The cast-to-string filters still
     // partition-prune — pruning evaluates the predicate over the
     // partition-values row, casts included.
-    val touched = changes.select(col(partCol).cast("string")).distinct()
+    val touched = changes.select(partStr(col(partCol))).distinct()
       .limit(maxTouchedPartitions + 1)
       .collect().map(_.getString(0)).toSeq
     // The collect above is partition METADATA, bounded by design — but
@@ -142,21 +142,21 @@ object Sinks {
         "rewrite the mirror with a plain partitioned write instead")
     val dropped = droppedPartitions(spark, mirrorDir)
     val touchedCur = spark.read.parquet(mirrorDir)
-      .filter(col(partCol).cast("string").isin(touched: _*))
+      .filter(partStr(col(partCol)).isin(touched: _*))
     // a previously-dropped partition folds from EMPTY: its stale
     // files are invisible through the manifest, so a re-insert batch
     // cannot resurrect pre-drop rows
     val current =
       if (dropped.isEmpty) touchedCur
       else touchedCur.filter(
-        !col(partCol).cast("string").isin(dropped.toSeq: _*))
+        !partStr(col(partCol)).isin(dropped.toSeq: _*))
     // localCheckpoint: materializes the fold (touched-partitions-sized,
     // small vs the mirror) and truncates lineage, so the write-back to
     // the path being read is legal and the survivor scan shares the
     // one fold
     val updated = CdcOps.applyChangesWithActions(current, changes,
       keyCol, tsCol, offsetCol, actionCol).localCheckpoint()
-    val survivors = updated.select(col(partCol).cast("string")).distinct()
+    val survivors = updated.select(partStr(col(partCol))).distinct()
       .collect().map(_.getString(0)).toSet
     val emptied = touched.filterNot(survivors.contains).toSet
     val revived = dropped.intersect(survivors)
@@ -172,6 +172,20 @@ object Sinks {
   /** Manifest subdirectory under the mirror root — underscore-prefixed
     * so Spark/parquet file listing treats it as hidden. */
   private[sinks] val DeletionManifestDir = "_graft_deleted_partitions"
+
+  /** String rendering of a NULL partition value — the same name the
+    * partitioned writer uses for its directory, so the manifest and
+    * the on-disk layout agree. (A real string partition VALUED
+    * exactly this collides, the same ambiguity Hive/Spark partition
+    * layouts themselves have.) */
+  private[sinks] val NullPartValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Null-safe string rendering of the partition column: NOT-IN over
+    * a rendered value is never three-valued-NULL, so rows in a NULL
+    * partition cannot be silently dropped (or silently missed by the
+    * touched-partition pruning) once any manifest entry exists. */
+  private def partStr(c: Column): Column =
+    coalesce(c.cast("string"), lit(NullPartValue))
 
   private def manifestFsPath(spark: SparkSession, mirrorDir: String) = {
     val p = new org.apache.hadoop.fs.Path(mirrorDir, DeletionManifestDir)
@@ -216,6 +230,6 @@ object Sinks {
     val dropped = droppedPartitions(spark, mirrorDir)
     val df = spark.read.parquet(mirrorDir)
     if (dropped.isEmpty) df
-    else df.filter(!col(partCol).cast("string").isin(dropped.toSeq: _*))
+    else df.filter(!partStr(col(partCol)).isin(dropped.toSeq: _*))
   }
 }

@@ -499,6 +499,25 @@ class CdcOpsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(12L))
   }
 
+  test("reconcileSnapshots swapped-points guard survives parquet pushdown") {
+    // review r8: with only a row-level guard, `ts <= t2` pushed into
+    // the parquet scan can skip every row group and the guard never
+    // evaluates — constant points must be validated eagerly on the
+    // driver, before any scan
+    val dir = java.nio.file.Files.createTempDirectory("reconcile-pq")
+      .toString + "/log"
+    Seq((1L, 1L, ts("2024-01-01 00:00:55"), "I"))
+      .toDF("event_id", "user_id", "ts", "action")
+      .write.parquet(dir)
+    val log = spark.read.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      CdcOps.reconcileSnapshots(log,
+        lit(ts("2024-01-01 00:00:20")), lit(ts("2024-01-01 00:00:10")))
+        .collect()
+    }
+    assert(e.getMessage.contains("t1 must be <= t2"), e.toString)
+  }
+
   test("reconcileSnapshots swapped-points guard fires even when the scan is empty") {
     // ADVICE r7: with the guard on the post-rollup frame, a log whose
     // rows all fall past t2 produced zero rollup rows and the swap

@@ -501,15 +501,18 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 50L, 13L, 17L)))
   }
 
-  test("contaminationFuzzy prefix-Levenshtein screen catches a short edited line") {
-    // held doc 100: a 6-token line -> with < k*editBudget+1 shingles
-    // the shingle budget is trivially permissive, but a SHORT line
-    // whose one shared shingle survives must still be caught via the
-    // candidate join; and a 1-char prefix drift keeps lev small
+  test("contaminationFuzzy short held line: length-matched prefix catches, 1-gram doesn't flood") {
+    // held doc 100: a 6-token line (3 shingles). Train 1 embeds it
+    // 1-edited at its start: the budget branch is off (majority floor
+    // needs 2 of 3 shingles; only 1 survives the edit) but the
+    // LENGTH-MATCHED prefix compare sees ~3 edits -> caught. Train 3
+    // shares exactly one 4-gram mid-doc with a distant prefix — the
+    // review-r8 false-positive scenario — and must NOT be flagged.
     val docs = Seq(
       (100L, "the quick brown fox jumps high"),
       (1L, "the quick brown fox jumped high and ran away into the woods"),
-      (2L, "completely unrelated content about something else entirely"))
+      (2L, "completely unrelated content about something else entirely"),
+      (3L, "zz yy xx the quick brown fox ww vv uu tt ss"))
       .toDF("doc_id", "text")
     val got = TextOps.contaminationFuzzy(docs, heldoutMod = 50)
       .select(col("train_id"), col("held_id")).as[(Long, Long)]
@@ -543,6 +546,27 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(got == Seq(
       (1L, "a", "a", "aa", 3L),
       (2L, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("bpeLearn at pair exhaustion: fixpoint, not annihilation") {
+    // "ab ab": one vocab word; round 1 merges (a,b), round 2+ have NO
+    // pairs — the empty top-1 must leave the vocab unchanged (review
+    // r8: a crossJoin here silently emptied everything downstream)
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeLearn(docs, merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // vocab words: "ab"(1), " ab"(1): pairs (a,b)=2, (' ',a)=1
+    // r1: (a,b)->"ab" (cnt 2); r2: (' ',ab)->" ab" (cnt 1); r3+: none
+    assert(merges == Seq(
+      (1L, "a", "b", "ab", 2L),
+      (2L, " ", "ab", " ab", 1L)))
+    val fert = TextOps.bpeFertility(docs, merges = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // both words fully merged to 1 symbol each; chars 2+3=5
+    assert(fert == Seq((2L, 2L, 5L, 2L, 1000000L, 400000L)))
+    val enc = TextOps.bpeEncode(docs, merges = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq((1L, 2L, 2L)))
   }
 
   test("bpeFertility re-scores the corpus under the learned merges") {

@@ -160,6 +160,48 @@ class CompactMirrorSpec extends SparkSpec {
       !live.exists(_._1 == 2L) && !live.exists(_._1 == 6L))
   }
 
+  test("a NULL partition survives other drops and can itself drain") {
+    // review r8: NOT-IN over a raw cast is three-valued — once ANY
+    // manifest entry existed, every NULL-partition row evaluated to
+    // NULL and silently vanished from reads; partStr renders NULL as
+    // the writer's own __HIVE_DEFAULT_PARTITION__ name instead
+    val dir = Files.createTempDirectory("mirror-null").toString + "/m"
+    val base = Seq(
+      (1L, 1L, ts(1), "seed", 1.0, "I", Some(0L)),
+      (2L, 2L, ts(1), "seed", 2.0, "I", Some(1L)),
+      (3L, 3L, ts(1), "seed", 3.0, "I", None)).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    base.write.partitionBy("part").parquet(dir)
+    // drain partition 1: the NULL-partition row must still be read
+    val drain = Seq((2L, 10L, ts(10), "del", 0.0, "D",
+        Some(1L): Option[Long])).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    Sinks.compactMirror(spark, dir, drain, partCol = "part")
+    assert(Sinks.droppedPartitions(spark, dir) == Set("1"))
+    assert(Sinks.readMirror(spark, dir, "part")
+      .select($"user_id").as[Long].collect().toSet == Set(1L, 3L))
+    // a batch touching the NULL partition folds against its existing
+    // rows (update key 3), not a blind overwrite
+    val updNull = Seq(
+      (3L, 20L, ts(20), "upd", 33.0, "U", None: Option[Long]),
+      (4L, 21L, ts(20), "ins", 4.0, "I", None: Option[Long])).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    Sinks.compactMirror(spark, dir, updNull, partCol = "part")
+    val live = Sinks.readMirror(spark, dir, "part")
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(live == Map(1L -> 1.0, 3L -> 33.0, 4L -> 4.0))
+    // and the NULL partition itself can drain through the manifest
+    val drainNull = Seq(
+      (3L, 30L, ts(30), "del", 0.0, "D", None: Option[Long]),
+      (4L, 31L, ts(30), "del", 0.0, "D", None: Option[Long])).toDF(
+      "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+    Sinks.compactMirror(spark, dir, drainNull, partCol = "part")
+    assert(Sinks.droppedPartitions(spark, dir) ==
+      Set("1", "__HIVE_DEFAULT_PARTITION__"))
+    assert(Sinks.readMirror(spark, dir, "part")
+      .select($"user_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("a re-insert into a dropped partition un-drops it without resurrection") {
     val dir = Files.createTempDirectory("mirror3").toString + "/m"
     val base = Seq((1L, 1L, ts(1), "seed", 1.0, "I", 0L),
