@@ -1185,6 +1185,12 @@ object SparkEntry {
       // count per doc under the learned segmentation -> pack
       TextOps.packSequencesBpe(t(s, dir, "documents"))),
 
+    "text_repetition_ngrams" -> ((s, dir) =>
+      // Gopher-style intra-doc repetition gate at the PHRASE level:
+      // top-2-gram coverage and duplicated-4-gram fraction (the
+      // token-level dup/top fractions are text_repetition)
+      TextOps.repetitionProfile(t(s, dir, "documents"))),
+
     "text_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"))),
 
@@ -2892,6 +2898,42 @@ object SparkEntry {
                          CAST(sum(freq * len(regexp_extract_all(s,
                            '\\x01([^\\x01]+)', 1))) AS BIGINT) AS n_symbols
                   FROM w8)""",
+
+      "text_repetition_ngrams" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+                 s AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+                 g2 AS (SELECT doc_id,
+                          toks[i] || ' ' || toks[i + 1] AS g
+                        FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1,
+                                  CAST(n - 1 AS BIGINT))) AS i
+                              FROM s WHERE n >= 2)),
+                 c2 AS (SELECT doc_id, g, count(*) AS c FROM g2
+                        GROUP BY doc_id, g),
+                 r2 AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_2grams,
+                          CAST(max(c) AS BIGINT) AS max_2
+                        FROM c2 GROUP BY doc_id),
+                 g4 AS (SELECT doc_id,
+                          array_to_string(list_slice(toks, i, i + 3), ' ')
+                            AS g
+                        FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1,
+                                  CAST(n - 3 AS BIGINT))) AS i
+                              FROM s WHERE n >= 4)),
+                 c4 AS (SELECT doc_id, g, count(*) AS c FROM g4
+                        GROUP BY doc_id, g),
+                 r4 AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_4grams,
+                          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                            AS BIGINT) AS dup_4
+                        FROM c4 GROUP BY doc_id)
+            SELECT doc_id, n_2grams,
+                   (max_2 * 1000000) // n_2grams AS top2_ppm,
+                   coalesce(n_4grams, 0) AS n_4grams,
+                   coalesce((dup_4 * 1000000) // n_4grams, 0) AS dup4_ppm
+            FROM r2 LEFT JOIN r4 USING (doc_id)
+            ORDER BY doc_id""",
 
       "text_dup_span_pairs" ->
         s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -1068,6 +1068,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One row per (doc, k-gram occurrence) — NON-distinct, position-
+    * blind: the raw occurrence stream repetition statistics count
+    * over. Same staging rule as chunkSplit: slice AFTER the explode. */
+  private def gramOccurrences(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - lit(k - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("g"))
+
+  /**
+   * Intra-document repetition profile — the Gopher-style (Rae et al.,
+   * 2021) repetition quality filters, the standard "this doc is a
+   * degenerate loop" pretraining gate that CROSS-doc dedup never
+   * sees: per document, the top-2-gram coverage (`top2_ppm` =
+   * occurrences of the most frequent word bigram per total bigram
+   * occurrences — high means "the same two words over and over") and
+   * the duplicated-4-gram fraction (`dup4_ppm` = occurrences of
+   * 4-grams seen more than once in THIS doc, per total — high means
+   * repeated phrases/loops). Line/paragraph variants are degenerate
+   * on this corpus (no newlines) and omitted. Integer ppm — engine-
+   * exact. Docs shorter than 2 tokens are absent (nothing to
+   * measure); 4-gram columns are 0 for docs of 2-3 tokens.
+   *
+   * Scale shape: two occurrence explodes (narrow maps), each
+   * aggregated (doc, gram)-keyed with map-side partial counting, then
+   * doc-keyed rollups and one doc-keyed left join — no windows, no
+   * self-joins, nothing global.
+   */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    def rollup(k: Int, prefix: String): DataFrame =
+      gramOccurrences(docs, k)
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_${prefix}grams"),
+          max(col("c")).as(s"max_$prefix"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+            .as(s"dup_$prefix"))
+    rollup(2, "2").join(rollup(4, "4"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2grams"),
+        expr("(max_2 * 1000000) div n_2grams").as("top2_ppm"),
+        coalesce(col("n_4grams"), lit(0L)).as("n_4grams"),
+        coalesce(expr("(dup_4 * 1000000) div n_4grams"), lit(0L))
+          .as("dup4_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * PAIR-level maximal common spans — [[dupSpanRuns]] names how much
    * duplicated text a doc carries; this one names WITH WHOM: for each

@@ -638,6 +638,24 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(packed == enc && enc == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("repetitionProfile flags the degenerate loop, not the varied doc") {
+    // doc 1 "a b a b a b": 2-grams (ab, ba, ab, ba, ab) -> n=5,
+    // max=3 -> top2_ppm=600000; 4-grams (abab, baba, abab) -> n=3,
+    // dup (abab x2) -> dup4_ppm=666666. doc 2: all-distinct grams.
+    // doc 3: 3 tokens -> bigrams only, 4-gram columns are 0.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "v w x y z"),
+      (3L, "p q p"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionProfile(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 600000L, 3L, 666666L),
+      (2L, 4L, 250000L, 2L, 0L),
+      (3L, 2L, 500000L, 0L, 0L)))
+  }
+
   test("unigramSurprisal: integer floor-log2 bits under corpus counts") {
     // counts: a=3, b=1, c=1, N=5; bits(a)=len(bin(5 div 3))-1=0,
     // bits(b)=bits(c)=len(bin(5))-1=2
