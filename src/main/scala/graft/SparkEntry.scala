@@ -746,21 +746,31 @@ object SparkEntry {
 
     "text_filter_verdict" -> ((s, dir) => {
       // the composed C4-style keep/drop decision over quality, language
-      // and length signals — the end of the filter pipeline as data
+      // and length signals — the end of the filter pipeline as data;
+      // the verdict itself is TextOps.filterKeep, shared with the NB
+      // classifier's training label
       val toks = TextOps.wordTokens(col("text"))
       val nTok = size(toks).cast("double")
       val nStop = TextOps.stopwordCount(toks).cast("double")
       val ratio = nStop / greatest(nTok, lit(1.0))
       val len = length(coalesce(col("text"), lit("")))
-      val avgLen = TextOps.totalTokenLen(toks).cast("double") /
-        greatest(nTok, lit(1.0))
       t(s, dir, "documents").select(col("doc_id"),
           len.cast("long").as("n_chars"),
           ratio.as("en_stopword_ratio"),
-          (len.between(20, 100000) && avgLen.between(2.0, 12.0) &&
-            ratio > 0.01).as("keep"))
+          TextOps.filterKeep(col("text")).as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    "text_classifier_nb" -> ((s, dir) =>
+      // learned quality filter: Naive Bayes distilled from the
+      // heuristic verdict, trained on the h60-even half, scoring the
+      // held-out half — every statistic in integer floor bits
+      TextOps.nbClassifier(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "text_classifier_agreement" -> ((s, dir) =>
+      // model-vs-heuristic confusion on the held-out half
+      TextOps.nbAgreement(t(s, dir, "documents"))),
 
     "text_pack_chunks" -> ((s, dir) => {
       // sequence packing: assign documents to fixed token-budget
@@ -1857,6 +1867,54 @@ object SparkEntry {
     // h60: first 15 md5 hex digits as a 60-bit long (= Spark's
     // conv(substr(md5(x),1,15),16,10) and graft.functions.H60.hash)
     def h60(x: String) = s"('0x'||substr(md5($x),1,15))::BIGINT"
+
+    // the composed keep/drop verdict (= TextOps.filterKeep), shared by
+    // text_filter_verdict and the NB classifier label
+    val keepSql =
+      s"""(length(coalesce(text, '')) BETWEEN 20 AND 100000
+           AND CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
+               / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
+           AND CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01)"""
+    // Naive-Bayes classifier CTE chain (= TextOps.nbClassifier): model
+    // counts from the h60-even train half, floor-bit scores on the
+    // held-out half; ends with relation `nb(doc_id, label_keep,
+    // n_tokens, bits_keep, bits_drop, predicted_keep)`
+    val nbCtes = {
+      val split = s"${h60("CAST(doc_id AS VARCHAR) || ':nbsplit'")} % 100 < 50"
+      val priorK = "(length(bin((n_train + 2) // (n_keep_docs + 1))) - 1)"
+      val priorD =
+        "(length(bin((n_train + 2) // (n_train - n_keep_docs + 1))) - 1)"
+      s"""d AS (SELECT doc_id, $keepSql AS label_keep, $wtoks AS wt,
+                       $split AS is_train
+                FROM documents),
+          occ AS (SELECT doc_id, label_keep, is_train, unnest(wt) AS tok
+                  FROM d),
+          cnt AS (SELECT tok,
+                         CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS c_keep,
+                         CAST(sum(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS c_drop
+                  FROM occ WHERE is_train GROUP BY tok),
+          tot AS (SELECT CAST(coalesce(sum(c_keep), 0) AS BIGINT) AS n_keep_toks,
+                         CAST(coalesce(sum(c_drop), 0) AS BIGINT) AS n_drop_toks,
+                         CAST(count(*) AS BIGINT) AS v FROM cnt),
+          pri AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                         CAST(coalesce(sum(CASE WHEN label_keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep_docs
+                  FROM d WHERE is_train),
+          pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+                 FROM occ WHERE NOT is_train GROUP BY doc_id, tok),
+          sb AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                        CAST(sum(m * (length(bin((n_keep_toks + v) // (coalesce(c_keep, 0) + 1))) - 1)) AS BIGINT) AS tb_keep,
+                        CAST(sum(m * (length(bin((n_drop_toks + v) // (coalesce(c_drop, 0) + 1))) - 1)) AS BIGINT) AS tb_drop
+                 FROM pd LEFT JOIN cnt USING (tok), tot
+                 GROUP BY doc_id),
+          nb AS (SELECT d.doc_id, d.label_keep,
+                        CAST(coalesce(sb.n_tokens, 0) AS BIGINT) AS n_tokens,
+                        CAST($priorK + coalesce(sb.tb_keep, 0) AS BIGINT) AS bits_keep,
+                        CAST($priorD + coalesce(sb.tb_drop, 0) AS BIGINT) AS bits_drop,
+                        ($priorK + coalesce(sb.tb_keep, 0))
+                          < ($priorD + coalesce(sb.tb_drop, 0)) AS predicted_keep
+                 FROM d LEFT JOIN sb ON d.doc_id = sb.doc_id, pri
+                 WHERE NOT d.is_train)"""
+    }
     // word-3-shingle set of the normalized text (matches Dedup.shingleSets)
     val shingles =
       s"""CASE WHEN len(string_split($norm, ' ')) >= 3
@@ -3300,12 +3358,23 @@ object SparkEntry {
                    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
                    CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0)
                      AS en_stopword_ratio,
-                   (length(coalesce(text, '')) BETWEEN 20 AND 100000
-                    AND CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
-                        / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
-                    AND CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01)
-                     AS keep
+                   $keepSql AS keep
             FROM documents ORDER BY doc_id""",
+
+      "text_classifier_nb" ->
+        s"""WITH $nbCtes
+            SELECT doc_id, label_keep, n_tokens, bits_keep, bits_drop,
+                   predicted_keep
+            FROM nb ORDER BY doc_id""",
+
+      "text_classifier_agreement" ->
+        s"""WITH $nbCtes,
+                 tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM nb)
+            SELECT label_keep, predicted_keep,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   (CAST(count(*) AS BIGINT) * 1000000) // n_eval AS share_ppm
+            FROM nb, tot2 GROUP BY label_keep, predicted_keep, n_eval
+            ORDER BY label_keep, predicted_keep""",
 
       "text_pack_chunks" ->
         s"""SELECT doc_id, n_tokens, CAST(pc // 2048 AS BIGINT) AS chunk_id FROM (

@@ -1526,4 +1526,123 @@ object TextOps {
         expr("(n * 1000000) div n_total").as("share_ppm"))
       .orderBy(col("lang"), col("source"), col("chars_bin"))
   }
+
+  /** The composed C4-style keep/drop decision as one boolean column —
+    * length gate AND mean-token-length gate AND stopword-density gate.
+    * Shared (not re-derived) by `text_filter_verdict` and the NB
+    * classifier's training label, so the distillation target can never
+    * drift from the filter it distills. */
+  def filterKeep(text: Column): Column = {
+    val toks = wordTokens(text)
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val ratio = stopwordCount(toks).cast("double") / nTok
+    val avgLen = totalTokenLen(toks).cast("double") / nTok
+    length(coalesce(text, lit(""))).between(20, 100000) &&
+      avgLen.between(2.0, 12.0) && ratio > 0.01
+  }
+
+  /**
+   * Naive-Bayes quality classifier distilled from [[filterKeep]] — the
+   * classic learned-filter pipeline stage (train a cheap classifier on
+   * a heuristic's labels, then let it generalize), with EVERY model
+   * statistic on the integer floor-log₂ lattice
+   * (`length(bin(x)) − 1`, the [[unigramSurprisal]] trick): no
+   * floating `log` ever runs, so Spark and the DuckDB oracle agree
+   * bit-for-bit on weights, scores, and verdicts.
+   *
+   * Split: docs whose `h60(doc_id:nbsplit) mod 100 < trainPct` train
+   * the model; the classifier scores only the HELD-OUT complement
+   * (leakage-safe by construction — same membership discipline as
+   * [[hashSample]]). Model: per class c ∈ {keep, drop}, word-token
+   * counts c_t, class totals N_c, train-wide vocab size V, and doc
+   * priors n_c. Laplace-smoothed per-token surprisal in floor bits:
+   * `bits_c(t) = floor(log₂((N_c + V) div (c_t + 1)))`; class prior
+   * `floor(log₂((n_train + 2) div (n_c + 1)))`. A document's class
+   * score is prior + Σ occurrences·bits; `predicted_keep` iff its keep
+   * score is strictly below its drop score (lower surprisal = more
+   * likely; exact ties fall to drop, the conservative side). Unseen
+   * tokens hit the smoothing floor via the left join's 0-fill.
+   *
+   * Output: `doc_id, label_keep, n_tokens, bits_keep, bits_drop,
+   * predicted_keep` for every held-out document (token-free docs
+   * appear with prior-only scores).
+   *
+   * Scale shape: one exploded keyed aggregate per side; the model
+   * (distinct train tokens × two counts) is vocabulary-sized —
+   * sublinear in the corpus — so the score-side join broadcasts at any
+   * corpus size, and the totals ride single-row broadcast crossJoins.
+   * Stopword-grade hot tokens are AQE-skew territory, same as the
+   * surprisal family. No window, no self-join, nothing driver-side.
+   */
+  def nbClassifier(docs: DataFrame, trainPct: Int = 50): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
+    val lbl = docs.select(col("doc_id"),
+      filterKeep(col("text")).as("label_keep"),
+      wordTokens(col("text")).as("__wt"))
+    val isTrain = samplePredicate(col("doc_id"), trainPct, "nbsplit")
+    val train = lbl.filter(isTrain)
+    val heldOut = lbl.filter(!isTrain)
+
+    // model: per-token class counts (vocabulary-sized)
+    val cnt = train
+      .select(col("label_keep"), explode(col("__wt")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("label_keep"), lit(1L)).otherwise(lit(0L)))
+            .as("c_keep"),
+        sum(when(col("label_keep"), lit(0L)).otherwise(lit(1L)))
+            .as("c_drop"))
+    val tot = cnt.agg(
+      coalesce(sum(col("c_keep")), lit(0L)).as("n_keep_toks"),
+      coalesce(sum(col("c_drop")), lit(0L)).as("n_drop_toks"),
+      count(lit(1)).as("v"))
+    val prior = train.agg(
+      count(lit(1)).as("n_train"),
+      coalesce(sum(when(col("label_keep"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_keep_docs"))
+
+    val scored = heldOut
+      .select(col("doc_id"), explode(col("__wt")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+      .join(broadcast(cnt), Seq("tok"), "left")
+      .na.fill(0L, Seq("c_keep", "c_drop"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bits_k",
+        expr("CAST(length(bin((n_keep_toks + v) div (c_keep + 1))) - 1 AS BIGINT)"))
+      .withColumn("bits_d",
+        expr("CAST(length(bin((n_drop_toks + v) div (c_drop + 1))) - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m") * col("bits_k")).as("tb_keep"),
+        sum(col("m") * col("bits_d")).as("tb_drop"))
+
+    heldOut.select(col("doc_id"), col("label_keep"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "tb_keep", "tb_drop"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("label_keep"), col("n_tokens"),
+        (expr("CAST(length(bin((n_train + 2) div (n_keep_docs + 1))) - 1 AS BIGINT)")
+          + col("tb_keep")).as("bits_keep"),
+        (expr("CAST(length(bin((n_train + 2) div (n_train - n_keep_docs + 1))) - 1 AS BIGINT)")
+          + col("tb_drop")).as("bits_drop"))
+      .withColumn("predicted_keep", col("bits_keep") < col("bits_drop"))
+  }
+
+  /**
+   * Confusion rollup of [[nbClassifier]] vs its own training heuristic
+   * on the held-out half — the number a filter owner reads before
+   * swapping the heuristic for the model (agreement rate, and WHICH
+   * way the disagreements lean). One tiny 4-row aggregate over the
+   * classifier output plus a broadcast total; `share_ppm` is exact
+   * integer ppm of held-out docs.
+   */
+  def nbAgreement(docs: DataFrame, trainPct: Int = 50): DataFrame = {
+    val nb = nbClassifier(docs, trainPct)
+    val total = nb.agg(count(lit(1)).as("n_eval"))
+    nb.groupBy(col("label_keep"), col("predicted_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("label_keep"), col("predicted_keep"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_eval").as("share_ppm"))
+      .orderBy(col("label_keep"), col("predicted_keep"))
+  }
 }

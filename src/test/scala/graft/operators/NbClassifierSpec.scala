@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Naive-Bayes quality classifier: exact hand-fold of the floor-bit
+ * model (counts, smoothing, priors, verdicts) on a clean-vs-gibberish
+ * corpus, plus the degenerate edges (token-free docs, the agreement
+ * rollup's conservation law).
+ */
+class NbClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // even ids: stopword-rich clean English (filterKeep = true);
+  // odd ids: gibberish with zero stopwords (ratio 0 -> drop). Both
+  // classes share vocabulary within the class across the h60 split.
+  private val clean = Vector(
+    "the cat sat on the mat and it is a good day",
+    "a dog ran in the park and the sun is warm",
+    "it is the best of the season and a fine day",
+    "the bird sang in a tree and the air is cool")
+  private val gibberish = Vector(
+    "zxqvk jhgfd wqpzt lkmnb vcxzr tyuio",
+    "jhgfd vcxzr zxqvk tyuio wqpzt lkmnb",
+    "lkmnb wqpzt tyuio zxqvk jhgfd vcxzr",
+    "tyuio lkmnb vcxzr jhgfd zxqvk wqpzt")
+  private val docs: Seq[(Long, String)] =
+    (1L to 40L).map(i =>
+      i -> (if (i % 2 == 0) clean(((i / 2) % 4).toInt)
+            else gibberish(((i / 2) % 4).toInt)))
+
+  private val Stop = TextOps.EnglishStopwords.toSet
+  private def wtoks(text: String): List[String] =
+    "[a-z]+".r.findAllIn(text.toLowerCase).toList
+  private def label(text: String): Boolean = {
+    val t = wtoks(text)
+    val n = math.max(t.size, 1).toDouble
+    val avg = t.map(_.length).sum / n
+    text.length >= 20 && text.length <= 100000 &&
+      avg >= 2.0 && avg <= 12.0 && t.count(Stop) / n > 0.01
+  }
+  private def isTrain(id: Long): Boolean =
+    graft.functions.H60.hash(s"$id:nbsplit") % 100 < 50
+  // length(bin(x)) - 1 for x >= 0 (bin(0) = "0" -> 0 bits)
+  private def bits(x: Long): Long =
+    if (x == 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** The whole model, folded by hand in plain Scala. */
+  private def handFold(corpus: Seq[(Long, String)])
+      : Map[Long, (Boolean, Long, Long, Long, Boolean)] = {
+    val train = corpus.filter(d => isTrain(d._1))
+    val eval = corpus.filterNot(d => isTrain(d._1))
+    val cnt = train.flatMap { case (_, tx) =>
+      wtoks(tx).map(t => t -> label(tx))
+    }.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.count(_._2).toLong, xs.count(!_._2).toLong))
+    }
+    val (nK, nD) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum)
+    val v = cnt.size.toLong
+    val nTrain = train.size.toLong
+    val nKeepDocs = train.count(d => label(d._2)).toLong
+    val priorK = bits((nTrain + 2) / (nKeepDocs + 1))
+    val priorD = bits((nTrain + 2) / (nTrain - nKeepDocs + 1))
+    eval.map { case (id, tx) =>
+      val ts = wtoks(tx)
+      val tbK = ts.map(t => bits((nK + v) / (cnt.getOrElse(t, (0L, 0L))._1 + 1))).sum
+      val tbD = ts.map(t => bits((nD + v) / (cnt.getOrElse(t, (0L, 0L))._2 + 1))).sum
+      val (bk, bd) = (priorK + tbK, priorD + tbD)
+      id -> ((label(tx), ts.size.toLong, bk, bd, bk < bd))
+    }.toMap
+  }
+
+  test("nbClassifier matches the hand-folded floor-bit model exactly") {
+    val ref = handFold(docs)
+    // fixture sanity: both classes present in the train half
+    assert(docs.filter(d => isTrain(d._1)).exists(d => label(d._2)))
+    assert(docs.filter(d => isTrain(d._1)).exists(d => !label(d._2)))
+    val got = TextOps.nbClassifier(docs.toDF("doc_id", "text"))
+      .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == ref)
+    // the separable fixture is classified perfectly on the held-out half
+    assert(got.values.forall { case (lbl, _, _, _, pred) => pred == lbl })
+  }
+
+  test("token-free and null docs score prior-only and still appear") {
+    val mixed = docs ++ Seq(100L -> "", 102L -> "   ", 104L -> "12 34 56 78 90")
+    val base = mixed.toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") === 102L, lit(null: String))
+        .otherwise(col("text")))
+    val out = TextOps.nbClassifier(base)
+      .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val ref = handFold(docs) // priors shift only if 100/102/104 train
+    for (id <- Seq(100L, 102L, 104L) if !isTrain(id)) {
+      val r = out(id)
+      assert(!r._2 && r._3 == 0L, s"doc $id should be drop/token-free")
+      // prior-only scores: equal for every token-free doc
+      val tokenFree = out.values.filter(_._3 == 0L)
+      assert(tokenFree.map(x => (x._4, x._5)).toSet.size == 1)
+    }
+    // every held-out doc appears exactly once, no train doc leaks in
+    val ids = TextOps.nbClassifier(base).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == mixed.map(_._1).filterNot(isTrain).sorted)
+    assert(ref.keySet.forall(out.contains))
+  }
+
+  test("nbAgreement conserves the held-out count with exact ppm") {
+    val ag = TextOps.nbAgreement(docs.toDF("doc_id", "text"))
+      .as[(Boolean, Boolean, Long, Long)].collect()
+    val nEval = docs.count(d => !isTrain(d._1)).toLong
+    assert(ag.map(_._3).sum == nEval)
+    ag.foreach { case (_, _, n, ppm) => assert(ppm == n * 1000000L / nEval) }
+    // perfect separation on this fixture: no off-diagonal cells
+    assert(ag.forall { case (lbl, pred, _, _) => lbl == pred })
+  }
+}

@@ -478,4 +478,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.nbClassifier(docs))
+    // the score-side model join is a broadcast hash join (the model is
+    // vocabulary-sized); the single-row totals ride broadcast nested
+    // loops; nothing data-sized ever cross-joins, and no window runs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
