@@ -89,6 +89,10 @@ object ScaleCheck {
       // one corpus pass against the learned vocab
       TextOps.bpeEncode(docs)),
     "text_unigram_surprisal" -> (() => TextOps.unigramSurprisal(docs)),
+    "text_classifier_nb" -> (() =>
+      // the model stays vocabulary-sized as the corpus grows; only the
+      // two exploded keyed aggregates track data size
+      TextOps.nbClassifier(docs)),
     "sim_sq8_topk" -> (() =>
       Similarity.sq8TopK(emb,
         emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),
