@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/**
+ * Streaming LSH near-dup screen ([[StreamingNearDup]]): the
+ * ingestion-time candidate filter in front of the batch verifier.
+ * Pins the four properties that matter:
+ *  - stream and batch produce IDENTICAL band buckets (same h60
+ *    signature path), so screen decisions transfer to the batch
+ *    verifier's universe;
+ *  - an exact duplicate arriving within the horizon loses every band
+ *    (bands_owned = 0, is_candidate) across micro-batches, and a
+ *    near-duplicate (one word changed) collides on some-but-not-all
+ *    bands — flagged, never silently dropped;
+ *  - distinct content owns all its bands and is admitted;
+ *  - an aged-out bucket re-admits a late duplicate (bounded state, the
+ *    documented horizon trade-off) — including when the re-arrival
+ *    lands in the same micro-batch that would have fired the timeout.
+ */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private val alpha = "the quick brown fox jumps over the lazy dog " +
+    "while the autumn rain falls softly on the quiet village roofs"
+  private val beta = "completely different content about spark " +
+    "structured streaming state stores and watermark semantics today"
+  private val alphaNear = alpha.replace("autumn", "winter")
+  private val gamma = "a third unrelated document mentioning parquet " +
+    "row groups column chunks and dictionary encoded page headers"
+
+  test("stream band rows bucket identically to the batch LSH path") {
+    val docs = Seq((1L, ts(10), alpha), (2L, ts(11), beta))
+      .toDF("doc_id", "event_time", "text")
+    val stream = StreamingNearDup.bandRows(docs)
+      .select($"doc_id", $"band", $"bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val batch = Dedup.lshBuckets(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stream == batch && stream.size == 16)
+  }
+
+  test("exact dup flagged all-bands, near-dup some-bands, distinct admitted") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val got = mutable.Map[Long, (Long, Long, Boolean)]()
+    val q = StreamingNearDup.ownership(docs, delay = "10 seconds",
+        horizonMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        StreamingNearDup.verdicts(b.toDF())
+          .as[(Long, Long, Long, Boolean)].collect()
+          .foreach(r => got.synchronized { got(r._1) = (r._2, r._3, r._4) })
+        ()
+      }.start()
+    try {
+      input.addData((1L, ts(10), alpha), (2L, ts(11), beta))
+      q.processAllAvailable()
+      input.addData((3L, ts(12), alpha), // exact dup of 1
+        (4L, ts(13), alphaNear),         // near dup of 1
+        (5L, ts(14), gamma))             // distinct
+      q.processAllAvailable()
+      val bands = got(1L)._1
+      assert(got(1L) == ((bands, bands, false))) // first owns everything
+      assert(got(2L) == ((bands, bands, false)))
+      assert(got(3L) == ((bands, 0L, true)),
+        s"exact dup must lose every band: ${got(3L)}")
+      val (nb4, own4, cand4) = got(4L)
+      assert(cand4 && own4 > 0L && own4 < nb4,
+        s"near dup should collide on some-but-not-all bands: ${got(4L)}")
+      assert(got(5L) == ((bands, bands, false)))
+    } finally q.stop()
+  }
+
+  test("aged-out bucket re-admits a late duplicate, even same-batch as its timeout") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val got = mutable.Map[Long, (Long, Long, Boolean)]()
+    val q = StreamingNearDup.ownership(docs, delay = "10 seconds",
+        horizonMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        StreamingNearDup.verdicts(b.toDF())
+          .as[(Long, Long, Long, Boolean)].collect()
+          .foreach(r => got.synchronized { got(r._1) = (r._2, r._3, r._4) })
+        ()
+      }.start()
+    try {
+      input.addData((1L, ts(10), alpha))
+      q.processAllAvailable()
+      // advance the watermark far past alpha's horizon (wm -> 190)
+      input.addData((2L, ts(200), beta))
+      q.processAllAvailable()
+      // the dup arrives in the SAME batch whose timeout would evict the
+      // stale buckets — the staleness re-check must re-own, not carry
+      input.addData((3L, ts(210), alpha))
+      q.processAllAvailable()
+      assert(!got(3L)._3 && got(3L)._2 == got(3L)._1,
+        s"aged-out dup must be re-admitted: ${got(3L)}")
+    } finally q.stop()
+  }
+}
