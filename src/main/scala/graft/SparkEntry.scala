@@ -772,6 +772,11 @@ object SparkEntry {
       // model-vs-heuristic confusion on the held-out half
       TextOps.nbAgreement(t(s, dir, "documents"))),
 
+    "text_classifier_sweep" -> ((s, dir) =>
+      // the operating curve: confusion + precision/recall ppm at every
+      // floor-bit margin threshold — how the cutoff gets chosen
+      TextOps.nbThresholdSweep(t(s, dir, "documents"))),
+
     "text_pack_chunks" -> ((s, dir) => {
       // sequence packing: assign documents to fixed token-budget
       // training chunks by exclusive prefix sum in doc_id order —
@@ -3375,6 +3380,29 @@ object SparkEntry {
                    (CAST(count(*) AS BIGINT) * 1000000) // n_eval AS share_ppm
             FROM nb, tot2 GROUP BY label_keep, predicted_keep, n_eval
             ORDER BY label_keep, predicted_keep""",
+
+      "text_classifier_sweep" ->
+        s"""WITH $nbCtes,
+                 th AS (SELECT CAST(unnest([-16,-12,-8,-4,0,4,8,12,16])
+                                 AS BIGINT) AS theta),
+                 m AS (SELECT label_keep,
+                              bits_drop - bits_keep AS margin FROM nb),
+                 g AS (SELECT theta,
+                         CAST(sum(CASE WHEN margin > theta AND label_keep
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(sum(CASE WHEN margin > theta AND NOT label_keep
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                         CAST(sum(CASE WHEN margin <= theta AND label_keep
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                         CAST(sum(CASE WHEN margin <= theta AND NOT label_keep
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                       FROM m, th GROUP BY theta)
+            SELECT theta, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+                   CASE WHEN tp + fn > 0
+                        THEN (tp * 1000000) // (tp + fn) END AS recall_ppm
+            FROM g ORDER BY theta""",
 
       "text_pack_chunks" ->
         s"""SELECT doc_id, n_tokens, CAST(pc // 2048 AS BIGINT) AS chunk_id FROM (

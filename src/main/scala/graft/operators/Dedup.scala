@@ -71,13 +71,17 @@ object Dedup {
    * array is computed once and the shingle array once.
    */
   def shingleSets(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text",
+                  carry: Seq[String] = Nil): DataFrame =
     // one-pass custom expression: the interpreted
     // transform(sequence)/slice/concat_ws/array_distinct composition it
     // replaces dominated every shingle-based operator (each lambda
-    // element re-evaluated interpreted, ~2s of a 3s query at sf0.1)
-    docs.select(col(idCol), graft.functions.functions.word_shingles(
-      TextOps.normalized(col(textCol)), k).as("sh"))
+    // element re-evaluated interpreted, ~2s of a 3s query at sf0.1).
+    // `carry` threads extra columns through unchanged (the streaming
+    // screen carries its event-time column).
+    docs.select(col(idCol) +: carry.map(col) :+
+      graft.functions.functions.word_shingles(
+        TextOps.normalized(col(textCol)), k).as("sh"): _*)
 
   /**
    * MinHash signature from a shingle-set column: sigⱼ = min over
@@ -98,13 +102,13 @@ object Dedup {
    * band hash become candidates. Returns (doc_id, band, bucket) rows.
    */
   def lshBuckets(docs: DataFrame, perms: Int = 32, bands: Int = 8,
-                 k: Int = 3): DataFrame = {
-    shingleSets(docs, k)
-      .select(col("doc_id"), minhashSignature(col("sh"), perms).as("sig"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.functions.lsh_bands(col("sig"), bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+                 k: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+    shingleSets(docs, k, carry = carry)
+      .select(col("doc_id") +: carry.map(col) :+
+        minhashSignature(col("sh"), perms).as("sig"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        posexplode(graft.functions.functions.lsh_bands(col("sig"), bands))
+          .as(Seq("band", "bucket")): _*)
   }
 
   /**

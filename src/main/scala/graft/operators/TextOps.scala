@@ -1635,12 +1635,60 @@ object TextOps {
    * classifier output plus a broadcast total; `share_ppm` is exact
    * integer ppm of held-out docs.
    */
+  /**
+   * Operating curve of [[nbClassifier]]: confusion counts and exact
+   * integer-ppm precision/recall at every decision threshold θ on the
+   * floor-bit margin (`bits_drop − bits_keep`; the default verdict is
+   * θ = 0, predict keep iff margin > 0) — the sweep a filter owner
+   * reads to SET the cutoff instead of inheriting it, trading recall
+   * (corpus yield) against precision exactly like
+   * `dedup_threshold_sweep` does for Jaccard. One classifier
+   * evaluation crossed with a ~9-row broadcast threshold lattice, then
+   * a θ-keyed aggregate: O(thresholds) output regardless of corpus
+   * size.
+   */
+  def nbThresholdSweep(docs: DataFrame, trainPct: Int = 50,
+                       thetas: Seq[Int] = Seq(-16, -12, -8, -4, 0, 4, 8,
+                         12, 16)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = thetas.map(_.toLong).toDF("theta")
+    nbClassifier(docs, trainPct)
+      .select(col("label_keep"),
+        (col("bits_drop") - col("bits_keep")).as("margin"))
+      .crossJoin(broadcast(th))
+      .withColumn("pred", col("margin") > col("theta"))
+      .groupBy(col("theta"))
+      .agg(
+        sum(when(col("pred") && col("label_keep"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") && !col("label_keep"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred") && col("label_keep"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("pred") && !col("label_keep"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("theta"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"))
+      .orderBy(col("theta"))
+  }
+
   def nbAgreement(docs: DataFrame, trainPct: Int = 50): DataFrame = {
-    val nb = nbClassifier(docs, trainPct)
-    val total = nb.agg(count(lit(1)).as("n_eval"))
-    nb.groupBy(col("label_keep"), col("predicted_keep"))
+    // the held-out total folds from the ≤4-row confusion table itself
+    // (an unpartitioned window over ≤4 rows — NOT data-sized), so the
+    // full classifier DAG evaluates exactly once; a separate
+    // nb.agg(count) branch would re-run corpus tokenization, the train
+    // explode, and the score join a second time
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    nbClassifier(docs, trainPct)
+      .groupBy(col("label_keep"), col("predicted_keep"))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_eval", sum(col("n_docs")).over(w))
       .select(col("label_keep"), col("predicted_keep"), col("n_docs"),
         expr("(n_docs * 1000000) div n_eval").as("share_ppm"))
       .orderBy(col("label_keep"), col("predicted_keep"))

@@ -48,21 +48,15 @@ object StreamingNearDup {
                            owned: Boolean)
   final case class BucketState(maxTsMs: Long)
 
-  /** The exploded (doc, band, bucket) stream — identical bucketing to
-    * the batch [[graft.operators.Dedup.lshBuckets]] (h60 MinHash over
-    * word-`k` shingles of the normalized text). */
+  /** The exploded (doc, band, bucket) stream — the batch
+    * [[graft.operators.Dedup.lshBuckets]] itself (h60 MinHash over
+    * word-`k` shingles of the normalized text), carrying the event-time
+    * column through: stream and batch bucketing are ONE code path, so
+    * they cannot drift. */
   def bandRows(docs: DataFrame, tsCol: String = "event_time",
                perms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), col(tsCol),
-        graft.functions.functions.minhash60(
-          graft.functions.functions.word_shingles(
-            graft.operators.TextOps.normalized(col("text")), k),
-          perms).as("sig"))
-      .select(col("doc_id"), col(tsCol),
-        posexplode(graft.functions.functions.lsh_bands(col("sig"), bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    graft.operators.Dedup.lshBuckets(docs, perms, bands, k,
+      carry = Seq(tsCol))
 
   /** Band-ownership stream: one row per input band row, `owned` true
     * iff this row is the bucket's first sighting within the horizon.
@@ -107,7 +101,15 @@ object StreamingNearDup {
               else state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue),
               ordered.map(_.ts.getTime).max)
             state.update(BucketState(maxTs))
-            state.setTimeoutTimestamp(maxTs + horizonMs)
+            // clamp past the watermark: flatMapGroupsWithState does NOT
+            // drop pre-watermark rows, and a straggler's maxTs+horizon
+            // can land behind the current watermark — an unclamped
+            // setTimeoutTimestamp throws and kills the query (same
+            // failure TransitionTracker documents). The straggler owns
+            // its (already-evicted) bucket and is admitted; the batch
+            // verifier behind the screen catches what that lets through.
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
             ordered.iterator.zipWithIndex.map { case (r, i) =>
               BandOwn(r.docId, r.ts, r.band, owned = fresh && i == 0)
             }

@@ -108,6 +108,58 @@ class NbClassifierSpec extends SparkSpec {
     assert(ref.keySet.forall(out.contains))
   }
 
+  test("nbClassifier == hand fold on 6 random corpora (seeded)") {
+    // random lengths, stopword densities, digit/punct tokens, empty
+    // docs — stresses the label boundaries (length gate, avg-token-len
+    // gate, stopword-ratio gate) and the smoothing on skewed splits,
+    // far beyond the fixed fixture (hand-rolled seeded loop; the
+    // scalatestplus-scalacheck bridge is not available offline)
+    val rnd = new scala.util.Random(4242)
+    val stop = TextOps.EnglishStopwords.toVector
+    val content = Vector("cat", "dog", "sun", "rain", "tree", "data",
+      "model", "spark", "train", "vector")
+    val gib = Vector("zxqvk", "wqpzt", "lkmnb", "vcxzr", "tyuio", "qqqqzz")
+    val odd = Vector("123", "ab3cd", "!!", "x")
+    def word(): String = rnd.nextInt(4) match {
+      case 0 => stop(rnd.nextInt(stop.size))
+      case 1 => content(rnd.nextInt(content.size))
+      case 2 => gib(rnd.nextInt(gib.size))
+      case _ => odd(rnd.nextInt(odd.size))
+    }
+    for (c <- 1 to 6) {
+      val corpus: Seq[(Long, String)] = (1L to 30L).map { i =>
+        (c * 1000L + i) ->
+          (1 to rnd.nextInt(30)).map(_ => word()).mkString(" ")
+      }
+      val ref = handFold(corpus)
+      val got = TextOps.nbClassifier(corpus.toDF("doc_id", "text"))
+        .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(got == ref, s"corpus $c diverged from the hand fold")
+    }
+  }
+
+  test("threshold sweep: θ=0 equals the verdict; totals conserved; monotone") {
+    val nb = TextOps.nbClassifier(docs.toDF("doc_id", "text"))
+      .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+    val sw = TextOps.nbThresholdSweep(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()
+    val nEval = nb.length.toLong
+    // every θ row partitions the held-out set
+    sw.foreach(r => assert(r._2 + r._3 + r._4 + r._5 == nEval))
+    // the θ=0 row IS the default verdict (margin > 0 ⇔ predicted_keep)
+    val z = sw.find(_._1 == 0L).get
+    assert(z._2 == nb.count(r => r._6 && r._2))
+    assert(z._3 == nb.count(r => r._6 && !r._2))
+    assert(z._4 == nb.count(r => !r._6 && r._2))
+    // raising θ only removes positive predictions: tp and fp monotone ↓
+    val byTheta = sw.sortBy(_._1)
+    byTheta.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3)
+    }
+  }
+
   test("nbAgreement conserves the held-out count with exact ppm") {
     val ag = TextOps.nbAgreement(docs.toDF("doc_id", "text"))
       .as[(Boolean, Boolean, Long, Long)].collect()
