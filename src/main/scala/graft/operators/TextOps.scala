@@ -1576,13 +1576,28 @@ object TextOps {
    */
   def nbClassifier(docs: DataFrame, trainPct: Int = 50): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
-    val lbl = docs.select(col("doc_id"),
+    nbScore(
+      docs.filter(!samplePredicate(col("doc_id"), trainPct, "nbsplit")),
+      nbTrain(docs, trainPct))
+  }
+
+  /** A trained NB model. Every frame is broadcast-sized at any corpus:
+    * `cnt` is vocabulary-sized (sublinear in the corpus), `tot` and
+    * `prior` are single rows. */
+  final case class NbModel(cnt: DataFrame, tot: DataFrame,
+                           prior: DataFrame)
+
+  /** Label + word-token staging shared by the train and score sides. */
+  private def nbStage(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       filterKeep(col("text")).as("label_keep"),
       wordTokens(col("text")).as("__wt"))
-    val isTrain = samplePredicate(col("doc_id"), trainPct, "nbsplit")
-    val train = lbl.filter(isTrain)
-    val heldOut = lbl.filter(!isTrain)
 
+  /** Train the floor-bit NB model on the h60-under-`trainPct` half of
+    * `docs` (see [[nbClassifier]] for the model's arithmetic). */
+  def nbTrain(docs: DataFrame, trainPct: Int = 50): NbModel = {
+    val train = nbStage(docs)
+      .filter(samplePredicate(col("doc_id"), trainPct, "nbsplit"))
     // model: per-token class counts (vocabulary-sized)
     val cnt = train
       .select(col("label_keep"), explode(col("__wt")).as("tok"))
@@ -1599,13 +1614,25 @@ object TextOps {
       count(lit(1)).as("n_train"),
       coalesce(sum(when(col("label_keep"), lit(1L)).otherwise(lit(0L))),
         lit(0L)).as("n_keep_docs"))
+    NbModel(cnt, tot, prior)
+  }
 
-    val scored = heldOut
+  /**
+   * Score ANY document frame under a trained model — the corpus the
+   * model was distilled on, a different source, or an arriving
+   * micro-batch (scoring is document-local, so the streaming ingest
+   * path applies it per micro-batch inside `foreachBatch`, exactly
+   * like [[graft.streaming.StreamingNearDup.verdicts]]; every model
+   * join broadcasts). Output schema is [[nbClassifier]]'s.
+   */
+  def nbScore(docs: DataFrame, model: NbModel): DataFrame = {
+    val staged = nbStage(docs)
+    val scored = staged
       .select(col("doc_id"), explode(col("__wt")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
-      .join(broadcast(cnt), Seq("tok"), "left")
+      .join(broadcast(model.cnt), Seq("tok"), "left")
       .na.fill(0L, Seq("c_keep", "c_drop"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(model.tot))
       .withColumn("bits_k",
         expr("CAST(length(bin((n_keep_toks + v) div (c_keep + 1))) - 1 AS BIGINT)"))
       .withColumn("bits_d",
@@ -1615,10 +1642,10 @@ object TextOps {
         sum(col("m") * col("bits_k")).as("tb_keep"),
         sum(col("m") * col("bits_d")).as("tb_drop"))
 
-    heldOut.select(col("doc_id"), col("label_keep"))
+    staged.select(col("doc_id"), col("label_keep"))
       .join(scored, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_tokens", "tb_keep", "tb_drop"))
-      .crossJoin(broadcast(prior))
+      .crossJoin(broadcast(model.prior))
       .select(col("doc_id"), col("label_keep"), col("n_tokens"),
         (expr("CAST(length(bin((n_train + 2) div (n_keep_docs + 1))) - 1 AS BIGINT)")
           + col("tb_keep")).as("bits_keep"),
@@ -1627,14 +1654,6 @@ object TextOps {
       .withColumn("predicted_keep", col("bits_keep") < col("bits_drop"))
   }
 
-  /**
-   * Confusion rollup of [[nbClassifier]] vs its own training heuristic
-   * on the held-out half — the number a filter owner reads before
-   * swapping the heuristic for the model (agreement rate, and WHICH
-   * way the disagreements lean). One tiny 4-row aggregate over the
-   * classifier output plus a broadcast total; `share_ppm` is exact
-   * integer ppm of held-out docs.
-   */
   /**
    * Operating curve of [[nbClassifier]]: confusion counts and exact
    * integer-ppm precision/recall at every decision threshold θ on the
@@ -1676,6 +1695,14 @@ object TextOps {
       .orderBy(col("theta"))
   }
 
+  /**
+   * Confusion rollup of [[nbClassifier]] vs its own training heuristic
+   * on the held-out half — the number a filter owner reads before
+   * swapping the heuristic for the model (agreement rate, and WHICH
+   * way the disagreements lean). One tiny 4-row aggregate over the
+   * classifier output plus a broadcast total; `share_ppm` is exact
+   * integer ppm of held-out docs.
+   */
   def nbAgreement(docs: DataFrame, trainPct: Int = 50): DataFrame = {
     // the held-out total folds from the ≤4-row confusion table itself
     // (an unpartitioned window over ≤4 rows — NOT data-sized), so the

@@ -160,6 +160,41 @@ class NbClassifierSpec extends SparkSpec {
     }
   }
 
+  test("train once, score elsewhere: unseen docs, batch == per-micro-batch") {
+    val model = TextOps.nbTrain(docs.toDF("doc_id", "text"))
+    val unseen = Seq( // docs the model never saw, ids outside the corpus
+      200L -> clean(0), 201L -> gibberish(1),
+      202L -> "the new dog ran in a warm sun and the rain is fine today",
+      203L -> "qqqqzz vvvvbb nnnnmm ccccxx zzzzaa ppppoo")
+    val batch = TextOps.nbScore(unseen.toDF("doc_id", "text"), model)
+      .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the distilled filter generalizes to unseen separable content
+    assert(batch(200L)._6 && batch(202L)._6, s"clean must keep: $batch")
+    assert(!batch(201L)._6 && !batch(203L)._6, s"gibberish must drop")
+    // ingest-path application: the SAME model scores arriving
+    // micro-batches inside foreachBatch (scoring is document-local)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map[Long,
+      (Long, Boolean, Long, Long, Long, Boolean)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        TextOps.nbScore(b.toDF(), model)
+          .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+          .foreach(r => got.synchronized { got(r._1) = r })
+        ()
+      }.start()
+    try {
+      unseen.grouped(2).foreach { g =>
+        input.addData(g: _*); q.processAllAvailable()
+      }
+      assert(got.toMap == batch,
+        "per-micro-batch scoring must equal batch scoring")
+    } finally q.stop()
+  }
+
   test("nbAgreement conserves the held-out count with exact ppm") {
     val ag = TextOps.nbAgreement(docs.toDF("doc_id", "text"))
       .as[(Boolean, Boolean, Long, Long)].collect()
