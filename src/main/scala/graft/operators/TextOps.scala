@@ -1568,8 +1568,9 @@ object TextOps {
    * appear with prior-only scores).
    *
    * Scale shape: one exploded keyed aggregate per side; the model
-   * (distinct train tokens × two counts) is vocabulary-sized —
-   * sublinear in the corpus — so the score-side join broadcasts at any
+   * (distinct train tokens × two counts) is df-capped at scale
+   * ([[nbTrain]]'s `minDf` — a RAW vocabulary is hapax-dominated and
+   * grows with the corpus) so the score-side join broadcasts at any
    * corpus size, and the totals ride single-row broadcast crossJoins.
    * Stopword-grade hot tokens are AQE-skew territory, same as the
    * surprisal family. No window, no self-join, nothing driver-side.
@@ -1594,19 +1595,37 @@ object TextOps {
       wordTokens(col("text")).as("__wt"))
 
   /** Train the floor-bit NB model on the h60-under-`trainPct` half of
-    * `docs` (see [[nbClassifier]] for the model's arithmetic). */
-  def nbTrain(docs: DataFrame, trainPct: Int = 50): NbModel = {
+    * `docs` (see [[nbClassifier]] for the model's arithmetic).
+    *
+    * `minDf` is the 100 TB dial: a raw corpus vocabulary is
+    * hapax-dominated and grows ~linearly with the corpus, so an
+    * UNCAPPED model table is NOT broadcast-able at scale. Capping
+    * keeps only tokens with total train count ≥ `minDf` (fastText's
+    * `minCount`); a dropped token scores as unseen — exactly the
+    * Laplace smoothing floor its count was one step above, so the
+    * capped model diverges only on the rarest tokens while the table
+    * shrinks to the frequent-token vocabulary (sublinear in the
+    * corpus, broadcast-able again). Totals (`N_c`, `v`) and priors
+    * stay UNCAPPED — they are the smoothing denominators of the true
+    * distribution, not of the sparse representation. The hash-gated
+    * queries run `minDf = 1` (exact model); the cap is spec-pinned.
+    */
+  def nbTrain(docs: DataFrame, trainPct: Int = 50,
+              minDf: Long = 1L): NbModel = {
+    require(minDf >= 1L, s"minDf=$minDf")
     val train = nbStage(docs)
       .filter(samplePredicate(col("doc_id"), trainPct, "nbsplit"))
-    // model: per-token class counts (vocabulary-sized)
-    val cnt = train
+    // model: per-token class counts (df-capped at scale, see above)
+    val cntFull = train
       .select(col("label_keep"), explode(col("__wt")).as("tok"))
       .groupBy(col("tok"))
       .agg(sum(when(col("label_keep"), lit(1L)).otherwise(lit(0L)))
             .as("c_keep"),
         sum(when(col("label_keep"), lit(0L)).otherwise(lit(1L)))
             .as("c_drop"))
-    val tot = cnt.agg(
+    val cnt = if (minDf == 1L) cntFull
+      else cntFull.filter(col("c_keep") + col("c_drop") >= minDf)
+    val tot = cntFull.agg(
       coalesce(sum(col("c_keep")), lit(0L)).as("n_keep_toks"),
       coalesce(sum(col("c_drop")), lit(0L)).as("n_drop_toks"),
       count(lit(1)).as("v"))

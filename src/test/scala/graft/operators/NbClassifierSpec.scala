@@ -47,18 +47,22 @@ class NbClassifierSpec extends SparkSpec {
   private def bits(x: Long): Long =
     if (x == 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
 
-  /** The whole model, folded by hand in plain Scala. */
-  private def handFold(corpus: Seq[(Long, String)])
+  /** The whole model, folded by hand in plain Scala. Totals/priors
+    * come from the FULL counts; `minDf` caps only the lookup table,
+    * exactly as nbTrain specifies. */
+  private def handFold(corpus: Seq[(Long, String)], minDf: Long = 1L)
       : Map[Long, (Boolean, Long, Long, Long, Boolean)] = {
     val train = corpus.filter(d => isTrain(d._1))
     val eval = corpus.filterNot(d => isTrain(d._1))
-    val cnt = train.flatMap { case (_, tx) =>
+    val cntFull = train.flatMap { case (_, tx) =>
       wtoks(tx).map(t => t -> label(tx))
     }.groupBy(_._1).map { case (t, xs) =>
       t -> ((xs.count(_._2).toLong, xs.count(!_._2).toLong))
     }
-    val (nK, nD) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum)
-    val v = cnt.size.toLong
+    val cnt = cntFull.filter { case (_, (k, d)) => k + d >= minDf }
+    val (nK, nD) =
+      (cntFull.values.map(_._1).sum, cntFull.values.map(_._2).sum)
+    val v = cntFull.size.toLong
     val nTrain = train.size.toLong
     val nKeepDocs = train.count(d => label(d._2)).toLong
     val priorK = bits((nTrain + 2) / (nKeepDocs + 1))
@@ -193,6 +197,23 @@ class NbClassifierSpec extends SparkSpec {
       assert(got.toMap == batch,
         "per-micro-batch scoring must equal batch scoring")
     } finally q.stop()
+  }
+
+  test("minDf cap shrinks the model table; capped scores match the hand fold") {
+    val df = docs.toDF("doc_id", "text")
+    val full = TextOps.nbTrain(df)
+    val capped = TextOps.nbTrain(df, minDf = 3L)
+    val (nFull, nCapped) = (full.cnt.count(), capped.cnt.count())
+    assert(nCapped < nFull, s"cap must shrink the model: $nCapped/$nFull")
+    // uncapped totals: smoothing denominators are the true distribution
+    assert(capped.tot.collect().toSeq == full.tot.collect().toSeq)
+    val eval = docs.filterNot(d => isTrain(d._1)).toDF("doc_id", "text")
+    val got = TextOps.nbScore(eval, capped)
+      .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == handFold(docs, minDf = 3L))
+    // the separable fixture survives the cap (frequent tokens carry it)
+    assert(got.values.forall { case (lbl, _, _, _, pred) => pred == lbl })
   }
 
   test("nbAgreement conserves the held-out count with exact ppm") {
