@@ -90,9 +90,10 @@ object ScaleCheck {
       TextOps.bpeEncode(docs)),
     "text_unigram_surprisal" -> (() => TextOps.unigramSurprisal(docs)),
     "text_classifier_nb" -> (() =>
-      // the model stays vocabulary-sized as the corpus grows; only the
-      // two exploded keyed aggregates track data size
-      TextOps.nbClassifier(docs)),
+      // the scale path: minCount caps the model to the frequent-token
+      // vocabulary (a raw vocab is hapax-dominated and grows with the
+      // corpus); only the two exploded keyed aggregates track data size
+      TextOps.nbClassifier(docs, minCount = 2L)),
     "sim_sq8_topk" -> (() =>
       Similarity.sq8TopK(emb,
         emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),

@@ -1569,24 +1569,36 @@ object TextOps {
    *
    * Scale shape: one exploded keyed aggregate per side; the model
    * (distinct train tokens × two counts) is df-capped at scale
-   * ([[nbTrain]]'s `minDf` — a RAW vocabulary is hapax-dominated and
+   * ([[nbTrain]]'s `minCount` — a RAW vocabulary is hapax-dominated and
    * grows with the corpus) so the score-side join broadcasts at any
    * corpus size, and the totals ride single-row broadcast crossJoins.
    * Stopword-grade hot tokens are AQE-skew territory, same as the
    * surprisal family. No window, no self-join, nothing driver-side.
    */
-  def nbClassifier(docs: DataFrame, trainPct: Int = 50): DataFrame = {
+  def nbClassifier(docs: DataFrame, trainPct: Int = 50,
+                   minCount: Long = 1L): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
     nbScore(
       docs.filter(!samplePredicate(col("doc_id"), trainPct, "nbsplit")),
-      nbTrain(docs, trainPct))
+      nbTrain(docs, trainPct, minCount))
   }
 
-  /** A trained NB model. Every frame is broadcast-sized at any corpus:
-    * `cnt` is vocabulary-sized (sublinear in the corpus), `tot` and
-    * `prior` are single rows. */
+  /** A trained NB model. `cnt` is frequent-token-vocabulary-sized
+    * under [[nbTrain]]'s `minCount` cap; `tot` and `prior` are single
+    * rows — all broadcast-sized. The frames are LAZY plans over the
+    * training corpus: one-shot batch scoring can use them as-is, but
+    * repeated scoring (the `foreachBatch` ingest path) MUST pin them
+    * first via [[cached]] or every micro-batch re-runs training. */
   final case class NbModel(cnt: DataFrame, tot: DataFrame,
-                           prior: DataFrame)
+                           prior: DataFrame) {
+    /** Persist the three model frames for repeated scoring. */
+    def cached(): NbModel = NbModel(cnt.persist(), tot.persist(),
+      prior.persist())
+    /** Drop the pinned frames when the scoring job is done. */
+    def release(): Unit = {
+      cnt.unpersist(); tot.unpersist(); prior.unpersist(); ()
+    }
+  }
 
   /** Label + word-token staging shared by the train and score sides. */
   private def nbStage(docs: DataFrame): DataFrame =
@@ -1597,10 +1609,12 @@ object TextOps {
   /** Train the floor-bit NB model on the h60-under-`trainPct` half of
     * `docs` (see [[nbClassifier]] for the model's arithmetic).
     *
-    * `minDf` is the 100 TB dial: a raw corpus vocabulary is
+    * `minCount` is the 100 TB dial (collection-frequency threshold,
+    * fastText's name — NOT document frequency: it sums occurrences
+    * across documents): a raw corpus vocabulary is
     * hapax-dominated and grows ~linearly with the corpus, so an
     * UNCAPPED model table is NOT broadcast-able at scale. Capping
-    * keeps only tokens with total train count ≥ `minDf` (fastText's
+    * keeps only tokens with total train count ≥ `minCount` (fastText's
     * `minCount`); a dropped token scores as unseen — exactly the
     * Laplace smoothing floor its count was one step above, so the
     * capped model diverges only on the rarest tokens while the table
@@ -1608,11 +1622,11 @@ object TextOps {
     * corpus, broadcast-able again). Totals (`N_c`, `v`) and priors
     * stay UNCAPPED — they are the smoothing denominators of the true
     * distribution, not of the sparse representation. The hash-gated
-    * queries run `minDf = 1` (exact model); the cap is spec-pinned.
+    * queries run `minCount = 1` (exact model); the cap is spec-pinned.
     */
   def nbTrain(docs: DataFrame, trainPct: Int = 50,
-              minDf: Long = 1L): NbModel = {
-    require(minDf >= 1L, s"minDf=$minDf")
+              minCount: Long = 1L): NbModel = {
+    require(minCount >= 1L, s"minCount=$minCount")
     val train = nbStage(docs)
       .filter(samplePredicate(col("doc_id"), trainPct, "nbsplit"))
     // model: per-token class counts (df-capped at scale, see above)
@@ -1623,8 +1637,8 @@ object TextOps {
             .as("c_keep"),
         sum(when(col("label_keep"), lit(0L)).otherwise(lit(1L)))
             .as("c_drop"))
-    val cnt = if (minDf == 1L) cntFull
-      else cntFull.filter(col("c_keep") + col("c_drop") >= minDf)
+    val cnt = if (minCount == 1L) cntFull
+      else cntFull.filter(col("c_keep") + col("c_drop") >= minCount)
     val tot = cntFull.agg(
       coalesce(sum(col("c_keep")), lit(0L)).as("n_keep_toks"),
       coalesce(sum(col("c_drop")), lit(0L)).as("n_drop_toks"),
@@ -1640,9 +1654,11 @@ object TextOps {
    * Score ANY document frame under a trained model — the corpus the
    * model was distilled on, a different source, or an arriving
    * micro-batch (scoring is document-local, so the streaming ingest
-   * path applies it per micro-batch inside `foreachBatch`, exactly
-   * like [[graft.streaming.StreamingNearDup.verdicts]]; every model
-   * join broadcasts). Output schema is [[nbClassifier]]'s.
+   * path applies it per micro-batch inside `foreachBatch`; every model
+   * join broadcasts). For repeated scoring, pin the model with
+   * [[NbModel.cached]] first — the model frames are lazy plans, and an
+   * unpinned model re-runs the whole training aggregation on every
+   * micro-batch. Output schema is [[nbClassifier]]'s.
    */
   def nbScore(docs: DataFrame, model: NbModel): DataFrame = {
     val staged = nbStage(docs)
@@ -1686,12 +1702,13 @@ object TextOps {
    * size.
    */
   def nbThresholdSweep(docs: DataFrame, trainPct: Int = 50,
+                       minCount: Long = 1L,
                        thetas: Seq[Int] = Seq(-16, -12, -8, -4, 0, 4, 8,
                          12, 16)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val th = thetas.map(_.toLong).toDF("theta")
-    nbClassifier(docs, trainPct)
+    nbClassifier(docs, trainPct, minCount)
       .select(col("label_keep"),
         (col("bits_drop") - col("bits_keep")).as("margin"))
       .crossJoin(broadcast(th))
@@ -1722,7 +1739,8 @@ object TextOps {
    * classifier output plus a broadcast total; `share_ppm` is exact
    * integer ppm of held-out docs.
    */
-  def nbAgreement(docs: DataFrame, trainPct: Int = 50): DataFrame = {
+  def nbAgreement(docs: DataFrame, trainPct: Int = 50,
+                  minCount: Long = 1L): DataFrame = {
     // the held-out total folds from the ≤4-row confusion table itself
     // (an unpartitioned window over ≤4 rows — NOT data-sized), so the
     // full classifier DAG evaluates exactly once; a separate
@@ -1731,7 +1749,7 @@ object TextOps {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy()
       .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    nbClassifier(docs, trainPct)
+    nbClassifier(docs, trainPct, minCount)
       .groupBy(col("label_keep"), col("predicted_keep"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_eval", sum(col("n_docs")).over(w))

@@ -48,9 +48,9 @@ class NbClassifierSpec extends SparkSpec {
     if (x == 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
 
   /** The whole model, folded by hand in plain Scala. Totals/priors
-    * come from the FULL counts; `minDf` caps only the lookup table,
+    * come from the FULL counts; `minCount` caps only the lookup table,
     * exactly as nbTrain specifies. */
-  private def handFold(corpus: Seq[(Long, String)], minDf: Long = 1L)
+  private def handFold(corpus: Seq[(Long, String)], minCount: Long = 1L)
       : Map[Long, (Boolean, Long, Long, Long, Boolean)] = {
     val train = corpus.filter(d => isTrain(d._1))
     val eval = corpus.filterNot(d => isTrain(d._1))
@@ -59,7 +59,7 @@ class NbClassifierSpec extends SparkSpec {
     }.groupBy(_._1).map { case (t, xs) =>
       t -> ((xs.count(_._2).toLong, xs.count(!_._2).toLong))
     }
-    val cnt = cntFull.filter { case (_, (k, d)) => k + d >= minDf }
+    val cnt = cntFull.filter { case (_, (k, d)) => k + d >= minCount }
     val (nK, nD) =
       (cntFull.values.map(_._1).sum, cntFull.values.map(_._2).sum)
     val v = cntFull.size.toLong
@@ -165,7 +165,10 @@ class NbClassifierSpec extends SparkSpec {
   }
 
   test("train once, score elsewhere: unseen docs, batch == per-micro-batch") {
-    val model = TextOps.nbTrain(docs.toDF("doc_id", "text"))
+    // pinned for repeated scoring: the model frames are lazy plans and
+    // an unpinned model would re-run training on every micro-batch
+    val model = TextOps.nbTrain(docs.toDF("doc_id", "text")).cached()
+    assert(model.cnt.storageLevel.useMemory, "model must be pinned")
     val unseen = Seq( // docs the model never saw, ids outside the corpus
       200L -> clean(0), 201L -> gibberish(1),
       202L -> "the new dog ran in a warm sun and the rain is fine today",
@@ -196,13 +199,13 @@ class NbClassifierSpec extends SparkSpec {
       }
       assert(got.toMap == batch,
         "per-micro-batch scoring must equal batch scoring")
-    } finally q.stop()
+    } finally { q.stop(); model.release() }
   }
 
-  test("minDf cap shrinks the model table; capped scores match the hand fold") {
+  test("minCount cap shrinks the model table; capped scores match the hand fold") {
     val df = docs.toDF("doc_id", "text")
     val full = TextOps.nbTrain(df)
-    val capped = TextOps.nbTrain(df, minDf = 3L)
+    val capped = TextOps.nbTrain(df, minCount = 3L)
     val (nFull, nCapped) = (full.cnt.count(), capped.cnt.count())
     assert(nCapped < nFull, s"cap must shrink the model: $nCapped/$nFull")
     // uncapped totals: smoothing denominators are the true distribution
@@ -211,7 +214,7 @@ class NbClassifierSpec extends SparkSpec {
     val got = TextOps.nbScore(eval, capped)
       .as[(Long, Boolean, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
-    assert(got == handFold(docs, minDf = 3L))
+    assert(got == handFold(docs, minCount = 3L))
     // the separable fixture survives the cap (frequent tokens carry it)
     assert(got.values.forall { case (lbl, _, _, _, pred) => pred == lbl })
   }
