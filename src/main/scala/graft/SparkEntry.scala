@@ -637,6 +637,46 @@ object SparkEntry {
       TextOps.shardAssign(train)
     }),
 
+    "pipeline_distilled_corpus" -> ((s, dir) => {
+      // the one-query corpus build: learned filter (NB over the whole
+      // corpus) -> per-source temperature token budgets -> deterministic
+      // hash selection at the per-source rate -> shard manifest. Every
+      // stage is the already-gated operator; the composition is one
+      // Catalyst plan (model joins broadcast, rates broadcast by source)
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        TextOps.nbScore(docs, TextOps.nbTrain(docs))
+          .filter(col("predicted_keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val kd = kept.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = kd.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast("double")) * 1048576.0)
+            .cast("long").as("w_q20"))
+      val tot = w.agg(sum(col("w_q20")).as("w_total"))
+      // target tokens per source under T=2 temperature; the 10k
+      // budget BINDS at the gate SFs (sf0.01 holds ~27k tokens), so the
+      // hash gate exercises real sampling, not the rate=1 fast path;
+      // selection rate = min(1, target/n_tokens) in exact ppm
+      val rate = w.crossJoin(broadcast(tot))
+        .select(col("source"),
+          when(col("n_tokens") > 0, least(lit(1000000L),
+            expr("(cast((cast(w_q20 as decimal(38,0)) * 10000) div w_total as bigint) * 1000000) div n_tokens")))
+            .otherwise(lit(0L)).as("rate_ppm"))
+      val sel = kd.join(broadcast(rate), Seq("source"))
+        .filter(graft.functions.functions.h60(
+          concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
+          col("rate_ppm"))
+      TextOps.shardAssign(sel.select(col("doc_id")))
+        .join(sel.select(col("doc_id"), col("source"), col("n_tok")
+          .as("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     "text_shard_assign" -> ((s, dir) =>
       TextOps.shardAssign(t(s, dir, "documents"))),
 
@@ -1880,11 +1920,13 @@ object SparkEntry {
            AND CAST(coalesce(list_sum(list_transform($wtoks, t -> length(t))), 0) AS DOUBLE)
                / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) BETWEEN 2.0 AND 12.0
            AND CAST($nstop AS DOUBLE) / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01)"""
-    // Naive-Bayes classifier CTE chain (= TextOps.nbClassifier): model
-    // counts from the h60-even train half, floor-bit scores on the
-    // held-out half; ends with relation `nb(doc_id, label_keep,
-    // n_tokens, bits_keep, bits_drop, predicted_keep)`
-    val nbCtes = {
+    // Naive-Bayes classifier CTE chain (= TextOps.nbClassifier /
+    // nbScore): model counts from the h60-even train half, floor-bit
+    // scores on `scoreScope` (the held-out half for the classifier
+    // queries; every doc for the corpus-build pipeline); ends with
+    // relation `nb(doc_id, label_keep, n_tokens, bits_keep, bits_drop,
+    // predicted_keep)`
+    def nbCtesScoring(scoreScope: String) = {
       val split = s"${h60("CAST(doc_id AS VARCHAR) || ':nbsplit'")} % 100 < 50"
       val priorK = "(length(bin((n_train + 2) // (n_keep_docs + 1))) - 1)"
       val priorD =
@@ -1905,7 +1947,7 @@ object SparkEntry {
                          CAST(coalesce(sum(CASE WHEN label_keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep_docs
                   FROM d WHERE is_train),
           pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
-                 FROM occ WHERE NOT is_train GROUP BY doc_id, tok),
+                 FROM occ WHERE $scoreScope GROUP BY doc_id, tok),
           sb AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
                         CAST(sum(m * (length(bin((n_keep_toks + v) // (coalesce(c_keep, 0) + 1))) - 1)) AS BIGINT) AS tb_keep,
                         CAST(sum(m * (length(bin((n_drop_toks + v) // (coalesce(c_drop, 0) + 1))) - 1)) AS BIGINT) AS tb_drop
@@ -1918,8 +1960,9 @@ object SparkEntry {
                         ($priorK + coalesce(sb.tb_keep, 0))
                           < ($priorD + coalesce(sb.tb_drop, 0)) AS predicted_keep
                  FROM d LEFT JOIN sb ON d.doc_id = sb.doc_id, pri
-                 WHERE NOT d.is_train)"""
+                 WHERE $scoreScope)"""
     }
+    val nbCtes = nbCtesScoring("NOT is_train")
     // word-3-shingle set of the normalized text (matches Dedup.shingleSets)
     val shingles =
       s"""CASE WHEN len(string_split($norm, ' ')) >= 3
@@ -3380,6 +3423,38 @@ object SparkEntry {
                    (CAST(count(*) AS BIGINT) * 1000000) // n_eval AS share_ppm
             FROM nb, tot2 GROUP BY label_keep, predicted_keep, n_eval
             ORDER BY label_keep, predicted_keep""",
+
+      "pipeline_distilled_corpus" ->
+        s"""WITH ${nbCtesScoring("TRUE")},
+                 kept AS (SELECT doc_id FROM nb WHERE predicted_keep),
+                 kd AS (SELECT d2.doc_id, d2.source,
+                          CAST(len(regexp_extract_all(coalesce(d2.text, ''),
+                            '${graft.operators.TextOps.NonSpace}+')) AS BIGINT)
+                            AS n_tok
+                        FROM documents d2 JOIN kept USING (doc_id)),
+                 w AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                         CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1048576)
+                           AS BIGINT) AS w_q20
+                       FROM kd GROUP BY source),
+                 wtot AS (SELECT CAST(sum(w_q20) AS BIGINT) AS w_total FROM w),
+                 rate AS (SELECT source,
+                            CASE WHEN n_tokens > 0 THEN least(1000000,
+                              (CAST((CAST(w_q20 AS HUGEINT) * 10000)
+                                 // w_total AS BIGINT) * 1000000) // n_tokens)
+                            ELSE 0 END AS rate_ppm
+                          FROM w, wtot),
+                 sel AS (SELECT kd.doc_id, kd.source, kd.n_tok
+                         FROM kd JOIN rate USING (source)
+                         WHERE ${h60("CAST(kd.doc_id AS VARCHAR) || ':mix'")}
+                                 % 1000000 < rate_ppm),
+                 h AS (SELECT doc_id, source, n_tok,
+                         ${h60("CAST(doc_id AS VARCHAR) || ':graft'")} AS hh
+                       FROM sel)
+            SELECT doc_id, source, n_tok AS n_tokens,
+                   CAST(hh % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hh % 8
+                     ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM h ORDER BY shard, pos""",
 
       "text_classifier_sweep" ->
         s"""WITH $nbCtes,

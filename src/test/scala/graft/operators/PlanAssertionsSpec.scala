@@ -479,6 +479,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("distilled corpus build: one plan, broadcasts everywhere, no cartesian") {
+    val p = plan(graft.SparkEntry.queries("pipeline_distilled_corpus")(
+      spark, sfDir))
+    // the NB model joins and the per-source rate join all broadcast;
+    // the single-row totals ride broadcast nested loops; nothing
+    // data-sized cross-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
