@@ -94,6 +94,11 @@ object ScaleCheck {
       // vocabulary (a raw vocab is hapax-dominated and grows with the
       // corpus); only the two exploded keyed aggregates track data size
       TextOps.nbClassifier(docs, minCount = 2L)),
+    "pipeline_distilled_corpus" -> (() =>
+      // the composed corpus build at the replica scale: NB filter ->
+      // temperature budgets -> h60 selection -> shards, one plan;
+      // budget scales with the replica corpus so sampling still binds
+      TextOps.distilledCorpus(docs, tokenBudget = 200000L)),
     "sim_sq8_topk" -> (() =>
       Similarity.sq8TopK(emb,
         emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),

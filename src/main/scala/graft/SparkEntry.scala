@@ -637,45 +637,13 @@ object SparkEntry {
       TextOps.shardAssign(train)
     }),
 
-    "pipeline_distilled_corpus" -> ((s, dir) => {
+    "pipeline_distilled_corpus" -> ((s, dir) =>
       // the one-query corpus build: learned filter (NB over the whole
       // corpus) -> per-source temperature token budgets -> deterministic
-      // hash selection at the per-source rate -> shard manifest. Every
-      // stage is the already-gated operator; the composition is one
-      // Catalyst plan (model joins broadcast, rates broadcast by source)
-      val docs = t(s, dir, "documents")
-      val kept = docs.join(
-        TextOps.nbScore(docs, TextOps.nbTrain(docs))
-          .filter(col("predicted_keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val kd = kept.select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      val w = kd.groupBy(col("source"))
-        .agg(sum(col("n_tok")).as("n_tokens"))
-        .select(col("source"), col("n_tokens"),
-          floor(sqrt(col("n_tokens").cast("double")) * 1048576.0)
-            .cast("long").as("w_q20"))
-      val tot = w.agg(sum(col("w_q20")).as("w_total"))
-      // target tokens per source under T=2 temperature; the 10k
-      // budget BINDS at the gate SFs (sf0.01 holds ~27k tokens), so the
-      // hash gate exercises real sampling, not the rate=1 fast path;
-      // selection rate = min(1, target/n_tokens) in exact ppm
-      val rate = w.crossJoin(broadcast(tot))
-        .select(col("source"),
-          when(col("n_tokens") > 0, least(lit(1000000L),
-            expr("(cast((cast(w_q20 as decimal(38,0)) * 10000) div w_total as bigint) * 1000000) div n_tokens")))
-            .otherwise(lit(0L)).as("rate_ppm"))
-      val sel = kd.join(broadcast(rate), Seq("source"))
-        .filter(graft.functions.functions.h60(
-          concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
-          col("rate_ppm"))
-      TextOps.shardAssign(sel.select(col("doc_id")))
-        .join(sel.select(col("doc_id"), col("source"), col("n_tok")
-          .as("n_tokens")), Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("shard"), col("pos"))
-        .orderBy(col("shard"), col("pos"))
-    }),
+      // hash selection -> shard manifest. The 10k budget BINDS at the
+      // gate SFs (sf0.01 holds ~27k tokens), so the hash gate
+      // exercises real sampling, not the rate=1 fast path
+      TextOps.distilledCorpus(t(s, dir, "documents"), tokenBudget = 10000L)),
 
     "text_shard_assign" -> ((s, dir) =>
       TextOps.shardAssign(t(s, dir, "documents"))),

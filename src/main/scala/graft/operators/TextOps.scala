@@ -1732,6 +1732,50 @@ object TextOps {
   }
 
   /**
+   * The one-query corpus build — the composed flagship of the
+   * distillation stages: NB filter over the WHOLE corpus
+   * ([[nbScore]] under [[nbTrain]]), per-source T=2 temperature token
+   * budgets (√tokens weights, exact ppm rates, capped at 1), then
+   * deterministic h60 selection at each source's rate and the shard
+   * manifest ([[shardAssign]]). One Catalyst plan: the model and
+   * per-source rate joins broadcast, the single-row totals ride
+   * broadcast loops, and selection is a pure narrow filter — at
+   * 100 TB the only data-sized shuffles are the two classifier
+   * aggregates and the shard window.
+   */
+  def distilledCorpus(docs: DataFrame,
+                      tokenBudget: Long = 10000L): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
+    val kept = docs.join(
+      nbScore(docs, nbTrain(docs))
+        .filter(col("predicted_keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val kd = kept.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = kd.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * 1048576.0)
+          .cast("long").as("w_q20"))
+    val tot = w.agg(sum(col("w_q20")).as("w_total"))
+    val rate = w.crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("n_tokens") > 0, least(lit(1000000L),
+          expr(s"(cast((cast(w_q20 as decimal(38,0)) * ${tokenBudget}L) div w_total as bigint) * 1000000) div n_tokens")))
+          .otherwise(lit(0L)).as("rate_ppm"))
+    val sel = kd.join(broadcast(rate), Seq("source"))
+      .filter(graft.functions.functions.h60(
+        concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
+        col("rate_ppm"))
+    shardAssign(sel.select(col("doc_id")))
+      .join(sel.select(col("doc_id"), col("source"),
+        col("n_tok").as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /**
    * Confusion rollup of [[nbClassifier]] vs its own training heuristic
    * on the held-out half — the number a filter owner reads before
    * swapping the heuristic for the model (agreement rate, and WHICH
