@@ -530,6 +530,12 @@ object ScaleCheck {
       println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    // SPARK_GRAFT_PROBES=a,b,c restricts the run to named probes
+    // (dev iteration on a new probe without the full ~50-probe sweep)
+    val only = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(n: String): Boolean = only.forall(_.contains(n))
+
     val docs = replicate(
       ChangeLogSource.table(spark, sfDir, "documents"), "doc_id", docCopies)
       .localCheckpoint(true)
@@ -537,13 +543,17 @@ object ScaleCheck {
       ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", embCopies)
       .localCheckpoint(true)
     println(s"SCALE docs=${docs.count()} embeddings=${emb.count()}")
-    docProbes(spark, docs, emb).foreach { case (n, f) => time(n)(f()) }
+    docProbes(spark, docs, emb)
+      .filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
 
-    val ev = replicate(
-      ChangeLogSource.table(spark, sfDir, "events"), "event_id", docCopies)
-      .localCheckpoint(true)
-    println(s"SCALE events=${ev.count()}")
-    evProbes(spark, ev).foreach { case (n, f) => time(n)(f()) }
+    if (evProbes(spark, spark.emptyDataFrame).exists(p => want(p._1))) {
+      val ev = replicate(
+        ChangeLogSource.table(spark, sfDir, "events"), "event_id", docCopies)
+        .localCheckpoint(true)
+      println(s"SCALE events=${ev.count()}")
+      evProbes(spark, ev)
+        .filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
+    }
     spark.stop()
   }
 }
