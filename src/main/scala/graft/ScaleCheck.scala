@@ -23,8 +23,11 @@ import graft.sources.ChangeLogSource
 object ScaleCheck {
 
   /** Document/embedding-side probes, in run order. */
-  def docProbes(spark: SparkSession, docs: DataFrame,
-                emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+  // frames are BY-NAME: building the probe list must not force the
+  // (expensive, replicated) frames — the main gates replication on
+  // which probe names are wanted, and the NTZ canary only analyzes
+  def docProbes(spark: SparkSession, docs: => DataFrame,
+                emb: => DataFrame): Seq[(String, () => DataFrame)] = Seq(
     "text_contamination" -> (() => TextOps.contamination(docs)),
     "text_shard_assign" -> (() => TextOps.shardAssign(docs)),
     "text_quality_deciles" -> (() => TextOps.qualityDeciles(docs)),
@@ -97,8 +100,10 @@ object ScaleCheck {
     "pipeline_distilled_corpus" -> (() =>
       // the composed corpus build at the replica scale: NB filter ->
       // temperature budgets -> h60 selection -> shards, one plan;
-      // budget scales with the replica corpus so sampling still binds
-      TextOps.distilledCorpus(docs, tokenBudget = 200000L)),
+      // budget scales with the replica corpus so sampling still binds,
+      // and minCount=2 is the broadcast-able capped-model scale path
+      TextOps.distilledCorpus(docs, tokenBudget = 200000L,
+        minCount = 2L)),
     "sim_sq8_topk" -> (() =>
       Similarity.sq8TopK(emb,
         emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),
@@ -174,7 +179,7 @@ object ScaleCheck {
   /** Event-stream probes, in run order (per-user history grows 20x —
     * the per-user window stress case). */
   def evProbes(spark: SparkSession,
-               ev: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+               ev: => DataFrame): Seq[(String, () => DataFrame)] = Seq(
     "cdc_transition_matrix" -> (() =>
       graft.operators.CdcOps.transitionMatrix(ev)),
     "cdc_scd2_history" -> (() => graft.operators.CdcOps.scd2History(ev)),
@@ -531,29 +536,39 @@ object ScaleCheck {
     }
 
     // SPARK_GRAFT_PROBES=a,b,c restricts the run to named probes
-    // (dev iteration on a new probe without the full ~50-probe sweep)
+    // (dev iteration on a new probe without the full ~50-probe sweep).
+    // Frames are lazy + by-name, so a doc-only selection never
+    // replicates events and vice versa; unknown names warn loudly.
     val only = sys.env.get("SPARK_GRAFT_PROBES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(n: String): Boolean = only.forall(_.contains(n))
 
-    val docs = replicate(
-      ChangeLogSource.table(spark, sfDir, "documents"), "doc_id", docCopies)
-      .localCheckpoint(true)
-    val emb = replicate(
-      ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", embCopies)
-      .localCheckpoint(true)
-    println(s"SCALE docs=${docs.count()} embeddings=${emb.count()}")
-    docProbes(spark, docs, emb)
-      .filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
-
-    if (evProbes(spark, spark.emptyDataFrame).exists(p => want(p._1))) {
-      val ev = replicate(
-        ChangeLogSource.table(spark, sfDir, "events"), "event_id", docCopies)
-        .localCheckpoint(true)
-      println(s"SCALE events=${ev.count()}")
-      evProbes(spark, ev)
-        .filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
+    lazy val docs = {
+      val d = replicate(ChangeLogSource.table(spark, sfDir, "documents"),
+        "doc_id", docCopies).localCheckpoint(true)
+      println(s"SCALE docs=${d.count()}"); d
     }
+    lazy val emb = {
+      val e = replicate(ChangeLogSource.table(spark, sfDir, "embeddings"),
+        "vec_id", embCopies).localCheckpoint(true)
+      println(s"SCALE embeddings=${e.count()}"); e
+    }
+    lazy val ev = {
+      val e = replicate(ChangeLogSource.table(spark, sfDir, "events"),
+        "event_id", docCopies).localCheckpoint(true)
+      println(s"SCALE events=${e.count()}"); e
+    }
+    val dp = docProbes(spark, docs, emb)
+    val ep = evProbes(spark, ev)
+    only.foreach { names =>
+      val known = (dp.map(_._1) ++ ep.map(_._1)).toSet
+      val unknown = names -- known
+      if (unknown.nonEmpty)
+        println(s"SCALE WARNING: unknown probe names $unknown " +
+          s"(nothing will run for them)")
+    }
+    dp.filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
+    ep.filter(p => want(p._1)).foreach { case (n, f) => time(n)(f()) }
     spark.stop()
   }
 }

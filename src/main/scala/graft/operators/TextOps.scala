@@ -1198,13 +1198,18 @@ object TextOps {
    * single global sort).
    */
   def shardAssign(docs: DataFrame, nShards: Int = 8,
-                  salt: String = "graft"): DataFrame = {
+                  salt: String = "graft",
+                  carry: Seq[String] = Nil): DataFrame = {
+    // `carry` threads manifest columns through in the same pass —
+    // distilledCorpus carries (source, n_tokens) so the shard window
+    // runs once over the selected set instead of via a self-join
     val h = graft.functions.functions.h60(
       concat(col("doc_id").cast("string"), lit(":"), lit(salt)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
-    docs.select(col("doc_id"), pmod(h, lit(nShards.toLong)).cast("int").as("shard"),
-        h.as("__h"))
+    docs.select(col("doc_id") +: carry.map(col) :+
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard") :+
+        h.as("__h"): _*)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
       .orderBy(col("shard"), col("pos"))
@@ -1737,17 +1742,22 @@ object TextOps {
    * ([[nbScore]] under [[nbTrain]]), per-source T=2 temperature token
    * budgets (√tokens weights, exact ppm rates, capped at 1), then
    * deterministic h60 selection at each source's rate and the shard
-   * manifest ([[shardAssign]]). One Catalyst plan: the model and
+   * manifest ([[shardAssign]] with carried manifest columns — one
+   * window pass, no self-join). One Catalyst plan: the model and
    * per-source rate joins broadcast, the single-row totals ride
    * broadcast loops, and selection is a pure narrow filter — at
    * 100 TB the only data-sized shuffles are the two classifier
-   * aggregates and the shard window.
+   * aggregates and the shard window. `minCount` is [[nbTrain]]'s
+   * broadcast-ability dial: the gated query runs 1 (exact model at
+   * the gate SFs); a large-corpus run MUST cap (the ScaleCheck probe
+   * runs 2) or the hapax-dominated model table outgrows broadcast.
    */
   def distilledCorpus(docs: DataFrame,
-                      tokenBudget: Long = 10000L): DataFrame = {
+                      tokenBudget: Long = 10000L,
+                      minCount: Long = 1L): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
     val kept = docs.join(
-      nbScore(docs, nbTrain(docs))
+      nbScore(docs, nbTrain(docs, minCount = minCount))
         .filter(col("predicted_keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val kd = kept.select(col("doc_id"), col("source"),
@@ -1767,12 +1777,10 @@ object TextOps {
       .filter(graft.functions.functions.h60(
         concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
         col("rate_ppm"))
-    shardAssign(sel.select(col("doc_id")))
-      .join(sel.select(col("doc_id"), col("source"),
-        col("n_tok").as("n_tokens")), Seq("doc_id"))
+    shardAssign(sel.select(col("doc_id"), col("source"),
+        col("n_tok").as("n_tokens")), carry = Seq("source", "n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos"))
   }
 
   /**
