@@ -445,7 +445,14 @@ object ScaleCheck {
             Seq("doc_id"), "left_semi").select(col("doc_id"), col("meta")))
         Multimodal.shardPack(keep)
       }),
-      "cdc_gap_detection" -> (() => CdcOps.gapDetection(ev))
+      "cdc_gap_detection" -> (() => CdcOps.gapDetection(ev)),
+      "text_classifier_nb" -> (() =>
+        // capped model (minCount=2): the broadcast-able scale path
+        TextOps.nbClassifier(docs, minCount = 2L)),
+      "pipeline_distilled_corpus" -> (() =>
+        // full corpus build; budget ∝ replica scale so sampling binds
+        TextOps.distilledCorpus(docs, tokenBudget = 200000L,
+          minCount = 2L))
     )
   }
 
@@ -479,7 +486,12 @@ object ScaleCheck {
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!keep(id)) rdd.unpersist(blocking = false)
         }
-      val times = heavyProbes(spark, docs, emb, ev).map { case (n, f) =>
+      // the main loop's SPARK_GRAFT_PROBES filter applies here too —
+      // measure a new probe at both scales without the full sweep
+      val expOnly = sys.env.get("SPARK_GRAFT_PROBES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val times = heavyProbes(spark, docs, emb, ev)
+        .filter(p => expOnly.forall(_.contains(p._1))).map { case (n, f) =>
         // min of 2 runs: scaling noise is ADDITIVE (GC pauses from the
         // released previous scale, host contention), so the min is the
         // clean estimate of the operator's own cost — the first pass
