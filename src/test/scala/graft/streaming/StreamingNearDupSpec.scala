@@ -82,6 +82,58 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized batching: stream ownership == batch first-owner fold") {
+    // 30 docs (dups, near-dups, distinct) pushed through RANDOM batch
+    // splits with a horizon longer than the stream: ownership must
+    // equal the batch-side fold (first arrival per (band,bucket) in
+    // (ts, doc_id) order owns it), independent of micro-batch
+    // alignment. Seeded loop, 3 rounds.
+    val pool = Vector(alpha, beta, gamma, alphaNear,
+      alpha.replace("quick", "swift"), beta.replace("today", "tomorrow"))
+    val rnd = new scala.util.Random(77)
+    for (round <- 1 to 3) {
+      val docs = (1L to 30L).map(i =>
+        (i, ts(i), pool(rnd.nextInt(pool.size))))
+      val batchBuckets = Dedup.lshBuckets(
+          docs.toDF("doc_id", "event_time", "text"))
+        .as[(Long, Int, Long)].collect()
+      // reference fold: arrival order == (ts, doc_id) == doc_id order
+      val owner = scala.collection.mutable.Map[(Int, Long), Long]()
+      val expOwned = scala.collection.mutable.Map[Long, Long]()
+      batchBuckets.sortBy(_._1).foreach { case (id, band, bucket) =>
+        val first = !owner.contains((band, bucket))
+        if (first) owner((band, bucket)) = id
+        expOwned(id) = expOwned.getOrElse(id, 0L) + (if (first) 1L else 0L)
+      }
+      val input = MemoryStream[(Long, Timestamp, String)](spark)
+      val got = mutable.Map[Long, (Long, Long, Boolean)]()
+      val q = StreamingNearDup.ownership(
+          input.toDF().toDF("doc_id", "event_time", "text"),
+          delay = "1 hour", horizonMs = 3600000L)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+          StreamingNearDup.verdicts(b.toDF())
+            .as[(Long, Long, Long, Boolean)].collect()
+            .foreach(r => got.synchronized { got(r._1) = (r._2, r._3, r._4) })
+          ()
+        }.start()
+      try {
+        var rest = docs
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(7)
+          input.addData(rest.take(n): _*); q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        docs.foreach { case (id, _, _) =>
+          val (nb, own, cand) = got(id)
+          assert(own == expOwned(id),
+            s"round $round doc $id: owned $own != expected ${expOwned(id)}")
+          assert(cand == (own < nb))
+        }
+      } finally q.stop()
+    }
+  }
+
   test("aged-out bucket re-admits a late duplicate, even same-batch as its timeout") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "event_time", "text")
