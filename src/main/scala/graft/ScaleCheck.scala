@@ -22,6 +22,12 @@ import graft.sources.ChangeLogSource
  */
 object ScaleCheck {
 
+  /** SPARK_GRAFT_PROBES=a,b,c → the wanted-probe name set (None = run
+    * everything); shared by the 20x main and the exp sweep. */
+  private def wantedProbes: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Document/embedding-side probes, in run order. */
   // frames are BY-NAME: building the probe list must not force the
   // (expensive, replicated) frames — the main gates replication on
@@ -488,8 +494,7 @@ object ScaleCheck {
         }
       // the main loop's SPARK_GRAFT_PROBES filter applies here too —
       // measure a new probe at both scales without the full sweep
-      val expOnly = sys.env.get("SPARK_GRAFT_PROBES")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val expOnly = wantedProbes
       val times = heavyProbes(spark, docs, emb, ev)
         .filter(p => expOnly.forall(_.contains(p._1))).map { case (n, f) =>
         // min of 2 runs: scaling noise is ADDITIVE (GC pauses from the
@@ -551,8 +556,7 @@ object ScaleCheck {
     // (dev iteration on a new probe without the full ~50-probe sweep).
     // Frames are lazy + by-name, so a doc-only selection never
     // replicates events and vice versa; unknown names warn loudly.
-    val only = sys.env.get("SPARK_GRAFT_PROBES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = wantedProbes
     def want(n: String): Boolean = only.forall(_.contains(n))
 
     lazy val docs = {

@@ -1605,6 +1605,11 @@ object TextOps {
     }
   }
 
+  /** floor(log₂(e)) as a BIGINT column — `length(bin(e)) − 1`, the
+    * integer-lattice log shared by all four NB bit expressions. */
+  private def floorBits(e: String): Column =
+    expr(s"CAST(length(bin($e)) - 1 AS BIGINT)")
+
   /** Label + word-token staging shared by the train and score sides. */
   private def nbStage(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -1673,10 +1678,8 @@ object TextOps {
       .join(broadcast(model.cnt), Seq("tok"), "left")
       .na.fill(0L, Seq("c_keep", "c_drop"))
       .crossJoin(broadcast(model.tot))
-      .withColumn("bits_k",
-        expr("CAST(length(bin((n_keep_toks + v) div (c_keep + 1))) - 1 AS BIGINT)"))
-      .withColumn("bits_d",
-        expr("CAST(length(bin((n_drop_toks + v) div (c_drop + 1))) - 1 AS BIGINT)"))
+      .withColumn("bits_k", floorBits("(n_keep_toks + v) div (c_keep + 1)"))
+      .withColumn("bits_d", floorBits("(n_drop_toks + v) div (c_drop + 1)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
         sum(col("m") * col("bits_k")).as("tb_keep"),
@@ -1687,9 +1690,9 @@ object TextOps {
       .na.fill(0L, Seq("n_tokens", "tb_keep", "tb_drop"))
       .crossJoin(broadcast(model.prior))
       .select(col("doc_id"), col("label_keep"), col("n_tokens"),
-        (expr("CAST(length(bin((n_train + 2) div (n_keep_docs + 1))) - 1 AS BIGINT)")
+        (floorBits("(n_train + 2) div (n_keep_docs + 1)")
           + col("tb_keep")).as("bits_keep"),
-        (expr("CAST(length(bin((n_train + 2) div (n_train - n_keep_docs + 1))) - 1 AS BIGINT)")
+        (floorBits("(n_train + 2) div (n_train - n_keep_docs + 1)")
           + col("tb_drop")).as("bits_drop"))
       .withColumn("predicted_keep", col("bits_keep") < col("bits_drop"))
   }
