@@ -1231,6 +1231,12 @@ object SparkEntry {
     "ts_sax_motifs" -> ((s, dir) =>
       graft.operators.TimeSeries.saxMotifs(t(s, dir, "events"))),
 
+    "ts_series_knn" -> ((s, dir) =>
+      // distributed TS similarity search: banded SAX blocking, exact
+      // integer symbol distance, map-side-bounded top-k per query
+      graft.operators.TimeSeries.seriesKnn(t(s, dir, "events"),
+        col("user_id") % 10 === 0, k = 5)),
+
     "ts_mad_outliers" -> ((s, dir) =>
       // robust (breakdown-50%) anomaly twin of ts_zscore_anomalies,
       // pure-integer doubled-lattice medians
@@ -3266,6 +3272,49 @@ object SparkEntry {
                           FROM bk GROUP BY user_id)
            SELECT word, count(*) AS n_users FROM words WHERE n_days = 8
            GROUP BY word ORDER BY n_users DESC, word""",
+
+      "ts_series_knn" -> {
+        val sq = "(CAST(substr(qw, CAST(i AS INT), 1) AS INT) - " +
+          "CAST(substr(cw, CAST(i AS INT), 1) AS INT))"
+        s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                             sum(CAST(value AS DECIMAL(18,2))) AS dsum
+                           FROM events GROUP BY user_id, day),
+                 fd AS (SELECT user_id, day, dsum,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY day) AS dn
+                        FROM daily),
+                 bk AS (SELECT user_id, day,
+                          ntile(4) OVER (PARTITION BY user_id
+                            ORDER BY dsum, day) AS b
+                        FROM fd WHERE dn <= 8),
+                 words AS (SELECT user_id,
+                             string_agg(CAST(b AS VARCHAR), ''
+                               ORDER BY day) AS word,
+                             count(*) AS n_days
+                           FROM bk GROUP BY user_id),
+                 w AS (SELECT user_id, word FROM words WHERE n_days = 8),
+                 segs AS (SELECT user_id, word, g,
+                            substr(word, CAST(g * 4 + 1 AS INT), 4) AS seg
+                          FROM w, (SELECT unnest([0, 1]) AS g)),
+                 cand AS (SELECT DISTINCT q.user_id AS query_user,
+                            q.word AS qw, c.user_id AS neighbor,
+                            c.word AS cw
+                          FROM segs q JOIN segs c
+                            ON q.g = c.g AND q.seg = c.seg
+                               AND q.user_id <> c.user_id
+                          WHERE q.user_id % 10 = 0),
+                 d AS (SELECT query_user, neighbor,
+                         CAST(list_sum(list_transform(
+                           generate_series(1, 8),
+                           i -> $sq * $sq)) AS BIGINT) AS dist
+                       FROM cand),
+                 r AS (SELECT query_user, neighbor, dist,
+                         row_number() OVER (PARTITION BY query_user
+                           ORDER BY dist, neighbor) AS rank
+                       FROM d)
+            SELECT query_user, CAST(rank AS INT) AS rank, neighbor, dist
+            FROM r WHERE rank <= 5 ORDER BY query_user, rank"""
+      },
 
       "cdc_transition_matrix" ->
         """WITH s AS (SELECT user_id, event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,7 +65,17 @@ object TimeSeries {
    * never a global sort); words are ≤ nDays chars.
    */
   def saxMotifs(log: DataFrame, nDays: Int = 8,
-                buckets: Int = 4): DataFrame = {
+                buckets: Int = 4): DataFrame =
+    saxWords(log, nDays, buckets)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("word"))
+
+  /** Per-user SAX word over the first `nDays` active days (complete
+    * words only) — the shared discretization behind [[saxMotifs]] and
+    * [[seriesKnn]]. Rank-quartile buckets (ntile over the user's own
+    * days) are positional, so both engines agree exactly. */
+  def saxWords(log: DataFrame, nDays: Int = 8,
+               buckets: Int = 4): DataFrame = {
     val daily = log.groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("dsum"))
     val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -83,8 +93,61 @@ object TimeSeries {
           s => s.getField("b").cast("string"))).as("word"),
         count(lit(1)).as("n_days"))
       .filter(col("n_days") === nDays) // complete words only
-      .groupBy(col("word")).agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_users").desc, col("word"))
+      .select(col("user_id"), col("word"))
+  }
+
+  /**
+   * Distributed time-series similarity SEARCH (the EDBT'19 streaming
+   * TS-similarity theme re-expressed Spark-first): for each query
+   * user, the `k` most behavior-similar other users. Series are
+   * compared in SAX space — [[saxWords]]' rank-quartile words — with
+   * the exact integer symbol distance Σ(aᵢ−bᵢ)², so the whole search
+   * rides the engine-exact lattice (no float, no z-normalization
+   * divergence between engines).
+   *
+   * Scale shape: candidate generation is BANDED, never all-pairs —
+   * each word splits into `segments` positional segments and only
+   * users sharing a segment at the same position meet (the
+   * pigeonhole: any pair within total distance 0 on some segment
+   * collides; distant pairs rarely do). The segment join is
+   * query-side-filtered first, candidate pairs dedup on (query,
+   * neighbor), and the final top-k is [[graft.functions.TopKByScore]]
+   * — map-side partial, so at most k candidates per query cross the
+   * shuffle regardless of corpus size. Hot segments (flat-profile
+   * users) are AQE-skew territory, same as the LSH band joins.
+   */
+  def seriesKnn(log: DataFrame, queryPred: Column, k: Int = 5,
+                nDays: Int = 8, buckets: Int = 4,
+                segments: Int = 2): DataFrame = {
+    require(nDays % segments == 0, s"nDays=$nDays segments=$segments")
+    val segLen = nDays / segments
+    val words = saxWords(log, nDays, buckets)
+    val segs = words
+      .select(col("user_id"), col("word"),
+        explode(sequence(lit(0), lit(segments - 1))).as("g"))
+      .select(col("user_id"), col("word"), col("g"),
+        expr(s"substring(word, g * $segLen + 1, $segLen)").as("seg"))
+    val sq = (a: String, b: String) =>
+      s"(CAST(substring($a, i, 1) AS INT) - CAST(substring($b, i, 1) AS INT))"
+    val cand = segs.filter(queryPred).alias("q")
+      .join(segs.alias("c"),
+        col("q.g") === col("c.g") && col("q.seg") === col("c.seg") &&
+          col("q.user_id") =!= col("c.user_id"))
+      .select(col("q.user_id").as("query_user"), col("q.word").as("qw"),
+        col("c.user_id").as("neighbor"), col("c.word").as("cw"))
+      .distinct() // a pair may collide on several segments
+      .withColumn("dist", expr(
+        s"CAST(aggregate(transform(sequence(1, $nDays), " +
+          s"i -> ${sq("qw", "cw")} * ${sq("qw", "cw")}), " +
+          "0, (acc, x) -> acc + x) AS BIGINT)"))
+    cand.groupBy(col("query_user"))
+      .agg(graft.functions.TopKByScore.top_k(
+        -col("dist").cast("double"), col("neighbor"),
+        col("dist").cast("double"), k).as("top"))
+      .select(col("query_user"), posexplode(col("top")))
+      .select(col("query_user"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor"), col("col.sim").cast("long").as("dist"))
+      .orderBy(col("query_user"), col("rank"))
   }
 
   /**

@@ -306,4 +306,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("A") == (("A", 9L * 60000000L, 400L, 20L, 60L)))
     assert(got("B") == (("B", 0L, 0L, 8L, 8L)))
   }
+
+  test("seriesKnn: twins at dist 0, banding prunes the inverted series") {
+    // planted words (8 days, 4 buckets, 2 segments of 4):
+    //   10, 11 -> "11223344" (twins: identical rank order)
+    //   13     -> "11223434" (shares segment "1122" with 10; dist 2)
+    //   12     -> "44332211" (inverted: NO shared segment -> pruned)
+    //   20, 21 -> "22334411" (twins; disjoint segments from all above)
+    def series(uid: Long, sums: Seq[Double]) =
+      sums.zipWithIndex.map { case (v, i) => (uid, ts(i + 1), v) }
+    val ev = (
+      series(10L, Seq(1, 2, 3, 4, 5, 6, 7, 8)) ++
+      series(11L, Seq(10, 20, 30, 40, 50, 60, 70, 80)) ++
+      series(13L, Seq(1, 2, 3, 4, 5, 7, 6, 8)) ++
+      series(12L, Seq(8, 7, 6, 5, 4, 3, 2, 1)) ++
+      series(20L, Seq(3, 4, 5, 6, 7, 8, 1, 2)) ++
+      series(21L, Seq(30, 40, 50, 60, 70, 80, 10, 20)))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.seriesKnn(ev,
+        org.apache.spark.sql.functions.col("user_id") % 10 === 0, k = 5)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+      }
+    // query 10: twin first at dist 0, the near-word second at dist 2;
+    // the inverted user 12 never appears (banding pruned it) and the
+    // disjoint-segment pair 20/21 never meets 10
+    assert(got(10L) == Seq((1, 11L, 0L), (2, 13L, 2L)), s"$got")
+    assert(got(20L) == Seq((1, 21L, 0L)), s"$got")
+    assert(!got.values.flatten.exists(_._2 == 12L))
+  }
 }
