@@ -193,6 +193,11 @@ object ScaleCheck {
     "ts_zscore_anomalies" -> (() =>
       graft.operators.TimeSeries.zscoreAnomalies(ev)),
     "ts_sax_motifs" -> (() => graft.operators.TimeSeries.saxMotifs(ev)),
+    "ts_series_knn" -> (() =>
+      // banded candidates + map-side top-k: 20x more users means more
+      // word-segment collisions, never an all-pairs blowup
+      graft.operators.TimeSeries.seriesKnn(ev,
+        col("user_id") % 10 === 0, k = 5)),
     "cdc_running_watermark" -> (() =>
       graft.operators.CdcOps.runningWatermark(ev)),
     "cdc_version_prune" -> (() => graft.operators.CdcOps.versionPrune(ev)),
