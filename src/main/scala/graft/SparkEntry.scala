@@ -1830,13 +1830,14 @@ object SparkEntry {
       val sb = new StringBuilder
       sb.append(s"""w0 AS MATERIALIZED (
            SELECT word, freq,
-                  regexp_replace(word, '(?s)(.)', chr(1) || '\\1', 'g')
-                    AS s
+                  regexp_replace(word, '(?s)(.)',
+                                 chr(1) || '\\1' || chr(2), 'g') AS s
            FROM (SELECT word, count(*) AS freq FROM (
                    SELECT unnest(regexp_extract_all(coalesce(text, ''),
                      $bpeSql)) AS word FROM documents)
                  WHERE NOT regexp_matches(word, '^${TextOps.SpaceRun}$$')
                    AND NOT contains(word, chr(1))
+                   AND NOT contains(word, chr(2))
                  GROUP BY word))""")
       for (r <- 1 to merges) {
         sb.append(s""",
@@ -1847,7 +1848,7 @@ object SparkEntry {
                    unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT)))
                      AS i
                  FROM (SELECT freq,
-                         regexp_extract_all(s, '\\x01([^\\x01]+)', 1) AS l
+                         regexp_extract_all(s, '\\x01([^\\x01\\x02]+)\\x02', 1) AS l
                        FROM w${r - 1}))
            GROUP BY a, b),
          t$r AS MATERIALIZED (
@@ -1856,8 +1857,9 @@ object SparkEntry {
            SELECT word, freq,
              CASE WHEN (SELECT count(*) FROM t$r) = 0 THEN s
                   ELSE replace(s,
-                    (SELECT chr(1) || a || chr(1) || b FROM t$r),
-                    (SELECT chr(1) || a || b FROM t$r)) END AS s
+                    (SELECT chr(1) || a || chr(2) || chr(1) || b || chr(2)
+                     FROM t$r),
+                    (SELECT chr(1) || a || b || chr(2) FROM t$r)) END AS s
            FROM w${r - 1})""")
       }
       sb.toString
@@ -2976,7 +2978,7 @@ object SparkEntry {
                          CAST(sum(freq) AS BIGINT) AS n_words,
                          CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
                          CAST(sum(freq * len(regexp_extract_all(s,
-                           '\\x01([^\\x01]+)', 1))) AS BIGINT) AS n_symbols
+                           '\\x01([^\\x01\\x02]+)\\x02', 1))) AS BIGINT) AS n_symbols
                   FROM w8)""",
 
       "text_repetition_ngrams" ->
@@ -3059,7 +3061,7 @@ object SparkEntry {
         s"""WITH ${bpeCtes(8)},
                  wordsyms AS (SELECT word,
                      CAST(len(regexp_extract_all(s,
-                       '\\x01([^\\x01]+)', 1)) AS BIGINT) AS n_syms
+                       '\\x01([^\\x01\\x02]+)\\x02', 1)) AS BIGINT) AS n_syms
                    FROM w8),
                  dw AS (SELECT doc_id,
                      unnest(regexp_extract_all(coalesce(text, ''),
@@ -4384,7 +4386,7 @@ object SparkEntry {
         s"""WITH ${bpeCtes(8)},
                  wordsyms AS (SELECT word,
                      CAST(len(regexp_extract_all(s,
-                       '\\x01([^\\x01]+)', 1)) AS BIGINT) AS n_syms
+                       '\\x01([^\\x01\\x02]+)\\x02', 1)) AS BIGINT) AS n_syms
                    FROM w8),
                  dw AS (SELECT doc_id,
                      unnest(regexp_extract_all(coalesce(text, ''),

@@ -753,33 +753,41 @@ object TextOps {
         expr("(n_bytes * 1000000) div n_tokens").as("bytes_per_tok_ppm"),
         expr("(n_tokens * 1000000) div n_words").as("tok_per_word_ppm"))
 
-  /** Symbol-boundary sentinel for the BPE vocab strings: every symbol
-    * in a segmentation is prefixed by `\u0001` (SOH), so a pair (a, b)
-    * occurs exactly as the substring `\u0001a\u0001b` and a plain
-    * left-to-right non-overlapping string `replace` of that substring
-    * with `\u0001ab` IS the greedy BPE merge application — on both
+  /** Symbol-boundary sentinels for the BPE vocab strings: every symbol
+    * in a segmentation is WRAPPED as `\u0001sym\u0002` (SOH…STX), so a
+    * pair (a, b) occurs exactly as the substring
+    * `\u0001a\u0002\u0001b\u0002` and a plain left-to-right
+    * non-overlapping string `replace` of that substring with
+    * `\u0001ab\u0002` IS the greedy BPE merge application — on both
     * engines, with identical semantics ("aaaa" under merge (a,a)
-    * becomes (aa)(aa), because the second scan resumes after the
-    * first match's replacement). Input words containing the sentinel
-    * are excluded from the vocab (they would corrupt boundaries). */
+    * becomes (aa)(aa), because the second scan resumes after the first
+    * match's replacement). The TERMINATOR is what makes the match
+    * symbol-exact: with prefix-only sentinels, pair (v,e) would falsely
+    * match inside [v, er] (the next symbol merely STARTS with "e") and
+    * corrupt it to the single symbol "ver" — the Sennrich divergence
+    * the r8 advisor caught (a merge must apply only where the pair
+    * occurs as WHOLE adjacent symbols). Input words containing either
+    * sentinel are excluded from the vocab. */
   private val Sent = "\u0001"
+  private val Term = "\u0002"
 
   private def bpeSyms(s: Column): Column =
-    regexp_extract_all(s, lit(Sent + "([^" + Sent + "]+)"), lit(1))
+    regexp_extract_all(s,
+      lit(Sent + "([^" + Sent + Term + "]+)" + Term), lit(1))
 
   /** The corpus word-frequency vocab with sentinelized char-level
     * segmentations — the ONE corpus scan all BPE rounds fold over. */
   private def bpeVocab(docs: DataFrame): DataFrame =
     docs.select(explode(bpeishTokens(col("text"))).as("word"))
       .filter(!col("word").rlike("^" + SpaceRun + "$") &&
-        !col("word").contains(Sent))
+        !col("word").contains(Sent) && !col("word").contains(Term))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       // (?s): Java's '.' excludes U+0085/U+2028/U+2029 (its line
       // terminators) while RE2's excludes only \n — a word containing
       // one would sentinelize differently per engine (the \x0B class
       // of bug, review r8); DOTALL makes both match every char
       .select(col("word"), col("freq"),
-        regexp_replace(col("word"), "(?s)(.)", Sent + "$1").as("s"))
+        regexp_replace(col("word"), "(?s)(.)", Sent + "$1" + Term).as("s"))
 
   /** Adjacent-symbol pair counts of a vocab frame, freq-weighted
     * (every adjacent position counts, the standard BPE statistic). */
@@ -820,8 +828,9 @@ object TextOps {
         .select(col("word"), col("freq"),
           when(col("a").isNull, col("s"))
             .otherwise(replace(col("s"),
-              concat(lit(Sent), col("a"), lit(Sent), col("b")),
-              concat(lit(Sent), col("a"), col("b")))).as("s"))
+              concat(lit(Sent), col("a"), lit(Term),
+                lit(Sent), col("b"), lit(Term)),
+              concat(lit(Sent), col("a"), col("b"), lit(Term)))).as("s"))
         .localCheckpoint(false)
     }
     (rounds.result().reduce(_ union _).orderBy(col("merge_round")), vocab)
@@ -905,7 +914,7 @@ object TextOps {
         size_(bpeSyms(col("s"))).cast("long").as("n_syms"))
     docs.select(col("doc_id"), explode(bpeishTokens(col("text"))).as("word"))
       .filter(!col("word").rlike("^" + SpaceRun + "$") &&
-        !col("word").contains(Sent))
+        !col("word").contains(Sent) && !col("word").contains(Term))
       .join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))

@@ -120,6 +120,11 @@ object TimeSeries {
                 nDays: Int = 8, buckets: Int = 4,
                 segments: Int = 2): DataFrame = {
     require(nDays % segments == 0, s"nDays=$nDays segments=$segments")
+    // one CHARACTER per SAX symbol: segment substrings and the
+    // per-position distance both index by char, so a multi-digit
+    // ntile symbol (buckets >= 10) would silently compute wrong
+    // segments/distances instead of failing (r8 advisory)
+    require(buckets >= 2 && buckets <= 9, s"buckets=$buckets")
     val segLen = nDays / segments
     val words = saxWords(log, nDays, buckets)
     val segs = words

@@ -112,15 +112,21 @@ object Sinks {
    * Crash window (documented, same class as the data write itself,
    * which is also not atomic across partitions): the data write lands
    * before the manifest update, so a crash between the two leaves a
-   * drained partition's stale files VISIBLE until the batch retries —
-   * retrying the batch is the recovery, as for any partial batch.
+   * drained partition's stale files VISIBLE (and a revived one hidden)
+   * until the batch retries — retrying the batch is the recovery, as
+   * for any partial batch. The kill-point specs drive a crash through
+   * the `faultPoint` seam in both directions and prove the retry
+   * converges; the manifest write ITSELF is atomic (versioned
+   * last-wins snapshots, [[writeDeletionManifest]]), so a crash can
+   * delay the manifest but never lose it.
    */
   def compactMirror(spark: SparkSession, mirrorDir: String,
                     changes: DataFrame, partCol: String,
                     keyCol: String = "user_id", tsCol: String = "ts",
                     offsetCol: String = "event_id",
                     actionCol: String = "action",
-                    maxTouchedPartitions: Int = 100000): Unit = {
+                    maxTouchedPartitions: Int = 100000,
+                    faultPoint: String => Unit = _ => ()): Unit = {
     // partition values are compared STRING-RENDERED throughout (the
     // same rendering the partition directory names use): the mirror
     // read-back may re-infer a narrower type than the writer's (long
@@ -141,15 +147,19 @@ object Sinks {
         "— that is a full-mirror rewrite, not incremental compaction; " +
         "rewrite the mirror with a plain partitioned write instead")
     val dropped = droppedPartitions(spark, mirrorDir)
-    val touchedCur = spark.read.parquet(mirrorDir)
-      .filter(partStr(col(partCol)).isin(touched: _*))
+    // small lists inline as partition-prunable IN literals; past the
+    // threshold (a plan with 10^5 literals is its own scale bug — r8
+    // verdict) the filter becomes a broadcast semi/anti join against a
+    // values frame, trading pruning for a sane plan
+    val touchedCur = keepIn(spark, spark.read.parquet(mirrorDir),
+      partStr(col(partCol)), touched, semi = true)
     // a previously-dropped partition folds from EMPTY: its stale
     // files are invisible through the manifest, so a re-insert batch
     // cannot resurrect pre-drop rows
     val current =
       if (dropped.isEmpty) touchedCur
-      else touchedCur.filter(
-        !partStr(col(partCol)).isin(dropped.toSeq: _*))
+      else keepIn(spark, touchedCur, partStr(col(partCol)),
+        dropped.toSeq, semi = false)
     // localCheckpoint: materializes the fold (touched-partitions-sized,
     // small vs the mirror) and truncates lineage, so the write-back to
     // the path being read is legal and the survivor scan shares the
@@ -164,10 +174,37 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(mirrorDir)
+    // the documented crash window sits HERE: data landed, manifest not
+    // yet updated. The soak's kill points inject a crash through this
+    // seam in both directions (drain: emptied partition's stale files
+    // visible until retry; revive: re-inserted partition still hidden
+    // until retry) and prove batch retry converges.
+    faultPoint("post-data-write")
     val newDropped = (dropped -- revived) ++ emptied
     if (newDropped != dropped)
       writeDeletionManifest(spark, mirrorDir, newDropped)
   }
+
+  /** Inline `isin` under [[InlineLiteralThreshold]] values; a broadcast
+    * left-semi (`semi = true`) / left-anti join against a values frame
+    * past it. The inline path keeps partition PRUNING; the join path
+    * keeps the PLAN bounded when the value list has grown to manifest
+    * scale — correctness is identical (values are null-safe rendered
+    * strings, so three-valued NULL logic never applies). */
+  private[sinks] val InlineLiteralThreshold = 1000
+
+  private def keepIn(spark: SparkSession, df: DataFrame, rendered: Column,
+                     values: Seq[String], semi: Boolean): DataFrame =
+    if (values.size <= InlineLiteralThreshold) {
+      if (semi) df.filter(rendered.isin(values: _*))
+      else df.filter(!rendered.isin(values: _*))
+    } else {
+      import spark.implicits._
+      val vals = broadcast(
+        spark.createDataset(values).toDF("__part_value"))
+      df.join(vals, rendered === col("__part_value"),
+        if (semi) "left_semi" else "left_anti")
+    }
 
   /** Manifest subdirectory under the mirror root — underscore-prefixed
     * so Spark/parquet file listing treats it as hidden. */
@@ -192,28 +229,75 @@ object Sinks {
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
+  /** Version-directory name: `v` + zero-padded sequence number. */
+  private def versionName(v: Long): String = f"v$v%09d"
+  private val VersionRe = "^v(\\d{9})$".r
+
+  /** The complete (committer-marked) manifest versions under a
+    * mirror's manifest dir, ascending — plus the highest sequence
+    * number present INCLUDING incomplete (crashed) writes, so the next
+    * write never reuses a partially-written directory. */
+  private def manifestVersions(spark: SparkSession, mirrorDir: String)
+      : (Seq[Long], Long) = {
+    val (p, fs) = manifestFsPath(spark, mirrorDir)
+    if (!fs.exists(p)) (Nil, 0L)
+    else {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName match {
+          case VersionRe(n) => Some((n.toLong, st.getPath))
+          case _ => None
+        })
+      val complete = dirs.filter { case (_, vp) =>
+        fs.exists(new org.apache.hadoop.fs.Path(vp, "_SUCCESS"))
+      }.map(_._1).sorted.toSeq
+      (complete, if (dirs.isEmpty) 0L else dirs.map(_._1).max)
+    }
+  }
+
   /** The logically-dropped partition values (string-rendered) of a
     * mirror — empty when no manifest exists. Manifest reads are
     * partition METADATA (bounded by the partition count), the same
-    * driver-side shape as the touched-partition list. */
+    * driver-side shape as the touched-partition list. Reads the
+    * NEWEST COMPLETE manifest version (see [[writeDeletionManifest]]'s
+    * last-wins versioning), so a crash mid-manifest-write can never
+    * surface a partial manifest. */
   def droppedPartitions(spark: SparkSession, mirrorDir: String): Set[String] = {
-    val (p, fs) = manifestFsPath(spark, mirrorDir)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(p.toString)
-      .select(col("part_value").cast("string"))
-      .collect().map(_.getString(0)).toSet
+    val (complete, _) = manifestVersions(spark, mirrorDir)
+    complete.lastOption match {
+      case None => Set.empty
+      case Some(v) =>
+        val (p, _) = manifestFsPath(spark, mirrorDir)
+        spark.read
+          .parquet(new org.apache.hadoop.fs.Path(p, versionName(v)).toString)
+          .select(col("part_value").cast("string"))
+          .collect().map(_.getString(0)).toSet
+    }
   }
 
+  /** Each write is a FULL snapshot into a fresh `v<seq>` directory;
+    * readers take the newest directory carrying the committer's
+    * `_SUCCESS` marker. A crash mid-write leaves an incomplete (never
+    * read) version and the previous complete one intact — the r8
+    * advisory's resurrection mode (delete-then-write losing the WHOLE
+    * manifest, silently reviving every previously dropped partition)
+    * cannot happen. Older complete versions are pruned best-effort
+    * after the new one commits; a crash before pruning just leaves an
+    * extra version for the next write to prune. Snapshots ARE the
+    * compaction: the manifest never accumulates a log to replay. */
   private def writeDeletionManifest(spark: SparkSession, mirrorDir: String,
                                     dropped: Set[String]): Unit = {
     import spark.implicits._
-    // built from driver-side metadata, so overwriting the path just
-    // read is dependency-free; coalesce(1): the manifest is tiny and
-    // one file keeps the read cheap
+    val (p, fs) = manifestFsPath(spark, mirrorDir)
+    val (complete, maxSeen) = manifestVersions(spark, mirrorDir)
+    val next = maxSeen + 1L
+    // coalesce(1): the manifest is tiny and one file keeps the read cheap
     spark.createDataset(dropped.toSeq.sorted).toDF("part_value")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(manifestFsPath(spark, mirrorDir)._1.toString)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(new org.apache.hadoop.fs.Path(p, versionName(next)).toString)
+    complete.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, versionName(v)), true)
+    }
   }
 
   /**
@@ -221,15 +305,19 @@ object Sinks {
    * [[compactMirror]]'s deletion-log contract: partitions listed in
    * the deletion manifest are filtered out (their stale files may
    * still exist on disk; dynamic overwrite cannot remove a directory).
-   * The filter is a partition-prunable NOT-IN over the partition
-   * column, so dropped partitions' files are never read, not merely
-   * dropped post-scan.
+   * Up to [[InlineLiteralThreshold]] dropped partitions, the filter is
+   * a partition-prunable NOT-IN over the partition column, so dropped
+   * partitions' files are never read, not merely dropped post-scan; a
+   * manifest grown past that (a mirror's LIFETIME accumulates drops —
+   * r8 verdict) switches to a broadcast anti join against the manifest
+   * values, keeping the read plan bounded at any manifest size.
    */
   def readMirror(spark: SparkSession, mirrorDir: String,
                  partCol: String): DataFrame = {
     val dropped = droppedPartitions(spark, mirrorDir)
     val df = spark.read.parquet(mirrorDir)
     if (dropped.isEmpty) df
-    else df.filter(!partStr(col(partCol)).isin(dropped.toSeq: _*))
+    else keepIn(spark, df, partStr(col(partCol)), dropped.toSeq,
+      semi = false)
   }
 }

@@ -38,7 +38,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * [[graft.operators.Dedup.streamingDedup]]: a duplicate arriving
  * after its bucket aged out re-owns the bucket and is re-admitted.
  * Within a micro-batch, ownership follows the (ts, doc_id) total
- * order, so replays fold deterministically.
+ * order, so replays fold deterministically — and the horizon applies
+ * INSIDE a batch too (a row whose event-time gap from the bucket's
+ * previous sighting exceeds the horizon re-owns it), so the verdict
+ * never depends on how rows happened to split across micro-batches.
  */
 object StreamingNearDup {
 
@@ -95,12 +98,21 @@ object StreamingNearDup {
             // on micro-batch alignment
             val stale = state.getOption.exists(
               _.maxTsMs + horizonMs < state.getCurrentWatermarkMs())
-            val fresh = !state.exists || stale
-            val maxTs = math.max(
-              if (stale) Long.MinValue
-              else state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue),
-              ordered.map(_.ts.getTime).max)
-            state.update(BucketState(maxTs))
+            // walk the ordered rows carrying the bucket's last sighting
+            // (ms): a row whose gap from it exceeds the horizon re-owns
+            // the bucket IN-BATCH too (r8 advisory) — had the rows split
+            // across micro-batches, the timeout/stale path would have
+            // evicted the bucket between them, so the verdict must not
+            // depend on micro-batch alignment in either direction
+            var last = if (!state.exists || stale) Long.MinValue
+                       else state.get.maxTsMs
+            val out = ordered.map { r =>
+              val t = r.ts.getTime
+              val owned = last == Long.MinValue || t - last > horizonMs
+              last = math.max(last, t)
+              BandOwn(r.docId, r.ts, r.band, owned)
+            }
+            state.update(BucketState(last))
             // clamp past the watermark: flatMapGroupsWithState does NOT
             // drop pre-watermark rows, and a straggler's maxTs+horizon
             // can land behind the current watermark — an unclamped
@@ -108,11 +120,9 @@ object StreamingNearDup {
             // failure TransitionTracker documents). The straggler owns
             // its (already-evicted) bucket and is admitted; the batch
             // verifier behind the screen catches what that lets through.
-            state.setTimeoutTimestamp(math.max(maxTs + horizonMs,
+            state.setTimeoutTimestamp(math.max(last + horizonMs,
               state.getCurrentWatermarkMs() + 1))
-            ordered.iterator.zipWithIndex.map { case (r, i) =>
-              BandOwn(r.docId, r.ts, r.band, owned = fresh && i == 0)
-            }
+            out.iterator
           }
       }
   }

@@ -548,6 +548,27 @@ class TextAndSimilaritySpec extends SparkSpec {
       (2L, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeLearn merge matches whole symbols only (r8 advisory: [v, er] under (v,e))") {
+    // vocab: era(6), ve(5), ver(1).
+    // r1: (e,r)=7 -> "er"; ver becomes [v, er], ve stays [v, e]
+    // r2: (er,a)=6 -> "era"
+    // r3: (v,e)=5 -> "ve" — must NOT touch ver's [v, er]: with
+    //     prefix-only sentinels the pattern \x01v\x01e matched inside
+    //     \x01v\x01er and corrupted it to the single symbol "ver",
+    //     silently absorbing round 4's true (v, er) pair
+    // r4: (v,er)=1 -> "ver" — only exists if r3 left [v, er] intact
+    val docs = ((1 to 6).map(i => (i.toLong, "era")) ++
+      (7 to 11).map(i => (i.toLong, "ve")) ++ Seq((12L, "ver")))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeLearn(docs, merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e", "r", "er", 7L),
+      (2L, "er", "a", "era", 6L),
+      (3L, "v", "e", "ve", 5L),
+      (4L, "v", "er", "ver", 1L)))
+  }
+
   test("bpeLearn at pair exhaustion: fixpoint, not annihilation") {
     // "ab ab": one vocab word; round 1 merges (a,b), round 2+ have NO
     // pairs — the empty top-1 must leave the vocab unchanged (review

@@ -134,6 +134,36 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("in-batch horizon gap re-owns: verdict independent of batch split (r8 advisory)") {
+    // two copies of alpha 190 s apart (horizon 10 s) arriving in ONE
+    // micro-batch: the second must re-own every band — exactly what two
+    // batches with the timeout firing between them would produce. Before
+    // the in-batch gap walk, the second copy was flagged is_candidate
+    // purely because the rows shared a batch.
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val got = mutable.Map[Long, (Long, Long, Boolean)]()
+    val q = StreamingNearDup.ownership(docs, delay = "10 seconds",
+        horizonMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        StreamingNearDup.verdicts(b.toDF())
+          .as[(Long, Long, Long, Boolean)].collect()
+          .foreach(r => got.synchronized { got(r._1) = (r._2, r._3, r._4) })
+        ()
+      }.start()
+    try {
+      input.addData((1L, ts(10), alpha), (2L, ts(200), alpha),
+        (3L, ts(205), alpha)) // within 2's horizon: still a candidate
+      q.processAllAvailable()
+      assert(got(1L)._2 == got(1L)._1 && !got(1L)._3)
+      assert(got(2L)._2 == got(2L)._1 && !got(2L)._3,
+        s"gap past the horizon must re-own in-batch: ${got(2L)}")
+      assert(got(3L) == ((got(3L)._1, 0L, true)),
+        s"dup within the horizon stays flagged: ${got(3L)}")
+    } finally q.stop()
+  }
+
   test("aged-out bucket re-admits a late duplicate, even same-batch as its timeout") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "event_time", "text")
