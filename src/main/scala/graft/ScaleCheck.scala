@@ -330,7 +330,19 @@ object ScaleCheck {
     df.crossJoin(spark.range(copies).select(col("id").as("__copy")))
       .withColumn(idCol, col(idCol) + col("__copy") * lit(n * 2))
       .drop("__copy")
+      .repartition(scaleParts(copies))
   }
+
+  /** Partition count of a replicated frame: ∝ copies (constant
+    * partition SIZE across scales, as a real table would have — the
+    * source tables are one tiny file, and without this every scale
+    * inherits the source's 1-4 partitions, so pre-shuffle map stages
+    * run as a handful of giant tasks and the sweep measures that
+    * artifact instead of the operator: the r8 dup_spans "bimodal
+    * super-linearity" was exactly a 63 s single map task ≈ the whole
+    * wall time). 32 parts at 20× -> 160 at 100×. */
+  private def scaleParts(copies: Int): Int =
+    math.max(8, (copies * 32 + 19) / 20)
 
   /** Replicate documents with every TOKEN prefixed by a per-copy tag,
     * so cross-copy shingles never collide. Plain replication makes
@@ -362,6 +374,7 @@ object ScaleCheck {
           lit("q$1"))))
       .withColumn("doc_id", col("doc_id") + col("__copy") * lit(n * 2))
       .drop("__copy")
+      .repartition(scaleParts(copies))
   }
 
   /**
@@ -457,6 +470,11 @@ object ScaleCheck {
         Multimodal.shardPack(keep)
       }),
       "cdc_gap_detection" -> (() => CdcOps.gapDetection(ev)),
+      "ts_series_knn" -> (() =>
+        // r8 verdict item 6: promoted from the 20x-only set — SAX
+        // positional-segment banding + map-side top-k must hold at 100x
+        graft.operators.TimeSeries.seriesKnn(ev,
+          col("user_id") % 10 === 0, k = 5)),
       "text_classifier_nb" -> (() =>
         // capped model (minCount=2): the broadcast-able scale path
         TextOps.nbClassifier(docs, minCount = 2L)),
@@ -469,8 +487,26 @@ object ScaleCheck {
 
   /** The 100×-vs-20× scaling measurement (r7 verdict item 1): run the
     * heavy set at both scales and print per-operator wall times and
-    * the growth ratio against the 5× data growth. */
+    * the growth ratio against the 5× data growth — each run annotated
+    * with its task-level resource totals (shuffle bytes read/written,
+    * memory/disk spill, peak task time) from [[
+    * graft.streaming.TaskMetricsListener]], so a super-linear wall
+    * ratio is ATTRIBUTED to a measured binding resource (r8 verdict
+    * item 1), not argued from the plan. */
   private def runExponent(spark: SparkSession, sfDir: String): Unit = {
+    val listener = new graft.streaming.TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    // listener delivery is async: poll until the sample stream goes
+    // quiet so a run's summary doesn't truncate its tail tasks
+    def settledSummary(): graft.streaming.ResourceSummary = {
+      var n = -1L; var same = 0; val deadline = System.currentTimeMillis + 10000
+      while (same < 3 && System.currentTimeMillis < deadline) {
+        val c = listener.samples.size.toLong
+        if (c == n) same += 1 else { same = 0; n = c }
+        Thread.sleep(50)
+      }
+      listener.summary
+    }
     val scales = Seq(20, 100)
     val perScale = scales.map { s =>
       val docs = replicateSalted(
@@ -506,8 +542,12 @@ object ScaleCheck {
         // released previous scale, host contention), so the min is the
         // clean estimate of the operator's own cost — the first pass
         // of the first sweep showed 20× numbers inflated 3× by
-        // transients, inverting ratios
-        val dt = (1 to 2).map { _ =>
+        // transients, inverting ratios. Resources ride with the
+        // min-wall run (byte counters are deterministic per plan; task
+        // time and spill are what vary, and the clean run's are the
+        // operator's own).
+        val (dt, res) = (1 to 2).map { _ =>
+          listener.reset()
           val t0 = System.nanoTime()
           try f().write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
@@ -516,19 +556,28 @@ object ScaleCheck {
             println(s"SCALEEXP   ${s}x $n FAILED: ${e.getMessage}")
           }
           dropProbeStorage()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        println(f"SCALEEXP   ${s}%3dx $n%-28s $dt%8.2f s")
-        n -> dt
+          val wall = (System.nanoTime() - t0) / 1e9
+          (wall, settledSummary())
+        }.minBy(_._1)
+        println(f"SCALEEXP   ${s}%3dx $n%-28s $dt%8.2f s  ${res.render}")
+        n -> (dt, res)
       }
       Seq(docs, emb, ev).foreach(graft.util.Checkpoints.release)
       times
     }
-    val t20 = perScale(0).toMap
-    println(f"SCALEEXP ${"operator"}%-28s ${"t20x"}%8s ${"t100x"}%8s ${"ratio"}%7s   (data grows 5.00x)")
-    perScale(1).foreach { case (n, t100) =>
-      val r = t100 / t20(n).max(1e-9)
-      println(f"SCALEEXP $n%-28s ${t20(n)}%8.2f $t100%8.2f $r%7.2f")
+    val at20 = perScale(0).toMap
+    println(f"SCALEEXP ${"operator"}%-28s ${"t20x"}%8s ${"t100x"}%8s ${"ratio"}%7s ${"shufW_r"}%8s ${"spill_r"}%8s ${"cpu_r"}%7s ${"gc_r"}%7s   (data grows 5.00x)")
+    perScale(1).foreach { case (n, (t100, r100)) =>
+      val (t20v, r20) = at20(n)
+      val r = t100 / t20v.max(1e-9)
+      def ratio(a: Long, b: Long): String =
+        if (b <= 0L) (if (a <= 0L) "    0/0" else "   +new") else f"${a.toDouble / b}%7.2f"
+      println(f"SCALEEXP $n%-28s $t20v%8.2f $t100%8.2f $r%7.2f " +
+        f"${ratio(r100.shuffleWriteBytes, r20.shuffleWriteBytes)}%8s " +
+        f"${ratio(r100.memorySpilledBytes + r100.diskSpilledBytes,
+          r20.memorySpilledBytes + r20.diskSpilledBytes)}%8s " +
+        f"${ratio(r100.taskTimeMs, r20.taskTimeMs)}%7s " +
+        f"${ratio(r100.gcTimeMs, r20.gcTimeMs)}%7s")
     }
   }
 

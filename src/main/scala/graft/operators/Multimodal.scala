@@ -252,4 +252,80 @@ object Multimodal {
       }
     }
   }
+
+  // ---- the REAL codec behind the same batch shape (r8 verdict 5) ----
+
+  /** One decoded image: dimensions plus exact per-channel pixel sums —
+    * integer ground truth a spec can pin against checked-in fixture
+    * bytes (the hashable "pixel statistics" of the decode). */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+                                sumR: Long, sumG: Long, sumB: Long)
+
+  final case class DecodedImageRow(id: Long, width: Int, height: Int,
+                                   channels: Int, sumR: Long, sumG: Long,
+                                   sumB: Long, batchId: Int, batchSize: Int)
+
+  /** A batch codec: the boundary a vectorized decoder (or an inference
+    * runtime) exposes — many payloads in, one call. Implementations
+    * must be Serializable (they ship into tasks). */
+  trait MediaCodec extends Serializable {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[DecodedImage]
+  }
+
+  /** Pure-JVM PNG/JPEG decoder (`javax.imageio`) — the first REAL
+    * codec behind the batch boundary, so the one `mapPartitions` shape
+    * in the repo has run real bytes under test, not only the h60
+    * lattice stub. Per image: dimensions, channel count, and the exact
+    * per-channel pixel sums in sRGB (a deterministic function of the
+    * bytes for a given JRE's decoders). Undecodable payloads fail
+    * LOUDLY — a corrupt-input policy (skip/flag) belongs to the caller,
+    * not silently inside the codec. */
+  object ImageIoCodec extends MediaCodec {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[DecodedImage] =
+      batch.map { bytes =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "ImageIoCodec: undecodable payload")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, sr, sg, sb)
+      }
+  }
+
+  /**
+   * [[decodeBatched]] with a REAL codec: identical partition-iterator
+   * batch shape (payloads buffered `batchSize` at a time, ONE codec
+   * call per batch — how a vectorized decoder or an accelerator wants
+   * its input), but the decode is an actual byte-level image decode.
+   * At 100 TB this is the pipeline's decode-throughput stage: work is
+   * payload-local (no shuffle at all — Spark only moves partitions of
+   * (id, bytes)), so it scales with executors × decode bandwidth;
+   * `batchSize` bounds peak memory to one batch of decoded images per
+   * task.
+   */
+  def decodeImagesBatched(media: Dataset[MediaRow],
+                          codec: MediaCodec = ImageIoCodec,
+                          batchSize: Int = 64): Dataset[DecodedImageRow] = {
+    implicit val enc: Encoder[DecodedImageRow] =
+      Encoders.product[DecodedImageRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val decoded = codec.decodeBatch(batch.map(_.payload))
+        batch.zip(decoded).map { case (m, d) =>
+          DecodedImageRow(m.id, d.width, d.height, d.channels,
+            d.sumR, d.sumG, d.sumB, bi, batch.size)
+        }
+      }
+    }
+  }
 }

@@ -921,6 +921,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** A TRAINED BPE tokenizer, ready to serve: the learned merge list
+    * in application order. Training collects the merge table once —
+    * that collect is bounded TOKENIZER METADATA (≤ 64 pairs, the same
+    * driver-side shape as a partition list), NOT corpus data — so the
+    * model ships into every serving plan as literals: encoding an
+    * arriving micro-batch is a pure codegen'd projection with no join
+    * against training state at all. The `foreachBatch` ingest twin of
+    * [[NbModel]] (r8 verdict item 7). */
+  final case class BpeModel(merges: Seq[(String, String)])
+
+  /** Train once, serve forever: run [[bpeLearn]]'s loop and collect
+    * the merge list (eager — the one training pass happens HERE, never
+    * inside a serving batch). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 8): BpeModel =
+    BpeModel(bpeState(docs, rounds)._1
+      .select(col("left_sym"), col("right_sym"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1))))
+
+  /** Per-document token counts of ANY document frame under a trained
+    * model — [[bpeEncode]]'s output schema, computable on documents
+    * the trainer never saw: each word is char-sentinelized and the
+    * learned merges fold over it in training order (the identical
+    * greedy `replace`, so for in-training words the count is
+    * bit-identical to the trained vocab's segmentation — spec-pinned
+    * stream ≡ batch). Document-local throughout: no shuffle except the
+    * doc-keyed rollup, no vocab join, safe inside `foreachBatch` at
+    * any arrival rate. */
+  def bpeEncodeWith(docs: DataFrame, model: BpeModel): DataFrame = {
+    val seg0 = regexp_replace(col("word"), "(?s)(.)", Sent + "$1" + Term)
+    val segN = model.merges.foldLeft(seg0) { case (c, (a, b)) =>
+      replace(c, lit(Sent + a + Term + Sent + b + Term),
+        lit(Sent + a + b + Term))
+    }
+    docs.select(col("doc_id"), explode(bpeishTokens(col("text"))).as("word"))
+      .filter(!col("word").rlike("^" + SpaceRun + "$") &&
+        !col("word").contains(Sent) && !col("word").contains(Term))
+      .select(col("doc_id"), size_(bpeSyms(segN)).cast("long").as("n_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+  }
+
   /**
    * DSIR-style importance scores — data selection via importance
    * resampling (Xie et al., 2023): rank corpus documents by how much

@@ -8,6 +8,49 @@ import graft.operators.Multimodal.{DecodedRow, MediaRow}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ImageIoCodec decodes real PNG/JPEG fixture bytes through the batch shape") {
+    // r8 verdict item 5: the one mapPartitions site runs REAL bytes.
+    // fixture_4x2.png is hand-crafted (pixel sums analytic: R=621,
+    // G=682, B=743); fixture_8x6.jpg was written once by ImageIO and
+    // its decoded sums pinned at generation time.
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val png = fixture("fixture_4x2.png")
+    val jpg = fixture("fixture_8x6.jpg")
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, png), MediaRow(2L, jpg), MediaRow(3L, png),
+      MediaRow(4L, jpg), MediaRow(5L, png))).coalesce(1)
+    val got = Multimodal.decodeImagesBatched(media, batchSize = 2)
+      .collect().toSeq
+    val byId = got.map(r => r.id -> r).toMap
+    for (i <- Seq(1L, 3L, 5L)) {
+      val r = byId(i)
+      assert((r.width, r.height, r.channels) == ((4, 2, 3)), s"png dims: $r")
+      assert((r.sumR, r.sumG, r.sumB) == ((621L, 682L, 743L)),
+        s"png pixel sums must match the analytic fixture: $r")
+    }
+    for (i <- Seq(2L, 4L)) {
+      val r = byId(i)
+      assert((r.width, r.height, r.channels) == ((8, 6, 3)), s"jpg dims: $r")
+      assert((r.sumR, r.sumG, r.sumB) == ((5782L, 5743L, 5658L)),
+        s"jpg pixel sums must match the pinned decode: $r")
+    }
+    // the batch shape is the vectorized-codec contract: 5 rows in one
+    // partition at batchSize=2 -> batches of 2, 2, 1
+    assert(got.groupBy(_.batchId).view.mapValues(_.size).toMap ==
+      Map(0 -> 2, 1 -> 2, 2 -> 1))
+    assert(got.forall(r => r.batchSize == (if (r.batchId == 2) 1 else 2)))
+    // undecodable payloads fail loudly, not silently
+    val bad = spark.createDataset(Seq(MediaRow(9L, Array[Byte](1, 2, 3))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImagesBatched(bad).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   private lazy val docs = Seq(
     (1L, "a small payload"), (2L, "another payload"), (3L, "третий"))
     .toDF("doc_id", "text")

@@ -214,6 +214,175 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(a"), p)
   }
 
+  // ---- r8 verdict item 8: plan pins for the remaining §10.11
+  // heavy-probe operators, so the measured 100× ratios cannot drift
+  // silently (a plan regression fails a spec, not a sweep) ----
+
+  private def keyedWindowsOnly(df: DataFrame, allowUnpartitioned: Int = 0)
+      : Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+    assert(wins.count(identity) <= allowUnpartitioned,
+      s"unpartitioned windows: $wins")
+  }
+
+  test("leakage split: keyed joins after components, no cartesian, keyed windows") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = Dedup.leakageSafeSplit(docs, threshold = 0.1, valPct = 10)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    keyedWindowsOnly(df)
+  }
+
+  test("ppjoin exact pairs: keyed prefix self-join, nothing quadratic, no global sort") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = Dedup.ppjoinExactPairs(docs, tNum = 1, tDen = 2)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
+    keyedWindowsOnly(df)
+  }
+
+  test("ngram jaccard pairs: gram-keyed candidates, no cartesian, keyed windows") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    keyedWindowsOnly(df)
+  }
+
+  test("label-prop components and survivors: keyed equi-joins only") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.1)
+    val comps = Dedup.nearDupComponents(pairs)
+    assert(!plan(comps).contains("CartesianProduct"), plan(comps))
+    val surv = Dedup.nearDupSurvivors(
+      comps.select($"id".as("doc_id"), $"component"), docs)
+    val p = plan(surv)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    keyedWindowsOnly(surv)
+  }
+
+  test("link prediction over capped neighbors: no cartesian, keyed windows") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val df = Graph.linkPrediction(
+      Graph.topKNeighbors(
+        Graph.cooccurrenceEdges(ev, date_trunc("hour", $"ts"),
+          $"user_id", minShared = 2L), k = 10),
+      maxDeg = 512, minCommon = 1)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    keyedWindowsOnly(df)
+  }
+
+  test("k-core peel: keyed degree joins each round, nothing quadratic") {
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30L), (i, (i + 2) % 30L))).toDF("src", "dst")
+    val df = Graph.kCore(edges, k = 3)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    keyedWindowsOnly(df)
+  }
+
+  test("bigram surprisal: token-keyed joins + broadcast totals only") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = TextOps.bigramSurprisal(docs)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only pair-joins allowed are the 1-row broadcast totals
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
+    keyedWindowsOnly(df)
+  }
+
+  test("bpe trainer output: round union, no window, no cartesian") {
+    // the per-round shape (vocab-keyed pair agg + TakeOrderedAndProject
+    // top-1 + broadcast 1-row merge) sits behind each round's LAZY
+    // localCheckpoint, so the outer plan pins the composition: a union
+    // of round frames with only the final presentation sort
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val df = TextOps.bpeLearn(docs, merges = 2)
+    val p = plan(df)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("rangepartitioning".r.findAllIn(p).size <= 1, p)
+    keyedWindowsOnly(df)
+  }
+
+  test("gap detection: bucket-keyed windows, one super-level boundary window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val df = CdcOps.gapDetection(ev)
+    val wins = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.isEmpty }
+    assert(wins.count(identity) <= 1, s"unpartitioned windows: $wins")
+    assert(wins.count(!_) >= 2, s"keyed windows: $wins")
+    assert(!plan(df).contains("CartesianProduct"), plan(df))
+  }
+
+  test("series knn: banded candidates aggregate partially, no cartesian") {
+    val ev = ChangeLogSource.table(spark, sfDir, "events")
+    val df = TimeSeries.seriesKnn(ev, $"user_id" % 10 === 0, k = 5)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // TopKByScore: partial + final ObjectHashAggregate around the
+    // query-keyed exchange — at most k candidates per partition move
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("training/curation/media manifests: composed plans stay keyed") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    // training manifest (the ScaleCheck probe's composition)
+    val exact = Dedup.exactDedup(docs)
+    val comps = Dedup.nearDupComponents(
+        Dedup.nearDuplicatePairs(exact, threshold = 0.1))
+      .select($"id".as("doc_id"), $"component")
+    val survivors = Dedup.nearDupSurvivors(comps, exact)
+      .select($"survivor_id")
+    val dropped = comps.join(survivors,
+        comps("doc_id") === survivors("survivor_id"), "left_anti")
+      .select($"doc_id")
+    val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val gated = kept.join(
+      TextOps.qualityScore(kept).filter($"quality" >= 0.5)
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+    val training = TextOps.shardAssign(gated)
+    assert(!plan(training).contains("CartesianProduct"), plan(training))
+    keyedWindowsOnly(training)
+    // curation manifest
+    val capped = docs.join(
+      TextOps.domainCap(docs, perSource = 50).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val train = capped.join(
+      Dedup.leakageSafeSplit(capped, threshold = 0.1, valPct = 10)
+        .filter($"split" === "train").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val curation = TextOps.shardAssign(train)
+    assert(!plan(curation).contains("CartesianProduct"), plan(curation))
+    keyedWindowsOnly(curation)
+    // media manifest (shardPack's prefix sum decomposes: the one
+    // unpartitioned window runs at the super-bucket level only)
+    val media = Multimodal.asMedia(docs, "doc_id",
+      $"text".cast("binary"), "image")
+    val mpairs = Multimodal.phashNearDupPairs(media)
+      .select($"doc_a", $"doc_b")
+    val comp = Dedup.starContractComponents(mpairs)
+    val msurv = comp.groupBy($"component").agg(min($"id").as("doc_id"))
+    val keep = media.join(comp.select($"id".as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"meta")
+      .unionByName(media.join(msurv.select($"doc_id"),
+        Seq("doc_id"), "left_semi").select($"doc_id", $"meta"))
+    val packed = Multimodal.shardPack(keep)
+    assert(!plan(packed).contains("CartesianProduct"), plan(packed))
+    keyedWindowsOnly(packed, allowUnpartitioned = 1)
+  }
+
   test("dupSpans joins spans on the fingerprint key, never a global sort") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.dupSpans(docs).limit(1))

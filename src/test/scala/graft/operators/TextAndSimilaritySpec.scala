@@ -659,6 +659,53 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(packed == enc && enc == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("bpeTrain serves the learned tokenizer: batch == trained encode, OOV segments, stream == batch") {
+    // the era/ve/ver corpus (merge table spec-pinned above): training
+    // collects the 4 merges once; serving is a pure projection
+    val corpus = ((1 to 6).map(i => (i.toLong, "era")) ++
+      (7 to 11).map(i => (i.toLong, "ve")) ++ Seq((12L, "ver")))
+      .toDF("doc_id", "text")
+    val model = TextOps.bpeTrain(corpus, rounds = 4)
+    assert(model.merges ==
+      Seq(("e", "r"), ("er", "a"), ("v", "e"), ("v", "er")))
+    // in-training docs: serving == the hash-gated trainer-side encode
+    val trained = TextOps.bpeEncode(corpus, merges = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val served = TextOps.bpeEncodeWith(corpus, model)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == trained)
+    // an ARRIVING doc with an out-of-vocab word: "verve" folds
+    // [v,e,r,v,e] -(e,r)-> [v,er,v,e] -(v,e)-> [v,er,ve]
+    // -(v,er)-> [ver,ve] = 2 tokens; " era" -> [" ",era] = 2
+    val oov = Seq((100L, "verve era")).toDF("doc_id", "text")
+    assert(TextOps.bpeEncodeWith(oov, model)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((100L, 2L, 4L)))
+    // ingest path: per-micro-batch encoding inside foreachBatch equals
+    // the batch pass (r8 verdict item 7 — the NbModel serving twin)
+    val all = corpus.union(oov)
+    val want = TextOps.bpeEncodeWith(all, model)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        TextOps.bpeEncodeWith(b.toDF(), model)
+          .as[(Long, Long, Long)].collect()
+          .foreach(r => got.synchronized { got(r._1) = r })
+        ()
+      }.start()
+    try {
+      val rows = all.as[(Long, String)].collect().toSeq
+      rows.grouped(5).foreach { g =>
+        input.addData(g: _*); q.processAllAvailable()
+      }
+      assert(got.toMap == want,
+        "per-micro-batch encoding must equal batch encoding")
+    } finally q.stop()
+  }
+
   test("repetitionProfile flags the degenerate loop, not the varied doc") {
     // doc 1 "a b a b a b": 2-grams (ab, ba, ab, ba, ab) -> n=5,
     // max=3 -> top2_ppm=600000; 4-grams (abab, baba, abab) -> n=3,
