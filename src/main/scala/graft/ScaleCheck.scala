@@ -146,6 +146,17 @@ object ScaleCheck {
       Dedup.incrementalNearDups(corpus, batch)
     }),
     "sim_semdedup" -> (() => Similarity.semDedup(emb)),
+    "sim_hard_negatives" -> (() =>
+      // label-mismatched candidates ride the same broadcast-queries /
+      // no-corpus-shuffle stream; TopKByScore bounds the rollup
+      Similarity.hardNegatives(emb,
+        emb.filter(pmod(col("vec_id"), lit(2000L)) === 0), 5)),
+    "sim_bitext_margin" -> (() =>
+      // one side stays bounded (the broadcast contract): margin math
+      // over a query set vs the full replicated corpus side
+      Similarity.bitextMine(
+        emb.filter(pmod(col("vec_id"), lit(2000L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1), k = 4)),
     "dedup_ppjoin_exact_boiler" -> (() => {
       // lossless path under injected boilerplate, composed the way a
       // real pipeline orders it: exact dedup FIRST (collapses the 20x

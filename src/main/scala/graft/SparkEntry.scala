@@ -785,6 +785,11 @@ object SparkEntry {
       // floor-bit margin threshold — how the cutoff gets chosen
       TextOps.nbThresholdSweep(t(s, dir, "documents"))),
 
+    "text_classifier_calibration" -> ((s, dir) =>
+      // the reliability diagram: margin bins vs true keep-rate ppm —
+      // where the filter's confidence is actually trustworthy
+      TextOps.nbCalibration(t(s, dir, "documents"))),
+
     "text_pack_chunks" -> ((s, dir) => {
       // sequence packing: assign documents to fixed token-budget
       // training chunks by exclusive prefix sum in doc_id order —
@@ -1307,6 +1312,24 @@ object SparkEntry {
       Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 20), 5,
           col("label") === 1)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hard-negative mining: per query, the top-k most-similar corpus
+    // vectors with a DIFFERENT label (contrastive-training negatives)
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // margin-based bitext candidate mining (Artetxe & Schwenk 2019):
+    // mutual nearest neighbors between the two id-parity "sides",
+    // scored by cosine over the mean of each side's k-NN cosines
+    "sim_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMine(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1), k = 4)
     }),
 
     "sim_neardup_pairs" -> ((s, dir) => {
@@ -3498,6 +3521,21 @@ object SparkEntry {
                         THEN (tp * 1000000) // (tp + fn) END AS recall_ppm
             FROM g ORDER BY theta""",
 
+      // floor through pmod: (m - ((m % 4) + 4) % 4) is exactly
+      // divisible by 4, so // never sees a negative remainder case
+      "text_classifier_calibration" ->
+        s"""WITH $nbCtes,
+                 m AS (SELECT label_keep,
+                              bits_drop - bits_keep AS margin FROM nb),
+                 g AS (SELECT (margin - (((margin % 4) + 4) % 4)) // 4 AS bin,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_keep
+                       FROM m GROUP BY 1)
+            SELECT CAST(bin * 4 AS BIGINT) AS margin_lo, n_docs, n_keep,
+                   (n_keep * 1000000) // n_docs AS keep_ppm
+            FROM g ORDER BY margin_lo""",
+
       "text_pack_chunks" ->
         s"""SELECT doc_id, n_tokens, CAST(pc // 2048 AS BIGINT) AS chunk_id FROM (
               SELECT doc_id, n_tokens,
@@ -3940,6 +3978,53 @@ object SparkEntry {
                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
             ORDER BY query_id, rank""",
+
+      "sim_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n,
+                              label AS nl
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id, $cos AS sim
+                       FROM q CROSS JOIN c
+                       WHERE neighbor_id != query_id AND nl != ql)
+            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+            ORDER BY query_id, rank""",
+
+      // rank-ordered list_sum so the k-NN mean accumulates in the same
+      // order as the Spark side's fold over the rank-sorted top-k array
+      "sim_bitext_margin" ->
+        s"""WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS q
+                       FROM embeddings WHERE vec_id % 2 = 0),
+                 b AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS n
+                       FROM embeddings WHERE vec_id % 2 = 1),
+                 s AS (SELECT a_id, b_id, $cos AS sim FROM a CROSS JOIN b),
+                 fr AS (SELECT a_id, b_id, sim,
+                          row_number() OVER (PARTITION BY a_id
+                            ORDER BY round(sim, 6) DESC, b_id) AS r
+                        FROM s),
+                 fa AS (SELECT a_id,
+                          max(CASE WHEN r = 1 THEN b_id END) AS b_id,
+                          max(CASE WHEN r = 1 THEN sim END) AS sim,
+                          list_sum(list(sim ORDER BY r)) / count(*) AS knn_a
+                        FROM fr WHERE r <= 4 GROUP BY a_id),
+                 br AS (SELECT a_id, b_id, sim,
+                          row_number() OVER (PARTITION BY b_id
+                            ORDER BY round(sim, 6) DESC, a_id) AS r
+                        FROM s),
+                 ba AS (SELECT b_id,
+                          max(CASE WHEN r = 1 THEN a_id END) AS a_best,
+                          list_sum(list(sim ORDER BY r)) / count(*) AS knn_b
+                        FROM br WHERE r <= 4 GROUP BY b_id)
+            SELECT fa.a_id, fa.b_id, round(fa.sim, 4) AS sim,
+                   round(fa.sim / ((fa.knn_a + ba.knn_b) / 2), 4) AS margin
+            FROM fa JOIN ba ON fa.b_id = ba.b_id AND ba.a_best = fa.a_id
+            ORDER BY fa.a_id""",
 
       // DELIBERATE PARTIAL GATE (r5 verdict item 7): rows+schema
       // verify against the EXACT top-k — same 20 queries x 5 rows,

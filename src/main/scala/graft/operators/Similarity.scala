@@ -93,6 +93,92 @@ object Similarity {
     bruteForceTopK(corpus.filter(pred), queries, k)
 
   /**
+   * Hard-negative mining — the contrastive-training data stage: for
+   * each query vector, the `k` most-similar corpus vectors with a
+   * DIFFERENT label (the "hard" negatives that sit close in embedding
+   * space but must be pushed apart; random negatives are trivially
+   * easy and teach the model little). The label constraint depends on
+   * the QUERY's label, so unlike [[filteredTopK]] it cannot pre-filter
+   * the corpus globally — it rides the scored-pair stream instead, and
+   * the bounded [[graft.functions.TopKByScore]] rollup still ships at
+   * most k candidates per partition per query. Same broadcast-queries
+   * / no-corpus-shuffle scan as [[bruteForceTopK]]; at corpus scale
+   * the pair generation composes with the IVF/SRP bucketed paths
+   * unchanged.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val sim = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("label").as("n_label"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    topKRank(sim, k)
+  }
+
+  /**
+   * Margin-based bitext candidate mining (Artetxe & Schwenk, ACL
+   * 2019): given two embedding sides A and B (two languages, or any
+   * two corpora to align), emit the MUTUAL nearest-neighbor pairs with
+   * the ratio-margin score
+   * `margin = cos(a,b) / ((knn̄_k(a→B) + knn̄_k(b→A)) / 2)` — raw
+   * cosine is miscalibrated across regions of embedding space (hubs
+   * score high against everything), so the score normalizes by each
+   * side's local k-NN density; pairs with margin ≳ 1.05-1.2 are the
+   * standard mined-bitext cut. Mutuality (a's best is b AND b's best
+   * is a) is the strictest standard criterion and keeps the output a
+   * partial matching.
+   *
+   * Determinism: top-1 and the k-NN sets rank on `round(sim, 6)` with
+   * id tie-break (the [[bruteForceTopK]] discipline); the k-NN means
+   * sum in RANK order on both engines (Spark folds the rank-ordered
+   * top-k array; the oracle list-sums a rank-ordered list), so the
+   * margin replays bit-for-bit before its final 1e-4 rounding.
+   *
+   * Scale shape: both direction's k-NN are one scored-pair stream
+   * folded twice through the bounded TopKByScore aggregate (map-side
+   * partial, k candidates per partition per key); the mutual join is
+   * keyed by (a, b). Here the pair stream is brute over a broadcast
+   * side; at 100 TB both directions ride the IVF/SRP bucketed
+   * candidate paths with the identical margin math.
+   */
+  def bitextMine(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame = {
+    val pairs = a.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        b.select(col("vec_id").as("b_id"), col("embedding").as("eb"))))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("ea"), col("eb")).as("sim"))
+    // rank-ordered top-k mean: the fold runs over the aggregate's
+    // rank-sorted array, never over an engine-dependent row order
+    def knnMean(top: Column): Column =
+      org.apache.spark.sql.functions.aggregate(top, lit(0.0),
+        (acc, x) => acc + x.getField("sim")) / size(top)
+    val fwd = pairs.groupBy(col("a_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        round(col("sim"), 6), col("b_id"), col("sim"), k).as("top"))
+      .select(col("a_id"),
+        element_at(col("top"), 1).getField("id").as("b_id"),
+        element_at(col("top"), 1).getField("sim").as("sim"),
+        knnMean(col("top")).as("knn_a"))
+    val bwd = pairs.groupBy(col("b_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        round(col("sim"), 6), col("a_id"), col("sim"), k).as("top"))
+      .select(col("b_id"),
+        element_at(col("top"), 1).getField("id").as("a_best"),
+        knnMean(col("top")).as("knn_b"))
+    fwd.join(bwd, Seq("b_id"))
+      .filter(col("a_best") === col("a_id")) // mutual nearest neighbors
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"),
+        round(col("sim") / ((col("knn_a") + col("knn_b")) / lit(2.0)), 4)
+          .as("margin"))
+      .orderBy(col("a_id"))
+  }
+
+  /**
    * SQ8 scalar-quantized top-k — the memory-compression ANN variant:
    * each component is quantized to the int8 lattice (`floor(x·128)`,
    * exact power-of-two float scaling), and ranking runs on INTEGER dot

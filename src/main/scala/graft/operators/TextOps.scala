@@ -1790,6 +1790,35 @@ object TextOps {
   }
 
   /**
+   * Calibration (reliability) table of [[nbClassifier]]: the held-out
+   * floor-bit margins binned `binWidth` wide, with per-bin doc counts
+   * and the TRUE keep-rate in exact ppm — the reliability diagram a
+   * filter owner reads to see WHERE the classifier is trustworthy
+   * (high-margin bins should approach keep_ppm 10⁶ / 0; bins near 0
+   * are the coin-flip zone [[nbThresholdSweep]] trades through).
+   * Binning floors through pmod (`(m − pmod(m, w)) div w` — the
+   * numerator is exactly divisible, so the engines' differing
+   * negative-division conventions never apply). O(bins) output
+   * regardless of corpus size; one classifier evaluation, one keyed
+   * aggregate.
+   */
+  def nbCalibration(docs: DataFrame, trainPct: Int = 50,
+                    minCount: Long = 1L, binWidth: Long = 4L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth=$binWidth")
+    nbClassifier(docs, trainPct, minCount)
+      .select(col("label_keep"),
+        (col("bits_drop") - col("bits_keep")).as("margin"))
+      .withColumn("bin",
+        expr(s"(margin - pmod(margin, ${binWidth}L)) div ${binWidth}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select((col("bin") * lit(binWidth)).as("margin_lo"), col("n_docs"),
+        col("n_keep"), expr("(n_keep * 1000000) div n_docs").as("keep_ppm"))
+      .orderBy(col("margin_lo"))
+  }
+
+  /**
    * The one-query corpus build — the composed flagship of the
    * distillation stages: NB filter over the WHOLE corpus
    * ([[nbScore]] under [[nbTrain]]), per-source T=2 temperature token

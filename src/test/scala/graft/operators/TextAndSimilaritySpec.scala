@@ -245,6 +245,39 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(l10 == 1 && m10 == 1 && n10 == 3L) // clean: full agreement
   }
 
+  test("hardNegatives: only label-mismatched neighbors, nearest first") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // the query
+      (1L, Seq(1.0f, 0.0f), 0),   // identical but SAME label: excluded
+      (2L, Seq(0.9f, 0.1f), 1),   // the hard negative (closest, other label)
+      (3L, Seq(0.0f, 1.0f), 1),   // easy negative
+      (4L, Seq(0.8f, 0.2f), 0))   // same label: excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0), 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 2L), (0L, 2L, 3L)),
+      s"same-label vectors must never appear as negatives: $got")
+  }
+
+  test("bitextMine: mutual nearest pairs with the ratio margin") {
+    // A = {a0=[1,0], a2=[0,1]}, B = {b1=[1,.1], b3=[.1,1], b5=[.7,.7]}:
+    // forward bests a0->b1, a2->b3; both mutual; b5 is nobody's best.
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(1.0f, 0.1f)), (3L, Seq(0.1f, 1.0f)),
+      (5L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(a, b, k = 2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L), (2L, 3L)), s"$got")
+    // margin(0,1) = cos(a0,b1) / ((mean top-2 of a0 + mean top-2 of b1)/2)
+    //             = .995037 / ((.851075 + .547272) / 2) = 1.4232
+    got.foreach { r =>
+      assert(math.abs(r._3 - 0.995) < 5e-4, s"sim: $r")
+      assert(math.abs(r._4 - 1.4232) < 5e-4, s"margin: $r")
+    }
+  }
+
   test("vector expressions match the higher-order formulation bit-exactly") {
     // the codegen loop must reproduce aggregate(zip_with(...)) exactly
     // (same element order, double accumulation) — the oracle depends on it
