@@ -519,67 +519,84 @@ object ScaleCheck {
       listener.summary
     }
     val scales = Seq(20, 100)
-    val perScale = scales.map { s =>
+    // SCALE-PAIRED measurement (r9): both replica sets are resident and
+    // each probe measures its two scales BACK-TO-BACK, so a ratio
+    // compares adjacent JVM states. The r8/early-r9 design ran the
+    // whole 20x phase, then the whole 100x phase — by the time a late
+    // probe measured at 100x the JVM had aged ~25 min of heap churn,
+    // and its ratio mixed operator scaling with JVM state (measured:
+    // text_dup_spans@100x cost 4.6x more CPU-seconds late in a long
+    // sweep than in a 2-probe sweep, identical data and bytes). Scale
+    // as the INNER loop removes that confound; shuffle/spill byte
+    // counters (state-independent) stay as the plan-level check.
+    val frames = scales.map { sc =>
       val docs = replicateSalted(
-        ChangeLogSource.table(spark, sfDir, "documents"), s)
+        ChangeLogSource.table(spark, sfDir, "documents"), sc)
         .localCheckpoint(true)
       val emb = replicate(
-        ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", s / 2)
+        ChangeLogSource.table(spark, sfDir, "embeddings"), "vec_id", sc / 2)
         .localCheckpoint(true)
       val ev = replicate(
-        ChangeLogSource.table(spark, sfDir, "events"), "event_id", s)
+        ChangeLogSource.table(spark, sfDir, "events"), "event_id", sc)
         .localCheckpoint(true)
-      println(s"SCALEEXP scale=${s}x docs=${docs.count()} " +
+      println(s"SCALEEXP scale=${sc}x docs=${docs.count()} " +
         s"emb=${emb.count()} events=${ev.count()}")
-      // several probes checkpoint INTERNAL frames (ppjoin's sorted
-      // shingle table, kmeans lattices, the BPE vocab chain) that they
-      // have no loop epilogue to release; left alone they accumulate
-      // across reps and probes, and the 100× phase ends up measuring
-      // storage-eviction churn instead of the operator. Drop every
-      // persisted RDD that isn't one of the three replicated tables
-      // after each rep.
-      val keep = Seq(docs, emb, ev)
-        .flatMap(graft.util.Checkpoints.rddIds).toSet
-      def dropProbeStorage(): Unit =
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!keep(id)) rdd.unpersist(blocking = false)
-        }
-      // the main loop's SPARK_GRAFT_PROBES filter applies here too —
-      // measure a new probe at both scales without the full sweep
-      val expOnly = wantedProbes
-      val times = heavyProbes(spark, docs, emb, ev)
-        .filter(p => expOnly.forall(_.contains(p._1))).map { case (n, f) =>
-        // min of 2 runs: scaling noise is ADDITIVE (GC pauses from the
-        // released previous scale, host contention), so the min is the
-        // clean estimate of the operator's own cost — the first pass
-        // of the first sweep showed 20× numbers inflated 3× by
-        // transients, inverting ratios. Resources ride with the
-        // min-wall run (byte counters are deterministic per plan; task
-        // time and spill are what vary, and the clean run's are the
-        // operator's own).
-        val (dt, res) = (1 to 2).map { _ =>
-          listener.reset()
-          val t0 = System.nanoTime()
-          try f().write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            // keep the sweep alive: one pathological probe must not
-            // cost the other measurements; FAILED is loud in the log
-            println(s"SCALEEXP   ${s}x $n FAILED: ${e.getMessage}")
-          }
-          dropProbeStorage()
-          val wall = (System.nanoTime() - t0) / 1e9
-          (wall, settledSummary())
-        }.minBy(_._1)
-        println(f"SCALEEXP   ${s}%3dx $n%-28s $dt%8.2f s  ${res.render}")
-        n -> (dt, res)
-      }
-      Seq(docs, emb, ev).foreach(graft.util.Checkpoints.release)
-      times
+      (docs, emb, ev)
     }
-    val at20 = perScale(0).toMap
+    // several probes checkpoint INTERNAL frames (ppjoin's sorted
+    // shingle table, kmeans lattices, the BPE vocab chain) that they
+    // have no loop epilogue to release; left alone they accumulate
+    // across reps and probes, and late probes end up measuring
+    // storage-eviction churn instead of the operator. Drop every
+    // persisted RDD that isn't one of the six replicated tables
+    // after each rep.
+    val keep = frames.flatMap { case (d, e, v) => Seq(d, e, v) }
+      .flatMap(graft.util.Checkpoints.rddIds).toSet
+    def dropProbeStorage(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep(id)) rdd.unpersist(blocking = false)
+      }
+    val expOnly = wantedProbes
+    val probesByScale = frames.map { case (d, e, v) =>
+      heavyProbes(spark, d, e, v)
+        .filter(pr => expOnly.forall(_.contains(pr._1)))
+    }
+    def measure(sc: Int, name: String, f: () => DataFrame)
+        : (Double, graft.streaming.ResourceSummary) = {
+      // min of 2 runs: scaling noise is ADDITIVE (GC pauses, host
+      // contention), so the min is the clean estimate of the
+      // operator's own cost. Resources ride with the min-wall run
+      // (byte counters are deterministic per plan; task time and
+      // spill are what vary, and the clean run's are the operator's
+      // own).
+      val (dt, res) = (1 to 2).map { _ =>
+        listener.reset()
+        val t0 = System.nanoTime()
+        try f().write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          // keep the sweep alive: one pathological probe must not
+          // cost the other measurements; FAILED is loud in the log
+          println(s"SCALEEXP   ${sc}x $name FAILED: ${e.getMessage}")
+        }
+        dropProbeStorage()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, settledSummary())
+      }.minBy(_._1)
+      println(f"SCALEEXP   ${sc}%3dx $name%-28s $dt%8.2f s  ${res.render}")
+      (dt, res)
+    }
+    val rows = probesByScale.head.indices.map { i =>
+      val name = probesByScale.head(i)._1
+      val per = scales.indices.map { si =>
+        measure(scales(si), name, probesByScale(si)(i)._2)
+      }
+      (name, per.head, per.last)
+    }
+    frames.foreach { case (d, e, v) =>
+      Seq(d, e, v).foreach(graft.util.Checkpoints.release)
+    }
     println(f"SCALEEXP ${"operator"}%-28s ${"t20x"}%8s ${"t100x"}%8s ${"ratio"}%7s ${"shufW_r"}%8s ${"spill_r"}%8s ${"cpu_r"}%7s ${"gc_r"}%7s   (data grows 5.00x)")
-    perScale(1).foreach { case (n, (t100, r100)) =>
-      val (t20v, r20) = at20(n)
+    rows.foreach { case (n, (t20v, r20), (t100, r100)) =>
       val r = t100 / t20v.max(1e-9)
       def ratio(a: Long, b: Long): String =
         if (b <= 0L) (if (a <= 0L) "    0/0" else "   +new") else f"${a.toDouble / b}%7.2f"
