@@ -19,6 +19,31 @@ import graft.sources.ChangeLogSource
  * late-night ScaleCheck run.
  *
  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [docCopies] [embCopies]
+ *
+ * MEASUREMENT METHODOLOGY (learned the hard way, r9 — a scaling
+ * number is only as honest as its harness):
+ *  - input partition count must scale with the replica multiple
+ *    (constant partition SIZE): inheriting the tiny source parquet's
+ *    1-4 partitions made every pre-shuffle map stage a handful of
+ *    giant straggler tasks and produced the r8 "bimodal
+ *    super-linearity" out of thin air;
+ *  - a probe's two scales must measure back-to-back (scale as the
+ *    inner loop), not phase-by-phase — 25 minutes of JVM aging between
+ *    a probe's 20x and 100x runs mixes operator scaling with heap
+ *    state;
+ *  - one probe pair per JVM, with `-XX:ReservedCodeCacheSize=1g
+ *    -XX:+UseCodeCacheFlushing`: a long-running sweep accumulates
+ *    hundreds of whole-stage-codegen classes, the JIT code cache
+ *    fills, compilation silently disables, and whichever probe runs
+ *    next executes INTERPRETED — measured 6-25x CPU inflation on
+ *    identical data with identical shuffle bytes (ngram_jaccard
+ *    "ratio 27.7" in a shared JVM vs 4.0 in a fresh one);
+ *  - the box must be otherwise idle: executorRunTime inflates under
+ *    core oversubscription (a concurrent test suite turned a 5x CPU
+ *    ratio into 9x);
+ *  - shuffle/spill BYTE counters are JVM-state-independent — they are
+ *    the plan-level linearity check that holds even when wall/CPU
+ *    numbers are contaminated.
  */
 object ScaleCheck {
 

@@ -135,11 +135,13 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
-  /** Rate-scaled file extraction: the sf events table as immutable
-    * parquet segments, streamed through the footer-stat offset ledger
-    * and the pipe projection with `maxEventsPerTrigger = mult × 2000`
-    * — per-batch latency must be flat in batch index and ≲ linear in
-    * the admitted rows. */
+  /** Rate-scaled file extraction: the events table replicated `mult`×
+    * (id-offset, the ScaleCheck discipline) as 16 immutable parquet
+    * segments, streamed through the footer-stat offset ledger and the
+    * pipe projection with `maxEventsPerTrigger = mult × 2000` — so
+    * BOTH rates run the same ~50 micro-batches while each batch admits
+    * rate-proportional rows. Per-batch latency must be flat in batch
+    * index and ≲ linear in the admitted rows. */
   private def runExtract(spark: SparkSession, mult: Int,
                          segDir: String): Unit = {
     val q = ExtractionPipeline.pipeFormat(
@@ -171,26 +173,29 @@ object StreamScaleCheck {
     val want: Set[String] =
       if (args.isEmpty) Set("neardup", "gapmon", "extract") else args.toSet
 
-    lazy val segDir = {
-      // the events table as 16 immutable segments (footer-stat offsets)
-      val dir = Files.createTempDirectory("ssc-segments").toString
-      val ev = graft.sources.ChangeLogSource.changeLog(spark, sfDir)
-      val n = ev.agg(max(col("event_id"))).head().getLong(0)
-      val step = n / 16 + 1
-      (0 until 16).foreach { i =>
-        FileChangeLogStream.writeSegment(
-          ev.filter(col("event_id") > i * step &&
-            col("event_id") <= (i + 1) * step),
-          dir)
-      }
-      println(s"STREAMSCALE segments=16 events=${ev.count()} dir=$dir")
+    // events replicated mult x (ids offset per copy) as 16 disjoint
+    // range segments — each parquet FILE is a segment, its footer
+    // min/max of event_id is the source's offset metadata
+    def segDirFor(mult: Int): String = {
+      val dir = Files.createTempDirectory(s"ssc-segments-$mult").toString
+      val ev0 = graft.sources.ChangeLogSource.changeLog(spark, sfDir)
+      val n = ev0.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val ev = ev0.crossJoin(
+          spark.range(mult).select(col("id").as("__c")))
+        .withColumn("event_id", col("event_id") + col("__c") * n)
+        .drop("__c")
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      ev.repartitionByRange(16, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+      println(s"STREAMSCALE segments=16 mult=$mult dir=$dir")
       dir
     }
 
     for (mult <- Seq(20, 100)) {
       if (want("neardup")) runNearDup(spark, mult)
       if (want("gapmon")) runGapMon(spark, mult)
-      if (want("extract")) runExtract(spark, mult, segDir)
+      if (want("extract")) runExtract(spark, mult, segDirFor(mult))
     }
     spark.stop()
   }
