@@ -785,6 +785,15 @@ object SparkEntry {
       // floor-bit margin threshold — how the cutoff gets chosen
       TextOps.nbThresholdSweep(t(s, dir, "documents"))),
 
+    "text_filter_ablation" -> ((s, dir) =>
+      // per-gate removal + MARGINAL removal: which quality gate earns
+      // its place, and which is redundant with the others
+      TextOps.filterAblation(t(s, dir, "documents"))),
+
+    "text_pack_efficiency" -> ((s, dir) =>
+      // padding waste vs sequence budget — the packing-layout curve
+      TextOps.packEfficiency(t(s, dir, "documents"))),
+
     "text_classifier_calibration" -> ((s, dir) =>
       // the reliability diagram: margin bins vs true keep-rate ppm —
       // where the filter's confidence is actually trustworthy
@@ -3520,6 +3529,57 @@ object SparkEntry {
                    CASE WHEN tp + fn > 0
                         THEN (tp * 1000000) // (tp + fn) END AS recall_ppm
             FROM g ORDER BY theta""",
+
+      "text_filter_ablation" ->
+        s"""WITH f AS (SELECT
+                 (CAST(coalesce(list_sum(list_transform($wtoks,
+                      t -> length(t))), 0) AS DOUBLE)
+                    / greatest(CAST(len($wtoks) AS DOUBLE), 1.0))
+                   BETWEEN 2.0 AND 12.0 AS g_avg,
+                 length(coalesce(text, '')) BETWEEN 20 AND 100000 AS g_len,
+                 len($wtoks) BETWEEN 10 AND 100000 AS g_words,
+                 CAST($nstop AS DOUBLE)
+                   / greatest(CAST(len($wtoks) AS DOUBLE), 1.0) > 0.01
+                   AS g_stop
+               FROM documents),
+             e AS (
+               SELECT 'avg_token_len' AS gate, NOT g_avg AS fail,
+                      (g_len AND g_words AND g_stop) AS others_pass FROM f
+               UNION ALL SELECT 'len_chars', NOT g_len,
+                      (g_avg AND g_words AND g_stop) FROM f
+               UNION ALL SELECT 'n_words', NOT g_words,
+                      (g_avg AND g_len AND g_stop) FROM f
+               UNION ALL SELECT 'stopword_ratio', NOT g_stop,
+                      (g_avg AND g_len AND g_words) FROM f),
+             g AS (SELECT gate, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail,
+                     CAST(sum(CASE WHEN fail AND others_pass THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_only
+                   FROM e GROUP BY gate)
+            SELECT gate, n_fail, n_only,
+                   (n_fail * 1000000) // n_docs AS fail_ppm,
+                   (n_only * 1000000) // n_docs AS only_ppm
+            FROM g ORDER BY gate""",
+
+      "text_pack_efficiency" ->
+        s"""WITH t AS (SELECT ${h60("doc_id::VARCHAR || ':graft'")} % 8
+                         AS shard,
+                       CAST(len($toks) AS BIGINT) AS n
+                     FROM documents),
+                st AS (SELECT CAST(shard AS BIGINT) AS shard,
+                         CAST(sum(n) AS BIGINT) AS toks
+                       FROM t WHERE n > 0 GROUP BY shard),
+                b AS (SELECT CAST(unnest([128, 256, 512, 1024, 2048])
+                        AS BIGINT) AS budget),
+                g AS (SELECT budget, CAST(sum(toks) AS BIGINT) AS n_tokens,
+                        CAST(sum((toks + budget - 1) // budget) AS BIGINT)
+                          AS n_seqs
+                      FROM st, b GROUP BY budget)
+            SELECT budget, n_tokens, n_seqs,
+                   ((n_seqs * budget - n_tokens) * 1000000)
+                     // (n_seqs * budget) AS padding_ppm
+            FROM g ORDER BY budget""",
 
       // floor through pmod: (m - ((m % 4) + 4) % 4) is exactly
       // divisible by 4, so // never sees a negative remainder case

@@ -1790,6 +1790,94 @@ object TextOps {
   }
 
   /**
+   * Filter-ablation report — per quality gate, what it actually
+   * removes: for each of the pipeline's four cheap gates (char length
+   * 20..100000, mean token length 2..12, stopword ratio > 0.01 — the
+   * [[filterKeep]] trio — plus the Gopher word-count gate 10..100000),
+   * the documents failing it (`n_fail`) and the documents failing ONLY
+   * it (`n_only` — the gate's MARGINAL removal, the number that says
+   * whether dropping the gate would change the corpus at all or its
+   * losses are already covered by the others). The report a filter
+   * owner reads before adding/removing a gate; redundant gates show
+   * n_only ≈ 0.
+   *
+   * Scale shape: one narrow projection computes the four booleans,
+   * a constant 4-arm explode tags them, one gate-keyed aggregate —
+   * O(gates) output regardless of corpus size, no join, no window.
+   */
+  def filterAblation(docs: DataFrame): DataFrame = {
+    val toks = wordTokens(col("text"))
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val gateCols = Seq(
+      ("avg_token_len",
+        (totalTokenLen(toks).cast("double") / nTok).between(2.0, 12.0)),
+      ("len_chars",
+        length(coalesce(col("text"), lit(""))).between(20, 100000)),
+      ("n_words", size(toks).between(10, 100000)),
+      ("stopword_ratio", stopwordCount(toks).cast("double") / nTok > 0.01))
+    val flags = docs.select(gateCols.map { case (n, c) =>
+      c.as(s"g_$n")
+    }: _*)
+    val arms = gateCols.map { case (n, _) =>
+      struct(lit(n).as("gate"), (!col(s"g_$n")).as("fail"),
+        gateCols.collect { case (o, _) if o != n => col(s"g_$o") }
+          .reduce(_ && _).as("others_pass"))
+    }
+    flags.select(explode(array(arms: _*)).as("x"))
+      .select(col("x.gate"), col("x.fail"), col("x.others_pass"))
+      .groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fail"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("fail") && col("others_pass"), 1L).otherwise(0L))
+          .as("n_only"))
+      .select(col("gate"), col("n_fail"), col("n_only"),
+        expr("(n_fail * 1000000) div n_docs").as("fail_ppm"),
+        expr("(n_only * 1000000) div n_docs").as("only_ppm"))
+      .orderBy(col("gate"))
+  }
+
+  /**
+   * Sequence-packing efficiency — padding waste per budget: for each
+   * candidate sequence length, the total corpus tokens, the number of
+   * fixed-length sequences the [[packSequences]] layout produces
+   * (per-shard `ceil(shard_tokens / budget)` — the last sequence of
+   * each shard pads), and the padding fraction in exact ppm. The curve
+   * a training-layout owner reads to pick the sequence length: longer
+   * budgets waste more tail padding per shard, shorter ones truncate
+   * more documents across boundaries; this query prices the first half
+   * of that trade exactly.
+   *
+   * Scale shape: ONE corpus pass builds the nShards-row per-shard
+   * token totals; the budget lattice rides a broadcast cross of
+   * O(budgets) rows. Output O(budgets).
+   */
+  def packEfficiency(docs: DataFrame,
+                     budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L,
+                       2048L),
+                     nShards: Int = 8, salt: String = "graft"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1L), s"$budgets")
+    require(nShards >= 1, s"nShards=$nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = graft.functions.functions.h60(
+      concat(col("doc_id").cast("string"), lit(":"), lit(salt)))
+    val shardTok = docs
+      .select(pmod(h, lit(nShards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("shard")).agg(sum(col("n")).as("toks"))
+    shardTok.crossJoin(broadcast(budgets.toDF("budget")))
+      .select(col("budget"), col("toks"),
+        expr("(toks + budget - 1) div budget").as("n_seq"))
+      .groupBy(col("budget"))
+      .agg(sum(col("toks")).as("n_tokens"), sum(col("n_seq")).as("n_seqs"))
+      .select(col("budget"), col("n_tokens"), col("n_seqs"),
+        expr("((n_seqs * budget - n_tokens) * 1000000) div (n_seqs * budget)")
+          .as("padding_ppm"))
+      .orderBy(col("budget"))
+  }
+
+  /**
    * Calibration (reliability) table of [[nbClassifier]]: the held-out
    * floor-bit margins binned `binWidth` wide, with per-bin doc counts
    * and the TRUE keep-rate in exact ppm — the reliability diagram a

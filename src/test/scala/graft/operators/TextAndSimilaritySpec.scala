@@ -739,6 +739,44 @@ class TextAndSimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filterAblation separates marginal removal from overlapping removal") {
+    val long30 = "abcdefghijklmnopqrstuvwxyzabcd" // 30-char token
+    val docs = Seq(
+      // 1: passes all four gates
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // 3: >= 10 words, sane lengths, ZERO stopwords -> fails ONLY
+      //    stopword_ratio
+      (3L, "zebra quokka wombat falcon marmot gecko heron bison otter lynx puma"),
+      // 4: 3 stopwords + 9 thirty-char tokens: avg (9+270)/12 = 23.25
+      //    -> fails ONLY avg_token_len (ratio 0.25 passes)
+      (4L, ("the the the " + Seq.fill(9)(long30).mkString(" "))),
+      // 5: 11 chars, 3 words -> fails len_chars AND n_words (neither
+      //    is marginal: the other gate also fails)
+      (5L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val got = TextOps.filterAblation(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("avg_token_len", 1L, 1L, 250000L, 250000L),
+      ("len_chars", 1L, 0L, 250000L, 0L),
+      ("n_words", 1L, 0L, 250000L, 0L),
+      ("stopword_ratio", 1L, 1L, 250000L, 250000L)), s"$got")
+  }
+
+  test("packEfficiency prices per-shard tail padding exactly") {
+    // nShards=1 removes hash placement: 3 + 2 = 5 tokens in one shard;
+    // the empty doc contributes nothing (the packSequences filter)
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.packEfficiency(docs, budgets = Seq(2L, 4L),
+        nShards = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 5L, 3L, 166666L),  // 3 seqs x 2 slots, 1 pad / 6
+      (4L, 5L, 2L, 375000L)), // 2 seqs x 4 slots, 3 pad / 8
+      s"$got")
+  }
+
   test("repetitionProfile flags the degenerate loop, not the varied doc") {
     // doc 1 "a b a b a b": 2-grams (ab, ba, ab, ba, ab) -> n=5,
     // max=3 -> top2_ppm=600000; 4-grams (abab, baba, abab) -> n=3,
