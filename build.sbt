@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 231-query bench runs ~700 codegen'd query executions in one
+  // JVM; the default 240 MB code cache fills and silently flips hot
+  // paths back to interpreted execution (measured r9: ngram ratio 27.7
+  // shared-JVM vs 4-5 fresh). Same flags the ScaleCheck protocol uses.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

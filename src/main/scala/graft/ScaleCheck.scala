@@ -594,19 +594,27 @@ object ScaleCheck {
       // (byte counters are deterministic per plan; task time and
       // spill are what vary, and the clean run's are the operator's
       // own).
-      val (dt, res) = (1 to 2).map { _ =>
+      val reps = (1 to 2).map { _ =>
         listener.reset()
         val t0 = System.nanoTime()
-        try f().write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          // keep the sweep alive: one pathological probe must not
-          // cost the other measurements; FAILED is loud in the log
-          println(s"SCALEEXP   ${sc}x $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { f().write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            // keep the sweep alive: one pathological probe must not
+            // cost the other measurements; FAILED is loud in the log
+            println(s"SCALEEXP   ${sc}x $name FAILED: ${e.getMessage}")
+            false
+          }
         dropProbeStorage()
         val wall = (System.nanoTime() - t0) / 1e9
-        (wall, settledSummary())
-      }.minBy(_._1)
+        (wall, settledSummary(), ok)
+      }
+      // a failed run's truncated wall time must not enter the min or
+      // the ratio table (advisory r9): NaN here, a dash in the summary
+      val (dt, res) = reps.filter(_._3) match {
+        case Seq() => (Double.NaN, reps.last._2)
+        case good  => { val m = good.minBy(_._1); (m._1, m._2) }
+      }
       println(f"SCALEEXP   ${sc}%3dx $name%-28s $dt%8.2f s  ${res.render}")
       (dt, res)
     }
@@ -622,15 +630,22 @@ object ScaleCheck {
     }
     println(f"SCALEEXP ${"operator"}%-28s ${"t20x"}%8s ${"t100x"}%8s ${"ratio"}%7s ${"shufW_r"}%8s ${"spill_r"}%8s ${"cpu_r"}%7s ${"gc_r"}%7s   (data grows 5.00x)")
     rows.foreach { case (n, (t20v, r20), (t100, r100)) =>
-      val r = t100 / t20v.max(1e-9)
       def ratio(a: Long, b: Long): String =
         if (b <= 0L) (if (a <= 0L) "    0/0" else "   +new") else f"${a.toDouble / b}%7.2f"
+      if (t20v.isNaN || t100.isNaN) {
+        // either scale FAILED — no wall/ratio claim for this row
+        def cell(t: Double) = if (t.isNaN) "       —" else f"$t%8.2f"
+        println(f"SCALEEXP $n%-28s ${cell(t20v)} ${cell(t100)}       —" +
+          "  (FAILED — see log above)")
+      } else {
+      val r = t100 / t20v.max(1e-9)
       println(f"SCALEEXP $n%-28s $t20v%8.2f $t100%8.2f $r%7.2f " +
         f"${ratio(r100.shuffleWriteBytes, r20.shuffleWriteBytes)}%8s " +
         f"${ratio(r100.memorySpilledBytes + r100.diskSpilledBytes,
           r20.memorySpilledBytes + r20.diskSpilledBytes)}%8s " +
         f"${ratio(r100.taskTimeMs, r20.taskTimeMs)}%7s " +
         f"${ratio(r100.gcTimeMs, r20.gcTimeMs)}%7s")
+      }
     }
   }
 

@@ -200,9 +200,12 @@ object Sinks {
       else df.filter(!rendered.isin(values: _*))
     } else {
       import spark.implicits._
-      val vals = broadcast(
-        spark.createDataset(values).toDF("__part_value"))
-      df.join(vals, rendered === col("__part_value"),
+      // alias + qualify: a mirror table that happens to carry a column
+      // with the values-frame's name must not make the join condition
+      // ambiguous (advisory r9)
+      val vals = broadcast(spark.createDataset(values)
+        .toDF("__graft_part_value").as("__graft_vals"))
+      df.join(vals, rendered === col("__graft_vals.__graft_part_value"),
         if (semi) "left_semi" else "left_anti")
     }
 
@@ -290,11 +293,25 @@ object Sinks {
     val (p, fs) = manifestFsPath(spark, mirrorDir)
     val (complete, maxSeen) = manifestVersions(spark, mirrorDir)
     val next = maxSeen + 1L
+    val nextPath = new org.apache.hadoop.fs.Path(p, versionName(next))
     // coalesce(1): the manifest is tiny and one file keeps the read cheap
     spark.createDataset(dropped.toSeq.sorted).toDF("part_value")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists)
-      .parquet(new org.apache.hadoop.fs.Path(p, versionName(next)).toString)
+      .parquet(nextPath.toString)
+    // The commit marker is OUR contract, not the committer's: with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a common
+    // production setting) Spark writes no _SUCCESS, and every version
+    // would be invisible to manifestVersions — silently resurrecting
+    // all dropped partitions (advisory r9). Create it explicitly when
+    // the committer didn't; ordering is still crash-safe (marker
+    // appears only after the data write returned), and only THEN are
+    // older complete versions pruned.
+    val marker = new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    require(manifestVersions(spark, mirrorDir)._1.lastOption.contains(next),
+      s"deletion manifest ${versionName(next)} not readable as complete " +
+        "after commit — refusing to prune prior versions")
     complete.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(p, versionName(v)), true)
     }

@@ -35,8 +35,16 @@ class MultimodalSpec extends SparkSpec {
     for (i <- Seq(2L, 4L)) {
       val r = byId(i)
       assert((r.width, r.height, r.channels) == ((8, 6, 3)), s"jpg dims: $r")
-      assert((r.sumR, r.sumG, r.sumB) == ((5782L, 5743L, 5658L)),
-        s"jpg pixel sums must match the pinned decode: $r")
+      // JPEG decode is JRE-vendor/version dependent (IDCT rounding);
+      // the analytic-exact gate lives on the PNG fixture. Here the sums
+      // are pinned within a small tolerance so a JRE upgrade doesn't
+      // legitimately break the suite (advisory r9). 8x6x255 max sum is
+      // 12240; ±48 is ±1 LSB per pixel.
+      val pinned = Seq(("R", r.sumR, 5782L), ("G", r.sumG, 5743L),
+        ("B", r.sumB, 5658L))
+      for ((ch, got, want) <- pinned)
+        assert(math.abs(got - want) <= 48L,
+          s"jpg $ch sum $got drifted more than 1 LSB/pixel from $want: $r")
     }
     // the batch shape is the vectorized-codec contract: 5 rows in one
     // partition at batchSize=2 -> batches of 2, 2, 1

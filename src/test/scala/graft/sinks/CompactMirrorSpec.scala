@@ -349,4 +349,47 @@ class CompactMirrorSpec extends SparkSpec {
       .collect().toSet
     assert(live == Set((1L, 0L), (7L, 1L)))
   }
+
+  test("manifest commits even with marksuccessfuljobs=false (no committer _SUCCESS)") {
+    // advisory r9 (medium): with the committer's _SUCCESS suppressed —
+    // a common production setting — every manifest version used to be
+    // invisible to droppedPartitions, silently resurrecting all dropped
+    // partitions. The marker is now OUR contract, created explicitly.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hconf.get(key)
+    hconf.set(key, "false")
+    try {
+      val dir = Files.createTempDirectory("mirror-nosuccess").toString + "/m"
+      val base = Seq((1L, 1L, ts(1), "seed", 1.0, "I", 0L),
+        (2L, 2L, ts(1), "old", 2.0, "I", 1L)).toDF(
+        "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+      base.write.partitionBy("part").parquet(dir)
+      // sanity: the suppression is live — the mirror itself has no marker
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")),
+        "test precondition: committer _SUCCESS suppressed")
+      val drain = Seq((2L, 10L, ts(10), "del", 0.0, "D", 1L)).toDF(
+        "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+      Sinks.compactMirror(spark, dir, drain, partCol = "part")
+      assert(Sinks.droppedPartitions(spark, dir) == Set("1"),
+        "manifest version must read as complete without committer markers")
+      val live = Sinks.readMirror(spark, dir, "part")
+        .select($"user_id").as[Long].collect().toSet
+      assert(live == Set(1L))
+      // and a second write still prunes the first version (the prune is
+      // gated on the new version reading back as complete)
+      val revive = Seq((7L, 20L, ts(20), "new", 7.0, "I", 1L)).toDF(
+        "user_id", "event_id", "ts", "event_type", "value", "action", "part")
+      Sinks.compactMirror(spark, dir, revive, partCol = "part")
+      assert(Sinks.droppedPartitions(spark, dir).isEmpty)
+      import scala.jdk.CollectionConverters._
+      val versions = Files.list(java.nio.file.Paths.get(
+          dir, Sinks.DeletionManifestDir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+      assert(versions == Set("v000000002"),
+        s"old complete version must be pruned, got $versions")
+    } finally {
+      if (prev == null) hconf.unset(key) else hconf.set(key, prev)
+    }
+  }
 }
