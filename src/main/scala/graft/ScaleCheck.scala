@@ -493,7 +493,9 @@ object ScaleCheck {
       "pipeline_media_manifest" -> (() => {
         val media = Multimodal.asMedia(docs, "doc_id",
           col("text").cast("binary"), "image")
-        val pairs = Multimodal.phashNearDupPairs(media)
+        // Auto width (r9 verdict item 1): band alphabet grows with the
+        // corpus so bucket occupancy — and pair work — stays constant
+        val pairs = Multimodal.phashNearDupPairsAuto(media)
           .select(col("doc_a"), col("doc_b"))
         val comp = Dedup.starContractComponents(pairs)
         val survivors = comp.groupBy(col("component"))

@@ -1109,11 +1109,44 @@ object SparkEntry {
 
     "mm_phash_neardup" -> ((s, dir) =>
       // media near-dup pairs: banded perceptual hash (the multimodal
-      // twin of text MinHash-LSH) + full-hash Hamming verify
-      Multimodal.phashNearDupPairs(Multimodal.asMedia(
+      // twin of text MinHash-LSH) + full-hash Hamming verify. Width is
+      // corpus-adaptive and hot buckets are guard-dropped (r9 verdict
+      // item 1) — the oracle replays BOTH (dynamic bandbits + hot CTE)
+      Multimodal.phashNearDupPairsAuto(Multimodal.asMedia(
           t(s, dir, "documents"), "doc_id", col("text").cast("binary"),
           "image"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    "mm_audio_meta" -> ((s, dir) =>
+      // audio stream envelope: typed metadata + stub-decoded stream
+      // parameters and integer duration — the filterable columns an
+      // audio pipeline prunes on before any payload decode
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+          col("text").cast("binary"), "audio")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          Multimodal.decodeAudioStub(col("payload")).as("a"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.n_frames").as("n_frames"),
+          expr("(a.n_frames * 1000) div a.sample_rate").as("duration_ms"))
+        .orderBy(col("doc_id"))),
+
+    "mm_audio_energy" -> ((s, dir) =>
+      // per-block energy rollup: the summary a speech/music gate
+      // filters on (block count, total/peak energy, peak position)
+      Multimodal.audioEnergyStub(Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", col("text").cast("binary"),
+        "audio"))),
+
+    "mm_phash_bucket_stats" -> ((s, dir) => {
+      // the LOUD half of the phash stop-bucket guard: per-band bucket
+      // occupancy + exactly what the guard at maxBucket would drop
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
+        col("text").cast("binary"), "image")
+      Multimodal.phashBucketStats(media,
+        bits = Multimodal.adaptivePhashBits(media.count()))
+    }),
 
     "pipeline_media_manifest" -> ((s, dir) => {
       // FLAGSHIP (media): phash near-dup pairs -> star-contraction
@@ -1124,7 +1157,7 @@ object SparkEntry {
       // dedup), CDC (pipeline_cdc_mirror), media (this).
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id",
         col("text").cast("binary"), "image")
-      val pairs = Multimodal.phashNearDupPairs(media)
+      val pairs = Multimodal.phashNearDupPairsAuto(media)
         .select(col("doc_a"), col("doc_b"))
       val comp = Dedup.starContractComponents(pairs)
       val survivors = comp.groupBy(col("component"))
@@ -1211,6 +1244,16 @@ object SparkEntry {
       // the inference half: per-doc token counts under the learned
       // segmentation — the budget a training-layout planner uses
       TextOps.bpeEncode(t(s, dir, "documents"))),
+
+    "text_bpe_encode_local" -> ((s, dir) => {
+      // the real-vocabulary serving path (r9 verdict item 2),
+      // oracle-gated: the driver-side Sennrich trainer + the
+      // partition-local merge application must reproduce the
+      // distributed trainer's chained-CTE segmentation exactly
+      val docs = t(s, dir, "documents")
+      TextOps.bpeEncodeWithLocal(docs, TextOps.bpeTrainTopK(docs, 8))
+        .orderBy(col("doc_id"))
+    }),
 
     "text_dup_span_pairs" -> ((s, dir) =>
       // pair-level maximal common spans: WHO shares the boilerplate,
@@ -1920,6 +1963,47 @@ object SparkEntry {
     // h60: first 15 md5 hex digits as a 60-bit long (= Spark's
     // conv(substr(md5(x),1,15),16,10) and graft.functions.H60.hash)
     def h60(x: String) = s"('0x'||substr(md5($x),1,15))::BIGINT"
+
+    // corpus-adaptive banded pHash CTE chain (= Multimodal.
+    // adaptivePhashBits + bandedPhash at bands=4, targetBucketSize=64):
+    // bandbits = smallest b in [6,15] with 2^b >= count/64 (else 15),
+    // exactly the Scala ceil-log2 clamp. Ends with relation
+    // banded(doc_id, ph, band, bv).
+    val phashBandedCtes =
+      s"""bb AS (SELECT CAST(coalesce((SELECT min(b)
+                            FROM range(6, 16) t(b)
+                            WHERE (1::BIGINT << CAST(b AS INT)) >=
+                              greatest(1,
+                                (SELECT count(*) FROM documents) // 64)),
+                          15) AS INT) AS bandbits),
+                m AS (SELECT doc_id, md5(text) AS ck FROM documents),
+                ph AS (SELECT doc_id,
+                         CAST(list_sum(list_transform(range(4 * bandbits), i ->
+                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
+                                     % 20001 - 10000 > 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0 END)) AS BIGINT) AS ph
+                       FROM m CROSS JOIN bb),
+                banded AS (SELECT doc_id, ph, CAST(j AS INT) AS band,
+                                  (ph >> CAST(j * bandbits AS INT))
+                                    & ((1::BIGINT << bandbits) - 1) AS bv
+                           FROM ph CROSS JOIN bb CROSS JOIN range(4) t(j))"""
+    // ... plus the stop-bucket guard (buckets > 4096 dropped whole) and
+    // the verified candidate pairs (= Multimodal.phashNearDupPairs)
+    val phashCandCtes =
+      s"""$phashBandedCtes,
+                hot AS (SELECT band, bv FROM banded
+                        GROUP BY band, bv HAVING count(*) > 4096),
+                kept AS (SELECT k.doc_id, k.ph, k.band, k.bv
+                         FROM banded k LEFT JOIN hot h
+                           ON k.band = h.band AND k.bv = h.bv
+                         WHERE h.band IS NULL),
+                cand AS (SELECT DISTINCT x.doc_id AS doc_a,
+                                y.doc_id AS doc_b,
+                                x.ph AS ph_a, y.ph AS ph_b
+                         FROM kept x JOIN kept y
+                           ON x.band = y.band AND x.bv = y.bv
+                          AND x.doc_id < y.doc_id)"""
 
     // the composed keep/drop verdict (= TextOps.filterKeep), shared by
     // text_filter_verdict and the NB classifier label
@@ -2773,45 +2857,70 @@ object SparkEntry {
            FROM p ORDER BY doc_id""",
 
       "mm_phash_neardup" ->
-        s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),
-                ph AS (SELECT doc_id,
-                         CAST(list_sum(list_transform(range(24), i ->
-                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
-                                     % 20001 - 10000 > 0
-                                THEN (1::BIGINT << CAST(i AS INT))
-                                ELSE 0 END)) AS BIGINT) AS ph
-                       FROM m),
-                banded AS (SELECT doc_id, ph, CAST(j AS INT) AS band,
-                                  (ph >> CAST(j * 6 AS INT)) & 63 AS bv
-                           FROM ph CROSS JOIN range(4) t(j)),
-                cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                x.ph AS ph_a, y.ph AS ph_b
-                         FROM banded x JOIN banded y
-                           ON x.band = y.band AND x.bv = y.bv
-                          AND x.doc_id < y.doc_id)
+        s"""WITH $phashCandCtes
            SELECT doc_a, doc_b,
                   CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
            ORDER BY doc_a, doc_b""",
 
+      "mm_audio_meta" ->
+        s"""WITH m AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  ${h60("text")} AS h
+                FROM documents)
+           SELECT doc_id, n_bytes,
+                  CAST(CASE WHEN h % 4 = 0 THEN 8000
+                            WHEN h % 4 = 1 THEN 16000
+                            WHEN h % 4 = 2 THEN 22050
+                            ELSE 44100 END AS INT) AS sample_rate,
+                  CAST((h >> 8) % 2 + 1 AS INT) AS channels,
+                  CAST((h >> 16) % 480000 + 8000 AS BIGINT) AS n_frames,
+                  CAST((((h >> 16) % 480000 + 8000) * 1000)
+                    // (CASE WHEN h % 4 = 0 THEN 8000
+                            WHEN h % 4 = 1 THEN 16000
+                            WHEN h % 4 = 2 THEN 22050
+                            ELSE 44100 END) AS BIGINT) AS duration_ms
+           FROM m ORDER BY doc_id""",
+
+      "mm_audio_energy" ->
+        s"""WITH m AS (SELECT doc_id, md5(text) AS ck,
+                  ${h60("text")} AS h FROM documents),
+                fr AS (SELECT doc_id, ck,
+                         ((h >> 16) % 480000 + 8000) AS n_frames
+                       FROM m),
+                blocks AS (SELECT doc_id, ck,
+                             (n_frames // 16000 + 1) AS nb,
+                             CAST(b AS BIGINT) AS b
+                           FROM fr CROSS JOIN range(31) t(b)
+                           WHERE b < n_frames // 16000 + 1),
+                e AS (SELECT doc_id, nb, b,
+                        ${h60("ck || ':aud:' || CAST(b AS VARCHAR)")}
+                          % 10000 AS e
+                      FROM blocks)
+           SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
+                  CAST(sum(e) AS BIGINT) AS energy_sum,
+                  CAST(max(e * 1024 + (1023 - b)) // 1024 AS BIGINT)
+                    AS peak_energy,
+                  CAST(1023 - (max(e * 1024 + (1023 - b)) % 1024)
+                    AS BIGINT) AS peak_block
+           FROM e GROUP BY doc_id ORDER BY doc_id""",
+
+      "mm_phash_bucket_stats" ->
+        s"""WITH $phashBandedCtes,
+                occ AS (SELECT band, bv, count(*) AS bn
+                        FROM banded GROUP BY band, bv)
+           SELECT band, CAST(sum(bn) AS BIGINT) AS n_docs,
+                  count(*) AS n_buckets,
+                  CAST(max(bn) AS BIGINT) AS max_bucket,
+                  CAST(sum(CASE WHEN bn > 4096 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hot_buckets,
+                  CAST(sum(CASE WHEN bn > 4096 THEN bn ELSE 0 END)
+                    AS BIGINT) AS dropped_docs
+           FROM occ GROUP BY band ORDER BY band""",
+
       "pipeline_media_manifest" ->
         s"""WITH RECURSIVE
-                m AS (SELECT doc_id, md5(text) AS ck FROM documents),
-                ph AS (SELECT doc_id,
-                         CAST(list_sum(list_transform(range(24), i ->
-                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
-                                     % 20001 - 10000 > 0
-                                THEN (1::BIGINT << CAST(i AS INT))
-                                ELSE 0 END)) AS BIGINT) AS ph
-                       FROM m),
-                banded AS (SELECT doc_id, ph, CAST(j AS INT) AS band,
-                                  (ph >> CAST(j * 6 AS INT)) & 63 AS bv
-                           FROM ph CROSS JOIN range(4) t(j)),
-                cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                x.ph AS ph_a, y.ph AS ph_b
-                         FROM banded x JOIN banded y
-                           ON x.band = y.band AND x.bv = y.bv
-                          AND x.doc_id < y.doc_id),
+                $phashCandCtes,
                 pairs AS (SELECT doc_a, doc_b FROM cand
                           WHERE bit_count(xor(ph_a, ph_b)) <= 3),
                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3090,6 +3199,28 @@ object SparkEntry {
             FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
 
       "text_bpe_encode" ->
+        s"""WITH ${bpeCtes(8)},
+                 wordsyms AS (SELECT word,
+                     CAST(len(regexp_extract_all(s,
+                       '\\x01([^\\x01\\x02]+)\\x02', 1)) AS BIGINT) AS n_syms
+                   FROM w8),
+                 dw AS (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                       $bpeSql)) AS word
+                   FROM documents),
+                 fw AS (SELECT doc_id, word FROM dw
+                        WHERE NOT regexp_matches(word,
+                            '^${TextOps.SpaceRun}$$')
+                          AND NOT contains(word, chr(1)))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_syms) AS BIGINT) AS n_tokens
+            FROM fw JOIN wordsyms USING (word)
+            GROUP BY doc_id ORDER BY doc_id""",
+
+      // the partition-local serving path must land on the SAME
+      // segmentation as the distributed trainer at equal rounds — the
+      // oracle is deliberately identical to text_bpe_encode's
+      "text_bpe_encode_local" ->
         s"""WITH ${bpeCtes(8)},
                  wordsyms AS (SELECT word,
                      CAST(len(regexp_extract_all(s,

@@ -78,6 +78,60 @@ object Multimodal {
     sequence(lit(0L), nFrames - 1L, lit(everyN.toLong))
   }
 
+  /** STUB audio decode (expression form): deterministic fake stream
+    * parameters from the payload's h60 (md5-derived — recomputable by
+    * the DuckDB oracle). Codegen'd column math — no shuffle, no UDF.
+    * Rates are the real-world ladder; frame counts cap at ~30 s of
+    * 16 kHz so downstream block math stays in narrow integers. */
+  def decodeAudioStub(payload: Column): Column = {
+    val h = graft.functions.functions.h60(payload)
+    struct(
+      when(h % 4 === 0, 8000).when(h % 4 === 1, 16000)
+        .when(h % 4 === 2, 22050).otherwise(44100).as("sample_rate"),
+      (shiftright(h, 8) % 2L + 1L).cast("int").as("channels"),
+      (shiftright(h, 16) % 480000L + 8000L).as("n_frames"))
+  }
+
+  /** Frames per analysis block of the audio-energy stub — one block ≈
+    * 1 s at 16 kHz; with the stub's 488k-frame cap, block indices stay
+    * under 31 (and under the 1024 packing radix below). */
+  val AudioBlockFrames = 16000L
+
+  /**
+   * STUB per-block audio energy profile — the audio twin of the image
+   * feature stub: each ~1 s block of the (fake) stream gets an integer
+   * energy in [0, 10000) derived from seeded hashes of the payload's
+   * md5, then rolls up per document to the summary a speech/music
+   * filter gates on: block count, total energy, peak energy and WHERE
+   * the peak sits (first block on ties — packed integer argmax, exact
+   * on both engines). Payload bytes are hashed once; blocks explode
+   * bounded (≤31 per doc) and the rollup is doc-keyed.
+   */
+  def audioEnergyStub(media: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    def h60c(parts: Column*): Column =
+      graft.functions.functions.h60(concat(parts: _*))
+    val base = media.select(col(idCol).as("doc_id"),
+      md5(col(payloadCol)).as("ck"),
+      decodeAudioStub(col(payloadCol)).getField("n_frames").as("n_frames"))
+    base
+      .withColumn("nb",
+        expr(s"n_frames div $AudioBlockFrames") + 1L)
+      .select(col("doc_id"), col("ck"), col("nb"),
+        explode(sequence(lit(0L), col("nb") - 1L)).as("b"))
+      .withColumn("e",
+        h60c(col("ck"), lit(":aud:"), col("b").cast("string")) % 10000L)
+      .groupBy(col("doc_id"))
+      .agg(max(col("nb")).as("n_blocks"),
+        sum(col("e")).as("energy_sum"),
+        // pack (energy, first-block) into one max: e*1024 + (1023-b)
+        max(col("e") * 1024L + (lit(1023L) - col("b"))).as("pk"))
+      .select(col("doc_id"), col("n_blocks"), col("energy_sum"),
+        expr("pk div 1024").as("peak_energy"),
+        (lit(1023L) - pmod(col("pk"), lit(1024L))).as("peak_block"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * Shard-packing plan (webdataset-style training layout): assign each
    * media row to a byte-budget shard by exclusive prefix sum of the
@@ -115,6 +169,52 @@ object Multimodal {
   }
 
   /**
+   * Scale-adaptive pHash width: enough bits per band that the EXPECTED
+   * band-bucket occupancy is ~`targetBucketSize` — `2^bandBits ≈
+   * corpusSize / targetBucketSize`. A fixed width (24 bits / 4 bands =
+   * a 64-value alphabet per band) quietly degrades to near-quadratic
+   * pair enumeration as the corpus grows (n²/64 per band at ANY n);
+   * deriving the width from corpus size keeps within-bucket pair work
+   * ~ `n · targetBucketSize / 2` — the [[Similarity.adaptivePlanes]]
+   * discipline applied to the media path (r9 verdict item 1). Floor of
+   * 6 bits/band preserves the small-corpus default (24 total at 4
+   * bands); ceiling of `60 / bands` keeps the hash in [[phashStub]]'s
+   * 60-bit budget. The count is an input STATISTIC (one stats-only
+   * aggregate, or a catalog statistic at scale), not a learned model —
+   * bucketing stays deterministic and oracle-replayable for any fixed
+   * result.
+   */
+  def adaptivePhashBits(corpusSize: Long, bands: Int = 4,
+                        targetBucketSize: Int = 64): Int = {
+    require(bands > 0 && bands <= 10, s"bands=$bands")
+    require(corpusSize >= 0 && targetBucketSize > 0,
+      s"adaptivePhashBits($corpusSize, $targetBucketSize)")
+    val buckets = math.max(1L, corpusSize / targetBucketSize)
+    // ceil(log2(buckets)): smallest b with 2^b >= buckets
+    val need = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(buckets - 1, 0L))
+    bands * math.min(60 / bands, math.max(6, need))
+  }
+
+  /** The banded pHash table `(id, ph, band, bv)` — one row per
+    * (document, band); the shared input of the pair join and the
+    * occupancy accounting. */
+  private def bandedPhash(media: DataFrame, idCol: String,
+                          payloadCol: String, bits: Int,
+                          bands: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"$bits bits / $bands bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    media.select(col(idCol).as("id"),
+        phashStub(col(payloadCol), bits).as("ph"))
+      .select(col("id"), col("ph"),
+        posexplode(array((0 until bands).map(j =>
+          shiftright(col("ph"), j * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+  }
+
+  /**
    * Media near-duplicate pairs by banded perceptual hash — the
    * multimodal twin of text MinHash-LSH: the `bits`-bit pHash splits
    * into `bands` sub-bands, documents sharing ANY band become
@@ -122,21 +222,31 @@ object Multimodal {
    * collisions, never n²), and candidates verify with full-hash
    * Hamming distance ≤ `maxDist` (one xor + bit_count, codegen'd).
    * Payloads never move: the join carries only (id, 8-byte hash).
+   *
+   * Band buckets above `maxBucket` documents are dropped WHOLE before
+   * the self-join (the [[Dedup.fuzzyPairs]] `maxBlock` stop-guard: at
+   * 100 TB of images, near-identical logos/padding frames make hot
+   * buckets the norm, and one degenerate bucket is |bucket|² pair
+   * work). The drop is a documented recall tradeoff, never silent:
+   * [[phashBucketStats]] is the accounting twin — run it on the same
+   * inputs to see exactly which bands dropped how many documents.
+   * Width should come from [[adaptivePhashBits]] (or use
+   * [[phashNearDupPairsAuto]]) so occupancy stays constant as the
+   * corpus grows.
    */
   def phashNearDupPairs(media: DataFrame, idCol: String = "doc_id",
                         payloadCol: String = "payload", bits: Int = 24,
-                        bands: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(bands > 0 && bits % bands == 0, s"$bits bits / $bands bands")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val ph = media.select(col(idCol).as("id"),
-      phashStub(col(payloadCol), bits).as("ph"))
-    val banded = ph.select(col("id"), col("ph"),
-      posexplode(array((0 until bands).map(j =>
-        shiftright(col("ph"), j * bandBits).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bv")
-    banded.as("x").join(banded.as("y"),
+                        bands: Int = 4, maxDist: Int = 3,
+                        maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 0, s"maxBucket=$maxBucket")
+    val banded = bandedPhash(media, idCol, payloadCol, bits, bands)
+    // stop-bucket guard as a hot-key anti-join (partial-agg groupBy,
+    // broadcast-tiny hot list) — no count-over-window shuffle
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
+    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
@@ -145,6 +255,45 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** [[phashNearDupPairs]] with the hash width derived from the corpus
+    * size via [[adaptivePhashBits]] — the form to use when the corpus
+    * scale is not known statically. Costs one `count()` (parquet
+    * stats-only at scale). */
+  def phashNearDupPairsAuto(media: DataFrame, idCol: String = "doc_id",
+                            payloadCol: String = "payload", bands: Int = 4,
+                            maxDist: Int = 3, targetBucketSize: Int = 64,
+                            maxBucket: Int = 4096): DataFrame =
+    phashNearDupPairs(media, idCol, payloadCol,
+      adaptivePhashBits(media.count(), bands, targetBucketSize),
+      bands, maxDist, maxBucket)
+
+  /**
+   * Band-bucket occupancy accounting — the LOUD half of
+   * [[phashNearDupPairs]]'s stop-bucket guard: per band, the document
+   * and bucket counts, the largest bucket, and exactly what the guard
+   * at `maxBucket` drops (`hot_buckets` buckets / `dropped_docs`
+   * document-slots). Zero `hot_buckets` means the pair join ran
+   * complete; anything else quantifies the recall tradeoff instead of
+   * hiding it. One partial-aggregable groupBy chain — safe to run at
+   * any corpus size.
+   */
+  def phashBucketStats(media: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload", bits: Int = 24,
+                       bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 0, s"maxBucket=$maxBucket")
+    bandedPhash(media, idCol, payloadCol, bits, bands)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("bn"))
+      .groupBy(col("band"))
+      .agg(sum(col("bn")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L))
+          .as("hot_buckets"),
+        sum(when(col("bn") > maxBucket, col("bn")).otherwise(0L))
+          .as("dropped_docs"))
+      .orderBy(col("band"))
   }
 
   /**
@@ -324,6 +473,80 @@ object Multimodal {
         batch.zip(decoded).map { case (m, d) =>
           DecodedImageRow(m.id, d.width, d.height, d.channels,
             d.sumR, d.sumG, d.sumB, bi, batch.size)
+        }
+      }
+    }
+  }
+
+  // ---- the REAL audio codec behind the same batch shape (r9 item 6) ----
+
+  /** One decoded audio stream: format parameters plus exact integer
+    * sample statistics (sum of |sample|, peak |sample|) — the pinnable
+    * "pixel sums" of the audio decode. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                nFrames: Long, sumAbs: Long, peakAbs: Int)
+
+  final case class DecodedAudioRow(id: Long, sampleRate: Int,
+                                   channels: Int, nFrames: Long,
+                                   sumAbs: Long, peakAbs: Int,
+                                   batchId: Int, batchSize: Int)
+
+  /** A batch audio codec — same boundary contract as [[MediaCodec]]. */
+  trait AudioCodec extends Serializable {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[DecodedAudio]
+  }
+
+  /** Pure-JVM WAV/PCM decoder (`javax.sound.sampled`) — the second
+    * REAL codec behind the batch boundary: RIFF/WAVE container parsing
+    * by the JRE, 16-bit signed PCM samples summed exactly (the
+    * byte-level ground truth a spec pins against generated fixture
+    * streams with analytic sample statistics). Non-PCM-16 payloads and
+    * undecodable bytes fail LOUDLY — corrupt-input policy belongs to
+    * the caller, not silently inside the codec. */
+  object WavPcmCodec extends AudioCodec {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[DecodedAudio] =
+      batch.map { bytes =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16,
+            s"WavPcmCodec: 16-bit signed PCM only, got $fmt")
+          val data = in.readAllBytes()
+          var (sumAbs, peak, i) = (0L, 0, 0)
+          while (i + 1 < data.length) {
+            val s =
+              if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 2
+          }
+          DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels,
+            in.getFrameLength, sumAbs, peak)
+        } finally in.close()
+      }
+  }
+
+  /** [[decodeImagesBatched]]'s audio twin: identical partition-iterator
+    * batch shape (payloads buffered `batchSize` at a time, ONE codec
+    * call per batch), real byte-level WAV decode. Work is
+    * payload-local — no shuffle; `batchSize` bounds peak task memory
+    * to one batch of decoded sample statistics. */
+  def decodeAudioBatched(media: Dataset[MediaRow],
+                         codec: AudioCodec = WavPcmCodec,
+                         batchSize: Int = 64): Dataset[DecodedAudioRow] = {
+    implicit val enc: Encoder[DecodedAudioRow] =
+      Encoders.product[DecodedAudioRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val decoded = codec.decodeBatch(batch.map(_.payload))
+        batch.zip(decoded).map { case (m, d) =>
+          DecodedAudioRow(m.id, d.sampleRate, d.channels, d.nFrames,
+            d.sumAbs, d.peakAbs, bi, batch.size)
         }
       }
     }

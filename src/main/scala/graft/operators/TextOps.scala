@@ -933,22 +933,173 @@ object TextOps {
 
   /** Train once, serve forever: run [[bpeLearn]]'s loop and collect
     * the merge list (eager — the one training pass happens HERE, never
-    * inside a serving batch). */
+    * inside a serving batch). Capped at [[MaxCodegenMerges]] rounds by
+    * the distributed per-round loop (each round is a Spark job — the
+    * oracle-replayable path); real vocabularies train through
+    * [[bpeTrainTopK]]. */
   def bpeTrain(docs: DataFrame, rounds: Int = 8): BpeModel =
     BpeModel(bpeState(docs, rounds)._1
       .select(col("left_sym"), col("right_sym"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1))))
 
+  /** Unsigned UTF-8 byte order — Spark's (and DuckDB's) binary string
+    * ordering, so driver-side tie-breaks match the engine's exactly
+    * (UTF-16 `compareTo` diverges for supplementary-plane text). */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /**
+   * Real-vocabulary BPE trainer — how 32k-merge tokenizers actually
+   * train at 100 TB: the ONE corpus-scan is the distributed
+   * word-frequency aggregate; the merge loop then runs driver-side
+   * over the collected top-`vocabTopK` vocab (bounded TOKENIZER
+   * TRAINING STATE, the same driver-side shape as [[bpeTrain]]'s
+   * merge-table collect — a 2²⁰-word vocab is tens of MB, and
+   * frequency truncation is the standard `min_frequency` practice:
+   * LOUD here as an explicit cap, not a silent heuristic). The
+   * in-memory loop replays [[bpeState]]'s semantics exactly — freq-
+   * weighted adjacent-pair counts, top pair by count with ties to the
+   * UTF-8-smallest (a, b), left-to-right non-overlapping merge
+   * application — via an inverted pair→words index, so each round
+   * touches only the words containing the chosen pair (Sennrich's
+   * algorithm). Differential spec: identical merge tables to the
+   * distributed loop at equal rounds whenever `vocabTopK` covers the
+   * vocab.
+   *
+   * Rounds are unbounded (this is the ≥1k-merge path); serving a model
+   * trained here goes through [[bpeEncodeWithLocal]] automatically via
+   * [[bpeEncodeWith]]'s dispatch.
+   */
+  def bpeTrainTopK(docs: DataFrame, rounds: Int,
+                   vocabTopK: Int = 1 << 20): BpeModel = {
+    require(rounds >= 1, s"rounds=$rounds")
+    require(vocabTopK >= 1, s"vocabTopK=$vocabTopK")
+    // bounded top-K by frequency (word asc on ties — deterministic):
+    // TakeOrderedAndProject, never a global sort
+    val vocab = bpeVocab(docs)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabTopK)
+      .select(col("word"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    BpeModel(bpeMergesInMemory(vocab, rounds))
+  }
+
+  /** The driver-side Sennrich loop over a collected (word, freq)
+    * vocab. Package-private for the differential spec. */
+  private[operators] def bpeMergesInMemory(
+      vocab: Array[(String, Long)], rounds: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // per-word symbol lists (code points, = the (?s)(.) segmentation)
+    val words = vocab.map { case (w, _) =>
+      val syms = new mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n)
+        i += n
+      }
+      syms
+    }
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def wordPairs(wi: Int): Iterator[(String, String)] = {
+      val s = words(wi)
+      (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    }
+    def addWord(wi: Int): Unit = wordPairs(wi).foreach { p =>
+      counts(p) = counts.getOrElse(p, 0L) + freqs(wi)
+      where.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    def delWord(wi: Int): Unit = {
+      val seen = mutable.Set.empty[(String, String)]
+      wordPairs(wi).foreach { p =>
+        val c = counts.getOrElse(p, 0L) - freqs(wi)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        seen += p
+      }
+      // a pair may keep count from other words while vanishing from
+      // this one: drop membership for exactly this word's pairs
+      seen.foreach(p => where.get(p).foreach(_ -= wi))
+    }
+    words.indices.foreach(addWord)
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      if (counts.isEmpty) exhausted = true // fixpoint: identity rounds
+      else {
+        var best: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (utf8Lt(p._1, best._1) ||
+                (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+            { best = p; bestC = c }
+        }
+        merges += best
+        val (a, b) = best
+        val touched = where.getOrElse(best, mutable.Set.empty).toArray
+        touched.foreach { wi =>
+          delWord(wi) // retire the word's old pair contributions
+          val s = words(wi)
+          val out = new mutable.ArrayBuffer[String](s.length)
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          words(wi) = out
+          addWord(wi) // and index the merged form
+        }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** Largest merge count served as a codegen'd expression fold: each
+    * merge nests one `replace`, and past this depth the generated
+    * method approaches the 64 KB JVM bytecode limit / analyzer blowup.
+    * Real tokenizers (32k–100k merges) serve through the
+    * partition-local path instead ([[bpeEncodeWithLocal]]). */
+  val MaxCodegenMerges: Int = 64
+
   /** Per-document token counts of ANY document frame under a trained
     * model — [[bpeEncode]]'s output schema, computable on documents
-    * the trainer never saw: each word is char-sentinelized and the
-    * learned merges fold over it in training order (the identical
-    * greedy `replace`, so for in-training words the count is
-    * bit-identical to the trained vocab's segmentation — spec-pinned
-    * stream ≡ batch). Document-local throughout: no shuffle except the
-    * doc-keyed rollup, no vocab join, safe inside `foreachBatch` at
-    * any arrival rate. */
-  def bpeEncodeWith(docs: DataFrame, model: BpeModel): DataFrame = {
+    * the trainer never saw. Dispatches on model size (r9 verdict
+    * item 2): up to [[MaxCodegenMerges]] merges the segmentation is a
+    * pure codegen'd projection ([[bpeEncodeWithFold]]); past that —
+    * real vocabularies — the collected merge table applies
+    * partition-locally ([[bpeEncodeWithLocal]], the codec
+    * `mapPartitions` shape). Both paths are spec-pinned identical on
+    * the same model; both are document-local (no shuffle except the
+    * doc-keyed rollup, no vocab join) and safe inside `foreachBatch`
+    * at any arrival rate. */
+  def bpeEncodeWith(docs: DataFrame, model: BpeModel): DataFrame =
+    if (model.merges.size <= MaxCodegenMerges) bpeEncodeWithFold(docs, model)
+    else bpeEncodeWithLocal(docs, model)
+
+  /** The ≤[[MaxCodegenMerges]] serving path: each word is
+    * char-sentinelized and the learned merges fold over it in training
+    * order as nested codegen'd `replace`s (the trainer's identical
+    * greedy replace, so for in-training words the count is
+    * bit-identical to the trained vocab's segmentation). */
+  private[operators] def bpeEncodeWithFold(docs: DataFrame,
+                                           model: BpeModel): DataFrame = {
+    require(model.merges.size <= MaxCodegenMerges,
+      s"${model.merges.size} merges cannot serve as a codegen fold — " +
+        "use bpeEncodeWithLocal")
     val seg0 = regexp_replace(col("word"), "(?s)(.)", Sent + "$1" + Term)
     val segN = model.merges.foldLeft(seg0) { case (c, (a, b)) =>
       replace(c, lit(Sent + a + Term + Sent + b + Term),
@@ -958,6 +1109,69 @@ object TextOps {
       .filter(!col("word").rlike("^" + SpaceRun + "$") &&
         !col("word").contains(Sent) && !col("word").contains(Term))
       .select(col("doc_id"), size_(bpeSyms(segN)).cast("long").as("n_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+  }
+
+  /** Greedy symbol count of one word under a merge list applied in
+    * training order — the plain-Scala twin of the codegen fold: per
+    * merge, one left-to-right non-overlapping pass over WHOLE adjacent
+    * symbols (exactly `replace`'s semantics over the sentinelized
+    * form, symbol-exact per the r8 merge-boundary fix). Initial
+    * symbols are code points, matching Java-regex `(?s)(.)`. */
+  private[operators] def bpeSymCount(word: String,
+                                     merges: Seq[(String, String)]): Long = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      syms += word.substring(i, i + n)
+      i += n
+    }
+    merges.foreach { case (a, b) =>
+      if (syms.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+      }
+    }
+    syms.length.toLong
+  }
+
+  /** The real-vocabulary serving path: the collected merge table ships
+    * in the task closure (tokenizer METADATA — a 32k-merge model is
+    * ~1 MB) and applies partition-locally through the codec
+    * `mapPartitions` batch shape, with a per-partition word→count memo
+    * (Zipf reuse makes the memo hit rate ~the corpus' type/token
+    * ratio; capped so a pathological all-distinct partition can't grow
+    * it unbounded). Same output schema and — spec-pinned — the same
+    * counts as [[bpeEncodeWithFold]] on any model both can serve. */
+  def bpeEncodeWithLocal(docs: DataFrame, model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = model.merges
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(bpeishTokens(col("text"))).as("word"))
+      .filter(!col("word").rlike("^" + SpaceRun + "$") &&
+        !col("word").contains(Sent) && !col("word").contains(Term))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        it.map { case (id, w) =>
+          var n = memo.get(w)
+          if (n == null) {
+            n = bpeSymCount(w, merges)
+            if (memo.size < 65536) memo.put(w, n)
+          }
+          (id, n.longValue())
+        }
+      }
+      .toDF("doc_id", "n_syms")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
   }

@@ -59,6 +59,88 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("WavPcmCodec decodes real RIFF/PCM bytes with analytic sample stats") {
+    // r9 verdict item 6: a second REAL codec behind the batch
+    // boundary. Fixture streams are generated (not checked in) with
+    // analytic ground truth: a ramp -100..100 has sumAbs = 2*5050,
+    // peak 100, 201 frames.
+    def wav(samples: Array[Short], rate: Float = 16000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = samples(i).toByte
+        data(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val ramp = wav((-100 to 100).map(_.toShort).toArray)
+    val edge = wav(Array[Short](Short.MinValue, Short.MaxValue, 0, -1))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, ramp), Multimodal.MediaRow(2L, edge),
+      Multimodal.MediaRow(3L, ramp), Multimodal.MediaRow(4L, ramp),
+      Multimodal.MediaRow(5L, edge))).coalesce(1)
+    val got = Multimodal.decodeAudioBatched(media, batchSize = 2)
+      .collect().map(r => r.id -> r).toMap
+    for (i <- Seq(1L, 3L, 4L)) {
+      val r = got(i)
+      assert(r.sampleRate == 16000 && r.channels == 1 && r.nFrames == 201L)
+      assert(r.sumAbs == 10100L && r.peakAbs == 100, s"$r")
+    }
+    for (i <- Seq(2L, 5L)) {
+      val r = got(i)
+      assert(r.nFrames == 4L && r.peakAbs == 32768 &&
+        r.sumAbs == 32768L + 32767L + 0L + 1L, s"$r")
+    }
+    // batch shape: 5 rows in one partition at batchSize=2 -> 2,2,1
+    assert(got.values.groupBy(_.batchId).view.mapValues(_.size).toMap ==
+      Map(0 -> 2, 1 -> 2, 2 -> 1))
+    // undecodable payloads fail loudly
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, Array[Byte](82, 73, 70, 70))))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioBatched(bad).collect()
+    }
+    // a non-16-bit stream is refused, not silently mis-summed
+    val eightBit = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt, 4)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioBatched(spark.createDataset(
+        Seq(Multimodal.MediaRow(8L, eightBit)))).collect()
+    }
+    assert(err.getMessage.contains("16-bit") ||
+      err.getCause != null, s"${err.getMessage}")
+  }
+
+  test("audio stub decode is deterministic, in-range, and block math stays narrow") {
+    val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "audio")
+    val d = m.select(Multimodal.decodeAudioStub($"payload").as("a"))
+      .select("a.sample_rate", "a.channels", "a.n_frames")
+      .as[(Int, Int, Long)].collect()
+    assert(d.forall { case (sr, ch, nf) =>
+      Seq(8000, 16000, 22050, 44100).contains(sr) &&
+        (ch == 1 || ch == 2) && nf >= 8000L && nf < 488000L })
+    val e = Multimodal.audioEnergyStub(m)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(e.length == 3)
+    assert(e.forall { case (_, nb, sum, pk, pb) =>
+      nb >= 1L && nb <= 31L && pk >= 0L && pk < 10000L &&
+        pb >= 0L && pb < nb && sum >= pk })
+  }
+
   private lazy val docs = Seq(
     (1L, "a small payload"), (2L, "another payload"), (3L, "третий"))
     .toDF("doc_id", "text")
@@ -156,6 +238,67 @@ class MultimodalSpec extends SparkSpec {
     val ph = m.select(Multimodal.phashStub($"payload", 24)).as[Long].collect()
     assert(ph.forall(h => h >= 0L && h < (1L << 24)))
     assert(ph(0) == ph(1) && ph(0) == ph(3))
+  }
+
+  test("adaptivePhashBits holds expected bucket occupancy constant") {
+    // small corpora keep the 24-bit default; width then tracks
+    // ceil(log2(n/64)) per band; the 60-bit stub budget caps it
+    assert(Multimodal.adaptivePhashBits(0L) == 24)
+    assert(Multimodal.adaptivePhashBits(500L) == 24)
+    assert(Multimodal.adaptivePhashBits(5000L) == 28)   // 78 buckets -> 7
+    assert(Multimodal.adaptivePhashBits(100000L) == 44) // 1562 -> 11
+    assert(Multimodal.adaptivePhashBits(500000L) == 52) // 7812 -> 13
+    assert(Multimodal.adaptivePhashBits(Long.MaxValue / 2) == 60)
+    // exact powers of two at the boundary: 2^b >= buckets, smallest b
+    assert(Multimodal.adaptivePhashBits(64L * 128L) == 28)      // =2^7
+    assert(Multimodal.adaptivePhashBits(64L * 128L + 64L) == 32) // 129 -> 8
+    // occupancy invariant while the 60-bit budget allows: n / 2^bandBits
+    // stays in (16, 64] until the 15-bit/band cap binds at n > 64*2^15
+    for (n <- Seq(10000L, 100000L, 1000000L, 2000000L)) {
+      val bandBits = Multimodal.adaptivePhashBits(n) / 4
+      val occ = n.toDouble / (1L << bandBits)
+      assert(occ <= 64.0 && occ > 16.0, s"n=$n bandBits=$bandBits occ=$occ")
+    }
+    // past the cap the width pins at 60 and occupancy grows — the
+    // stop-bucket guard (not the width) is the backstop there
+    assert(Multimodal.adaptivePhashBits(10000000L) == 60)
+  }
+
+  test("phash stop-bucket guard drops degenerate buckets; stats account for them") {
+    // 40 identical payloads (one bucket per band holds all 40) + 2
+    // distinct near-dup-free docs. At maxBucket=8 the degenerate
+    // bucket must be dropped WHOLE (no 40*39/2 pair blowup), while
+    // the stats twin reports exactly what was dropped.
+    val rows = (1L to 40L).map(i => (i, "the same bytes every time")) ++
+      Seq((100L, "distinct payload one"), (200L, "distinct payload two"))
+    val m = Multimodal.asMedia(rows.toDF("doc_id", "text"),
+      "doc_id", $"text".cast("binary"), "image")
+    val pairs = Multimodal.phashNearDupPairs(m, maxBucket = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.forall { case (a, b, _) => a > 40L || b > 40L || false },
+      s"pairs among the guarded duplicates must be dropped: ${pairs.toSeq}")
+    assert(pairs.isEmpty,
+      s"the two distinct docs share no band: ${pairs.toSeq}")
+    // unguarded: the full quadratic pair set appears (the disease)
+    val unguarded = Multimodal.phashNearDupPairs(m, maxBucket = 4096)
+      .as[(Long, Long, Long)].collect()
+    assert(unguarded.length == 40 * 39 / 2)
+    // loud accounting: every band dropped its one 40-doc bucket
+    val stats = Multimodal.phashBucketStats(m, maxBucket = 8)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats.map(_._1) == Seq(0, 1, 2, 3))
+    for ((band, nDocs, nBuckets, maxB, hot, dropped) <- stats) {
+      assert(nDocs == 42L, s"band $band")
+      assert(maxB == 40L && hot == 1L && dropped == 40L,
+        s"band $band: max=$maxB hot=$hot dropped=$dropped")
+      assert(nBuckets >= 1L && nBuckets <= 3L)
+    }
+    // at the operative default nothing is hot (the guard never binds
+    // at spec scale — the correctness gate's outputs are unchanged)
+    val calm = Multimodal.phashBucketStats(m)
+      .select($"hot_buckets", $"dropped_docs")
+      .as[(Long, Long)].collect()
+    assert(calm.forall(_ == ((0L, 0L))))
   }
 
   test("sceneChanges matches a Scala reference of the stub end-to-end") {

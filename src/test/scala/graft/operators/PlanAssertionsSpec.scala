@@ -369,7 +369,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // unpartitioned window runs at the super-bucket level only)
     val media = Multimodal.asMedia(docs, "doc_id",
       $"text".cast("binary"), "image")
-    val mpairs = Multimodal.phashNearDupPairs(media)
+    val mpairs = Multimodal.phashNearDupPairsAuto(media)
       .select($"doc_a", $"doc_b")
     val comp = Dedup.starContractComponents(mpairs)
     val msurv = comp.groupBy($"component").agg(min($"id").as("doc_id"))
@@ -381,6 +381,24 @@ class PlanAssertionsSpec extends SparkSpec {
     val packed = Multimodal.shardPack(keep)
     assert(!plan(packed).contains("CartesianProduct"), plan(packed))
     keyedWindowsOnly(packed, allowUnpartitioned = 1)
+  }
+
+  test("phash pair join carries the stop-bucket anti-join guard in-plan") {
+    // r9 verdict item 1 regression pin: the hardened media path keeps
+    // (a) the hot-bucket LeftAnti guard ahead of the self-join, (b) a
+    // band/bv-keyed equi-join (never a cartesian), and (c) only
+    // (id, 8-byte hash)-width rows in the join (payloads never move).
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val media = Multimodal.asMedia(docs, "doc_id",
+      $"text".cast("binary"), "image")
+    val p = plan(Multimodal.phashNearDupPairsAuto(media))
+    assert(p.contains("LeftAnti"), s"stop-bucket guard missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(band") ||
+      p.contains("band#"), s"band-keyed join missing:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("payload")),
+      s"payload bytes must not enter the pair join:\n$p")
   }
 
   test("dupSpans joins spans on the fingerprint key, never a global sort") {

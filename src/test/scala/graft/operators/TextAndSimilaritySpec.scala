@@ -739,6 +739,84 @@ class TextAndSimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeTrainTopK replays the distributed trainer merge-for-merge") {
+    // differential gate for the driver-side Sennrich loop: identical
+    // merge tables to the oracle-replayable distributed loop whenever
+    // vocabTopK covers the vocab — on the pinned era/ve/ver corpus and
+    // on real sf0.001 documents
+    val corpus = ((1 to 6).map(i => (i.toLong, "era")) ++
+      (7 to 11).map(i => (i.toLong, "ve")) ++ Seq((12L, "ver")))
+      .toDF("doc_id", "text")
+    assert(TextOps.bpeTrainTopK(corpus, rounds = 4).merges ==
+      Seq(("e", "r"), ("er", "a"), ("v", "e"), ("v", "er")))
+    val docs = graft.sources.ChangeLogSource
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    assert(TextOps.bpeTrainTopK(docs, rounds = 8).merges ==
+      TextOps.bpeTrain(docs, rounds = 8).merges,
+      "in-memory trainer must equal the distributed loop at 8 rounds")
+    // fixpoint semantics match too: a corpus exhausting its pairs
+    // early yields the short merge table, not an error (pre-tokens of
+    // "ab ab" are ["ab", " ab"] — GPT-2-style leading space)
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainTopK(tiny, rounds = 10).merges ==
+      Seq(("a", "b"), (" ", "ab")))
+  }
+
+  test("a >=1k-merge model trains and serves through the partition-local path") {
+    // r9 verdict item 2: the 64-merge codegen ceiling must not be the
+    // tokenizer's ceiling. 2000 distinct 8-char words: exhaustion
+    // requires a distinct full-word merge per word, so >=2000 rounds
+    // are sustainable by construction.
+    def word(i: Int): String =
+      (0 until 8).map(d => ('a' + (i / math.pow(7, d).toInt) % 7).toChar)
+        .mkString
+    val n = 2000
+    val corpus = (0 until n).map(i =>
+      (i.toLong, s"${word(i)} ${word((i * 7) % n)} ${word((i * 13) % n)}"))
+      .toDF("doc_id", "text")
+    val model = TextOps.bpeTrainTopK(corpus, rounds = 1200)
+    assert(model.merges.size == 1200,
+      s"corpus must sustain 1200 merges, got ${model.merges.size}")
+    // the dispatch routes past-64-merge models to the local path, and
+    // its counts agree with the trained vocab's own segmentation
+    val served = TextOps.bpeEncodeWith(corpus, model)
+      .as[(Long, Long, Long)].collect().map { case (d, w, t) => d -> ((w, t)) }.toMap
+    assert(served.size == n && served.values.forall(_._1 == 3L))
+    // more merges can only compress: 1200-merge counts <= 64-merge
+    val small = TextOps.BpeModel(model.merges.take(64))
+    val under64 = TextOps.bpeEncodeWithFold(corpus, small)
+      .as[(Long, Long, Long)].collect().map { case (d, _, t) => d -> t }.toMap
+    assert(served.forall { case (d, (_, t)) => t <= under64(d) })
+    // fold ≡ local on the same (<=64-merge) model — the two serving
+    // paths are interchangeable where both can run
+    val viaLocal = TextOps.bpeEncodeWithLocal(corpus, small)
+      .as[(Long, Long, Long)].collect().map { case (d, w, t) => d -> ((w, t)) }.toMap
+    val viaFold = TextOps.bpeEncodeWithFold(corpus, small)
+      .as[(Long, Long, Long)].collect().map { case (d, w, t) => d -> ((w, t)) }.toMap
+    assert(viaLocal == viaFold)
+    // stream ≡ batch under the big model (foreachBatch ingest twin)
+    val want = TextOps.bpeEncodeWith(corpus, model)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        TextOps.bpeEncodeWith(b.toDF(), model)
+          .as[(Long, Long, Long)].collect()
+          .foreach(r => got.synchronized { got(r._1) = r })
+        ()
+      }.start()
+    try {
+      corpus.as[(Long, String)].collect().grouped(500).foreach { g =>
+        input.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      assert(got.toMap == want,
+        "per-micro-batch big-model encoding must equal batch")
+    } finally q.stop()
+  }
+
   test("filterAblation separates marginal removal from overlapping removal") {
     val long30 = "abcdefghijklmnopqrstuvwxyzabcd" // 30-char token
     val docs = Seq(
