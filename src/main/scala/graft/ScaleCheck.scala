@@ -490,6 +490,12 @@ object ScaleCheck {
           Seq("doc_id"), "left_semi")
         TextOps.shardAssign(train)
       }),
+      "mm_phash_neardup" -> (() =>
+        // the hardened pair join in isolation (r10): adaptive width +
+        // stop-bucket guard must hold linear shuffle on their own,
+        // without the manifest's downstream stages
+        Multimodal.phashNearDupPairsAuto(Multimodal.asMedia(docs,
+          "doc_id", col("text").cast("binary"), "image"))),
       "pipeline_media_manifest" -> (() => {
         val media = Multimodal.asMedia(docs, "doc_id",
           col("text").cast("binary"), "image")

@@ -101,6 +101,55 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /** 8-char word over a 7-letter alphabet — the spec corpus shape; the
+    * serving stream draws words from the same 2000-word vocabulary the
+    * model trained on, so the partition-local memo sees Zipf-like
+    * reuse (the realistic case). */
+  private def word7(i: Long): String = {
+    val sb = new StringBuilder(8)
+    var v = i
+    for (_ <- 0 until 8) { sb += ('a' + (v % 7).toInt).toChar; v /= 7 }
+    sb.toString
+  }
+
+  /** Rate-scaled BPE SERVING (r10): a 1000-merge model (trained once,
+    * up front — never inside a batch) drives
+    * [[graft.operators.TextOps.bpeEncodeWith]] inside `foreachBatch`
+    * at `mult × 250` docs per batch through the partition-local path.
+    * The ingest-path claim ("safe at any arrival rate") requires flat
+    * per-batch latency at both rates; the path is stateless, so
+    * stateRows stays 0. */
+  private def runBpeServe(spark: SparkSession, mult: Int,
+                          model: graft.operators.TextOps.BpeModel): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = mult * 250
+    val batches = 12
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssc-bpe-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        graft.operators.TextOps.bpeEncodeWith(b.toDF(), model)
+          .write.mode("overwrite").format("noop").save()
+        ()
+      }.start()
+    try {
+      var id = 0L
+      for (_ <- 0 until batches) {
+        val data = (0 until perBatch).map { _ =>
+          id += 1
+          (id, (0 until 12).map(j => word7((id * 12 + j) % 2000))
+            .mkString(" "))
+        }
+        input.addData(data: _*)
+        q.processAllAvailable()
+      }
+      report("bpeserve", mult, progressLines(q))
+    } finally q.stop()
+  }
+
   /** Rate-scaled [[GapMonitor]]: `mult × 500` sequential offsets per
     * batch across 4 sources, every 100th offset arriving one batch
     * late (a fill), so the missing set stays busy but bounded —
@@ -171,7 +220,20 @@ object StreamScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val want: Set[String] =
-      if (args.isEmpty) Set("neardup", "gapmon", "extract") else args.toSet
+      if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve")
+      else args.toSet
+
+    // the serving model trains ONCE (the train/serve boundary the
+    // operator documents); 2000 distinct words sustain 1000 merges
+    lazy val bpeModel = {
+      import spark.implicits._
+      val corpus = (0 until 2000).map(i =>
+        (i.toLong, s"${word7(i)} ${word7((i * 7) % 2000)} " +
+          s"${word7((i * 13) % 2000)}")).toDF("doc_id", "text")
+      val m = graft.operators.TextOps.bpeTrainTopK(corpus, rounds = 1000)
+      println(s"STREAMSCALE bpeserve model merges=${m.merges.size}")
+      m
+    }
 
     // events replicated mult x (ids offset per copy) as 16 disjoint
     // range segments — each parquet FILE is a segment, its footer
@@ -196,6 +258,7 @@ object StreamScaleCheck {
       if (want("neardup")) runNearDup(spark, mult)
       if (want("gapmon")) runGapMon(spark, mult)
       if (want("extract")) runExtract(spark, mult, segDirFor(mult))
+      if (want("bpeserve")) runBpeServe(spark, mult, bpeModel)
     }
     spark.stop()
   }

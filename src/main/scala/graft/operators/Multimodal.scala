@@ -551,4 +551,160 @@ object Multimodal {
       }
     }
   }
+
+  // ---- REAL frame sampling over multi-frame containers (r10) ----
+
+  /** One sampled, decoded frame of a multi-frame payload: index in the
+    * container, dimensions, exact per-channel pixel sums, and the
+    * frame's 64-bit average hash (the REAL perceptual fingerprint the
+    * scene-cut detector compares — [[ahash64]]). */
+  final case class DecodedFrame(frameIx: Int, width: Int, height: Int,
+                                sumR: Long, sumG: Long, sumB: Long,
+                                ahash: Long)
+
+  final case class SampledFrameRow(id: Long, frameIx: Int, width: Int,
+                                   height: Int, sumR: Long, sumG: Long,
+                                   sumB: Long, ahash: Long)
+
+  /** 64-bit average hash of a decoded frame — the classic aHash: the
+    * image folds to an 8×8 grid of mean luminances (integer r+g+b per
+    * pixel, exact arithmetic), and bit `i` is set iff cell `i`'s mean
+    * exceeds the grid mean. Deterministic for given pixels; Hamming
+    * distance between frame hashes tracks visual change, which is what
+    * [[sceneCuts]] thresholds. (A constant frame hashes to 0 — aHash
+    * carries structure, not absolute color.) */
+  def ahash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cw = math.max(1, w / 8); val ch = math.max(1, h / 8)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y / ch)
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val lum = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        val c = cy * 8 + math.min(7, x / cw)
+        sums(c) += lum; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // scaled integer cell means (×64, truncated — deterministic):
+    // cell i is "bright" iff its mean exceeds the grid mean, compared
+    // cross-multiplied so no floats enter the hash
+    val avgNum = new Array[Long](64)
+    var totNum = 0L
+    var i = 0
+    while (i < 64) {
+      avgNum(i) = if (cnts(i) == 0) 0L else sums(i) * 64L / cnts(i)
+      totNum += avgNum(i)
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (avgNum(i) * 64L > totNum) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** A frame codec: decode every `everyN`-th frame of ONE multi-frame
+    * payload — the boundary a video decoder exposes (seek + decode at
+    * stride, never materialize the full frame set). */
+  trait FrameCodec extends Serializable {
+    def decodeFrames(bytes: Array[Byte], everyN: Int): Seq[DecodedFrame]
+  }
+
+  /** Pure-JVM multi-frame decoder over animated GIF (`javax.imageio`'s
+    * only multi-frame container) — frame SAMPLING runs real bytes, not
+    * the h60 stub: the reader seeks each sampled index and decodes
+    * only those frames (the `everyN` stride is applied BEFORE decode,
+    * exactly how a video pipeline avoids decoding dropped frames).
+    * Exact per-channel pixel sums per sampled frame (GIF is
+    * palette-indexed — decode is bit-exact, no IDCT variance).
+    * Undecodable payloads fail loudly. */
+  object GifFrameCodec extends FrameCodec {
+    def decodeFrames(bytes: Array[Byte], everyN: Int): Seq[DecodedFrame] = {
+      require(everyN >= 1, s"everyN=$everyN")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "GifFrameCodec: undecodable payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        (0 until n by everyN).map { i =>
+          val img = r.read(i)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(i, img.getWidth, img.getHeight, sr, sg, sb,
+            ahash64(img))
+        }
+      } finally { r.dispose(); iis.close() }
+    }
+  }
+
+  /**
+   * Real frame sampling through the partition-iterator shape: each
+   * payload decodes only its every-`everyN`-th frames (one codec call
+   * per payload — a frame container seeks internally, unlike the
+   * fixed-size image/audio batches), emitting one row per SAMPLED
+   * frame. Payload-local: no shuffle; peak task state is one payload's
+   * sampled frames. The h60 [[frameSampleStub]] remains the
+   * oracle-replayable twin for the synthetic tables.
+   */
+  def sampleFramesBatched(media: Dataset[MediaRow],
+                          codec: FrameCodec = GifFrameCodec,
+                          everyN: Int = 2): Dataset[SampledFrameRow] = {
+    implicit val enc: Encoder[SampledFrameRow] =
+      Encoders.product[SampledFrameRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        codec.decodeFrames(m.payload, everyN).map(f =>
+          SampledFrameRow(m.id, f.frameIx, f.width, f.height,
+            f.sumR, f.sumG, f.sumB, f.ahash))
+      }
+    }
+  }
+
+  /**
+   * REAL scene-cut detection — [[sceneChanges]]'s h60 stub replaced by
+   * decoded bytes end-to-end: sampled frames decode through the frame
+   * codec (each carrying its [[ahash64]] fingerprint), consecutive
+   * sampled frames compare by Hamming distance over a per-video
+   * window, and a jump above `maxDist` is a cut. Emits every
+   * consecutive-frame comparison (`is_cut` flags the threshold
+   * crossings — the caller tunes on the full distance distribution,
+   * nothing is silently dropped).
+   *
+   * Scale shape identical to the stub twin: decode is payload-local
+   * (no shuffle), the one window partitions by video id, and only
+   * (id, frame_ix, 8-byte hash) rows move.
+   */
+  def sceneCuts(media: Dataset[MediaRow], everyN: Int = 2,
+                maxDist: Int = 8,
+                codec: FrameCodec = GifFrameCodec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("frameIx"))
+    sampleFramesBatched(media, codec, everyN).toDF()
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("id"), col("frameIx").as("frame_ix"),
+        expr("cast(bit_count(ahash ^ prev) as bigint)").as("hamming"))
+      .withColumn("is_cut", col("hamming") > maxDist)
+      .orderBy(col("id"), col("frame_ix"))
+  }
 }

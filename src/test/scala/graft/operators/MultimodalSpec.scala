@@ -125,6 +125,99 @@ class MultimodalSpec extends SparkSpec {
       err.getCause != null, s"${err.getMessage}")
   }
 
+  test("GifFrameCodec samples every Nth frame of real multi-frame bytes, decodes exactly") {
+    // r10: frame sampling runs REAL bytes (animated GIF — the JRE's
+    // multi-frame container; palette-indexed, so decode is bit-exact).
+    // 6 constant-color 8x4 frames: frame i is rgb(40i, 200-30i, 10+20i)
+    // -> channel sums are 32x those values, analytically.
+    def gif(nFrames: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until nFrames) {
+        // indexed frames with an explicit exact palette: a GIF writer
+        // may quantize RGB input through a fixed web palette, which
+        // would break the analytic sums
+        val (r, g, b) = (40 * i, 200 - 30 * i, 10 + 20 * i)
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(8, 4,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        // default raster is all index 0 = the frame color
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, gif(6)), Multimodal.MediaRow(2L, gif(3))))
+    val got = Multimodal.sampleFramesBatched(media, everyN = 2)
+      .collect().toSeq.sortBy(r => (r.id, r.frameIx))
+    // stride 2: doc 1 samples frames 0,2,4; doc 2 samples 0,2
+    assert(got.map(r => (r.id, r.frameIx)) ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2)))
+    for (r <- got) {
+      assert(r.width == 8 && r.height == 4)
+      val i = r.frameIx
+      assert((r.sumR, r.sumG, r.sumB) ==
+        ((32L * 40 * i, 32L * (200 - 30 * i), 32L * (10 + 20 * i))),
+        s"frame $i sums: $r")
+    }
+    // stride 1 decodes everything; the stride is applied BEFORE decode
+    assert(Multimodal.sampleFramesBatched(media, everyN = 1)
+      .collect().length == 9)
+    // undecodable payloads fail loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFramesBatched(spark.createDataset(
+        Seq(Multimodal.MediaRow(9L, Array[Byte](3, 1, 4))))).collect()
+    }
+  }
+
+  test("sceneCuts detects a real scene boundary from decoded frame bytes") {
+    // two-scene 16x16 GIF: frames 0-3 left-half white (scene A),
+    // frames 4-7 top-half white (scene B). aHash carries structure:
+    // A sets the 32 left cells, B the 32 top cells -> Hamming 32 at
+    // the boundary, 0 within a scene.
+    def sceneGif(): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until 8) {
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(0.toByte, 255.toByte), Array(0.toByte, 255.toByte),
+          Array(0.toByte, 255.toByte))
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val bright = if (f < 4) x < 8 else y < 8
+          img.setRGB(x, y, if (bright) 0xFFFFFF else 0x000000)
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(Multimodal.MediaRow(7L, sceneGif())))
+    val got = Multimodal.sceneCuts(media, everyN = 2, maxDist = 8)
+      .select($"id", $"frame_ix", $"hamming", $"is_cut")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // sampled frames 0,2,4,6 -> comparisons at 2 (within A), 4 (the
+    // cut), 6 (within B)
+    assert(got.map(r => (r._2, r._3, r._4)) ==
+      Seq((2, 0L, false), (4, 32L, true), (6, 0L, false)), s"$got")
+  }
+
   test("audio stub decode is deterministic, in-range, and block math stays narrow") {
     val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "audio")
     val d = m.select(Multimodal.decodeAudioStub($"payload").as("a"))
