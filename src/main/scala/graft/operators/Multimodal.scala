@@ -250,11 +250,16 @@ object Multimodal {
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph")))
+          .cast("long").as("hamming"))
+      // verify BEFORE dedup: the Hamming gate is codegen'd map-side
+      // work, so failed candidates (the overwhelming majority) never
+      // reach the distinct's exchange — the dedup aggregates only
+      // true near-dups. Same result set as dedup-then-verify (the
+      // distance is a function of the pair), measured ~2x cheaper at
+      // the 100x probe.
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** [[phashNearDupPairs]] with the hash width derived from the corpus
