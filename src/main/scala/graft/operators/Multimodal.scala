@@ -536,6 +536,53 @@ object Multimodal {
       }
   }
 
+  final case class AudioBlockRow(id: Long, block: Int, nSamples: Long,
+                                 sumAbs: Long, peakAbs: Int)
+
+  /** Real per-block audio energies — [[audioEnergyStub]]'s byte-level
+    * twin (the way [[sceneCuts]] twins the scene stub): the decoded
+    * 16-bit PCM stream splits into fixed `blockSamples` windows and
+    * each emits exact integer statistics (sample count, Σ|s|,
+    * peak |s|) — the series a speech/music/silence gate thresholds.
+    * One row per (payload, block); payload-local, blocks bounded by
+    * stream length / blockSamples. */
+  def audioBlockEnergies(media: Dataset[MediaRow],
+                         blockSamples: Int = 16000): Dataset[AudioBlockRow] = {
+    require(blockSamples >= 1, s"blockSamples=$blockSamples")
+    implicit val enc: Encoder[AudioBlockRow] = Encoders.product[AudioBlockRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16,
+            s"audioBlockEnergies: 16-bit signed PCM only, got $fmt")
+          val data = in.readAllBytes()
+          val out = Seq.newBuilder[AudioBlockRow]
+          var (i, b) = (0, 0)
+          while (i + 1 < data.length) {
+            var (n, sumAbs, peak) = (0L, 0L, 0)
+            while (n < blockSamples && i + 1 < data.length) {
+              val s =
+                if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+                else (data(i + 1) << 8) | (data(i) & 0xff)
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              n += 1; i += 2
+            }
+            out += AudioBlockRow(m.id, b, n, sumAbs, peak)
+            b += 1
+          }
+          out.result()
+        } finally in.close()
+      }
+    }
+  }
+
   /** [[decodeImagesBatched]]'s audio twin: identical partition-iterator
     * batch shape (payloads buffered `batchSize` at a time, ONE codec
     * call per batch), real byte-level WAV decode. Work is

@@ -218,6 +218,34 @@ class MultimodalSpec extends SparkSpec {
       Seq((2, 0L, false), (4, 32L, true), (6, 0L, false)), s"$got")
   }
 
+  test("audioBlockEnergies windows real PCM into exact per-block statistics") {
+    // 10-sample blocks over a 25-sample ramp 1..25: blocks of 10,10,5
+    // with analytic sums (1..10=55, 11..20=155, 21..25=115)
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = samples(i).toByte
+        data(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, wav((1 to 25).map(_.toShort).toArray))))
+    val got = Multimodal.audioBlockEnergies(media, blockSamples = 10)
+      .collect().toSeq.sortBy(_.block)
+    assert(got.map(r => (r.block, r.nSamples, r.sumAbs, r.peakAbs)) ==
+      Seq((0, 10L, 55L, 10), (1, 10L, 155L, 20), (2, 5L, 115L, 25)),
+      s"$got")
+  }
+
   test("audio stub decode is deterministic, in-range, and block math stays narrow") {
     val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "audio")
     val d = m.select(Multimodal.decodeAudioStub($"payload").as("a"))
