@@ -24,6 +24,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     ChangeLogSource.table(s, dir, name)
 
+  /** The documents table with every 50th doc re-planted under a
+    * shifted id — deterministic exact near-dups so the wide (30-bit
+    * band) pHash queries verify actual pairs at any SF. Oracle twin:
+    * `UNION ALL ... WHERE doc_id % 50 = 0` with `doc_id + 10000000`. */
+  private def wideDupDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text")))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -1148,6 +1158,28 @@ object SparkEntry {
         bits = Multimodal.adaptivePhashBits(media.count()))
     }),
 
+    "mm_phash_neardup_wide" -> ((s, dir) =>
+      // the multi-word (here 120-bit / 30-bit-band) pHash near-dup
+      // path — the width regime past the single-long 60-bit budget
+      // where adaptivePhashBitsWide keeps occupancy constant out to
+      // ~69B docs (r10 verdict item 1). Static width so the oracle
+      // replays both 60-bit words and the two-word Hamming verify.
+      // Every 50th document is re-planted under a shifted id so the
+      // gate verifies ACTUAL pairs (30-bit bands make non-dups
+      // singleton buckets at this SF — without the plant the result
+      // is trivially empty).
+      Multimodal.phashNearDupPairsWide(Multimodal.asMedia(
+          wideDupDocs(t(s, dir, "documents")), "doc_id",
+          col("text").cast("binary"), "image"), bits = 120)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "mm_phash_bucket_stats_wide" -> ((s, dir) =>
+      // loud occupancy accounting at the wide width over the same
+      // planted-dup corpus: dup buckets hold 2, the rest singletons
+      Multimodal.phashBucketStatsWide(Multimodal.asMedia(
+        wideDupDocs(t(s, dir, "documents")), "doc_id",
+        col("text").cast("binary"), "image"), bits = 120)),
+
     "pipeline_media_manifest" -> ((s, dir) => {
       // FLAGSHIP (media): phash near-dup pairs -> star-contraction
       // clusters -> survivor selection (min id per cluster, untouched
@@ -2001,6 +2033,55 @@ object SparkEntry {
                 cand AS (SELECT DISTINCT x.doc_id AS doc_a,
                                 y.doc_id AS doc_b,
                                 x.ph AS ph_a, y.ph AS ph_b
+                         FROM kept x JOIN kept y
+                           ON x.band = y.band AND x.bv = y.bv
+                          AND x.doc_id < y.doc_id)"""
+
+    // the WIDE (two-word, 120-bit) banded pHash at static bits=120,
+    // bands=4 (= Multimodal.bandedPhashWide): 30-bit bands, 2 per
+    // 60-bit word; word w packs global bit salts [w*60, w*60+60) from
+    // position 0, so the per-bit form is the identical h60 expression
+    // as the narrow CTE with the global index in the salt
+    val phashWideBandedCtes =
+      s"""wdocs AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000, text FROM documents
+                    WHERE doc_id % 50 = 0),
+                m AS (SELECT doc_id, md5(text) AS ck FROM wdocs),
+                ph AS (SELECT doc_id,
+                         CAST(list_sum(list_transform(range(60), i ->
+                           CASE WHEN ${h60("ck || ':' || CAST(i AS VARCHAR)")}
+                                     % 20001 - 10000 > 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0 END)) AS BIGINT) AS ph0,
+                         CAST(list_sum(list_transform(range(60), i ->
+                           CASE WHEN ${h60("ck || ':' || CAST(i + 60 AS VARCHAR)")}
+                                     % 20001 - 10000 > 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0 END)) AS BIGINT) AS ph1
+                       FROM m),
+                banded AS (SELECT doc_id, ph0, ph1, CAST(j AS INT) AS band,
+                                  CASE WHEN j < 2
+                                    THEN (ph0 >> CAST(j * 30 AS INT))
+                                           & ((1::BIGINT << 30) - 1)
+                                    ELSE (ph1 >> CAST((j - 2) * 30 AS INT))
+                                           & ((1::BIGINT << 30) - 1)
+                                  END AS bv
+                           FROM ph CROSS JOIN range(4) t(j))"""
+    // ... plus the stop-bucket guard and the two-word Hamming verify
+    // (= Multimodal.phashNearDupPairsWide)
+    val phashWideCandCtes =
+      s"""$phashWideBandedCtes,
+                hot AS (SELECT band, bv FROM banded
+                        GROUP BY band, bv HAVING count(*) > 4096),
+                kept AS (SELECT k.doc_id, k.ph0, k.ph1, k.band, k.bv
+                         FROM banded k LEFT JOIN hot h
+                           ON k.band = h.band AND k.bv = h.bv
+                         WHERE h.band IS NULL),
+                cand AS (SELECT DISTINCT x.doc_id AS doc_a,
+                                y.doc_id AS doc_b,
+                                x.ph0 AS a0, x.ph1 AS a1,
+                                y.ph0 AS b0, y.ph1 AS b1
                          FROM kept x JOIN kept y
                            ON x.band = y.band AND x.bv = y.bv
                           AND x.doc_id < y.doc_id)"""
@@ -2907,6 +2988,28 @@ object SparkEntry {
 
       "mm_phash_bucket_stats" ->
         s"""WITH $phashBandedCtes,
+                occ AS (SELECT band, bv, count(*) AS bn
+                        FROM banded GROUP BY band, bv)
+           SELECT band, CAST(sum(bn) AS BIGINT) AS n_docs,
+                  count(*) AS n_buckets,
+                  CAST(max(bn) AS BIGINT) AS max_bucket,
+                  CAST(sum(CASE WHEN bn > 4096 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hot_buckets,
+                  CAST(sum(CASE WHEN bn > 4096 THEN bn ELSE 0 END)
+                    AS BIGINT) AS dropped_docs
+           FROM occ GROUP BY band ORDER BY band""",
+
+      "mm_phash_neardup_wide" ->
+        s"""WITH $phashWideCandCtes
+           SELECT doc_a, doc_b,
+                  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                    AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 3
+           ORDER BY doc_a, doc_b""",
+
+      "mm_phash_bucket_stats_wide" ->
+        s"""WITH $phashWideBandedCtes,
                 occ AS (SELECT band, bv, count(*) AS bn
                         FROM banded GROUP BY band, bv)
            SELECT band, CAST(sum(bn) AS BIGINT) AS n_docs,

@@ -301,6 +301,164 @@ object Multimodal {
       .orderBy(col("band"))
   }
 
+  // ---- the WIDE (multi-word) pHash path: widths past 60 bits ----
+
+  /** Word layout of a multi-word banded pHash: `(bandBits,
+    * bandsPerWord, nWords)`. Bands never span words — each 60-bit h60
+    * word carries `floor(60 / bandBits)` whole bands, so band
+    * extraction stays one shift+mask per band and the Hamming verify
+    * one xor+bit_count per word. */
+  private[operators] def wideLayout(bits: Int, bands: Int): (Int, Int, Int) = {
+    require(bands > 0 && bits % bands == 0, s"$bits bits / $bands bands")
+    val bandBits = bits / bands
+    require(bandBits >= 1 && bandBits <= 60, s"bandBits=$bandBits")
+    val bandsPerWord = 60 / bandBits max 1
+    val nWords = (bands + bandsPerWord - 1) / bandsPerWord
+    (bandBits, bandsPerWord, nWords)
+  }
+
+  /** One word of the multi-word stub pHash: bits at GLOBAL indices
+    * `[gLo, gHi)` packed from position 0 — the same per-bit salt
+    * (`md5(payload) ++ ":g"`) as [[phashStub]], so word 0 of a wide
+    * hash IS the narrow stub hash whenever the width fits one word
+    * (differential spec anchor), and the DuckDB oracle replays every
+    * word with the identical `range`+`list_sum` form. */
+  private def phashStubWord(payload: Column, gLo: Int, gHi: Int): Column = {
+    require(gLo >= 0 && gHi > gLo && gHi - gLo <= 60, s"word [$gLo,$gHi)")
+    val ck = md5(payload)
+    (gLo until gHi).map { g =>
+      when(graft.functions.functions.h60(concat(ck, lit(s":$g")))
+        % 20001L - 10000L > 0, lit(1L << (g - gLo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Scale-adaptive pHash width WITHOUT the single-long 60-bit budget —
+   * the [[adaptivePhashBits]] formula with the per-band ceiling lifted
+   * to `maxBandBits` (default 30): the multi-word hash
+   * ([[phashNearDupPairsWide]]) packs bands across `ceil(bands *
+   * bandBits / 60)` h60 words, so width keeps tracking corpus size to
+   * `targetBucketSize · 2^maxBandBits` documents (~69 B at the
+   * defaults) instead of saturating at ~2.1 M (15 bits/band × 4),
+   * where the old cap made the hot-bucket guard the recall bound
+   * (r10 verdict item 1).
+   */
+  def adaptivePhashBitsWide(corpusSize: Long, bands: Int = 4,
+                            targetBucketSize: Int = 64,
+                            maxBandBits: Int = 30): Int = {
+    require(bands > 0 && bands <= 10, s"bands=$bands")
+    require(maxBandBits >= 6 && maxBandBits <= 60, s"maxBandBits=$maxBandBits")
+    require(corpusSize >= 0 && targetBucketSize > 0,
+      s"adaptivePhashBitsWide($corpusSize, $targetBucketSize)")
+    val buckets = math.max(1L, corpusSize / targetBucketSize)
+    val need = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(buckets - 1, 0L))
+    bands * math.min(maxBandBits, math.max(6, need))
+  }
+
+  /** The multi-word banded pHash table `(id, phs array<long>, band,
+    * bv)` — [[bandedPhash]] with the hash spread across
+    * [[wideLayout]]'s words. `phs` carries every word so the verify
+    * step Hamming-compares the FULL hash; band values extract with one
+    * shift+mask from their home word. */
+  private def bandedPhashWide(media: DataFrame, idCol: String,
+                              payloadCol: String, bits: Int,
+                              bands: Int): DataFrame = {
+    val (bandBits, bandsPerWord, nWords) = wideLayout(bits, bands)
+    val mask = (1L << bandBits) - 1
+    val words = (0 until nWords).map { w =>
+      val bandsInWord = math.min(bandsPerWord, bands - w * bandsPerWord)
+      val gLo = w * bandsPerWord * bandBits
+      phashStubWord(col(payloadCol), gLo, gLo + bandsInWord * bandBits)
+    }
+    media.select(col(idCol).as("id"), array(words: _*).as("phs"))
+      .select(col("id"), col("phs"),
+        posexplode(array((0 until bands).map { j =>
+          val w = j / bandsPerWord
+          val off = (j % bandsPerWord) * bandBits
+          shiftright(element_at(col("phs"), w + 1), off)
+            .bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+  }
+
+  /**
+   * [[phashNearDupPairs]] for widths past one long's 60-bit h60
+   * budget: the hash is an ARRAY of 60-bit words, bands extract from
+   * their home word, and the Hamming verify sums one codegen'd
+   * xor+bit_count per word (statically unrolled — no higher-order
+   * lambda in the hot path). Same guard discipline: stop buckets
+   * above `maxBucket` drop WHOLE via a broadcast-tiny anti-join before
+   * the self-join, verify runs BEFORE the distinct so failed
+   * candidates never reach the exchange, and payloads never move —
+   * the join carries `(id, nWords × 8 bytes)`.
+   *
+   * At `bits ≤ 60` this degenerates to one word with bit-identical
+   * hashes to [[phashNearDupPairs]] (differential-spec-pinned); width
+   * should come from [[adaptivePhashBitsWide]], which keeps occupancy
+   * at `targetBucketSize` out to ~69 B documents.
+   */
+  def phashNearDupPairsWide(media: DataFrame, idCol: String = "doc_id",
+                            payloadCol: String = "payload", bits: Int = 120,
+                            bands: Int = 4, maxDist: Int = 3,
+                            maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 0, s"maxBucket=$maxBucket")
+    val (_, _, nWords) = wideLayout(bits, bands)
+    val banded = bandedPhashWide(media, idCol, payloadCol, bits, bands)
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
+    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
+    val hamming = (0 until nWords).map { w =>
+      bit_count(element_at(col("x.phs"), w + 1)
+        .bitwiseXOR(element_at(col("y.phs"), w + 1))).cast("long")
+    }.reduce(_ + _)
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** [[phashNearDupPairsWide]] with the width derived from the corpus
+    * size via [[adaptivePhashBitsWide]]. Pass `corpusSize` when the
+    * count is already known (a catalog statistic, a prior aggregate)
+    * to skip the eager `count()` — the r10 advisory on
+    * [[phashNearDupPairsAuto]]'s plan-construction-time action. */
+  def phashNearDupPairsAutoWide(media: DataFrame, idCol: String = "doc_id",
+                                payloadCol: String = "payload",
+                                bands: Int = 4, maxDist: Int = 3,
+                                targetBucketSize: Int = 64,
+                                maxBucket: Int = 4096,
+                                corpusSize: Option[Long] = None): DataFrame =
+    phashNearDupPairsWide(media, idCol, payloadCol,
+      adaptivePhashBitsWide(corpusSize.getOrElse(media.count()), bands,
+        targetBucketSize),
+      bands, maxDist, maxBucket)
+
+  /** [[phashBucketStats]] over the multi-word banded hash — the LOUD
+    * accounting twin of [[phashNearDupPairsWide]]'s stop-bucket
+    * guard, at any width the wide layout supports. */
+  def phashBucketStatsWide(media: DataFrame, idCol: String = "doc_id",
+                           payloadCol: String = "payload", bits: Int = 120,
+                           bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 0, s"maxBucket=$maxBucket")
+    bandedPhashWide(media, idCol, payloadCol, bits, bands)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("bn"))
+      .groupBy(col("band"))
+      .agg(sum(col("bn")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L))
+          .as("hot_buckets"),
+        sum(when(col("bn") > maxBucket, col("bn")).otherwise(0L))
+          .as("dropped_docs"))
+      .orderBy(col("band"))
+  }
+
   /**
    * Video scene-change detection over sampled frames — temporal
    * segmentation, the step between raw video and per-scene training

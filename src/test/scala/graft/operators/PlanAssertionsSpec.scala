@@ -399,6 +399,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("SortMergeJoin") && l.contains("payload")),
       s"payload bytes must not enter the pair join:\n$p")
+    // the WIDE (multi-word) path keeps the identical discipline at
+    // widths past one long: LeftAnti guard, band-keyed equi-join,
+    // payloads never in the join (only the 2x8-byte word array)
+    val pw = plan(Multimodal.phashNearDupPairsWide(media, bits = 120))
+    assert(pw.contains("LeftAnti"), s"wide stop-bucket guard missing:\n$pw")
+    assert(!pw.contains("CartesianProduct"), pw)
+    assert(pw.contains("hashpartitioning(band") ||
+      pw.contains("band#"), s"wide band-keyed join missing:\n$pw")
+    assert(!pw.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("payload")),
+      s"payload bytes must not enter the wide pair join:\n$pw")
   }
 
   test("dupSpans joins spans on the fingerprint key, never a global sort") {
