@@ -264,14 +264,25 @@ object Multimodal {
 
   /** [[phashNearDupPairs]] with the hash width derived from the corpus
     * size via [[adaptivePhashBits]] — the form to use when the corpus
-    * scale is not known statically. Costs one `count()` (parquet
-    * stats-only at scale). */
+    * scale is not known statically. Pass `corpusSize` when the count
+    * is already known (a catalog statistic, a prior aggregate) to
+    * skip the eager `count()` at plan-construction time (r10
+    * advisory); otherwise it costs one count (parquet stats-only at
+    * scale). The banded subtree feeds the hot-list aggregate and both
+    * self-join sides; at shuffle-join scale AQE's exchange reuse caps
+    * the payload hashing at 2 passes (measured: both self-join sides
+    * share one (band, bv) exchange and both anti-join sides share the
+    * hot-list exchange — 2 ReusedExchange in the final adaptive plan
+    * with broadcast disabled). If the media INPUT is itself an
+    * expensive subquery, persist it before calling. */
   def phashNearDupPairsAuto(media: DataFrame, idCol: String = "doc_id",
                             payloadCol: String = "payload", bands: Int = 4,
                             maxDist: Int = 3, targetBucketSize: Int = 64,
-                            maxBucket: Int = 4096): DataFrame =
+                            maxBucket: Int = 4096,
+                            corpusSize: Option[Long] = None): DataFrame =
     phashNearDupPairs(media, idCol, payloadCol,
-      adaptivePhashBits(media.count(), bands, targetBucketSize),
+      adaptivePhashBits(corpusSize.getOrElse(media.count()), bands,
+        targetBucketSize),
       bands, maxDist, maxBucket)
 
   /**
@@ -699,11 +710,15 @@ object Multimodal {
 
   /** Real per-block audio energies — [[audioEnergyStub]]'s byte-level
     * twin (the way [[sceneCuts]] twins the scene stub): the decoded
-    * 16-bit PCM stream splits into fixed `blockSamples` windows and
-    * each emits exact integer statistics (sample count, Σ|s|,
-    * peak |s|) — the series a speech/music/silence gate thresholds.
-    * One row per (payload, block); payload-local, blocks bounded by
-    * stream length / blockSamples. */
+    * 16-bit PCM stream splits into fixed `blockSamples`-FRAME windows
+    * (a frame = one sample per channel, so stereo blocks cover the
+    * same time span as mono ones and never split a frame — the r10
+    * advisory on sample-vs-frame block semantics) and each emits
+    * exact integer statistics over all channel samples in the window
+    * (sample count, Σ|s|, peak |s|) — the series a
+    * speech/music/silence gate thresholds. One row per (payload,
+    * block); payload-local, blocks bounded by n_frames /
+    * blockSamples. */
   def audioBlockEnergies(media: Dataset[MediaRow],
                          blockSamples: Int = 16000): Dataset[AudioBlockRow] = {
     require(blockSamples >= 1, s"blockSamples=$blockSamples")
@@ -718,12 +733,13 @@ object Multimodal {
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
             fmt.getSampleSizeInBits == 16,
             s"audioBlockEnergies: 16-bit signed PCM only, got $fmt")
+          val perBlock = blockSamples.toLong * fmt.getChannels
           val data = in.readAllBytes()
           val out = Seq.newBuilder[AudioBlockRow]
           var (i, b) = (0, 0)
           while (i + 1 < data.length) {
             var (n, sumAbs, peak) = (0L, 0L, 0)
-            while (n < blockSamples && i + 1 < data.length) {
+            while (n < perBlock && i + 1 < data.length) {
               val s =
                 if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
                 else (data(i + 1) << 8) | (data(i) & 0xff)

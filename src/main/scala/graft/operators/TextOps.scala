@@ -1012,6 +1012,15 @@ object TextOps {
       .limit(vocabTopK)
       .select(col("word"), col("freq"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the cap is only LOUD if hitting it is observable (r10 advisory):
+    // a collected vocab AT the limit means the corpus vocab was (very
+    // likely) truncated and the trained merges can diverge from the
+    // full-vocab trainer — warn, don't fail (min_frequency truncation
+    // is standard practice; silence is the defect)
+    if (vocab.length == vocabTopK)
+      System.err.println(s"[graft] bpeTrainTopK: collected vocab hit " +
+        s"vocabTopK=$vocabTopK — frequency truncation is binding and " +
+        "merges may diverge from the untruncated trainer")
     BpeModel(bpeMergesInMemory(vocab, rounds))
   }
 
@@ -1127,7 +1136,12 @@ object TextOps {
       replace(c, lit(Sent + a + Term + Sent + b + Term),
         lit(Sent + a + b + Term))
     }
-    docs.select(col("doc_id"), explode(bpeishTokens(col("text"))).as("word"))
+    // doc_id casts long HERE too so the output schema is identical to
+    // bpeEncodeWithLocal's — the dispatch in bpeEncodeWith must not
+    // change a column type when a model crosses MaxCodegenMerges
+    // (r10 advisory)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(bpeishTokens(col("text"))).as("word"))
       .filter(!col("word").rlike("^" + SpaceRun + "$") &&
         !col("word").contains(Sent) && !col("word").contains(Term))
       .select(col("doc_id"), size_(bpeSyms(segN)).cast("long").as("n_syms"))

@@ -246,6 +246,40 @@ class MultimodalSpec extends SparkSpec {
       s"$got")
   }
 
+  test("audioBlockEnergies blocks are FRAME-aligned for stereo streams") {
+    // 2-channel: blocks cover blockSamples FRAMES (both channel
+    // samples of a frame stay in one block), so a stereo block spans
+    // the same time as a mono one — r10 advisory. 15 frames with
+    // L_i=i, R_i=2i at blockSamples=10: block 0 = frames 1..10
+    // (20 samples, sum 3*55=165, peak 20), block 1 = frames 11..15
+    // (10 samples, sum 3*65=195, peak 30).
+    def wavStereo(frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 2, 4, 8000f, false)
+      val data = new Array[Byte](frames * 4)
+      for (i <- 1 to frames) {
+        val l = i.toShort; val r = (2 * i).toShort
+        data(4 * (i - 1)) = l.toByte
+        data(4 * (i - 1) + 1) = (l >> 8).toByte
+        data(4 * (i - 1) + 2) = r.toByte
+        data(4 * (i - 1) + 3) = (r >> 8).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(2L, wavStereo(15))))
+    val got = Multimodal.audioBlockEnergies(media, blockSamples = 10)
+      .collect().toSeq.sortBy(_.block)
+    assert(got.map(r => (r.block, r.nSamples, r.sumAbs, r.peakAbs)) ==
+      Seq((0, 20L, 165L, 20), (1, 10L, 195L, 30)), s"$got")
+  }
+
   test("audio stub decode is deterministic, in-range, and block math stays narrow") {
     val m = Multimodal.asMedia(docs, "doc_id", $"text".cast("binary"), "audio")
     val d = m.select(Multimodal.decodeAudioStub($"payload").as("a"))
