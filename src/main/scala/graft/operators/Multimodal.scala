@@ -799,42 +799,56 @@ object Multimodal {
     * distance between frame hashes tracks visual change, which is what
     * [[sceneCuts]] thresholds. (A constant frame hashes to 0 — aHash
     * carries structure, not absolute color.) */
-  def ahash64(img: java.awt.image.BufferedImage): Long = {
+  def ahash64(img: java.awt.image.BufferedImage): Long =
+    ahashWords(img, 8)(0)
+
+  /** Generalized average hash: `grid`×`grid` mean-luminance sign bits
+    * packed into 64-bit words — grid=8 IS [[ahash64]] (one word);
+    * grid=16 yields a 256-bit / 4-word hash, the REAL-codec twin of
+    * the wide stub hash ([[phashNearDupPairsWide]]): enough band
+    * budget that [[adaptiveBandBits]] keeps bucket occupancy constant
+    * far past the 64-bit ceiling. Integer arithmetic throughout
+    * (scaled means, cross-multiplied comparison) — deterministic for
+    * given pixels on any JVM. */
+  def ahashWords(img: java.awt.image.BufferedImage,
+                 grid: Int = 8): Array[Long] = {
+    require(grid == 8 || grid == 16, s"grid=$grid (8 or 16)")
+    val cells = grid * grid
     val w = img.getWidth; val h = img.getHeight
-    val cw = math.max(1, w / 8); val ch = math.max(1, h / 8)
-    val sums = new Array[Long](64)
-    val cnts = new Array[Long](64)
+    val cw = math.max(1, w / grid); val ch = math.max(1, h / grid)
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
     var y = 0
     while (y < h) {
-      val cy = math.min(7, y / ch)
+      val cy = math.min(grid - 1, y / ch)
       var x = 0
       while (x < w) {
         val p = img.getRGB(x, y)
         val lum = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-        val c = cy * 8 + math.min(7, x / cw)
+        val c = cy * grid + math.min(grid - 1, x / cw)
         sums(c) += lum; cnts(c) += 1
         x += 1
       }
       y += 1
     }
-    // scaled integer cell means (×64, truncated — deterministic):
+    // scaled integer cell means (×cells, truncated — deterministic):
     // cell i is "bright" iff its mean exceeds the grid mean, compared
     // cross-multiplied so no floats enter the hash
-    val avgNum = new Array[Long](64)
+    val avgNum = new Array[Long](cells)
     var totNum = 0L
     var i = 0
-    while (i < 64) {
-      avgNum(i) = if (cnts(i) == 0) 0L else sums(i) * 64L / cnts(i)
+    while (i < cells) {
+      avgNum(i) = if (cnts(i) == 0) 0L else sums(i) * cells / cnts(i)
       totNum += avgNum(i)
       i += 1
     }
-    var bits = 0L
+    val words = new Array[Long](cells / 64)
     i = 0
-    while (i < 64) {
-      if (avgNum(i) * 64L > totNum) bits |= (1L << i)
+    while (i < cells) {
+      if (avgNum(i) * cells > totNum) words(i / 64) |= (1L << (i % 64))
       i += 1
     }
-    bits
+    words
   }
 
   /** A frame codec: decode every `everyN`-th frame of ONE multi-frame
@@ -939,5 +953,172 @@ object Multimodal {
         expr("cast(bit_count(ahash ^ prev) as bigint)").as("hamming"))
       .withColumn("is_cut", col("hamming") > maxDist)
       .orderBy(col("id"), col("frame_ix"))
+  }
+
+  // ---- the UNIFIED real-codec near-dup chain (r10 verdict item 2):
+  // real decode -> grid aHash -> adaptive banded near-dup -> manifest.
+  // Until now the real codecs (ImageIO/WAV/GIF) and the oracle-gated
+  // dedup (h60 stubs) were twins that never met; this is the one
+  // end-to-end path running REAL bytes through the whole chain. ----
+
+  final case class AhashImageRow(id: Long, width: Int, height: Int,
+                                 nBytes: Long, phs: Seq[Long])
+
+  /** Real-decode perceptual hashing through the batch shape: ImageIO
+    * decode per payload (buffered `batchSize` at a time), one
+    * [[ahashWords]] per image. Payload-local — only
+    * (id, dims, grid²/64 longs) leave the stage; the bytes never
+    * shuffle. Undecodable payloads fail loudly (codec contract). */
+  def ahashImagesBatched(media: Dataset[MediaRow], grid: Int = 8,
+                         batchSize: Int = 64): Dataset[AhashImageRow] = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    implicit val enc: Encoder[AhashImageRow] =
+      Encoders.product[AhashImageRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, "ahashImagesBatched: undecodable payload")
+          AhashImageRow(m.id, img.getWidth, img.getHeight,
+            m.payload.length.toLong, ahashWords(img, grid).toSeq)
+        }
+      }
+    }
+  }
+
+  /** Adaptive band width for a FIXED-width (nWords × 64-bit) real
+    * hash: the [[adaptivePhashBits]] occupancy formula, clamped to the
+    * largest band the whole-in-word layout supports —
+    * `64 / ceil(bands / nWords)` bits. At grid=8 (one word, 4 bands)
+    * that caps at 16 bits/band (~4.2M docs at target 64); grid=16
+    * (4 words) lifts the cap to 64 bits/band — effectively unbounded. */
+  def adaptiveBandBits(corpusSize: Long, nWords: Int, bands: Int = 4,
+                       targetBucketSize: Int = 64): Int = {
+    require(nWords >= 1 && bands >= 1, s"nWords=$nWords bands=$bands")
+    require(corpusSize >= 0 && targetBucketSize > 0,
+      s"adaptiveBandBits($corpusSize, $targetBucketSize)")
+    val buckets = math.max(1L, corpusSize / targetBucketSize)
+    val need = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(buckets - 1, 0L))
+    val cap = 64 / ((bands + nWords - 1) / nWords)
+    math.min(cap, math.max(6, need))
+  }
+
+  /**
+   * Banded near-dup pairs over a PRECOMPUTED multi-word hash column —
+   * the generic LSH step the real-codec chain shares with the stub
+   * paths: `wordsCol` is an `array<bigint>` of `nWords` full 64-bit
+   * words (e.g. [[ahashWords]] output); band `j` lives whole inside
+   * word `j / (64/bandBits)` (logical shift — sign bits are data
+   * here); candidates sharing any band verify by full-hash Hamming
+   * (one codegen'd xor+bit_count per word, statically unrolled).
+   * Guard discipline identical to [[phashNearDupPairs]]: hot buckets
+   * above `maxBucket` drop WHOLE via a broadcast-tiny anti-join
+   * (loud-accounting twin: run the same groupBy occupancy query),
+   * verify runs before the distinct, and only (id, nWords×8 bytes)
+   * rows enter the join.
+   */
+  def hashNearDupPairs(hashed: DataFrame, idCol: String, wordsCol: String,
+                       nWords: Int, bandBits: Int, bands: Int = 4,
+                       maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(nWords >= 1 && bandBits >= 1 && bandBits <= 64,
+      s"nWords=$nWords bandBits=$bandBits")
+    val bandsPerWord = 64 / bandBits
+    require(bandsPerWord >= 1 && bands <= bandsPerWord * nWords,
+      s"$bands bands of $bandBits bits do not fit $nWords words")
+    require(maxBucket > 0, s"maxBucket=$maxBucket")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = hashed.select(col(idCol).as("id"),
+        col(wordsCol).as("phs"))
+      .select(col("id"), col("phs"),
+        posexplode(array((0 until bands).map { j =>
+          val w = j / bandsPerWord
+          val off = (j % bandsPerWord) * bandBits
+          shiftrightunsigned(element_at(col("phs"), w + 1), off)
+            .bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
+    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
+    val hamming = (0 until nWords).map { w =>
+      bit_count(element_at(col("x.phs"), w + 1)
+        .bitwiseXOR(element_at(col("y.phs"), w + 1))).cast("long")
+    }.reduce(_ + _)
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Real-bytes image near-dup pairs: decode + [[ahashWords]] +
+    * [[hashNearDupPairs]] with the band width adapted to the corpus
+    * size. Pass `corpusSize` when known to skip the count.
+    *
+    * The hashed frame is localCheckpointed: the REAL decode is the
+    * expensive stage (ImageIO + pixel walk per payload) and the pair
+    * join consumes it three ways (hot-list aggregate + both self-join
+    * sides) — materializing (id, dims, ≤4 longs) rows once costs
+    * ~40 B/image and caps decode at exactly one pass (measured 3–6×
+    * CPU otherwise at the 50k probe). Same discipline as
+    * [[Dedup]]'s signature tables. */
+  def ahashNearDupPairs(media: Dataset[MediaRow], grid: Int = 8,
+                        bands: Int = 4, maxDist: Int = 3,
+                        maxBucket: Int = 4096,
+                        corpusSize: Option[Long] = None): DataFrame = {
+    val nWords = grid * grid / 64
+    val bandBits = adaptiveBandBits(corpusSize.getOrElse(media.count()),
+      nWords, bands)
+    hashNearDupPairs(ahashImagesBatched(media, grid).toDF()
+        .localCheckpoint(true),
+      "id", "phs", nWords, bandBits, bands, maxDist, maxBucket)
+  }
+
+  /**
+   * The real-bytes media curation manifest — the full chain on actual
+   * payloads, one plan: decode → grid aHash → banded near-dup →
+   * star-contraction components → survivor selection (min id per
+   * cluster; untouched singletons pass through) → byte-budget shard
+   * pack. The real-codec twin of `pipeline_media_manifest` (which
+   * stays on the h60 stub for oracle replay). Decode runs ONCE — the
+   * hashed frame is localCheckpointed (see [[ahashNearDupPairs]]) and
+   * feeds the pair join, the survivor joins, and the byte-size
+   * manifest from the materialized rows.
+   */
+  def realMediaManifest(media: Dataset[MediaRow], grid: Int = 8,
+                        bands: Int = 4, maxDist: Int = 3,
+                        maxBucket: Int = 4096,
+                        corpusSize: Option[Long] = None,
+                        budgetBytes: Long = 1L << 16): DataFrame = {
+    val hashed = ahashImagesBatched(media, grid).toDF()
+      .localCheckpoint(true)
+    val nWords = grid * grid / 64
+    val bandBits = adaptiveBandBits(corpusSize.getOrElse(media.count()),
+      nWords, bands)
+    val pairs = hashNearDupPairs(hashed, "id", "phs", nWords, bandBits,
+        bands, maxDist, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.starContractComponents(pairs)
+    val survivors = comp.groupBy(col("component"))
+      .agg(min(col("id")).as("id"))
+    val kept = hashed.join(comp.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("nBytes"))
+      .unionByName(hashed.join(survivors.select(col("id")),
+        Seq("id"), "left_semi").select(col("id"), col("nBytes")))
+    // byte-budget shard ids via the decomposed prefix sum (shardPack's
+    // discipline: no data-sized unpartitioned window — the only global
+    // ordering runs on super-bucket aggregates inside PrefixAgg)
+    PrefixAgg.prefixSumExclusive(
+        kept.select(col("id").as("doc_id"), col("nBytes").as("n_bytes")),
+        "doc_id", "n_bytes", "pb")
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"CAST(pb div ${budgetBytes}L AS BIGINT)").as("shard_id"))
+      .orderBy(col("doc_id"))
   }
 }
