@@ -967,16 +967,18 @@ object TextOps {
   /** Unsigned UTF-8 byte order — Spark's (and DuckDB's) binary string
     * ordering, so driver-side tie-breaks match the engine's exactly
     * (UTF-16 `compareTo` diverges for supplementary-plane text). */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  private def utf8Lt(x: String, y: String): Boolean = utf8Cmp(x, y) < 0
+
+  private def utf8Cmp(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < a.length && i < b.length) {
       val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d < 0
+      if (d != 0) return d
       i += 1
     }
-    a.length < b.length
+    a.length - b.length
   }
 
   /**
@@ -1021,7 +1023,7 @@ object TextOps {
       System.err.println(s"[graft] bpeTrainTopK: collected vocab hit " +
         s"vocabTopK=$vocabTopK — frequency truncation is binding and " +
         "merges may diverge from the untruncated trainer")
-    BpeModel(bpeMergesInMemory(vocab, rounds))
+    BpeModel(bpeMergesInMemoryIndexed(vocab, rounds))
   }
 
   /** The driver-side Sennrich loop over a collected (word, freq)
@@ -1092,6 +1094,124 @@ object TextOps {
           }
           words(wi) = out
           addWord(wi) // and index the merged form
+        }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /**
+   * The 32k-merge trainer loop: [[bpeMergesInMemory]] with the
+   * per-round argmax replaced by a LAZY MAX-HEAP pair index. The
+   * linear-scan loop is O(rounds × |pairs|) — at a real vocabulary
+   * (10⁶ types, ~10⁷ distinct pairs) 32k rounds is ~10¹¹ comparisons,
+   * which is why real tokenizer trainers (Sennrich's reference
+   * implementation included) index pairs by count. Discipline:
+   *
+   *  - every count CHANGE pushes a fresh `(count, a, b)` snapshot;
+   *    stale snapshots are skipped at pop time by comparing against
+   *    the live count (the standard lazy-deletion heap);
+   *  - heap order is (count desc, UTF-8 (a,b) asc) — the identical
+   *    total order the linear scan's tie-break walks, so the merges
+   *    are BIT-IDENTICAL (differential-spec-pinned);
+   *  - the heap compacts (rebuilds from live counts) when stale
+   *    entries dominate, bounding memory at O(|pairs|).
+   *
+   * Same inputs/outputs as [[bpeMergesInMemory]]; [[bpeTrainTopK]]
+   * serves from this one.
+   */
+  private[graft] def bpeMergesInMemoryIndexed(
+      vocab: Array[(String, Long)], rounds: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = vocab.map { case (w, _) =>
+      val syms = new mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n)
+        i += n
+      }
+      syms
+    }
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap: greatest = highest count, ties to UTF-8-smallest pair
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+                  y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = utf8Cmp(y._2, x._2) // reversed: smaller = greater
+          if (a != 0) a else utf8Cmp(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def wordPairs(wi: Int): Iterator[(String, String)] = {
+      val s = words(wi)
+      (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    }
+    // initial counts WITHOUT per-bump pushes (one clean snapshot each)
+    words.indices.foreach { wi =>
+      wordPairs(wi).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + freqs(wi)
+        where.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+    }
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c == 0L) counts.remove(p)
+      else { counts(p) = c; heap.enqueue((c, p._1, p._2)) }
+    }
+    def addWord(wi: Int): Unit = wordPairs(wi).foreach { p =>
+      bump(p, freqs(wi))
+      where.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    def delWord(wi: Int): Unit = {
+      val seen = mutable.Set.empty[(String, String)]
+      wordPairs(wi).foreach { p => bump(p, -freqs(wi)); seen += p }
+      seen.foreach(p => where.get(p).foreach(_ -= wi))
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // pop to the first LIVE snapshot — by the push-on-every-change
+      // invariant the live count of every pair has a snapshot in the
+      // heap, so the first live pop is the true (count, tie) argmax
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), Long.MinValue) == c) best = (a, b)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val (a, b) = best
+        val touched = where.getOrElse(best, mutable.Set.empty).toArray
+        touched.foreach { wi =>
+          delWord(wi)
+          val s = words(wi)
+          val out = new mutable.ArrayBuffer[String](s.length)
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          words(wi) = out
+          addWord(wi)
+        }
+        // re-seed best's live snapshot if it survives with a new count
+        counts.get(best).foreach(c => heap.enqueue((c, a, b)))
+        // compact when stale snapshots dominate (amortized O(|pairs|))
+        if (heap.size > 8 * counts.size + 1024) {
+          heap.clear()
+          counts.foreach { case ((x, y), c) => heap.enqueue((c, x, y)) }
         }
       }
       r += 1

@@ -111,6 +111,46 @@ class RealNearDupSpec extends SparkSpec {
     assert(Multimodal.adaptiveBandBits(Long.MaxValue / 2, nWords = 1) == 16)
   }
 
+  test("video sidecar contract: extracted frame rows drive decode + scene cuts") {
+    // mp4/webm arrive as pre-extracted (video_id, frame_ix, payload)
+    // rows (r10 "What's missing" #1). Two videos, frames as real PNGs:
+    // video 7 flips its cell pattern at frame 4 (one cut), video 8 is
+    // static (no cuts). Patterns are half-weight so the aHash recovers
+    // them exactly (see cellPng).
+    val a = 0x00000000FFFFFFFFL
+    val b = 0xFFFFFFFF00000000L
+    val rows = (0 until 8).map { f =>
+      Multimodal.SidecarFrameRow(7L, f, cellPng(if (f < 4) a else b))
+    } ++ (0 until 6).map { f =>
+      Multimodal.SidecarFrameRow(8L, f, cellPng(a))
+    }
+    val frames = spark.createDataset(rows)
+    val decoded = Multimodal.decodeSidecarFrames(frames, batchSize = 3)
+      .collect().toSeq
+    assert(decoded.size == 14)
+    assert(decoded.filter(_.id == 7L).sortBy(_.frameIx)
+      .map(_.ahash) == Seq(a, a, a, a, b, b, b, b))
+    val cuts = Multimodal.sceneCutsFromSidecar(frames, maxDist = 8)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // video 7: 7 comparisons, the flip at frame 4 is Hamming 64
+    assert(cuts.filter(_._1 == 7L).map(c => (c._2, c._3, c._4)) ==
+      Seq((1, 0L, false), (2, 0L, false), (3, 0L, false),
+        (4, 64L, true), (5, 0L, false), (6, 0L, false), (7, 0L, false)),
+      s"$cuts")
+    // video 8: static — every comparison Hamming 0, no cuts
+    assert(cuts.filter(_._1 == 8L).forall(c => c._3 == 0L && !c._4))
+    // and the frame hashes feed the SAME near-dup machinery: the four
+    // a-pattern frames of video 8 pair with each other at distance 0
+    val hashed = Multimodal.decodeSidecarFrames(frames).toDF()
+      .selectExpr("id * 100 + frameIx AS fid", "array(ahash) AS phs")
+    val pairs = Multimodal.hashNearDupPairs(hashed, "fid", "phs",
+        nWords = 1, bandBits = 16, maxDist = 0)
+      .count()
+    // frames with pattern a: video7 f0..3 + video8 f0..5 = 10 -> C(10,2)
+    // pattern b: video7 f4..7 = 4 -> C(4,2)
+    assert(pairs == 45 + 6, s"pairs=$pairs")
+  }
+
   test("hashNearDupPairs handles full-64-bit words (sign bit is data)") {
     // patterns with the top bit set exercise the logical-shift path:
     // arithmetic shift would smear the sign across the band value

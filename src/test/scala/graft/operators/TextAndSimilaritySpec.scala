@@ -762,6 +762,26 @@ class TextAndSimilaritySpec extends SparkSpec {
       Seq(("a", "b"), (" ", "ab")))
   }
 
+  test("heap-indexed trainer loop is merge-identical to the linear scan") {
+    // the lazy max-heap argmax (bpeMergesInMemoryIndexed) must replay
+    // bpeMergesInMemory bit-for-bit, ties included — on a synthetic
+    // vocab with many deliberate count ties and multi-byte chars
+    def word(i: Int): String =
+      (0 until 5).map(d => "abвгд!".charAt((i / math.pow(5, d).toInt) % 6))
+        .mkString
+    val vocab = (0 until 800)
+      .map(i => (word(i), (i % 7 + 1).toLong)).toArray
+    for (rounds <- Seq(1, 7, 40, 400)) {
+      val lin = TextOps.bpeMergesInMemory(vocab, rounds)
+      val idx = TextOps.bpeMergesInMemoryIndexed(vocab, rounds)
+      assert(idx == lin, s"rounds=$rounds: indexed diverged")
+    }
+    // exhaustion: both stop at the same fixpoint
+    val tiny = Array(("aa", 3L), ("bb", 2L))
+    assert(TextOps.bpeMergesInMemoryIndexed(tiny, 10) ==
+      TextOps.bpeMergesInMemory(tiny, 10))
+  }
+
   test("bpeSave/bpeLoad round-trips a trained model in application order") {
     val corpus = ((1 to 6).map(i => (i.toLong, "era")) ++
       (7 to 11).map(i => (i.toLong, "ve")) ++ Seq((12L, "ver")))
