@@ -1180,6 +1180,23 @@ object SparkEntry {
         wideDupDocs(t(s, dir, "documents")), "doc_id",
         col("text").cast("binary"), "image"), bits = 120)),
 
+    "mm_hash64_neardup" -> ((s, dir) => {
+      // the GENERIC precomputed-multi-word-hash near-dup operator
+      // (the step the real aHash chain rides) under the oracle gate:
+      // a synthetic two-word h60 fingerprint stands in for any real
+      // hash column; bands 0-2 live in word 0 (20-bit, offsets
+      // 0/20/40), band 3 in word 1 — the uneven layout the
+      // whole-in-word rule produces at 64/20
+      val docs = wideDupDocs(t(s, dir, "documents"))
+      val h = graft.functions.functions.h60 _
+      val hashed = docs.select(col("doc_id"),
+        array(h(concat(md5(col("text")), lit(":w0"))),
+          h(concat(md5(col("text")), lit(":w1")))).as("phs"))
+      Multimodal.hashNearDupPairs(hashed, "doc_id", "phs",
+          nWords = 2, bandBits = 20, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "pipeline_media_manifest" -> ((s, dir) => {
       // FLAGSHIP (media): phash near-dup pairs -> star-contraction
       // clusters -> survivor selection (min id per cluster, untouched
@@ -3001,6 +3018,43 @@ object SparkEntry {
 
       "mm_phash_neardup_wide" ->
         s"""WITH $phashWideCandCtes
+           SELECT doc_a, doc_b,
+                  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                    AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 3
+           ORDER BY doc_a, doc_b""",
+
+      "mm_hash64_neardup" ->
+        s"""WITH wdocs AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000, text FROM documents
+                    WHERE doc_id % 50 = 0),
+                m AS (SELECT doc_id, md5(text) AS ck FROM wdocs),
+                ph AS (SELECT doc_id,
+                         ${h60("ck || ':w0'")} AS w0,
+                         ${h60("ck || ':w1'")} AS w1
+                       FROM m),
+                banded AS (SELECT doc_id, w0, w1, CAST(j AS INT) AS band,
+                                  CASE WHEN j < 3
+                                    THEN (w0 >> CAST(j * 20 AS INT))
+                                           & ((1::BIGINT << 20) - 1)
+                                    ELSE w1 & ((1::BIGINT << 20) - 1)
+                                  END AS bv
+                           FROM ph CROSS JOIN range(4) t(j)),
+                hot AS (SELECT band, bv FROM banded
+                        GROUP BY band, bv HAVING count(*) > 4096),
+                kept AS (SELECT k.doc_id, k.w0, k.w1, k.band, k.bv
+                         FROM banded k LEFT JOIN hot h
+                           ON k.band = h.band AND k.bv = h.bv
+                         WHERE h.band IS NULL),
+                cand AS (SELECT DISTINCT x.doc_id AS doc_a,
+                                y.doc_id AS doc_b,
+                                x.w0 AS a0, x.w1 AS a1,
+                                y.w0 AS b0, y.w1 AS b1
+                         FROM kept x JOIN kept y
+                           ON x.band = y.band AND x.bv = y.bv
+                          AND x.doc_id < y.doc_id)
            SELECT doc_a, doc_b,
                   CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
                     AS BIGINT) AS hamming
