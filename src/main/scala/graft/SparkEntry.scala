@@ -24,15 +24,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     ChangeLogSource.table(s, dir, name)
 
-  /** The documents table with every 50th doc re-planted under a
-    * shifted id — deterministic exact near-dups so the wide (30-bit
-    * band) pHash queries verify actual pairs at any SF. Oracle twin:
-    * `UNION ALL ... WHERE doc_id % 50 = 0` with `doc_id + 10000000`. */
-  private def wideDupDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+  /** Every 5th document with every 50th re-planted under a shifted
+    * id — deterministic exact near-dups so the wide (30-bit band)
+    * pHash queries verify actual pairs at any SF. The 1/5 subset
+    * bounds the 120-bit stub's hash arithmetic in the bench (the
+    * planted set is untouched: multiples of 50 are all multiples
+    * of 5); scale behavior is the probe's job, not the gate's.
+    * Oracle twin: the `wdocs` CTE. */
+  private def wideDupDocs(docs: DataFrame): DataFrame = {
+    val sub = docs.filter(col("doc_id") % 5 === 0)
+    sub.select(col("doc_id"), col("text"))
+      .unionByName(sub.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
           col("text")))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
@@ -2061,6 +2066,7 @@ object SparkEntry {
     // as the narrow CTE with the global index in the salt
     val phashWideBandedCtes =
       s"""wdocs AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 5 = 0
                     UNION ALL
                     SELECT doc_id + 10000000, text FROM documents
                     WHERE doc_id % 50 = 0),
@@ -3027,6 +3033,7 @@ object SparkEntry {
 
       "mm_hash64_neardup" ->
         s"""WITH wdocs AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 5 = 0
                     UNION ALL
                     SELECT doc_id + 10000000, text FROM documents
                     WHERE doc_id % 50 = 0),
