@@ -200,22 +200,28 @@ object CodecScaleCheck {
         // the unified real chain end-to-end: every 10th id is a
         // planted dup, so true pairs = n/10 exactly (pattern space
         // 2^64 makes accidental collisions negligible); manifest
-        // rows = n - n/10 (one survivor per planted pair)
+        // rows = n - n/10 (one survivor per planted pair). Both grid
+        // widths: 8 (one-word aHash) and 16 (the 256-bit/4-word hash
+        // whose band budget survives past 4.2M docs).
         val media = gen(n, cellPngBytes)
-        val t = timed(2) {
-          Multimodal.realMediaManifest(media, corpusSize = Some(n))
-            .write.mode("overwrite").format("noop").save()
+        for (grid <- Seq(8, 16)) {
+          val t = timed(2) {
+            Multimodal.realMediaManifest(media, grid = grid,
+                corpusSize = Some(n))
+              .write.mode("overwrite").format("noop").save()
+          }
+          val res = settled()
+          val pairs = Multimodal.ahashNearDupPairs(media, grid = grid,
+            corpusSize = Some(n)).count()
+          val kept = Multimodal.realMediaManifest(media, grid = grid,
+            corpusSize = Some(n)).count()
+          require(pairs == n / 10, s"grid=$grid pairs=$pairs want ${n / 10}")
+          require(kept == n - n / 10,
+            s"grid=$grid kept=$kept want ${n - n / 10}")
+          println(f"CODECSCALE mode=neardup grid=$grid%2d n=$n%7d " +
+            f"wall=$t%7.2fs rows_per_s=${n / t}%9.0f " +
+            f"pairs=$pairs kept=$kept ${res.render}")
         }
-        val res = settled()
-        val pairs = Multimodal.ahashNearDupPairs(media,
-          corpusSize = Some(n)).count()
-        val kept = Multimodal.realMediaManifest(media,
-          corpusSize = Some(n)).count()
-        require(pairs == n / 10, s"pairs=$pairs want ${n / 10}")
-        require(kept == n - n / 10, s"kept=$kept want ${n - n / 10}")
-        println(f"CODECSCALE mode=neardup n=$n%7d wall=$t%7.2fs " +
-          f"rows_per_s=${n / t}%9.0f pairs=$pairs kept=$kept " +
-          res.render)
         graft.util.Checkpoints.release(media.toDF())
 
       case "audio" =>
