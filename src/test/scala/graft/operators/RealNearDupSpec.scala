@@ -72,6 +72,49 @@ class RealNearDupSpec extends SparkSpec {
     assert(pairs.size == 4, s"unexpected pairs: $pairs")
   }
 
+  test("real near-dups across codec and resolution: JPEG re-encode and resize pair with their originals") {
+    // the property that makes aHash a NEAR-dup hash rather than a
+    // checksum: re-encoding the same pixels lossily (JPEG) and
+    // re-rendering the same pattern at a different resolution both
+    // land within the Hamming gate of the original — byte-level dedup
+    // would see three unrelated blobs
+    def jpegOf(png: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def cellPngSized(pattern: Long, size: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val cell = size / 8
+      for (y <- 0 until size; x <- 0 until size) {
+        val c = (y / cell) * 8 + (x / cell)
+        img.setRGB(x, y,
+          if (((pattern >> c) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = (1L to 20L).map(i => MediaRow(i, cellPng(pat(i)))) ++ Seq(
+      MediaRow(21L, jpegOf(cellPng(pat(1L)))), // lossy re-encode of 1
+      MediaRow(22L, cellPngSized(pat(2L), 32)), // half-resolution of 2
+      MediaRow(23L, cellPngSized(pat(3L), 128))) // double-resolution of 3
+    val media = spark.createDataset(rows)
+    val pairs = Multimodal.ahashNearDupPairs(media, grid = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 21L)) && pairs((1L, 21L)) <= 3L,
+      s"JPEG re-encode must pair with its original: $pairs")
+    assert(pairs.contains((2L, 22L)) && pairs((2L, 22L)) <= 3L,
+      s"half-resolution must pair with its original: $pairs")
+    assert(pairs.contains((3L, 23L)) && pairs((3L, 23L)) <= 3L,
+      s"double-resolution must pair with its original: $pairs")
+    assert(pairs.size == 3, s"only the planted variants pair: $pairs")
+  }
+
   test("realMediaManifest: survivors + singletons, byte-exact shards") {
     val rows = (1L to 10L).map(i => MediaRow(i, cellPng(pat(i)))) ++ Seq(
       MediaRow(11L, cellPng(pat(1L))), // dup cluster {1, 11}
