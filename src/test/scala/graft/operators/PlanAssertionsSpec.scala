@@ -410,6 +410,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!pw.linesIterator.exists(l =>
       l.contains("SortMergeJoin") && l.contains("payload")),
       s"payload bytes must not enter the wide pair join:\n$pw")
+    // the GENERIC precomputed-hash operator keeps the discipline too
+    val hashed = docs.select($"doc_id",
+      array(graft.functions.functions.h60(concat(md5($"text"), lit(":a"))),
+        graft.functions.functions.h60(concat(md5($"text"), lit(":b"))))
+        .as("phs"))
+    val pg = plan(Multimodal.hashNearDupPairs(hashed, "doc_id", "phs",
+      nWords = 2, bandBits = 20))
+    assert(pg.contains("LeftAnti"), s"generic guard missing:\n$pg")
+    assert(!pg.contains("CartesianProduct"), pg)
   }
 
   test("dupSpans joins spans on the fingerprint key, never a global sort") {
