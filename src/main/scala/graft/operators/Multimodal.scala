@@ -965,6 +965,52 @@ object Multimodal {
       .orderBy(col("id"), col("frame_ix"))
   }
 
+  final case class QuarantineRow(id: Long, ok: Boolean, width: Int,
+                                 height: Int, channels: Int, sumR: Long,
+                                 sumG: Long, sumB: Long, error: String)
+
+  /**
+   * The caller-side corrupt-input policy the codecs deliberately
+   * don't have: decode every payload, keep good rows, FLAG bad ones
+   * with the decode error instead of failing the job — at 100 TB
+   * corrupt payloads are the norm, and one bad blob must cost one
+   * quarantine row, not a stage retry storm. Same batch shape as
+   * [[decodeImagesBatched]], and the VECTORIZED call stays the fast
+   * path: a batch decodes in one codec call, and only a FAILED batch
+   * re-decodes payload-by-payload to isolate exactly which payloads
+   * are bad (clean batches — the overwhelming majority — never pay
+   * the per-payload dispatch). Downstream splits on `ok`: good rows
+   * continue, quarantine rows route to the audit sink with their
+   * error strings (loud accounting, the [[phashBucketStats]]
+   * discipline applied to decode).
+   */
+  def decodeImagesQuarantine(media: Dataset[MediaRow],
+                             codec: MediaCodec = ImageIoCodec,
+                             batchSize: Int = 64): Dataset[QuarantineRow] = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    implicit val enc: Encoder[QuarantineRow] =
+      Encoders.product[QuarantineRow]
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(_.payload)
+        def one(p: Array[Byte]): Either[String, DecodedImage] =
+          try Right(codec.decodeBatch(Seq(p)).head)
+          catch { case e: Exception =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val decoded: Seq[Either[String, DecodedImage]] =
+          try codec.decodeBatch(payloads).map(Right(_))
+          catch { case _: Exception => payloads.map(one) }
+        batch.zip(decoded).map {
+          case (m, Right(d)) =>
+            QuarantineRow(m.id, ok = true, d.width, d.height, d.channels,
+              d.sumR, d.sumG, d.sumB, null)
+          case (m, Left(err)) =>
+            QuarantineRow(m.id, ok = false, 0, 0, 0, 0L, 0L, 0L, err)
+        }
+      }
+    }
+  }
+
   // ---- the VIDEO SIDECAR CONTRACT (r10 "What's missing" #1) ----
 
   final case class SidecarFrameRow(id: Long, frameIx: Int,

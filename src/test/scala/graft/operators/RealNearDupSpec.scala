@@ -194,6 +194,39 @@ class RealNearDupSpec extends SparkSpec {
     assert(pairs == 45 + 6, s"pairs=$pairs")
   }
 
+  test("decodeImagesQuarantine: bad payloads flag, good ones decode, batches survive") {
+    // a corrupt blob mid-batch must cost ONE quarantine row — the
+    // rest of its batch still decodes (failed batches re-decode
+    // payload-by-payload; clean batches stay one vectorized call)
+    val good = cellPng(pat(9L))
+    val rows = Seq(
+      MediaRow(1L, good),
+      MediaRow(2L, Array[Byte](1, 2, 3)), // garbage
+      MediaRow(3L, good),
+      MediaRow(4L, Array.empty[Byte]), // empty
+      MediaRow(5L, good))
+    val got = Multimodal.decodeImagesQuarantine(
+        spark.createDataset(rows).coalesce(1), batchSize = 5)
+      .collect().map(r => r.id -> r).toMap
+    assert(got.size == 5)
+    for (i <- Seq(1L, 3L, 5L)) {
+      val r = got(i)
+      assert(r.ok && r.width == 64 && r.height == 64 && r.error == null,
+        s"$r")
+    }
+    for (i <- Seq(2L, 4L)) {
+      val r = got(i)
+      assert(!r.ok && r.error != null && r.error.nonEmpty, s"$r")
+      assert(r.width == 0 && r.sumR == 0L, s"$r")
+    }
+    // an all-good frame decodes identically to the strict path
+    val clean = spark.createDataset(Seq(MediaRow(7L, good)))
+    val strict = Multimodal.decodeImagesBatched(clean).collect().head
+    val quar = Multimodal.decodeImagesQuarantine(clean).collect().head
+    assert(quar.ok && (quar.sumR, quar.sumG, quar.sumB) ==
+      ((strict.sumR, strict.sumG, strict.sumB)))
+  }
+
   test("hashNearDupPairs handles full-64-bit words (sign bit is data)") {
     // patterns with the top bit set exercise the logical-shift path:
     // arithmetic shift would smear the sign across the band value
