@@ -39,6 +39,48 @@ object SparkEntry {
           col("text")))
   }
 
+  /** Deterministic crawl-page HTML per document: entity-encoded body
+    * text wrapped in title/style/script/comment/nav boilerplate, so
+    * [[TextOps.htmlToText]] has real markup to strip and entities to
+    * decode. Oracle twin: the `hdocs` CTE. */
+  private def synthHtml(docs: DataFrame): DataFrame = {
+    val enc = replace(replace(replace(coalesce(col("text"), lit("")),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\"> p { margin: 0; } " +
+        "</style></head><body><!-- nav --><div class=\"nav\">" +
+        "<a href=\"/home\">Home</a> <a href=\"/d/"),
+      pmod(col("doc_id"), lit(97L)).cast("string"),
+      lit("\">Next</a></div><script>if (1 < 2) { track(\"d\"); }" +
+        "</script><p>"),
+      enc, lit("</p></body></html>")).as("html"))
+  }
+
+  /** Deterministic crawl URLs, four variants by doc_id%4: mixed-case
+    * scheme/host + default port + tracking params + fragment (v0),
+    * same resource with params reordered (v1 — canonicalizes
+    * IDENTICALLY to v0, the planted cross-variant dup), a non-default
+    * port that must survive (v2), and an https default port with
+    * byte-sort-sensitive params (v3). Oracle twin: the `udocs` CTE. */
+  private def synthUrl(docs: DataFrame): DataFrame = {
+    val k = pmod(col("doc_id"), lit(5L)).cast("string")
+    val m = pmod(col("doc_id"), lit(11L)).cast("string")
+    val v = pmod(col("doc_id"), lit(4L))
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("HTTP://WWW.Example"), k,
+          lit(".COM:80/Articles/"), m,
+          lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(v === 1, concat(lit("http://www.example"), k,
+          lit(".com/Articles/"), m, lit("?a=1&b=2&fbclid=abc123")))
+        .when(v === 2, concat(lit("http://www.example"), k,
+          lit(".com:8080/Articles/"), m, lit("/")))
+        .otherwise(concat(lit("https://Example"), k,
+          lit(".com:443/search?q="), m,
+          lit("&ref=sidebar&gclid=1&q2=x"))).as("url"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -693,6 +735,36 @@ object SparkEntry {
 
     "text_pii_flags" -> ((s, dir) =>
       TextOps.piiFlags(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "text_html_extract" -> ((s, dir) =>
+      // the stage UPSTREAM of text_clean: crawl HTML -> text. Narrow
+      // map (regex chain + literal entity decode), zero shuffle.
+      synthHtml(t(s, dir, "documents"))
+        .select(col("doc_id"), col("html"),
+          TextOps.htmlToText(col("html")).as("txt"))
+        .select(col("doc_id"),
+          TextOps.htmlLinkCount(col("html")).as("n_links"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          length(col("txt")).cast("long").as("n_chars_text"),
+          md5(col("txt")).as("text_fp"))
+        .orderBy(col("doc_id"))),
+
+    "text_url_normalize" -> ((s, dir) =>
+      synthUrl(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"),
+          TextOps.urlCanonical(col("url")).as("canon_url"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_url_canonical" -> ((s, dir) =>
+      // crawl-level exact dedup: canonicalize (narrow map), then ONE
+      // hash-groupBy on the canonical key — the cheapest dedup a
+      // pipeline runs before any content hashing touches payloads
+      synthUrl(t(s, dir, "documents"))
+        .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("survivor_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("canon_url"))),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -1936,6 +2008,36 @@ object SparkEntry {
   // (KMeans), which no SQL oracle can replay — rows+schema verify
   // against the exact top-k; the hash records the recall gap by
   // design (see the query's registration comment).
+  /** Shared CTE chain for the URL queries: synthesize the four crawl
+    * variants (twin of [[synthUrl]]), then replay
+    * [[TextOps.urlCanonical]] stage by stage. Ends with relation
+    * `ucanon(doc_id, url, scheme, host, path, ps)`. */
+  private val UrlCanonCte: String =
+    s"""WITH udocs AS (SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM:80/Articles/' || CAST(doc_id % 11 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+               WHEN 1 THEN 'http://www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/Articles/' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2&fbclid=abc123'
+               WHEN 2 THEN 'http://www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com:8080/Articles/' || CAST(doc_id % 11 AS VARCHAR) || '/'
+               ELSE 'https://Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/search?q=' || CAST(doc_id % 11 AS VARCHAR) || '&ref=sidebar&gclid=1&q2=x'
+             END AS url FROM documents),
+         up AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '(?s)#.*$$', '') AS nofrag
+           FROM udocs),
+         uq AS (SELECT doc_id, url, scheme,
+             lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS auth,
+             regexp_replace(nofrag, '^[^/?]*', '') AS rest FROM up),
+         ur AS (SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+                  ELSE auth END AS host,
+             regexp_replace(regexp_replace(rest, '(?s)\\?.*$$', ''), '/+$$', '') AS path,
+             regexp_extract(rest, '(?s)\\?(.*)$$', 1) AS query FROM uq),
+         ucanon AS (SELECT doc_id, url, scheme, host, path,
+             list_sort(list_filter(string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
+           FROM ur)"""
+
   def oracleSql: Map[String, String] = {
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -5020,6 +5122,52 @@ object SparkEntry {
                    CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
                    CAST(len(regexp_extract_all(coalesce(text, ''), '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ipv4
             FROM documents ORDER BY doc_id""",
+
+      "text_html_extract" ->
+        s"""WITH hdocs AS (SELECT doc_id,
+                 '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                 || '</title><style type="text/css"> p { margin: 0; } </style></head><body><!-- nav --><div class="nav"><a href="/home">Home</a> <a href="/d/'
+                 || CAST(doc_id % 97 AS VARCHAR)
+                 || '">Next</a></div><script>if (1 < 2) { track("d"); }</script><p>'
+                 || replace(replace(replace(coalesce(text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')
+                 || '</p></body></html>' AS html
+               FROM documents),
+            x AS (SELECT doc_id, html,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                       '${TextOps.HtmlScriptBlock}', '', 'g'),
+                       '${TextOps.HtmlStyleBlock}', '', 'g'),
+                       '${TextOps.HtmlComment}', '', 'g'),
+                       '${TextOps.HtmlTag}', ' ', 'g'),
+                     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),
+                     '&amp;','&'),
+                   '${TextOps.SpaceRun}', ' ', 'g')) AS txt
+               FROM hdocs)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(html, '${TextOps.HtmlAnchor}')) AS BIGINT) AS n_links,
+                   CAST(length(html) AS BIGINT) AS n_chars_html,
+                   CAST(length(txt) AS BIGINT) AS n_chars_text,
+                   md5(txt) AS text_fp
+            FROM x ORDER BY doc_id""",
+
+      "text_url_normalize" ->
+        s"""$UrlCanonCte
+            SELECT doc_id, url,
+                   scheme || '://' || host || path ||
+                   CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+            FROM ucanon ORDER BY doc_id""",
+
+      "dedup_url_canonical" ->
+        s"""$UrlCanonCte
+            SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS survivor_id
+            FROM (SELECT doc_id,
+                    scheme || '://' || host || path ||
+                    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+                  FROM ucanon)
+            GROUP BY canon_url HAVING count(*) > 1
+            ORDER BY canon_url""",
 
       "mm_decode_features" ->
         s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),

@@ -2323,6 +2323,94 @@ object TextOps {
         col("shard"), col("pos"))
   }
 
+  // ---- HTML extraction / URL canonicalization ------------------------
+  // The two stages UPSTREAM of `cleaned`: a crawl pipeline's documents
+  // arrive as (url, html), not (doc_id, text). Both are pure narrow
+  // maps (codegen'd regexp/array expressions, zero shuffle — at 100 TB
+  // they are scan-bound) and both keep to the Java-regex/RE2-identical
+  // subset (inline (?is) flags, lazy quantifiers, no lookaround, no
+  // backrefs) so the DuckDB oracle replays them exactly.
+
+  /** `<script ...>...</script>` block, case-insensitive, dot-all.
+    * Script and style need SEPARATE passes: without backrefs (RE2 has
+    * none) a single alternation could pair `<script>` with
+    * `</style>`. */
+  val HtmlScriptBlock: String = "(?is)<script[^>]*>.*?</script[ \\t\\n\\r]*>"
+  val HtmlStyleBlock: String = "(?is)<style[^>]*>.*?</style[ \\t\\n\\r]*>"
+  val HtmlComment: String = "(?s)<!--.*?-->"
+  /** Any remaining tag. `[^>]` already crosses newlines — no flag. */
+  val HtmlTag: String = "<[^>]*>"
+  /** An anchor open tag (the boilerplate/link-density signal). */
+  val HtmlAnchor: String = "(?i)<a[ \\t\\n\\r>]"
+
+  /**
+   * Naive-DOM text extraction — the boilerplate-strip stage a crawl
+   * pipeline runs before [[cleaned]]. Contract (fixed order, each step
+   * load-bearing): drop script blocks, drop style blocks, drop
+   * comments (so commented-out markup never leaks text), replace every
+   * remaining tag with a space (block boundaries must not glue words),
+   * decode the five entities the encode side emits — `&lt; &gt;
+   * &quot; &#39; &nbsp;` first and `&amp;` LAST (decoding `&amp;lt;`
+   * must yield the literal text `&lt;`, not `<`) — then collapse
+   * whitespace and trim. Title text survives (naive extraction keeps
+   * ALL text nodes); script/style/comment interiors do not.
+   */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(html, lit("")),
+      HtmlScriptBlock, ""), HtmlStyleBlock, ""), HtmlComment, "")
+    val noTags = regexp_replace(noBlocks, HtmlTag, " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    trim(regexp_replace(replace(decoded, lit("&amp;"), lit("&")),
+      SpaceRun, " "))
+  }
+
+  /** Anchor-tag count — with [[htmlToText]] length it gives the
+    * link-density boilerplate heuristic. */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(coalesce(html, lit("")),
+      lit(HtmlAnchor), lit(0))).cast("long")
+
+  /** Query params stripped during canonicalization: tracking noise
+    * that splits otherwise-identical URLs into distinct keys. Matches
+    * the whole param (`name` or `name=...`). */
+  val UrlTrackingParam: String = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+  /**
+   * URL canonicalization for crawl-level dedup. Contract (absolute
+   * http/https URLs): lowercase scheme and host (path/query case is
+   * significant and preserved), drop the fragment, drop the default
+   * port (`:80` for http, `:443` for https — non-default ports stay),
+   * drop tracking params ([[UrlTrackingParam]]), byte-sort the
+   * surviving params (param order is transport noise), drop trailing
+   * `/` runs from the path (so `/a/` ≡ `/a` and `/` ≡ empty), omit
+   * `?` when no params survive. Pure single-row expression work —
+   * the exact-dedup groupBy downstream is the only shuffle.
+   */
+  def urlCanonical(url: Column): Column = {
+    val u = coalesce(url, lit(""))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noFrag = regexp_replace(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "(?s)#.*$", "")
+    val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(authority, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+      .otherwise(authority)
+    val rest = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(
+      regexp_replace(rest, "(?s)\\?.*$", ""), "/+$", "")
+    val query = regexp_extract(rest, "(?s)\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(UrlTrackingParam)))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+  }
+
   /**
    * Confusion rollup of [[nbClassifier]] vs its own training heuristic
    * on the held-out half — the number a filter owner reads before

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two crawl-ingest stages upstream of `cleaned`:
+  * [[TextOps.htmlToText]] (boilerplate strip + entity decode) and
+  * [[TextOps.urlCanonical]] (crawl-level dedup key). */
+class HtmlUrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extractOne(html: String): String =
+    Seq(html).toDF("html")
+      .select(TextOps.htmlToText(col("html")).as("t"))
+      .as[String].head()
+
+  private def canonOne(url: String): String =
+    Seq(url).toDF("url")
+      .select(TextOps.urlCanonical(col("url")).as("c"))
+      .as[String].head()
+
+  // ---- htmlToText ----
+
+  test("htmlToText strips script/style/comment interiors, keeps text nodes") {
+    val html = """<html><head><title>T</title>
+      |<style media="all"> body { color: #fff; } </style>
+      |<script type="text/javascript">
+      |  if (a < b) { document.write("<p>injected</p>"); }
+      |</script></head>
+      |<body><!-- hidden <b>markup</b> --><h1>Head</h1>
+      |<p>one</p><p>two</p></body></html>""".stripMargin
+    // title text survives (naive extraction keeps all text nodes);
+    // script body — including the tag-shaped string literal — and the
+    // commented-out markup do not; block tags become word boundaries
+    assert(extractOne(html) == "T Head one two")
+  }
+
+  test("htmlToText decodes entities, &amp; last") {
+    val html = "<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;b &amp; c &amp;lt; d</p>"
+    // &amp;lt; decodes to the literal text "&lt;", NOT to "<"
+    assert(extractOne(html) == "a <tag> \"q\" 's' b & c &lt; d")
+  }
+
+  test("htmlToText: tags glue as spaces, whitespace collapses, null is empty") {
+    assert(extractOne("<td>a</td><td>b</td>") == "a b")
+    assert(extractOne("  \n\t ") == "")
+    val n = Seq(Option.empty[String]).toDF("html")
+      .select(TextOps.htmlToText(col("html")).as("t")).as[String].head()
+    assert(n == "")
+  }
+
+  test("htmlToText: mismatched script close does not eat the document") {
+    // without backrefs script and style are separate passes; a style
+    // block after an open script must not pair with it
+    val html = "<script>x()</script><p>kept</p><style>.a{}</style><p>also</p>"
+    assert(extractOne(html) == "kept also")
+  }
+
+  test("htmlLinkCount counts anchor opens only") {
+    val got = Seq("<a href=\"/x\">l</a> <abbr>n</abbr> <A\nhref='y'>m</A> <a>bare</a>")
+      .toDF("html")
+      .select(TextOps.htmlLinkCount(col("html")).as("n")).as[Long].head()
+    assert(got == 3L) // <abbr> must not count; case + newline do
+  }
+
+  // ---- urlCanonical ----
+
+  test("urlCanonical: case, default port, fragment, tracking, param order") {
+    assert(canonOne("HTTP://WWW.Example.COM:80/Articles/7/?utm_source=f&b=2&a=1#frag")
+      == "http://www.example.com/Articles/7?a=1&b=2")
+    // the reordered variant lands on the IDENTICAL key
+    assert(canonOne("http://www.example.com/Articles/7?a=1&b=2&fbclid=zz")
+      == "http://www.example.com/Articles/7?a=1&b=2")
+  }
+
+  test("urlCanonical preserves what must survive") {
+    // non-default port, path case, non-tracking params
+    assert(canonOne("http://h.com:8080/A/b") == "http://h.com:8080/A/b")
+    // https default port dropped; 443 on http is NOT a default port
+    assert(canonOne("https://H.com:443/x") == "https://h.com/x")
+    assert(canonOne("http://h.com:443/x") == "http://h.com:443/x")
+    // `referrer=` is not the tracking param `ref`; bare `ref` is
+    assert(canonOne("http://h.com/p?referrer=a&ref=b&ref")
+      == "http://h.com/p?referrer=a")
+  }
+
+  test("urlCanonical: trailing slash and empty-query normalization") {
+    assert(canonOne("http://h.com/a/") == "http://h.com/a")
+    assert(canonOne("http://h.com/") == "http://h.com")
+    assert(canonOne("http://h.com/a?utm_source=x") == "http://h.com/a")
+    assert(canonOne("http://h.com/a?") == "http://h.com/a")
+  }
+
+  test("urlCanonical byte-sorts params") {
+    // 'q2' < 'q=' in byte order ('2' = 0x32 < '=' = 0x3D)
+    assert(canonOne("https://e.com/search?q=3&q2=x") == "https://e.com/search?q2=x&q=3")
+  }
+
+  test("url dedup groups: cross-variant dups collapse, others do not") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      lit("t").as("text"))
+    val urls = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("HTTP://Ex.COM:80/p/"),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("/?utm_source=f&a=1")))
+      .otherwise(concat(lit("http://ex.com/p/"),
+        pmod(col("doc_id"), lit(10)).cast("string"),
+        lit("?a=1&fbclid=z"))).as("url"))
+    val groups = urls
+      .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("survivor"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // 200 docs over 10 resources; both parities canonicalize together
+    assert(groups.length == 10)
+    assert(groups.forall(_._2 == 20L))
+    assert(groups.map(_._3).toSeq == (0L until 10L)) // min doc_id wins
+  }
+}

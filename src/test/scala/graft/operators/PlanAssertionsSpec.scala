@@ -696,6 +696,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("crawl-ingest stages: html/url normalize are pure narrow maps; url dedup is one partial-agg shuffle") {
+    // the two normalize queries: scan-bound claims must be visible —
+    // the ONLY exchange is the output-order convention's final range
+    // partitioning; no join, no window, no hash shuffle
+    for (q <- Seq("text_html_extract", "text_url_normalize")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("hashpartitioning"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q:\n$p")
+    }
+    // url dedup: the groupBy aggregates map-side (partial_count +
+    // partial_min before the one hash exchange) — at 100 TB the wire
+    // carries canonical keys, not documents
+    val p = plan(graft.SparkEntry.queries("dedup_url_canonical")(
+      spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
