@@ -31,8 +31,9 @@ import graft.streaming.{ExtractionPipeline, FileChangeLogStream, GapMonitor, Str
  * pipe-format projection — the reference's whole job,
  * `CoordinatorRunnable.java:75-94`, at scaled rates).
  *
- * Usage: `runMain graft.StreamScaleCheck [neardup|gapmon|extract ...]`
- * (no args = all three). Prints `STREAMSCALE` lines; the SUMMARY line
+ * Usage: `runMain graft.StreamScaleCheck
+ * [neardup|gapmon|extract|bpeserve|curation ...]`
+ * (no args = all). Prints `STREAMSCALE` lines; the SUMMARY line
  * per (component, rate) carries the plateau and flatness verdicts
  * recorded in SURVEY §10.
  */
@@ -150,6 +151,99 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /** Rate-scaled streaming CURATION flagship (r11): the composed
+    * pipeline `StreamingCurationSpec` proves exactly-once on — ingest →
+    * [[StreamingNearDup.ownership]] screen → per-batch curation in
+    * `foreachBatch` (verdicts → keep all-bands-owned docs → docstore
+    * lookup → [[graft.operators.TextOps.bpeEncodeWith]] under a
+    * >64-merge model, i.e. the partition-local serving path) — at
+    * 20×/100× RATES. Every 5th doc position from batch 1 on repeats
+    * the previous batch's text at that position (an in-horizon dup the
+    * screen must drop), so the curated count per batch is EXACT:
+    * `perBatch` for batch 0, `perBatch×4/5` after — the probe VERIFIES
+    * it per batch (a latency number for wrong curation is worthless).
+    * Claims measured: screen state plateaus at rate × horizon, and
+    * per-batch latency is flat in batch index / ≲ linear in rate. */
+  private def runCuration(spark: SparkSession, mult: Int,
+                          model: graft.operators.TextOps.BpeModel): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = mult * 250
+    val batches = 12
+    val docstore = Files.createTempDirectory("ssc-cur-store").toString
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val own = StreamingNearDup.ownership(
+      input.toDF().toDF("doc_id", "event_time", "text"),
+      delay = "1 second", horizonMs = 5000L)
+    // (batch, screened docs, curated docs, curation ms); watermark
+    // bookkeeping runs EMPTY foreachBatch invocations between data
+    // batches (processAllAvailable triggers a no-data batch to advance
+    // the watermark) — screened==0 marks those
+    val curated = Seq.newBuilder[(Long, Long, Long, Long)]
+    val q = own.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssc-cur-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], id: Long) =>
+        val t0 = System.nanoTime()
+        val verdicts = StreamingNearDup.verdicts(b.toDF())
+        val nDocs = verdicts.count()
+        val fresh = verdicts
+          .filter(!col("is_candidate")).select(col("doc_id"))
+        val kept = spark.read.parquet(docstore)
+          .join(fresh, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))
+        val n = graft.operators.TextOps.bpeEncodeWith(kept, model)
+          .agg(count(lit(1)), sum(col("n_tokens"))).head().getLong(0)
+        curated += ((id, nDocs, n, (System.nanoTime() - t0) / 1000000L))
+        ()
+      }.start()
+    try {
+      var texts = Vector.empty[String] // previous batch's texts
+      for (b <- 0 until batches) {
+        val ts = new Timestamp((b + 1) * 1000L)
+        val base = b.toLong * perBatch
+        val next = (0 until perBatch).map { p =>
+          val id = base + p + 1
+          val text =
+            // dup of the previous batch's FRESH neighbor (p+1 is never
+            // ≡0 mod 5, so the copied text is 1 s old — always in
+            // horizon; copying position p would chain dup-of-dup back
+            // to batch 0 and race the horizon eviction)
+            if (b > 0 && p % 5 == 0) texts(p + 1)
+            else (0 until 12).map(j => s"t${id}x$j").mkString(" ")
+          (id, ts, text)
+        }
+        texts = next.map(_._3).toVector
+        // docstore rows land before their ids enter the stream (the
+        // payload store is upstream of the change feed by contract)
+        next.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+          .write.mode("append").parquet(docstore)
+        input.addData(next: _*)
+        q.processAllAvailable()
+      }
+      report("curation", mult, progressLines(q))
+      val got = curated.result().sortBy(_._1)
+      val data = got.filter(_._2 > 0)
+      // exactness: 12 data batches; the first keeps everything, each
+      // later one keeps exactly 4/5 (the planted in-horizon dups are
+      // screened); watermark batches curate nothing
+      require(data.size == batches,
+        s"expected $batches data batches at ${mult}x, got: $got")
+      val bad = data.zipWithIndex.filter { case ((_, _, kept, _), i) =>
+        kept != (if (i == 0) perBatch.toLong else perBatch * 4L / 5) }
+      require(bad.isEmpty, s"curation drifted at rate ${mult}x: $bad")
+      require(got.forall(g => g._2 > 0 || g._3 == 0L),
+        s"watermark batch curated rows at ${mult}x: $got")
+      data.zipWithIndex.foreach { case ((id, nd, kept, ms), i) =>
+        println(f"STREAMSCALE curation rate=${mult}%3dx databatch=$i%2d " +
+          f"(id=$id%2d) screened=$nd%7d kept=$kept%7d curMs=$ms%6d")
+      }
+      println(s"STREAMSCALE curation rate=${mult}x VERIFIED " +
+        s"dataBatches=${data.size} keptTotal=${data.map(_._3).sum} " +
+        s"(batch0=$perBatch, after=${perBatch * 4 / 5})")
+    } finally q.stop()
+  }
+
   /** Rate-scaled [[GapMonitor]]: `mult × 500` sequential offsets per
     * batch across 4 sources, every 100th offset arriving one batch
     * late (a fill), so the missing set stays busy but bounded —
@@ -220,7 +314,8 @@ object StreamScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val want: Set[String] =
-      if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve")
+      if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve",
+        "curation")
       else args.toSet
 
     // the serving model trains ONCE (the train/serve boundary the
@@ -259,6 +354,7 @@ object StreamScaleCheck {
       if (want("gapmon")) runGapMon(spark, mult)
       if (want("extract")) runExtract(spark, mult, segDirFor(mult))
       if (want("bpeserve")) runBpeServe(spark, mult, bpeModel)
+      if (want("curation")) runCuration(spark, mult, bpeModel)
     }
     spark.stop()
   }
