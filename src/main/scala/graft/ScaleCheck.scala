@@ -108,6 +108,14 @@ object ScaleCheck {
       Dedup.ngramJaccardPairs(boiler, threshold = 0.5)
     }),
     "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
+    "text_line_dedup" -> (() =>
+      // injected boilerplate: every doc gains two corpus-wide lines,
+      // so the hot-key df path carries real weight at every scale
+      // (replicated bodies are themselves corpus-frequent lines too —
+      // the worst case for the key aggregate)
+      TextOps.lineDedup(docs.withColumn("text",
+        concat(lit("all rights reserved worldwide notice\n"),
+          col("text"), lit("\nsubscribe to our newsletter today"))))),
     "text_dup_spans_maximal" -> (() =>
       // the maximal-run chain adds ONE doc-keyed window on top of the
       // dup_spans shape — per-doc sorts only
@@ -442,6 +450,13 @@ object ScaleCheck {
           .groupBy().agg(count(lit(1)).as("n_pairs"))),
       "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
       "text_dup_spans_maximal" -> (() => TextOps.dupSpanRuns(docs)),
+      "text_line_dedup" -> (() =>
+        // two injected corpus-wide boilerplate lines + salted bodies:
+        // the hot-key set and the per-doc reassembly both scale with
+        // the replica multiple
+        TextOps.lineDedup(docs.withColumn("text",
+          concat(lit("all rights reserved worldwide notice\n"),
+            col("text"), lit("\nsubscribe to our newsletter today"))))),
       "dedup_components_star" -> (() =>
         Dedup.starContractComponents(
           Dedup.nearDuplicatePairs(docs, threshold = 0.1))),

@@ -81,6 +81,24 @@ object SparkEntry {
           lit("&ref=sidebar&gclid=1&q2=x"))).as("url"))
   }
 
+  /** Deterministic multi-line crawl pages: unique body text plus
+    * planted boilerplate lines — corpus-wide (rights notice),
+    * source-segment (subscribe prompt, docs ≡0 mod 3), at-the-df-floor
+    * (promo line, df=2 at the sf0.01 gate — must survive `maxDf=2`),
+    * and a short separator exempt from counting. Oracle twin: the
+    * `ldocs` CTE. */
+  private def synthMultiline(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      coalesce(col("text"), lit("")),
+      lit("\nAll rights reserved worldwide legal notice."),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        lit("\nSubscribe to our newsletter today please."))
+        .otherwise(concat(lit("\nContact office number "),
+          col("doc_id").cast("string"), lit(" direct line."))),
+      lit("\n--"),
+      lit("\nPromo code "), pmod(col("doc_id"), lit(250L)).cast("string"),
+      lit(" applies.")).as("text"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -753,6 +771,16 @@ object SparkEntry {
       synthUrl(t(s, dir, "documents"))
         .select(col("doc_id"), col("url"),
           TextOps.urlCanonical(col("url")).as("canon_url"))
+        .orderBy(col("doc_id"))),
+
+    "text_line_dedup" -> ((s, dir) =>
+      // C4/RefinedWeb cross-doc line dedup: corpus-keyed boilerplate
+      // removal (df > maxDf drops all occurrences; short lines exempt)
+      TextOps.lineDedup(synthMultiline(t(s, dir, "documents")))
+        .select(col("doc_id"), col("n_lines_kept"),
+          col("n_lines_dropped"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"),
+          md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
 
     "dedup_url_canonical" -> ((s, dir) =>
@@ -5150,6 +5178,28 @@ object SparkEntry {
                    CAST(length(txt) AS BIGINT) AS n_chars_text,
                    md5(txt) AS text_fp
             FROM x ORDER BY doc_id""",
+
+      "text_line_dedup" ->
+        s"""WITH ldocs AS (SELECT doc_id,
+                 coalesce(text,'') || chr(10) || 'All rights reserved worldwide legal notice.' ||
+                 CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter today please.'
+                      ELSE chr(10) || 'Contact office number ' || CAST(doc_id AS VARCHAR) || ' direct line.' END ||
+                 chr(10) || '--' ||
+                 chr(10) || 'Promo code ' || CAST(doc_id % 250 AS VARCHAR) || ' applies.' AS text
+               FROM documents),
+            ll AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ldocs),
+            lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM ll),
+            keyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM lines),
+            hot AS (SELECT key FROM keyed WHERE length(key) >= 10
+                    GROUP BY key HAVING count(DISTINCT doc_id) > 2),
+            j AS (SELECT k.doc_id, k.pos, k.line, (h.key IS NOT NULL) AS is_hot
+                  FROM keyed k LEFT JOIN hot h ON k.key = h.key)
+            SELECT doc_id,
+               CAST(count(*) FILTER (WHERE NOT is_hot) AS BIGINT) AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_lines_dropped,
+               CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS BIGINT) AS n_chars_clean,
+               md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS clean_fp
+            FROM j GROUP BY doc_id ORDER BY doc_id""",
 
       "text_url_normalize" ->
         s"""$UrlCanonCte

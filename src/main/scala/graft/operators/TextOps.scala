@@ -2374,6 +2374,53 @@ object TextOps {
     size(regexp_extract_all(coalesce(html, lit("")),
       lit(HtmlAnchor), lit(0))).cast("long")
 
+  /**
+   * Cross-document LINE-level dedup — the C4/RefinedWeb boilerplate
+   * rule (cookie banners, nav footers, subscribe prompts repeat
+   * verbatim across a crawl; C4 removed repeated three-sentence spans,
+   * RefinedWeb repeated lines). Contract: a line participates in
+   * document-frequency counting when its trimmed key is at least
+   * `minLineChars` long; a participating key seen in MORE than `maxDf`
+   * distinct documents is boilerplate and ALL its occurrences drop
+   * (removal is corpus-keyed, not first-wins — cheap and
+   * order-independent at 100 TB). Short lines are exempt (separators
+   * like `--` would otherwise dedup structure away). Output per doc:
+   * kept/dropped counts and the reassembled text (kept lines in
+   * original order).
+   *
+   * Shape at scale: explode → one partial-agged groupBy(key) for the
+   * df count (the wire carries distinct keys, not lines) → key-keyed
+   * equi-join → groupBy(doc_id) reassembly. Three shuffles, all keyed,
+   * nothing quadratic; the sort in reassembly is per-doc inside the
+   * aggregate (`array_sort` over that doc's lines), never data-sized.
+   */
+  def lineDedup(docs: DataFrame, maxDf: Int = 2,
+                minLineChars: Int = 10): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+    val hot = lines
+      .filter(length(col("key")) >= minLineChars)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDf)
+      .select(col("key"), lit(true).as("__hot"))
+    lines.join(hot, Seq("key"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__hot").isNull, 1L).otherwise(0L))
+          .as("n_lines_kept"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
+          .as("n_lines_dropped"),
+        array_join(transform(
+          // collect_list skips the nulls the `when` leaves for
+          // dropped lines; struct sort orders by pos first
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Query params stripped during canonicalization: tracking noise
     * that splits otherwise-identical URLs into distinct keys. Matches
     * the whole param (`name` or `name=...`). */

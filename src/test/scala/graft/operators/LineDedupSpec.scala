@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[TextOps.lineDedup]] — C4/RefinedWeb cross-document line-level
+  * boilerplate removal. */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lineDedup drops corpus-frequent lines, keeps df<=maxDf and short lines") {
+    // boilerplate "all rights reserved today" in ALL 4 docs (df=4 > 2);
+    // "promo pair line here" in exactly 2 docs (df=2 == maxDf: kept);
+    // "--" everywhere but short (exempt); bodies unique
+    val docs = Seq(
+      (1L, "body one alpha\nall rights reserved today\npromo pair line here\n--"),
+      (2L, "body two beta\nall rights reserved today\npromo pair line here\n--"),
+      (3L, "body three gamma\nall rights reserved today\n--"),
+      (4L, "body four delta\nall rights reserved today\n--")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(docs, maxDf = 2, minLineChars = 10)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "body one alpha\npromo pair line here\n--"),
+      (2L, 3L, 1L, "body two beta\npromo pair line here\n--"),
+      (3L, 2L, 1L, "body three gamma\n--"),
+      (4L, 2L, 1L, "body four delta\n--")), got.mkString("\n"))
+  }
+
+  test("lineDedup: trimming keys, all-boilerplate docs go empty, order preserved") {
+    val docs = Seq(
+      // indented copies still match the trimmed key; kept lines
+      // reassemble in ORIGINAL order (and keep their original spacing)
+      (1L, "  shared cookie banner line\nzz last\naa first"),
+      (2L, "shared cookie banner line  \nmiddle unique"),
+      (3L, "shared cookie banner line"),
+      (4L, "shared cookie banner line\nshared cookie banner line")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(docs, maxDf = 2, minLineChars = 10)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, "zz last\naa first"), // NOT alphabetical — positional
+      (2L, 1L, 1L, "middle unique"),
+      (3L, 0L, 1L, ""),
+      (4L, 0L, 2L, "")), got.mkString("\n")) // both occurrences drop
+  }
+
+  test("lineDedup: null text and single-doc corpus pass through") {
+    val docs = Seq((1L, null: String), (2L, "only doc line content"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lineDedup(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, ""), (2L, 1L, 0L, "only doc line content")))
+  }
+}

@@ -716,6 +716,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("line dedup: key-keyed df aggregate and join, per-doc reassembly, nothing quadratic") {
+    val docs = ChangeLogSource.table(spark, sfDir, "documents")
+    val p = plan(TextOps.lineDedup(docs))
+    // explode feeds a partial-agged key groupBy (distinct keys on the
+    // wire), a key-keyed equi-join, and a doc-keyed reassembly — no
+    // cartesian, no data-sized window, no global sort
+    assert(p.contains("Generate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
