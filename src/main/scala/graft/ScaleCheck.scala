@@ -116,6 +116,35 @@ object ScaleCheck {
       TextOps.lineDedup(docs.withColumn("text",
         concat(lit("all rights reserved worldwide notice\n"),
           col("text"), lit("\nsubscribe to our newsletter today"))))),
+    "text_html_extract" -> (() =>
+      // the crawl-ingest scan stage: markup synthesized around every
+      // body (same shape as the oracle query), then stripped back out
+      // — pure narrow map, the probe pins the docs/s of the regex+
+      // entity chain
+      docs.select(col("doc_id"), concat(
+          lit("<html><head><title>D</title><style> p { } </style>" +
+            "</head><body><!-- c --><div><a href=\"/h\">Home</a></div>" +
+            "<script>track(1 < 2)</script><p>"),
+          regexp_replace(col("text"), "&", "&amp;"),
+          lit("</p></body></html>")).as("html"))
+        .select(col("doc_id"),
+          length(TextOps.htmlToText(col("html"))).cast("long")
+            .as("n_chars"),
+          TextOps.htmlLinkCount(col("html")).as("n_links"))
+        .groupBy().agg(sum(col("n_chars")).as("chars"),
+          sum(col("n_links")).as("links"))),
+    "text_url_normalize" -> (() =>
+      // canonicalization alone (no dedup groupBy): the per-row
+      // regex/array cost a crawl frontier pays per URL
+      docs.select(col("doc_id"), concat(
+          lit("HTTP://WWW.Example"),
+          pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit(".COM:80/Articles/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&b=2&a=1#frag")).as("url"))
+        .select(graft.operators.TextOps.urlCanonical(col("url"))
+          .as("canon"))
+        .groupBy().agg(count(col("canon")).as("n"),
+          sum(length(col("canon"))).as("chars"))),
     "text_dup_spans_maximal" -> (() =>
       // the maximal-run chain adds ONE doc-keyed window on top of the
       // dup_spans shape — per-doc sorts only
@@ -450,6 +479,33 @@ object ScaleCheck {
           .groupBy().agg(count(lit(1)).as("n_pairs"))),
       "text_dup_spans" -> (() => TextOps.dupSpans(docs)),
       "text_dup_spans_maximal" -> (() => TextOps.dupSpanRuns(docs)),
+      "text_html_extract" -> (() =>
+        // crawl-ingest scan stage (narrow map): markup synthesized
+        // around every body, stripped back out; folded to one row so
+        // the probe times the chain, not a giant collect
+        docs.select(col("doc_id"), concat(
+            lit("<html><head><title>D</title><style> p { } </style>" +
+              "</head><body><!-- c --><div><a href=\"/h\">Home</a></div>" +
+              "<script>track(1 < 2)</script><p>"),
+            regexp_replace(col("text"), "&", "&amp;"),
+            lit("</p></body></html>")).as("html"))
+          .select(col("doc_id"),
+            length(TextOps.htmlToText(col("html"))).cast("long")
+              .as("n_chars"),
+            TextOps.htmlLinkCount(col("html")).as("n_links"))
+          .groupBy().agg(sum(col("n_chars")).as("chars"),
+            sum(col("n_links")).as("links"))),
+      "text_url_normalize" -> (() =>
+        // canonicalization alone: the per-row cost a crawl frontier
+        // pays per URL
+        docs.select(col("doc_id"), concat(
+            lit("HTTP://WWW.Example"),
+            pmod(col("doc_id"), lit(50L)).cast("string"),
+            lit(".COM:80/Articles/"), col("doc_id").cast("string"),
+            lit("/?utm_source=feed&b=2&a=1#frag")).as("url"))
+          .select(TextOps.urlCanonical(col("url")).as("canon"))
+          .groupBy().agg(count(col("canon")).as("n"),
+            sum(length(col("canon"))).as("chars"))),
       "text_line_dedup" -> (() =>
         // two injected corpus-wide boilerplate lines + salted bodies:
         // the hot-key set and the per-doc reassembly both scale with
