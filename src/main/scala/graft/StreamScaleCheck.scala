@@ -151,6 +151,63 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /** Rate-scaled [[graft.streaming.StreamingUrlSeen]]: `mult × 500`
+    * URLs per batch, every 4th a variant of an earlier-in-batch URL
+    * (case/port/tracking noise sharing its canonical key) and the
+    * rest distinct — so the screen does real canonicalization AND
+    * real suppression at rate. The probe VERIFIES verdicts per batch:
+    * 3/4 of rows are firsts, 1/4 suppressed, exactly. State must
+    * plateau at (distinct canon keys in horizon) and latency stay
+    * flat in batch index. */
+  private def runUrlSeen(spark: SparkSession, mult: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = mult * 500
+    val batches = 14
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val seen = graft.streaming.StreamingUrlSeen.firstSeen(
+      input.toDF().toDF("doc_id", "event_time", "url"),
+      delay = "1 second", horizonMs = 5000L)
+    val counts = Seq.newBuilder[(Long, Long, Long)] // (rows, firsts, sup)
+    val q = seen.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssc-us-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        val r = b.toDF().agg(
+          count(lit(1)),
+          sum(when(col("first"), 1L).otherwise(0L))).head()
+        if (r.getLong(0) > 0)
+          counts += ((r.getLong(0), r.getLong(1),
+            r.getLong(0) - r.getLong(1)))
+        ()
+      }.start()
+    try {
+      var id = 0L
+      for (b <- 0 until batches) {
+        val ts = new Timestamp((b + 1) * 1000L)
+        val data = (0 until perBatch).map { p =>
+          id += 1
+          val url =
+            if (p % 4 == 3) // variant of the url three rows earlier
+              s"HTTP://Host${b}x${p - 3}.COM:80/p/$b/${p - 3}?utm_source=f"
+            else s"http://host${b}x$p.com/p/$b/$p"
+          (id, ts, url)
+        }
+        input.addData(data: _*)
+        q.processAllAvailable()
+      }
+      report("urlseen", mult, progressLines(q))
+      val got = counts.result()
+      require(got.size == batches && got.forall { case (n, f, s) =>
+        n == perBatch.toLong && f == perBatch * 3L / 4 &&
+          s == perBatch.toLong / 4 },
+        s"url screen drifted at ${mult}x: $got")
+      println(s"STREAMSCALE urlseen rate=${mult}x VERIFIED " +
+        s"batches=${got.size} firsts=${got.map(_._2).sum} " +
+        s"suppressed=${got.map(_._3).sum}")
+    } finally q.stop()
+  }
+
   /** Rate-scaled streaming CURATION flagship (r11): the composed
     * pipeline `StreamingCurationSpec` proves exactly-once on — ingest →
     * [[StreamingNearDup.ownership]] screen → per-batch curation in
@@ -315,7 +372,7 @@ object StreamScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val want: Set[String] =
       if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve",
-        "curation")
+        "curation", "urlseen")
       else args.toSet
 
     // the serving model trains ONCE (the train/serve boundary the
@@ -355,6 +412,7 @@ object StreamScaleCheck {
       if (want("extract")) runExtract(spark, mult, segDirFor(mult))
       if (want("bpeserve")) runBpeServe(spark, mult, bpeModel)
       if (want("curation")) runCuration(spark, mult, bpeModel)
+      if (want("urlseen")) runUrlSeen(spark, mult)
     }
     spark.stop()
   }
