@@ -99,6 +99,31 @@ object SparkEntry {
       lit("\nPromo code "), pmod(col("doc_id"), lit(250L)).cast("string"),
       lit(" applies.")).as("text"))
 
+  /** Deterministic BLOCK-structured crawl pages for the crawl
+    * flagship: title + nav + script boilerplate plus a body of
+    * paragraph blocks — the unique article text, a corpus-wide rights
+    * notice, a segment-level subscribe prompt (docs ≡0 mod 3), and a
+    * unique long contact line — so `htmlToLines` yields real LINES and
+    * `lineDedup` has real cross-doc boilerplate to drop. Oracle twin:
+    * the `cdocs` CTE. */
+  private def synthCrawlHtml(docs: DataFrame): DataFrame = {
+    val enc = replace(replace(replace(coalesce(col("text"), lit("")),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style> p { margin: 0; } </style></head><body>" +
+        "<!-- nav --><div class=\"nav\"><a href=\"/home\">Home</a></div>" +
+        "<script>track(1 < 2);</script><p>"),
+      enc,
+      lit("</p><p>All rights reserved worldwide legal notice.</p>"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        lit("<p>Subscribe to our newsletter today please.</p>"))
+        .otherwise(concat(lit("<p>Contact office number "),
+          col("doc_id").cast("string"), lit(" direct line.</p>"))),
+      lit("</body></html>")).as("html"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -782,6 +807,28 @@ object SparkEntry {
           length(col("clean_text")).cast("long").as("n_chars_clean"),
           md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
+
+    "pipeline_crawl_manifest" -> ((s, dir) => {
+      // FLAGSHIP (crawl): the batch crawl-curation pipeline as ONE
+      // plan — URL-canonical dedup (min-id survivor per key) → HTML →
+      // block lines → cross-doc line dedup (boilerplate drop) →
+      // quality gate → deterministic shard manifest. Every stage is
+      // the registered operator, composed.
+      val docs = t(s, dir, "documents")
+      val surv = synthUrl(docs)
+        .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val pages = synthCrawlHtml(docs).join(surv, Seq("doc_id"), "left_semi")
+      val lines = pages.select(col("doc_id"),
+        TextOps.htmlToLines(col("html")).as("text"))
+      val gated = TextOps.lineDedup(lines)
+        .filter(col("n_lines_kept") >= 2 &&
+          length(col("clean_text")) >= 20)
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"),
+          md5(col("clean_text")).as("clean_fp"))
+      TextOps.shardAssign(gated, carry = Seq("n_chars_clean", "clean_fp"))
+    }),
 
     "dedup_url_canonical" -> ((s, dir) =>
       // crawl-level exact dedup: canonicalize (narrow map), then ONE
@@ -2036,12 +2083,13 @@ object SparkEntry {
   // (KMeans), which no SQL oracle can replay — rows+schema verify
   // against the exact top-k; the hash records the recall gap by
   // design (see the query's registration comment).
-  /** Shared CTE chain for the URL queries: synthesize the four crawl
-    * variants (twin of [[synthUrl]]), then replay
-    * [[TextOps.urlCanonical]] stage by stage. Ends with relation
+  /** Shared CTE body (no `WITH` prefix — composable into larger
+    * chains) for the URL queries: synthesize the four crawl variants
+    * (twin of [[synthUrl]]), then replay [[TextOps.urlCanonical]]
+    * stage by stage. Ends with relation
     * `ucanon(doc_id, url, scheme, host, path, ps)`. */
   private val UrlCanonCte: String =
-    s"""WITH udocs AS (SELECT doc_id,
+    s"""udocs AS (SELECT doc_id,
              CASE CAST(doc_id % 4 AS INT)
                WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM:80/Articles/' || CAST(doc_id % 11 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
                WHEN 1 THEN 'http://www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/Articles/' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2&fbclid=abc123'
@@ -5202,14 +5250,68 @@ object SparkEntry {
             FROM j GROUP BY doc_id ORDER BY doc_id""",
 
       "text_url_normalize" ->
-        s"""$UrlCanonCte
+        s"""WITH $UrlCanonCte
             SELECT doc_id, url,
                    scheme || '://' || host || path ||
                    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
             FROM ucanon ORDER BY doc_id""",
 
+      "pipeline_crawl_manifest" ->
+        s"""WITH $UrlCanonCte,
+            csurv AS (SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id, scheme || '://' || host || path ||
+                  CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+                FROM ucanon) GROUP BY canon_url),
+            cdocs AS (SELECT d.doc_id,
+                 '<html><head><title>Doc ' || CAST(d.doc_id AS VARCHAR)
+                 || '</title><style> p { margin: 0; } </style></head><body>'
+                 || '<!-- nav --><div class="nav"><a href="/home">Home</a></div>'
+                 || '<script>track(1 < 2);</script><p>'
+                 || replace(replace(replace(coalesce(d.text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')
+                 || '</p><p>All rights reserved worldwide legal notice.</p>'
+                 || CASE WHEN d.doc_id % 3 = 0 THEN '<p>Subscribe to our newsletter today please.</p>'
+                    ELSE '<p>Contact office number ' || CAST(d.doc_id AS VARCHAR) || ' direct line.</p>' END
+                 || '</body></html>' AS html
+               FROM documents d JOIN csurv s ON d.doc_id = s.doc_id),
+            clt AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(regexp_replace(html,
+                           '${TextOps.HtmlScriptBlock}', '', 'g'),
+                           '${TextOps.HtmlStyleBlock}', '', 'g'),
+                           '${TextOps.HtmlComment}', '', 'g'),
+                         '${TextOps.HtmlBlockTag}', chr(10), 'g'),
+                         '${TextOps.HtmlTag}', ' ', 'g'),
+                       '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),
+                       '&amp;','&'),
+                     '${TextOps.HSpaceRun}', ' ', 'g'),
+                   ' *\\n *', chr(10), 'g'), '\\n+', chr(10), 'g'), '^\\n+|\\n+$$', '', 'g') AS txt
+               FROM cdocs),
+            cll AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM clt),
+            clines AS (SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM cll),
+            ckeyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM clines),
+            chot AS (SELECT key FROM ckeyed WHERE length(key) >= 10
+                     GROUP BY key HAVING count(DISTINCT doc_id) > 2),
+            cj AS (SELECT k.doc_id, k.pos, k.line, (h.key IS NOT NULL) AS is_hot
+                   FROM ckeyed k LEFT JOIN chot h ON k.key = h.key),
+            ccleaned AS (SELECT doc_id,
+                CAST(count(*) FILTER (WHERE NOT is_hot) AS BIGINT) AS n_lines_kept,
+                coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '') AS clean_text
+              FROM cj GROUP BY doc_id),
+            cgated AS (SELECT doc_id,
+                CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+                md5(clean_text) AS clean_fp
+              FROM ccleaned WHERE n_lines_kept >= 2 AND length(clean_text) >= 20),
+            ch AS (SELECT *, ${h60("doc_id::VARCHAR || ':graft'")} AS hh FROM cgated)
+            SELECT doc_id, n_chars_clean, clean_fp,
+               CAST(hh % 8 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM ch ORDER BY shard, pos""",
+
       "dedup_url_canonical" ->
-        s"""$UrlCanonCte
+        s"""WITH $UrlCanonCte
             SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
                    min(doc_id) AS survivor_id
             FROM (SELECT doc_id,

@@ -2374,6 +2374,39 @@ object TextOps {
     size(regexp_extract_all(coalesce(html, lit("")),
       lit(HtmlAnchor), lit(0))).cast("long")
 
+  /** Block-boundary tags (open or close): the tags whose edges a
+    * line-oriented extractor renders as newlines, so paragraph
+    * structure survives into line-level dedup. */
+  val HtmlBlockTag: String =
+    "(?i)</?(p|div|br|h[1-6]|li|ul|ol|title|table|tr|td|th)[^>]*>"
+  /** Horizontal whitespace only (no \n) — the within-line collapse. */
+  val HSpaceRun: String = "[ \\t\\x0B\\f\\r]+"
+
+  /**
+   * Line-oriented variant of [[htmlToText]] — the extraction a
+   * line-level dedup pipeline actually wants: block-boundary tags
+   * ([[HtmlBlockTag]]) become NEWLINES (paragraph structure survives),
+   * inline tags become spaces, entities decode in the same order, then
+   * horizontal whitespace collapses within lines, blank lines drop,
+   * and leading/trailing newlines strip. Feed the result to
+   * [[lineDedup]]. Same engine-identical regex subset.
+   */
+  def htmlToLines(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(html, lit("")),
+      HtmlScriptBlock, ""), HtmlStyleBlock, ""), HtmlComment, "")
+    val lined = regexp_replace(
+      regexp_replace(noBlocks, HtmlBlockTag, "\n"), HtmlTag, " ")
+    val decoded = replace(replace(replace(replace(replace(lined,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    val spaced = regexp_replace(
+      replace(decoded, lit("&amp;"), lit("&")), HSpaceRun, " ")
+    regexp_replace(regexp_replace(regexp_replace(spaced,
+      " *\\n *", "\n"), "\\n+", "\n"), "^\\n+|\\n+$", "")
+  }
+
   /**
    * Cross-document LINE-level dedup — the C4/RefinedWeb boilerplate
    * rule (cookie banners, nav footers, subscribe prompts repeat

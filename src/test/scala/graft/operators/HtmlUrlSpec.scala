@@ -64,6 +64,25 @@ class HtmlUrlSpec extends SparkSpec {
     assert(got == 3L) // <abbr> must not count; case + newline do
   }
 
+  // ---- htmlToLines ----
+
+  private def linesOne(html: String): String =
+    Seq(html).toDF("html")
+      .select(TextOps.htmlToLines(col("html")).as("t"))
+      .as[String].head()
+
+  test("htmlToLines: block tags become newlines, inline tags spaces") {
+    val html = "<h1>Head</h1><p>one <b>bold</b> two</p><div>d</div>" +
+      "<ul><li>a</li><li>b</li></ul>"
+    assert(linesOne(html) == "Head\none bold two\nd\na\nb")
+  }
+
+  test("htmlToLines: blank lines drop, edges strip, entities decode") {
+    val html = "<p></p><p>  </p><p>x &amp; y</p><br><br><p>z</p><p></p>"
+    assert(linesOne(html) == "x & y\nz")
+    assert(linesOne("<script>a()</script><style>.c{}</style>") == "")
+  }
+
   // ---- urlCanonical ----
 
   test("urlCanonical: case, default port, fragment, tracking, param order") {

@@ -727,6 +727,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("crawl flagship: keyed shuffles only — no cartesian, shard-keyed window") {
+    val p = plan(graft.SparkEntry.queries("pipeline_crawl_manifest")(
+      spark, sfDir))
+    // url-survivor semi-join, line-df join, doc reassembly, shard
+    // window — every stage keyed; the only Window partitions by shard
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
