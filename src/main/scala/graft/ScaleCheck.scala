@@ -551,6 +551,38 @@ object ScaleCheck {
             .select(col("doc_id")), Seq("doc_id"), "left_semi")
         TextOps.shardAssign(gated)
       }),
+      "pipeline_crawl_manifest" -> (() => {
+        // the crawl flagship shape on replicated corpora: every doc
+        // gets markup + two corpus-wide boilerplate paragraphs and a
+        // salted URL (1/4 of urls are canonical variants of another),
+        // then url dedup -> block lines -> line dedup -> gate -> shards
+        val k = (col("doc_id") / 4L).cast("long").cast("string")
+        val cls = pmod(col("doc_id"), lit(4L))
+        val withUrl = docs.select(col("doc_id"), col("text"),
+          when(cls === 3, concat(lit("HTTP://Host"), k,
+              lit(".COM:80/p/"), k, lit("a?utm_source=f&a=1")))
+            .otherwise(concat(lit("http://host"), k, lit(".com/p/"), k,
+              when(cls === 0, lit("a?a=1")).when(cls === 1, lit("b?a=1"))
+                .otherwise(lit("c?a=1")))).as("url"))
+        val surv = withUrl
+          .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val pages = withUrl.join(surv, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), concat(
+            lit("<html><head><title>T</title></head><body><p>"),
+            col("text"),
+            lit("</p><p>All rights reserved worldwide legal notice.</p>" +
+              "<p>Subscribe to our newsletter today please.</p>" +
+              "</body></html>")).as("html"))
+        val lines = pages.select(col("doc_id"),
+          TextOps.htmlToLines(col("html")).as("text"))
+        val gated = TextOps.lineDedup(lines)
+          .filter(col("n_lines_kept") >= 1 &&
+            length(col("clean_text")) >= 20)
+          .select(col("doc_id"),
+            length(col("clean_text")).cast("long").as("n_chars_clean"))
+        TextOps.shardAssign(gated, carry = Seq("n_chars_clean"))
+      }),
       "pipeline_curation_manifest" -> (() => {
         val capped = docs.join(
           TextOps.domainCap(docs, perSource = 50).select(col("doc_id")),
