@@ -27,6 +27,122 @@ class StreamingCurationSpec extends SparkSpec {
 
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 
+  test("url frontier screen feeds the content pipeline: full crawl chain exactly-once across a crash") {
+    // the two-query crawl architecture: a FRONTIER query (URL screen,
+    // idempotent per-batch admitted-set sink) feeds a CURATION query
+    // (content near-dup screen -> docstore lookup -> tokenize ->
+    // curated sink) through a parquet handoff — each query owns its
+    // own state and checkpoint, the handoff files are the contract
+    val urlDir = Files.createTempDirectory("graft-fr-in").toString
+    val frontierDir = Files.createTempDirectory("graft-fr-out").toString
+    val outDir = Files.createTempDirectory("graft-fr-cur").toString
+    val ckptF = Files.createTempDirectory("graft-fr-ck1").toString
+    val ckptC = Files.createTempDirectory("graft-fr-ck2").toString
+
+    def word(i: Int): String =
+      (0 until 6).map(d => ('a' + (i / math.pow(6, d).toInt) % 6).toChar)
+        .mkString
+    def sentence(seed: Int): String =
+      (0 until 12).map(j => word((seed * 13 + j * 7) % 200)).mkString(" ")
+    val texts = (1 to 6).map(sentence)
+
+    // url 4 is a canonical VARIANT of url 1 (frontier suppresses it);
+    // doc 5 is a content dup of doc 2 (content screen drops it);
+    // the rest are fresh on both axes
+    val urlBatches = Seq(
+      Seq((1L, ts(10), "http://site.com/a?k=1"),
+        (2L, ts(10), "http://site.com/b")),
+      Seq((3L, ts(11), "https://other.com/c"),
+        (4L, ts(11), "HTTP://SITE.com:80/a/?k=1&utm_source=x#f")),
+      Seq((5L, ts(12), "http://site.com/e"),
+        (6L, ts(12), "http://site.com/f")))
+    urlBatches.foreach { rows =>
+      rows.toDF("doc_id", "event_time", "url").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(urlDir)
+    }
+    // the docstore the "fetch" stage resolves admitted ids against
+    val docstore = (1 to 6).map(i =>
+        (i.toLong, if (i == 5) texts(1) else texts(i - 1)))
+      .toDF("doc_id", "text")
+    val dsDir = Files.createTempDirectory("graft-fr-ds").toString
+    docstore.write.mode(SaveMode.Overwrite).parquet(dsDir)
+
+    val model = TextOps.bpeTrainTopK(docstore, 80)
+    assert(model.merges.size > TextOps.MaxCodegenMerges)
+
+    // ---- query 1: the frontier screen (runs to completion) ----
+    val fq = StreamingUrlSeen.firstSeen(
+        spark.readStream
+          .schema("doc_id LONG, event_time TIMESTAMP, url STRING")
+          .option("maxFilesPerTrigger", 1).parquet(urlDir),
+        delay = "1 hour", horizonMs = 3600000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptF)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], id: Long) =>
+        // idempotent whole-batch overwrite: the admitted fetch set
+        b.toDF().filter(col("first"))
+          .select(col("docId").as("doc_id"), col("ts").as("event_time"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$frontierDir/batch=$id")
+        ()
+      }.start()
+    fq.processAllAvailable(); fq.stop()
+    val admitted = spark.read.parquet(s"$frontierDir/batch=*")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(1L, 2L, 3L, 5L, 6L), s"frontier: $admitted")
+
+    // ---- query 2: content curation over the admitted set, with a
+    // mid-cycle crash after partial curated output ----
+    val crashArmed = new AtomicBoolean(true)
+    def runCuration(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, event_time TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(frontierDir)
+        .join(spark.read.parquet(dsDir), Seq("doc_id"))
+      val q = StreamingNearDup.ownership(stream, delay = "1 hour",
+          horizonMs = 3600000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptC)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[_], id: Long) =>
+          val fresh = StreamingNearDup.verdicts(b.toDF())
+            .filter(!col("is_candidate")).select(col("doc_id"))
+          val kept = spark.read.parquet(dsDir)
+            .join(fresh, Seq("doc_id"), "left_semi")
+          val encoded = TextOps.bpeEncodeWith(kept, model)
+          if (id == 1L && crashArmed.getAndSet(false)) {
+            encoded.limit(1)
+              .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+            throw new RuntimeException("injected mid-cycle crash")
+          }
+          encoded.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$id")
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop() }
+      catch {
+        case e: StreamingQueryException =>
+          assert(e.toString.contains("injected mid-cycle crash") ||
+            Option(e.getCause).exists(c => Option(c.getMessage)
+              .exists(_.contains("injected mid-cycle crash"))), e.toString)
+          q.stop()
+      }
+    }
+    runCuration()
+    assert(!crashArmed.get(), "crash never fired — batch sizing changed?")
+    runCuration()
+
+    // end-to-end: url variant 4 never reached the content stage,
+    // content dup 5 was screened there, everything else curated once
+    val curated = spark.read.parquet(s"$outDir/batch=*")
+    val ids = curated.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 6L), s"curated set drifted: $ids")
+    val ref = TextOps.bpeEncodeWith(
+        docstore.filter($"doc_id".isin(1L, 2L, 3L, 6L)), model)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = curated.select($"doc_id", $"n_words", $"n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ref, s"stream-curated counts diverged:\n$got\nvs\n$ref")
+  }
+
   test("ingest -> near-dup screen -> BPE encode -> packed manifest survives a mid-cycle crash exactly-once") {
     val inDir = Files.createTempDirectory("graft-cur-in").toString
     val outDir = Files.createTempDirectory("graft-cur-out").toString
