@@ -124,6 +124,31 @@ object SparkEntry {
       lit("</body></html>")).as("html"))
   }
 
+  /** Deterministic head-metadata pages: title always; robots meta in
+    * BOTH attribute orders plus an uppercase directive and an absent
+    * case (doc_id%4); rel=canonical links in both orders plus absent
+    * (doc_id%2 / %4). Oracle twin: the `mdocs` CTE. */
+  private def synthMetaHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" News</title>"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        lit("<meta name=\"robots\" content=\"NOINDEX\">"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          lit("<meta content=\"index,follow\" name=\"robots\">"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://example.com/canon/"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit("\">")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("<link href=\"https://example.com/canon/"),
+            pmod(col("doc_id"), lit(7L)).cast("string"),
+            lit("\" rel=\"canonical\">")))
+        .otherwise(lit("")),
+      lit("</head><body></body></html>")).as("html"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -790,6 +815,18 @@ object SparkEntry {
           length(col("html")).cast("long").as("n_chars_html"),
           length(col("txt")).cast("long").as("n_chars_text"),
           md5(col("txt")).as("text_fp"))
+        .orderBy(col("doc_id"))),
+
+    "text_html_meta" -> ((s, dir) =>
+      // head-metadata extraction: title, robots directives (the
+      // noindex compliance signal), rel=canonical (the publisher's
+      // declared identity — dedup on THIS when present). Narrow map.
+      synthMetaHtml(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.htmlTitle(col("html")).as("title"),
+          TextOps.htmlMetaRobots(col("html")).as("robots"),
+          TextOps.htmlCanonicalHref(col("html")).as("canonical_href"))
+        .withColumn("indexable", !col("robots").contains("noindex"))
         .orderBy(col("doc_id"))),
 
     "text_url_normalize" -> ((s, dir) =>
@@ -5248,6 +5285,32 @@ object SparkEntry {
                CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS BIGINT) AS n_chars_clean,
                md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS clean_fp
             FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_html_meta" ->
+        s"""WITH mdocs AS (SELECT doc_id,
+                 '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' News</title>'
+                 || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN '<meta name="robots" content="NOINDEX">'
+                    WHEN 1 THEN '<meta name="robots" content="noindex, nofollow">'
+                    WHEN 2 THEN '<meta content="index,follow" name="robots">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '">'
+                         WHEN doc_id % 4 = 1 THEN '<link href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '" rel="canonical">'
+                         ELSE '' END
+                 || '</head><body></body></html>' AS html
+               FROM documents),
+            mx AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_extract(html, '${TextOps.HtmlTitleBody}', 1), '${TextOps.SpaceRun}', ' ', 'g')) AS title,
+                 lower(trim(coalesce(
+                   nullif(regexp_extract(html, '${TextOps.HtmlMetaRobotsNameFirst}', 1), ''),
+                   regexp_extract(html, '${TextOps.HtmlMetaRobotsContentFirst}', 1)))) AS robots,
+                 trim(coalesce(
+                   nullif(regexp_extract(html, '${TextOps.HtmlCanonicalRelFirst}', 1), ''),
+                   regexp_extract(html, '${TextOps.HtmlCanonicalHrefFirst}', 1))) AS canonical_href
+               FROM mdocs)
+            SELECT doc_id, title, robots, canonical_href,
+                   NOT contains(robots, 'noindex') AS indexable
+            FROM mx ORDER BY doc_id""",
 
       "text_url_normalize" ->
         s"""WITH $UrlCanonCte

@@ -2454,6 +2454,45 @@ object TextOps {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** `<title>` body (dot-all for multi-line titles). */
+  val HtmlTitleBody: String = "(?is)<title[^>]*>(.*?)</title"
+  // Meta/link attribute extraction supports BOTH attribute orders
+  // (name-first and content-first are equally common in the wild);
+  // the accessor coalesces the two single-order patterns. Values are
+  // double-quoted per the synthesis/oracle contract.
+  val HtmlMetaRobotsNameFirst: String =
+    "(?is)<meta[ \\t\\n\\r][^>]*name=\"robots\"[^>]*content=\"([^\"]*)\""
+  val HtmlMetaRobotsContentFirst: String =
+    "(?is)<meta[ \\t\\n\\r][^>]*content=\"([^\"]*)\"[^>]*name=\"robots\""
+  val HtmlCanonicalRelFirst: String =
+    "(?is)<link[ \\t\\n\\r][^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\""
+  val HtmlCanonicalHrefFirst: String =
+    "(?is)<link[ \\t\\n\\r][^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\""
+
+  /** Page title text, whitespace-collapsed and trimmed ("" if none). */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(regexp_extract(coalesce(html, lit("")),
+      HtmlTitleBody, 1), SpaceRun, " "))
+
+  /** `<meta name="robots">` directives, lowercased ("" if none) —
+    * the compliance signal a crawl pipeline must honor. */
+  def htmlMetaRobots(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    lower(trim(coalesce(
+      nullif(regexp_extract(h, HtmlMetaRobotsNameFirst, 1), lit("")),
+      regexp_extract(h, HtmlMetaRobotsContentFirst, 1))))
+  }
+
+  /** `rel="canonical"` href ("" if none). Real pipelines dedup on
+    * THIS (canonicalized) when present — the publisher's declared
+    * identity beats the fetched URL. */
+  def htmlCanonicalHref(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    trim(coalesce(
+      nullif(regexp_extract(h, HtmlCanonicalRelFirst, 1), lit("")),
+      regexp_extract(h, HtmlCanonicalHrefFirst, 1)))
+  }
+
   /** Query params stripped during canonicalization: tracking noise
     * that splits otherwise-identical URLs into distinct keys. Matches
     * the whole param (`name` or `name=...`). */

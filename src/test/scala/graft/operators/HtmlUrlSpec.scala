@@ -83,6 +83,31 @@ class HtmlUrlSpec extends SparkSpec {
     assert(linesOne("<script>a()</script><style>.c{}</style>") == "")
   }
 
+  // ---- head metadata ----
+
+  test("html head metadata: both attribute orders, case, absence, tag isolation") {
+    def meta(html: String): (String, String, String) =
+      Seq(html).toDF("html").select(
+        TextOps.htmlTitle(col("html")).as("t"),
+        TextOps.htmlMetaRobots(col("html")).as("r"),
+        TextOps.htmlCanonicalHref(col("html")).as("c"))
+        .as[(String, String, String)].head()
+    assert(meta("<title> A \n B </title>" +
+      "<meta name=\"robots\" content=\"NOINDEX, NoFollow\">" +
+      "<link rel=\"canonical\" href=\"https://e.com/x\">")
+      == ("A B", "noindex, nofollow", "https://e.com/x"))
+    // reversed attribute orders resolve identically
+    assert(meta("<meta content=\"index\" name=\"robots\">" +
+      "<link href=\"https://e.com/y\" rel=\"canonical\">")
+      == ("", "index", "https://e.com/y"))
+    // a content= on a DIFFERENT meta tag must not leak into robots
+    assert(meta("<meta name=\"description\" content=\"robots are cool\">" +
+      "<meta name=\"robots\" content=\"all\">")
+      == ("", "all", ""))
+    // absence everywhere -> empty strings
+    assert(meta("<html><head></head></html>") == ("", "", ""))
+  }
+
   // ---- urlCanonical ----
 
   test("urlCanonical: case, default port, fragment, tracking, param order") {
