@@ -2354,6 +2354,12 @@ object TextOps {
    * must yield the literal text `&lt;`, not `<`) — then collapse
    * whitespace and trim. Title text survives (naive extraction keeps
    * ALL text nodes); script/style/comment interiors do not.
+   *
+   * Naive-DOM boundaries (by contract, not oversight): CDATA sections
+   * and a literal `>` inside a quoted attribute value end the tag
+   * early (`<[^>]*>` — a real tokenizer is out of scope for a regex
+   * subset both engines replay); numeric entities beyond `&#39;` pass
+   * through verbatim.
    */
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(
@@ -2508,6 +2514,13 @@ object TextOps {
    * `/` runs from the path (so `/a/` ≡ `/a` and `/` ≡ empty), omit
    * `?` when no params survive. Pure single-row expression work —
    * the exact-dedup groupBy downstream is the only shuffle.
+   *
+   * Contract boundaries: percent-encoding is preserved VERBATIM
+   * (`%7E` and `~` are distinct keys by design — decoding is a
+   * normalization policy, not a syntax fact), userinfo/IPv6
+   * authorities pass through as part of the lowercased host, and
+   * scheme-relative or relative references are out of contract
+   * (callers resolve against a base first).
    */
   def urlCanonical(url: Column): Column = {
     val u = coalesce(url, lit(""))
