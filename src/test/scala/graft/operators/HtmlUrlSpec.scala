@@ -83,6 +83,32 @@ class HtmlUrlSpec extends SparkSpec {
     assert(linesOne("<script>a()</script><style>.c{}</style>") == "")
   }
 
+  test("htmlToLines ≡ htmlToText modulo line structure (cross-operator invariant)") {
+    // substituting spaces for the line breaks must reproduce the flat
+    // extraction EXACTLY — the two operators may never disagree on
+    // content, only on structure. Run over real document bodies
+    // wrapped in block markup plus the fixture edge cases.
+    val docs = graft.sources.ChangeLogSource
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>T "), col("doc_id").cast("string"),
+        lit("</title><style>p{}</style></head><body><div>nav "),
+        lit("<a href=\"/x\">l</a></div><script>s()</script><p>"),
+        regexp_replace(col("text"), "&", "&amp;"),
+        lit("</p><p>tail &lt;p&gt; block</p></body></html>")).as("html"))
+    val fixtures = Seq(
+      "<td>a</td><td>b</td><p>c\nd</p>",
+      "<p></p><br><p> spaced   out </p><!--<p>x</p>-->").toDF("html")
+      .withColumn("doc_id", lit(-1L)).select("doc_id", "html")
+    val n = docs.select("doc_id", "html").unionByName(fixtures)
+      .select(
+        TextOps.htmlToText(col("html")).as("flat"),
+        replace(TextOps.htmlToLines(col("html")), lit("\n"), lit(" "))
+          .as("joined"))
+      .filter(col("flat") =!= col("joined")).count()
+    assert(n == 0L)
+  }
+
   // ---- head metadata ----
 
   test("html head metadata: both attribute orders, case, absence, tag isolation") {

@@ -48,6 +48,29 @@ class LineDedupSpec extends SparkSpec {
       (4L, 0L, 2L, "")), got.mkString("\n")) // both occurrences drop
   }
 
+  test("lineDedup conservation: kept + dropped = input lines, on real docs") {
+    // every input line is accounted for exactly once — over real
+    // document bodies with injected boilerplate (the ScaleCheck probe
+    // corpus shape)
+    val docs = graft.sources.ChangeLogSource
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(
+        lit("all rights reserved worldwide notice\n"), col("text"),
+        lit("\nsubscribe to our newsletter today")))
+    val bad = TextOps.lineDedup(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_in")), "doc_id")
+      .filter(col("n_lines_kept") + col("n_lines_dropped") =!= col("n_in"))
+      .count()
+    assert(bad == 0L)
+    // and the boilerplate is gone from every reassembled doc
+    val leaked = TextOps.lineDedup(docs)
+      .filter(col("clean_text").contains("rights reserved") ||
+        col("clean_text").contains("subscribe to our newsletter"))
+      .count()
+    assert(leaked == 0L)
+  }
+
   test("lineDedup: null text and single-doc corpus pass through") {
     val docs = Seq((1L, null: String), (2L, "only doc line content"))
       .toDF("doc_id", "text")
