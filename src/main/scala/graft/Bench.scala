@@ -27,6 +27,28 @@ object Bench {
         b.getProcessCpuTime // probe once so a failure falls back now
         () => b.getProcessCpuTime
       } catch { case _: Throwable => () => 0L }
+    // JIT self-attribution (r11: six driver queries ran 2-8x their
+    // isolated fresh-JVM medians with no code change; the isolated
+    // reps proved noise-class but the driver artifact itself couldn't
+    // say so). Per-run JIT-compilation-time deltas and the final
+    // code-cache occupancy land in bench_full.json, so the NEXT
+    // unexplained blowup is attributable from the round's own
+    // artifact: a fat jit delta on the slow rep = compiler storm, a
+    // near-full code cache = flush thrash, neither = host stall.
+    val jitMs: () => Long =
+      try {
+        val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+        if (cb != null && cb.isCompilationTimeMonitoringSupported)
+          () => cb.getTotalCompilationTime
+        else () => 0L
+      } catch { case _: Throwable => () => 0L }
+    def codeCacheUsedMb(): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / (1024L * 1024L)
+      } catch { case _: Throwable => -1L }
     // Machine-attributable environment: /proc/loadavg plus the host's
     // aggregate steal/busy jiffies before and after the run. A driver
     // total that disagrees 3-9x with a builder/judge rerun on identical
@@ -107,12 +129,14 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val c0 = cpuNs()
+        val j0 = jitMs()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
+        ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9,
+          (jitMs() - j0) / 1e3)
       }
       // the run WITH the median wall, whole: independently-medianed
       // wall and cpu can pair numbers no run exhibited, skewing the
@@ -120,7 +144,7 @@ object Bench {
       val med = runs.sortBy(_._1).apply((runs.size - 1) / 2)
       name -> (med, runs)
     }
-    val wallByName = results.map { case (n, ((w, _), _)) => n -> w }.toMap
+    val wallByName = results.map { case (n, ((w, _, _), _)) => n -> w }.toMap
     val total = results.map(_._2._1._1).sum
     val cpuTotal = results.map(_._2._1._2).sum
     val (loadAfter, jifAfter) = procSample()
@@ -170,10 +194,13 @@ object Bench {
     // round-stamped copy so builder-local and driver runs stay
     // distinguishable evidence across rounds.
     val fullJson = results.sortBy(_._1)
-      .map { case (k, ((w, c), runs)) =>
-        val rs = runs.map { case (rw, rc) => s"[$rw,$rc]" }
+      .map { case (k, ((w, c, j), runs)) =>
+        // runs triples are [wall_s, cpu_s, jit_s] — the jit column is
+        // THIS JVM's total-compilation-time delta over the run
+        val rs = runs.map { case (rw, rc, rj) => s"[$rw,$rc,$rj]" }
           .mkString("[", ",", "]")
         "\"" + k + "\":{\"wall\":" + w + ",\"cpu\":" + c +
+          ",\"jit\":" + j +
           ",\"wall_cold\":" + runs.head._1 + ",\"cpu_cold\":" +
           runs.head._2 + ",\"runs\":" + rs + "}" }
       .mkString("{", ",", "}")
@@ -182,7 +209,9 @@ object Bench {
         (s"""{"total":$total,"cpu_total":$cpuTotal,"sf":"$sfDir",""" +
           s""""reps":$reps,""" +
           s""""env":{"load_before":"$loadBefore","load_after":"$loadAfter",""" +
-          s""""steal_pct":${fmt(stealPct)},"host_busy_pct":${fmt(busyPct)}},""" +
+          s""""steal_pct":${fmt(stealPct)},"host_busy_pct":${fmt(busyPct)},""" +
+          s""""jit_total_s":${fmt(jitMs() / 1e3)},""" +
+          s""""code_cache_used_mb":${codeCacheUsedMb()}},""" +
           s""""queries":$fullJson}""").getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

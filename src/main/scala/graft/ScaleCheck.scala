@@ -513,6 +513,23 @@ object ScaleCheck {
         TextOps.lineDedup(docs.withColumn("text",
           concat(lit("all rights reserved worldwide notice\n"),
             col("text"), lit("\nsubscribe to our newsletter today"))))),
+      "text_line_dedup_hotcard" -> (() => {
+        // the BROADCAST-side bound the r11 verdict asked for: the hot
+        // set's cardinality and byte size at each scale, printed so
+        // the log shows the blank-line key can't serialize a
+        // partition (it never reaches the join) and the broadcast
+        // side stays boilerplate-sized while the corpus inflates
+        import spark.implicits._
+        val hot = TextOps.lineDedupHotKeys(docs.withColumn("text",
+          concat(lit("all rights reserved worldwide notice\n"),
+            col("text"), lit("\nsubscribe to our newsletter today"))))
+        val row = hot.agg(count(lit(1)).as("n"),
+          coalesce(sum(length(col("key"))), lit(0L)).as("bytes"))
+          .as[(Long, Long)].head()
+        println(s"SCALEEXP   line_dedup hot side: keys=${row._1} " +
+          s"key_bytes=${row._2}")
+        Seq(row).toDF("n_hot_keys", "hot_key_bytes")
+      }),
       "dedup_components_star" -> (() =>
         Dedup.starContractComponents(
           Dedup.nearDuplicatePairs(docs, threshold = 0.1))),
@@ -576,8 +593,11 @@ object ScaleCheck {
               "</body></html>")).as("html"))
         val lines = pages.select(col("doc_id"),
           TextOps.htmlToLines(col("html")).as("text"))
+        // gate matches the registered flagship exactly (>= 2 — the
+        // r11 advisory: the probe must measure the production plan's
+        // selectivity, not a loosened replica variant)
         val gated = TextOps.lineDedup(lines)
-          .filter(col("n_lines_kept") >= 1 &&
+          .filter(col("n_lines_kept") >= 2 &&
             length(col("clean_text")) >= 20)
           .select(col("doc_id"),
             length(col("clean_text")).cast("long").as("n_chars_clean"))

@@ -125,27 +125,39 @@ object SparkEntry {
   }
 
   /** Deterministic head-metadata pages: title always; robots meta in
-    * BOTH attribute orders plus an uppercase directive and an absent
-    * case (doc_id%4); rel=canonical links in both orders plus absent
-    * (doc_id%2 / %4). Oracle twin: the `mdocs` CTE. */
+    * BOTH attribute orders, all three quoting styles (double, single,
+    * unquoted — the r11 advisory's fail-OPEN case), an uppercase
+    * directive and an absent case (doc_id%6); rel=canonical links in
+    * both orders, a single-quoted and an unquoted variant, plus
+    * absent (doc_id%6). Oracle twin: the `mdocs` CTE. */
   private def synthMetaHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit(" News</title>"),
-      when(pmod(col("doc_id"), lit(4L)) === 0,
+      when(pmod(col("doc_id"), lit(6L)) === 0,
         lit("<meta name=\"robots\" content=\"NOINDEX\">"))
-        .when(pmod(col("doc_id"), lit(4L)) === 1,
-          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-        .when(pmod(col("doc_id"), lit(4L)) === 2,
+        .when(pmod(col("doc_id"), lit(6L)) === 1,
+          lit("<meta name='robots' content='noindex, nofollow'>"))
+        .when(pmod(col("doc_id"), lit(6L)) === 2,
           lit("<meta content=\"index,follow\" name=\"robots\">"))
+        .when(pmod(col("doc_id"), lit(6L)) === 3,
+          lit("<meta name=robots content=noindex>"))
+        .when(pmod(col("doc_id"), lit(6L)) === 4,
+          lit("<meta name=ROBOTS content=\"NOFOLLOW\">"))
         .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(2L)) === 0,
+      when(pmod(col("doc_id"), lit(6L)) === 0,
         concat(lit("<link rel=\"canonical\" href=\"https://example.com/canon/"),
           pmod(col("doc_id"), lit(7L)).cast("string"), lit("\">")))
-        .when(pmod(col("doc_id"), lit(4L)) === 1,
+        .when(pmod(col("doc_id"), lit(6L)) === 1,
           concat(lit("<link href=\"https://example.com/canon/"),
             pmod(col("doc_id"), lit(7L)).cast("string"),
             lit("\" rel=\"canonical\">")))
+        .when(pmod(col("doc_id"), lit(6L)) === 2,
+          concat(lit("<link rel='canonical' href='https://example.com/canon/"),
+            pmod(col("doc_id"), lit(7L)).cast("string"), lit("'>")))
+        .when(pmod(col("doc_id"), lit(6L)) === 3,
+          concat(lit("<link rel=canonical href=https://example.com/canon/"),
+            pmod(col("doc_id"), lit(7L)).cast("string"), lit(">")))
         .otherwise(lit("")),
       lit("</head><body></body></html>")).as("html"))
 
@@ -2135,23 +2147,26 @@ object SparkEntry {
              END AS url FROM documents),
          up AS (SELECT doc_id, url,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '(?s)#.*$$', '') AS nofrag
+             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '(?s)#.*\\z', '') AS nofrag
            FROM udocs),
          uq AS (SELECT doc_id, url, scheme,
              lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS auth,
              regexp_replace(nofrag, '^[^/?]*', '') AS rest FROM up),
          ur AS (SELECT doc_id, url, scheme,
-             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
-                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80\\z', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443\\z', '')
                   ELSE auth END AS host,
-             regexp_replace(regexp_replace(rest, '(?s)\\?.*$$', ''), '/+$$', '') AS path,
-             regexp_extract(rest, '(?s)\\?(.*)$$', 1) AS query FROM uq),
+             regexp_replace(regexp_replace(rest, '(?s)\\?.*\\z', ''), '/+\\z', '') AS path,
+             regexp_extract(rest, '(?s)\\?(.*)\\z', 1) AS query FROM uq),
          ucanon AS (SELECT doc_id, url, scheme, host, path,
              list_sort(list_filter(string_split(query, '&'),
                x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
            FROM ur)"""
 
   def oracleSql: Map[String, String] = {
+    // regex constants carrying single quotes (attribute-quoting
+    // alternates) need SQL-literal doubling when interpolated
+    def sq(p: String): String = p.replace("'", "''")
     val firstIn = EventGroups.First.map(x => s"'$x'").mkString("(", ", ", ")")
     val allIn = EventGroups.All.map(x => s"'$x'").mkString("(", ", ", ")")
     val stopIn = TextOps.EnglishStopwords.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -5289,25 +5304,36 @@ object SparkEntry {
       "text_html_meta" ->
         s"""WITH mdocs AS (SELECT doc_id,
                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' News</title>'
-                 || CASE CAST(doc_id % 4 AS INT)
+                 || CASE CAST(doc_id % 6 AS INT)
                     WHEN 0 THEN '<meta name="robots" content="NOINDEX">'
-                    WHEN 1 THEN '<meta name="robots" content="noindex, nofollow">'
+                    WHEN 1 THEN '<meta name=''robots'' content=''noindex, nofollow''>'
                     WHEN 2 THEN '<meta content="index,follow" name="robots">'
+                    WHEN 3 THEN '<meta name=robots content=noindex>'
+                    WHEN 4 THEN '<meta name=ROBOTS content="NOFOLLOW">'
                     ELSE '' END
-                 || CASE WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '">'
-                         WHEN doc_id % 4 = 1 THEN '<link href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '" rel="canonical">'
-                         ELSE '' END
+                 || CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN '<link rel="canonical" href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '">'
+                    WHEN 1 THEN '<link href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '" rel="canonical">'
+                    WHEN 2 THEN '<link rel=''canonical'' href=''https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '''>'
+                    WHEN 3 THEN '<link rel=canonical href=https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '>'
+                    ELSE '' END
                  || '</head><body></body></html>' AS html
                FROM documents),
+            mt AS (SELECT doc_id, html,
+                 regexp_extract(html, '${sq(TextOps.HtmlMetaRobotsTag)}') AS rtag,
+                 regexp_extract(html, '${sq(TextOps.HtmlCanonicalTag)}') AS ctag
+               FROM mdocs),
             mx AS (SELECT doc_id,
                  trim(regexp_replace(regexp_extract(html, '${TextOps.HtmlTitleBody}', 1), '${TextOps.SpaceRun}', ' ', 'g')) AS title,
                  lower(trim(coalesce(
-                   nullif(regexp_extract(html, '${TextOps.HtmlMetaRobotsNameFirst}', 1), ''),
-                   regexp_extract(html, '${TextOps.HtmlMetaRobotsContentFirst}', 1)))) AS robots,
+                   nullif(regexp_extract(rtag, '${sq(TextOps.AttrContentDq)}', 1), ''),
+                   nullif(regexp_extract(rtag, '${sq(TextOps.AttrContentSq)}', 1), ''),
+                   regexp_extract(rtag, '${sq(TextOps.AttrContentUq)}', 1)))) AS robots,
                  trim(coalesce(
-                   nullif(regexp_extract(html, '${TextOps.HtmlCanonicalRelFirst}', 1), ''),
-                   regexp_extract(html, '${TextOps.HtmlCanonicalHrefFirst}', 1))) AS canonical_href
-               FROM mdocs)
+                   nullif(regexp_extract(ctag, '${sq(TextOps.AttrHrefDq)}', 1), ''),
+                   nullif(regexp_extract(ctag, '${sq(TextOps.AttrHrefSq)}', 1), ''),
+                   regexp_extract(ctag, '${sq(TextOps.AttrHrefUq)}', 1))) AS canonical_href
+               FROM mt)
             SELECT doc_id, title, robots, canonical_href,
                    NOT contains(robots, 'noindex') AS indexable
             FROM mx ORDER BY doc_id""",

@@ -2334,9 +2334,15 @@ object TextOps {
   /** `<script ...>...</script>` block, case-insensitive, dot-all.
     * Script and style need SEPARATE passes: without backrefs (RE2 has
     * none) a single alternation could pair `<script>` with
-    * `</style>`. */
-  val HtmlScriptBlock: String = "(?is)<script[^>]*>.*?</script[ \\t\\n\\r]*>"
-  val HtmlStyleBlock: String = "(?is)<style[^>]*>.*?</style[ \\t\\n\\r]*>"
+    * `</style>`. The open tag's name is boundary-constrained
+    * (`(?:[ \t\n\r/][^>]*)?>` — attributes only after whitespace or
+    * `/`): a custom element like `<script-widget>` must NOT open a
+    * block, or the lazy body would swallow all page text up to the
+    * next genuine `</script>`. */
+  val HtmlScriptBlock: String =
+    "(?is)<script(?:[ \\t\\n\\r/][^>]*)?>.*?</script[ \\t\\n\\r]*>"
+  val HtmlStyleBlock: String =
+    "(?is)<style(?:[ \\t\\n\\r/][^>]*)?>.*?</style[ \\t\\n\\r]*>"
   val HtmlComment: String = "(?s)<!--.*?-->"
   /** Any remaining tag. `[^>]` already crosses newlines — no flag. */
   val HtmlTag: String = "<[^>]*>"
@@ -2428,24 +2434,59 @@ object TextOps {
    * original order).
    *
    * Shape at scale: explode → one partial-agged groupBy(key) for the
-   * df count (the wire carries distinct keys, not lines) → key-keyed
-   * equi-join → groupBy(doc_id) reassembly. Three shuffles, all keyed,
-   * nothing quadratic; the sort in reassembly is per-doc inside the
-   * aggregate (`array_sort` over that doc's lines), never data-sized.
+   * df count (the wire carries distinct keys, not lines) → BROADCAST
+   * verdict join against the hot set → groupBy(doc_id) reassembly.
+   * Two keyed shuffles plus one broadcast, nothing quadratic; the
+   * sort in reassembly is per-doc inside the aggregate (`array_sort`
+   * over that doc's lines), never data-sized.
+   *
+   * Skew discipline (see [[lineDedupHotKeys]]): short
+   * lines — including the trimmed-EMPTY key, at crawl scale the most
+   * massive single-key group in the corpus — are routed AROUND the
+   * verdict join entirely (filter + unionByName; they can never match
+   * `hot`, whose keys are all >= `minLineChars`, so this is a pure
+   * plan change). The hot side is the AGGREGATED boilerplate set
+   * (bounded by repeated-line cardinality, not corpus size — lines
+   * only enter it past `maxDf` distinct docs), so it broadcasts and
+   * the line side never shuffles for its verdict: no join plan can
+   * serialize a partition on a skewed line key. Pinned in
+   * PlanAssertionsSpec; hot-side cardinality measured in the 100x
+   * probe (measurements/).
    */
-  def lineDedup(docs: DataFrame, maxDf: Int = 2,
-                minLineChars: Int = 10): DataFrame = {
-    val lines = docs.select(col("doc_id"),
+  /** `(doc_id, pos, line, key)` — one row per newline-split line with
+    * its trimmed dedup key. Shared by [[lineDedup]] and
+    * [[lineDedupHotKeys]]. */
+  private def explodedLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n"))
           .as(Seq("pos", "line")))
       .withColumn("key", trim(col("line")))
-    val hot = lines
+
+  /** The hot (boilerplate) key set [[lineDedup]] drops: trimmed keys
+    * >= `minLineChars` long seen in more than `maxDf` distinct docs,
+    * with their document frequency. Exposed on its own so the scale
+    * probes can MEASURE the broadcast side's cardinality — the bound
+    * the r11 verdict asked for: this set grows with repeated-line
+    * (boilerplate) cardinality, not corpus size, which is why
+    * [[lineDedup]] can broadcast it. */
+  def lineDedupHotKeys(docs: DataFrame, maxDf: Int = 2,
+                       minLineChars: Int = 10): DataFrame =
+    explodedLines(docs)
       .filter(length(col("key")) >= minLineChars)
       .groupBy(col("key"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDf)
+
+  def lineDedup(docs: DataFrame, maxDf: Int = 2,
+                minLineChars: Int = 10): DataFrame = {
+    val lines = explodedLines(docs)
+    val eligible = lines.filter(length(col("key")) >= minLineChars)
+    val exempt = lines.filter(length(col("key")) < minLineChars)
+      .withColumn("__hot", lit(null).cast("boolean"))
+    val hot = lineDedupHotKeys(docs, maxDf, minLineChars)
       .select(col("key"), lit(true).as("__hot"))
-    lines.join(hot, Seq("key"), "left_outer")
+    eligible.join(broadcast(hot), Seq("key"), "left_outer")
+      .unionByName(exempt)
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("__hot").isNull, 1L).otherwise(0L))
@@ -2462,47 +2503,70 @@ object TextOps {
 
   /** `<title>` body (dot-all for multi-line titles). */
   val HtmlTitleBody: String = "(?is)<title[^>]*>(.*?)</title"
-  // Meta/link attribute extraction supports BOTH attribute orders
-  // (name-first and content-first are equally common in the wild);
-  // the accessor coalesces the two single-order patterns. Values are
-  // double-quoted per the synthesis/oracle contract.
-  val HtmlMetaRobotsNameFirst: String =
-    "(?is)<meta[ \\t\\n\\r][^>]*name=\"robots\"[^>]*content=\"([^\"]*)\""
-  val HtmlMetaRobotsContentFirst: String =
-    "(?is)<meta[ \\t\\n\\r][^>]*content=\"([^\"]*)\"[^>]*name=\"robots\""
-  val HtmlCanonicalRelFirst: String =
-    "(?is)<link[ \\t\\n\\r][^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\""
-  val HtmlCanonicalHrefFirst: String =
-    "(?is)<link[ \\t\\n\\r][^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\""
+  // Meta/link attribute extraction is TWO-STEP: (1) grab the whole
+  // tag whose marker attribute (name=robots / rel=canonical) appears
+  // in ANY position and ANY quoting style (double, single, none) —
+  // the marker must follow whitespace so `data-name=robots` never
+  // matches, and an unquoted value must end at whitespace, `/` or
+  // `>`; (2) pull the value attribute out of that one tag, coalescing
+  // double-quoted / single-quoted / unquoted alternates. A robots
+  // meta the wild writes as `<meta name=robots content=noindex>` must
+  // NOT silently fail OPEN as indexable (r11 advisory). No
+  // lookaround, no backrefs — the RE2/Java-identical subset.
+  val HtmlMetaRobotsTag: String =
+    "(?is)<meta[ \\t\\n\\r](?:[^>]*[ \\t\\n\\r])?name=[\"']?robots[\"']?" +
+      "(?:[ \\t\\n\\r/][^>]*)?>"
+  val HtmlCanonicalTag: String =
+    "(?is)<link[ \\t\\n\\r](?:[^>]*[ \\t\\n\\r])?rel=[\"']?canonical[\"']?" +
+      "(?:[ \\t\\n\\r/][^>]*)?>"
+  /** `content=` value inside an already-extracted tag, one pattern
+    * per quoting style (coalesced dq → sq → unquoted). */
+  val AttrContentDq: String = "(?is)content=\"([^\"]*)\""
+  val AttrContentSq: String = "(?is)content='([^']*)'"
+  val AttrContentUq: String =
+    "(?is)content=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
+  val AttrHrefDq: String = "(?is)href=\"([^\"]*)\""
+  val AttrHrefSq: String = "(?is)href='([^']*)'"
+  val AttrHrefUq: String =
+    "(?is)href=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
 
   /** Page title text, whitespace-collapsed and trimmed ("" if none). */
   def htmlTitle(html: Column): Column =
     trim(regexp_replace(regexp_extract(coalesce(html, lit("")),
       HtmlTitleBody, 1), SpaceRun, " "))
 
-  /** `<meta name="robots">` directives, lowercased ("" if none) —
-    * the compliance signal a crawl pipeline must honor. */
+  /** `<meta name=robots>` directives, lowercased ("" if none) — the
+    * compliance signal a crawl pipeline must honor. FIRST robots meta
+    * on the page wins; any quoting style and attribute order. */
   def htmlMetaRobots(html: Column): Column = {
-    val h = coalesce(html, lit(""))
+    val tag = regexp_extract(coalesce(html, lit("")), HtmlMetaRobotsTag, 0)
     lower(trim(coalesce(
-      nullif(regexp_extract(h, HtmlMetaRobotsNameFirst, 1), lit("")),
-      regexp_extract(h, HtmlMetaRobotsContentFirst, 1))))
+      nullif(regexp_extract(tag, AttrContentDq, 1), lit("")),
+      nullif(regexp_extract(tag, AttrContentSq, 1), lit("")),
+      regexp_extract(tag, AttrContentUq, 1))))
   }
 
-  /** `rel="canonical"` href ("" if none). Real pipelines dedup on
+  /** `rel=canonical` href ("" if none). Real pipelines dedup on
     * THIS (canonicalized) when present — the publisher's declared
-    * identity beats the fetched URL. */
+    * identity beats the fetched URL. First canonical link wins; any
+    * quoting style and attribute order. */
   def htmlCanonicalHref(html: Column): Column = {
-    val h = coalesce(html, lit(""))
+    val tag = regexp_extract(coalesce(html, lit("")), HtmlCanonicalTag, 0)
     trim(coalesce(
-      nullif(regexp_extract(h, HtmlCanonicalRelFirst, 1), lit("")),
-      regexp_extract(h, HtmlCanonicalHrefFirst, 1)))
+      nullif(regexp_extract(tag, AttrHrefDq, 1), lit("")),
+      nullif(regexp_extract(tag, AttrHrefSq, 1), lit("")),
+      regexp_extract(tag, AttrHrefUq, 1)))
   }
 
   /** Query params stripped during canonicalization: tracking noise
     * that splits otherwise-identical URLs into distinct keys. Matches
-    * the whole param (`name` or `name=...`). */
-  val UrlTrackingParam: String = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+    * the whole param (`name` or `name=...`). Anchored with `\z`
+    * (end-of-TEXT in both Java regex and RE2) rather than `$`, which
+    * the two engines disagree on before a trailing newline — a
+    * newline-bearing param must NOT silently count as tracking noise
+    * in one engine and survive in the other. Same discipline in every
+    * [[urlCanonical]] pattern below. */
+  val UrlTrackingParam: String = "^(utm_[^=]*|fbclid|gclid|ref)(=(?s:.*))?\\z"
 
   /**
    * URL canonicalization for crawl-level dedup. Contract (absolute
@@ -2526,16 +2590,16 @@ object TextOps {
     val u = coalesce(url, lit(""))
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val noFrag = regexp_replace(
-      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "(?s)#.*$", "")
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "(?s)#.*\\z", "")
     val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
     val host = when(scheme === "http",
-        regexp_replace(authority, ":80$", ""))
-      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+        regexp_replace(authority, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443\\z", ""))
       .otherwise(authority)
     val rest = regexp_replace(noFrag, "^[^/?]*", "")
     val path = regexp_replace(
-      regexp_replace(rest, "(?s)\\?.*$", ""), "/+$", "")
-    val query = regexp_extract(rest, "(?s)\\?(.*)$", 1)
+      regexp_replace(rest, "(?s)\\?.*\\z", ""), "/+\\z", "")
+    val query = regexp_extract(rest, "(?s)\\?(.*)\\z", 1)
     val params = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(UrlTrackingParam)))
     concat(scheme, lit("://"), host, path,

@@ -57,6 +57,20 @@ class HtmlUrlSpec extends SparkSpec {
     assert(extractOne(html) == "kept also")
   }
 
+  test("custom elements starting with script/style do not open a block (r11 advisory)") {
+    // <script-widget> is a CUSTOM ELEMENT, not a script open tag: the
+    // old `<script[^>]*>` matched it and the lazy body swallowed all
+    // page text up to the next genuine </script>
+    val html = "<script-widget>w</script-widget><p>page text</p>" +
+      "<script>real()</script><p>tail</p>"
+    assert(extractOne(html) == "w page text tail")
+    val css = "<style-guide>g</style-guide><p>body</p><style>.x{}</style>"
+    assert(extractOne(css) == "g body")
+    // self-closing-ish and attribute forms still open blocks
+    assert(extractOne("<script type=\"x\">a()</script><p>k</p>") == "k")
+    assert(extractOne("<script\nasync>a()</script><p>k</p>") == "k")
+  }
+
   test("htmlLinkCount counts anchor opens only") {
     val got = Seq("<a href=\"/x\">l</a> <abbr>n</abbr> <A\nhref='y'>m</A> <a>bare</a>")
       .toDF("html")
@@ -134,6 +148,29 @@ class HtmlUrlSpec extends SparkSpec {
     assert(meta("<html><head></head></html>") == ("", "", ""))
   }
 
+  test("head metadata: single-quoted and unquoted attribute values (r11 advisory)") {
+    def meta(html: String): (String, String) =
+      Seq(html).toDF("html").select(
+        TextOps.htmlMetaRobots(col("html")).as("r"),
+        TextOps.htmlCanonicalHref(col("html")).as("c"))
+        .as[(String, String)].head()
+    // unquoted robots meta must NOT fail open as indexable
+    assert(meta("<meta name=robots content=noindex>" +
+      "<link rel=canonical href=https://e.com/u>")
+      == ("noindex", "https://e.com/u"))
+    // single-quoted, mixed with double-quoted, either order
+    assert(meta("<meta name='robots' content='noindex, nofollow'>" +
+      "<link href='https://e.com/s' rel='canonical'>")
+      == ("noindex, nofollow", "https://e.com/s"))
+    assert(meta("<meta content=none name=ROBOTS>")
+      == ("none", ""))
+    // data-name=robots is NOT a robots meta (marker needs a boundary)
+    assert(meta("<meta data-name=robots content=noindex>") == ("", ""))
+    // unquoted value ends at whitespace; a second attribute never leaks in
+    assert(meta("<meta name=robots content=noarchive id=x>")
+      == ("noarchive", ""))
+  }
+
   // ---- urlCanonical ----
 
   test("urlCanonical: case, default port, fragment, tracking, param order") {
@@ -160,6 +197,21 @@ class HtmlUrlSpec extends SparkSpec {
     assert(canonOne("http://h.com/") == "http://h.com")
     assert(canonOne("http://h.com/a?utm_source=x") == "http://h.com/a")
     assert(canonOne("http://h.com/a?") == "http://h.com/a")
+  }
+
+  test("urlCanonical: \\z anchors — trailing-newline URLs never half-match (r11 advisory)") {
+    // Java `$` matches BEFORE a trailing newline, RE2 `$` only at end
+    // of text; with `\z` (identical in both) a newline-bearing URL
+    // keeps its :80 / trailing slash verbatim in BOTH engines instead
+    // of diverging from the DuckDB oracle
+    assert(canonOne("http://h.com:80\n/x") == "http://h.com:80\n/x")
+    assert(canonOne("http://h.com/a/\n") == "http://h.com/a/\n")
+    // a tracking param with an embedded newline is still the whole
+    // param ((?s:.*)) and strips in both engines
+    assert(canonOne("http://h.com/p?utm_source=a\nb&k=1")
+      == "http://h.com/p?k=1")
+    // and the clean cases are unchanged
+    assert(canonOne("http://h.com:80/x") == "http://h.com/x")
   }
 
   test("urlCanonical byte-sorts params") {
