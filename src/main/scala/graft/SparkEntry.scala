@@ -161,6 +161,68 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</head><body></body></html>")).as("html"))
 
+  /** Robots fixture texts — shared verbatim by [[synthRobots]] and
+    * the oracle CTE (interpolated; no single quotes by construction).
+    * Variant 0: the full two-group file (star rules + delay; exact
+    * `graftbot` group with wildcard and $-anchored patterns).
+    * Variant 1: multi-UA group with an EMPTY disallow (allow-all for
+    * the named agents), an ignored unknown field, and a deny-all star
+    * group — the agent-selection fixture. Variant 2: star-only with
+    * `*`/`$` patterns and a longest-match ladder. Variant 3 (the
+    * `ELSE` case): no robots.txt at all — unrestricted host. */
+  private val RobotsTxt0: String =
+    "# robots fixture: two groups\n" +
+    "User-Agent: *\n" +
+    "Disallow: /private/\n" +
+    "Allow: /private/pub/\n" +
+    "Crawl-delay: 2\n" +
+    "\n" +
+    "User-agent: graftbot\n" +
+    "Disallow: /tmp/*\n" +
+    "Allow: /tmp/ok$\n"
+  private val RobotsTxt1: String =
+    "User-agent: graftbot\n" +
+    "User-agent: otherbot\n" +
+    "Disallow:\n" +
+    "Sitemap: https://example.com/map.xml\n" +
+    "User-agent: *\n" +
+    "Disallow: /\n"
+  private val RobotsTxt2: String =
+    "user-agent: *\n" +
+    "disallow: /*.json$\n" +
+    "allow: /api/\n" +
+    "disallow: /api/internal/\n"
+
+  /** Deterministic per-host robots.txt over the 20 fixture hosts
+    * (`site<h>.com`, h = doc_id%20), variant by h%4. Oracle twin: the
+    * `rdocs` CTE. */
+  private def synthRobots(docs: DataFrame): DataFrame =
+    docs.select(pmod(col("doc_id"), lit(20L)).as("h")).distinct()
+      .select(concat(lit("site"), col("h").cast("string"), lit(".com"))
+          .as("host"),
+        when(pmod(col("h"), lit(4L)) === 0, lit(RobotsTxt0))
+          .when(pmod(col("h"), lit(4L)) === 1, lit(RobotsTxt1))
+          .when(pmod(col("h"), lit(4L)) === 2, lit(RobotsTxt2))
+          .otherwise(lit("")).as("robots_txt"))
+
+  /** Deterministic frontier URLs across the robots fixture hosts:
+    * uppercase authority (exercises host lowering), eight path
+    * variants (doc_id%8) covering the precedence ladder, the `$`
+    * anchor, wildcard matches and a query-string participant. Oracle
+    * twin: the `rurls` CTE. */
+  private def synthRobotsUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("https://SITE"), pmod(col("doc_id"), lit(20L)).cast("string"),
+      lit(".com"),
+      when(pmod(col("doc_id"), lit(8L)) === 0, lit("/private/x"))
+        .when(pmod(col("doc_id"), lit(8L)) === 1, lit("/private/pub/y"))
+        .when(pmod(col("doc_id"), lit(8L)) === 2, lit("/tmp/a"))
+        .when(pmod(col("doc_id"), lit(8L)) === 3, lit("/tmp/ok"))
+        .when(pmod(col("doc_id"), lit(8L)) === 4, lit("/data.json"))
+        .when(pmod(col("doc_id"), lit(8L)) === 5, lit("/api/ok"))
+        .when(pmod(col("doc_id"), lit(8L)) === 6, lit("/api/internal/x"))
+        .otherwise(lit("/index.html?ref=1"))).as("url"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -889,6 +951,31 @@ object SparkEntry {
           min(col("doc_id")).as("survivor_id"))
         .filter(col("n_docs") > 1)
         .orderBy(col("canon_url"))),
+
+    "crawl_robots_rules" -> ((s, dir) =>
+      // robots.txt parsing (RFC 9309 group semantics): the normalized
+      // (agent x rule) table a frontier screens against. Per-host
+      // window over exploded lines — robots files are tiny, the
+      // window never sees corpus-sized data
+      graft.operators.Robots.robotsRules(
+          synthRobots(t(s, dir, "documents")))
+        .orderBy(col("host"), col("group_id"), col("agent"),
+          col("rule_ord"))),
+
+    "crawl_robots_allowed" -> ((s, dir) => {
+      // the politeness admit decision: exact-agent-else-star group
+      // selection, longest-match precedence (allow wins ties), $/*
+      // pattern semantics via engine-identical LIKE. Host-keyed join
+      // against a one-row-per-host index + narrow array expressions —
+      // streaming-safe by construction (no post-join aggregation)
+      val docs = t(s, dir, "documents")
+      val idx = graft.operators.Robots.robotsHostIndex(
+        graft.operators.Robots.robotsRules(synthRobots(docs)), "graftbot")
+      graft.operators.Robots.robotsAllowed(synthRobotsUrls(docs), idx)
+        .select(col("doc_id"), col("url"), col("host"), col("path"),
+          col("allowed"), col("rule_pattern"), col("crawl_delay"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -2162,6 +2249,48 @@ object SparkEntry {
              list_sort(list_filter(string_split(query, '&'),
                x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
            FROM ur)"""
+
+  /** Shared CTE body (no `WITH` prefix) replaying
+    * [[graft.operators.Robots.robotsRules]] over the [[synthRobots]]
+    * fixture: explode lines, strip comments, extract field/value,
+    * window-assign groups (a User-agent line after a non-UA line
+    * starts one), join group agents to group rules. Ends with
+    * relation `rulestab(host, group_id, agent, directive, value,
+    * rule_ord)`. */
+  private lazy val RobotsRulesCte: String =
+    s"""rhosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+       rdocs AS (SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+           CASE CAST(h % 4 AS INT)
+             WHEN 0 THEN '$RobotsTxt0'
+             WHEN 1 THEN '$RobotsTxt1'
+             WHEN 2 THEN '$RobotsTxt2'
+             ELSE '' END AS robots_txt
+         FROM rhosts),
+       rlines AS (SELECT host, unnest(range(len(ls))) AS ln, unnest(ls) AS raw
+         FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM rdocs)),
+       rfield AS (SELECT host, ln,
+           lower(regexp_extract(clean, '^([A-Za-z][A-Za-z-]*)[ \\t]*:', 1)) AS field,
+           trim(regexp_extract(clean, '^[A-Za-z][A-Za-z-]*[ \\t]*:(.*)', 1)) AS value
+         FROM (SELECT host, ln, trim(regexp_replace(raw, '#.*', '')) AS clean
+               FROM rlines)),
+       rmark AS (SELECT host, ln, field, value, (field = 'user-agent') AS is_ua,
+           (field = 'user-agent' AND NOT coalesce(
+             lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+             FALSE)) AS new_group
+         FROM rfield
+         WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+       rgrp AS (SELECT host, ln, field, value, is_ua,
+           CAST(SUM(CASE WHEN new_group THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS group_id
+         FROM rmark),
+       rulestab AS (SELECT a.host, a.group_id, a.agent, r.directive,
+           r.value, r.rule_ord
+         FROM (SELECT host, group_id, lower(value) AS agent
+               FROM rgrp WHERE is_ua) a
+         JOIN (SELECT host, group_id, CAST(ln AS BIGINT) AS rule_ord,
+                 field AS directive, value FROM rgrp WHERE NOT is_ua) r
+           ON a.host = r.host AND a.group_id = r.group_id)"""
 
   def oracleSql: Map[String, String] = {
     // regex constants carrying single quotes (attribute-quoting
@@ -5409,6 +5538,64 @@ object SparkEntry {
                   FROM ucanon)
             GROUP BY canon_url HAVING count(*) > 1
             ORDER BY canon_url""",
+
+      "crawl_robots_rules" ->
+        s"""WITH $RobotsRulesCte
+            SELECT host, group_id, agent, directive, value, rule_ord
+            FROM rulestab
+            ORDER BY host, group_id, agent, rule_ord""",
+
+      "crawl_robots_allowed" ->
+        s"""WITH $RobotsRulesCte,
+            rurls AS (SELECT doc_id,
+                'https://SITE' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
+                  WHEN 2 THEN '/tmp/a' WHEN 3 THEN '/tmp/ok'
+                  WHEN 4 THEN '/data.json' WHEN 5 THEN '/api/ok'
+                  WHEN 6 THEN '/api/internal/x' ELSE '/index.html?ref=1'
+                END AS url
+              FROM documents),
+            uparts AS (SELECT doc_id, url,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                CASE WHEN p = '' THEN '/' ELSE p END AS path
+              FROM (SELECT doc_id, url,
+                      regexp_replace(regexp_replace(regexp_replace(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '(?s)#.*', ''), '^[^/?]*', '') AS p
+                    FROM rurls)),
+            rmine AS (SELECT * FROM (
+                SELECT *, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY host) AS hx
+                FROM rulestab)
+              WHERE (hx = 1 AND agent = 'graftbot') OR (hx = 0 AND agent = '*')),
+            rpath AS (SELECT host, value,
+                (directive = 'allow') AS is_allow,
+                CASE WHEN ends_with(value, '$$') THEN body ELSE body || '%' END AS like_pat
+              FROM (SELECT host, directive, value,
+                      replace(replace(replace(replace(
+                        CASE WHEN ends_with(value, '$$')
+                             THEN substr(value, 1, length(value) - 1)
+                             ELSE value END,
+                        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS body
+                    FROM rmine
+                    WHERE directive IN ('allow', 'disallow') AND value <> '')),
+            rdelay AS (SELECT host, max(TRY_CAST(value AS BIGINT)) AS crawl_delay
+              FROM rmine WHERE directive = 'crawl-delay' GROUP BY host),
+            cand AS (SELECT u.doc_id, r.value AS pattern, r.is_allow,
+                row_number() OVER (PARTITION BY u.doc_id
+                  ORDER BY length(r.value) DESC, r.is_allow DESC, r.value) AS rn
+              FROM uparts u JOIN rpath r
+                ON u.host = r.host AND u.path LIKE r.like_pat ESCAPE '\\')
+            SELECT u.doc_id, u.url, u.host, u.path,
+                coalesce(b.is_allow, TRUE) AS allowed,
+                coalesce(b.pattern, '') AS rule_pattern,
+                d.crawl_delay
+            FROM uparts u
+            LEFT JOIN (SELECT doc_id, pattern, is_allow FROM cand WHERE rn = 1) b
+              ON u.doc_id = b.doc_id
+            LEFT JOIN rdelay d ON u.host = d.host
+            ORDER BY u.doc_id""",
 
       "mm_decode_features" ->
         s"""WITH m AS (SELECT doc_id, md5(text) AS ck FROM documents),

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Robots]] — robots.txt parsing (RFC 9309 group/agent semantics)
+  * and the longest-match path-rule decision. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txt =
+    """# demo robots
+      |User-Agent: *
+      |Disallow: /private/
+      |Allow: /private/pub/
+      |Crawl-delay: 2
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /tmp/*
+      |Allow: /tmp/ok$
+      |Sitemap: https://a.com/map.xml
+      |""".stripMargin
+
+  private def rules(host: String = "a.com", t: String = txt) =
+    Robots.robotsRules(Seq((host, t)).toDF("host", "robots_txt"))
+
+  test("robotsRules: groups, comments, unknown fields, multi-UA accumulation") {
+    val got = rules().orderBy($"agent", $"rule_ord")
+      .as[(String, Long, String, String, String, Long)].collect().toSeq
+    // group 1 = *, group 2 = {graftbot, otherbot}; Sitemap dropped;
+    // field names case-insensitive; agent values lowercased
+    assert(got.map(_._3).distinct.sorted == Seq("*", "graftbot", "otherbot"))
+    val star = got.filter(_._3 == "*").map(r => (r._4, r._5))
+    assert(star == Seq(("disallow", "/private/"), ("allow", "/private/pub/"),
+      ("crawl-delay", "2")))
+    val gb = got.filter(_._3 == "graftbot").map(r => (r._4, r._5))
+    assert(gb == Seq(("disallow", "/tmp/*"), ("allow", "/tmp/ok$")))
+    // both agents of the second group carry identical rules
+    assert(got.filter(_._3 == "otherbot").map(r => (r._4, r._5)) == gb)
+  }
+
+  test("robotsRules: rules before any User-agent are ignored; empty values survive") {
+    val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
+    val got = rules(t = t).orderBy($"rule_ord")
+      .select($"directive", $"value").as[(String, String)].collect().toSeq
+    assert(got == Seq(("disallow", ""), ("allow", "/x")))
+  }
+
+  private def decide(paths: Seq[String], agent: String,
+                     t: String = txt): Map[String, (Boolean, String)] = {
+    val urls = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, s"https://A.com$p") }
+      .toDF("doc_id", "url")
+    val idx = Robots.robotsHostIndex(rules(t = t), agent)
+    Robots.robotsAllowed(urls, idx)
+      .select($"path", $"allowed", $"rule_pattern")
+      .as[(String, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("decision: longest match wins, allow beats disallow on ties") {
+    val d = decide(Seq("/private/x", "/private/pub/y", "/open"), "nobody")
+    assert(d("/private/x") == ((false, "/private/")))
+    // /private/pub/ (12 chars) beats /private/ (9 chars)
+    assert(d("/private/pub/y") == ((true, "/private/pub/")))
+    // no rule matches -> allowed, empty pattern
+    assert(d("/open") == ((true, "")))
+    // explicit tie: allow and disallow same length -> allow wins
+    val t = "User-agent: *\nDisallow: /abc/\nAllow: /ab*/"
+    assert(decide(Seq("/abc/z"), "x", t)("/abc/z")._1)
+  }
+
+  test("decision: * wildcard and $ anchor; agent selection exact-else-star") {
+    // graftbot gets ITS group, not *: /private/ is fine for it
+    val d = decide(Seq("/tmp/a", "/tmp/ok", "/tmp/okay", "/private/x"),
+      "GraftBot")
+    assert(d("/tmp/a") == ((false, "/tmp/*")))
+    // $ anchors: /tmp/ok allowed exactly, /tmp/okay is not the anchor
+    // and falls to the wildcard disallow
+    assert(d("/tmp/ok") == ((true, "/tmp/ok$")))
+    assert(d("/tmp/okay") == ((false, "/tmp/*")))
+    assert(d("/private/x")._1)
+    // unknown agent falls back to the * group
+    assert(!decide(Seq("/private/x"), "strangerbot")("/private/x")._1)
+  }
+
+  test("decision: empty disallow matches nothing; missing host unrestricted") {
+    val t = "User-agent: graftbot\nDisallow:\nUser-agent: *\nDisallow: /"
+    val d = decide(Seq("/anything"), "graftbot", t)
+    assert(d("/anything") == ((true, "")))
+    assert(!decide(Seq("/anything"), "elsebot", t)("/anything")._1)
+    // a host with no index row at all is unrestricted
+    val urls = Seq((1L, "https://noindex.example/x")).toDF("doc_id", "url")
+    val got = Robots.robotsAllowed(urls,
+      Robots.robotsHostIndex(rules(), "graftbot"))
+      .select($"allowed", $"crawl_delay".isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(got == ((true, true)))
+  }
+
+  test("decision: crawl_delay rides the SELECTED group only; LIKE metachars are literal") {
+    // * group has delay 2; graftbot's group has none
+    val urls = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val idx = Robots.robotsHostIndex(rules(), "graftbot")
+    val gb = Robots.robotsAllowed(urls, idx)
+      .select($"crawl_delay".isNull).as[Boolean].head()
+    assert(gb) // exact group selected, no delay set there
+    val star = Robots.robotsAllowed(urls,
+      Robots.robotsHostIndex(rules(), "unmatched"))
+      .select($"crawl_delay").as[Long].head()
+    assert(star == 2L)
+    // % and _ in a robots pattern are literals, not LIKE wildcards
+    val t = "User-agent: *\nDisallow: /a%b\nDisallow: /c_d"
+    val d = decide(Seq("/a%b/x", "/aXb/x", "/c_d", "/cXd"), "x", t)
+    assert(!d("/a%b/x")._1 && d("/aXb/x")._1)
+    assert(!d("/c_d")._1 && d("/cXd")._1)
+  }
+
+  test("decision: query string participates in matching; fragment does not") {
+    val t = "User-agent: *\nDisallow: /*?session=*"
+    val d = decide(Seq("/page?session=9", "/page", "/page#session=9"), "x", t)
+    assert(!d("/page?session=9")._1)
+    assert(d("/page")._1)
+    assert(d("/page")._1 && d.keySet.contains("/page"))
+    // fragment stripped before matching: path is /page, allowed
+    assert(d.getOrElse("/page", (false, ""))._1)
+  }
+}
