@@ -952,6 +952,39 @@ object SparkEntry {
         .filter(col("n_docs") > 1)
         .orderBy(col("canon_url"))),
 
+    "crawl_decode_bytes" -> ((s, dir) => {
+      // the byte-level ingest edge, oracle-gated analytically: six
+      // payload variants (plain/BOM UTF-8, declared Latin-1, meta-
+      // sniffed Latin-1, garbage, UTF-16-with-BOM) synthesized from
+      // the documents table; the oracle knows what each must decode
+      // back to. Pure payload-local map — zero shuffle
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(6L))
+      val utf8 = encode(coalesce(col("text"), lit("")), "UTF-8")
+      val payload = when(v === 0, utf8)
+        .when(v === 1,
+          concat(lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)), utf8))
+        .when(v === 2, encode(concat(lit("café résumé #"),
+          col("doc_id").cast("string")), "ISO-8859-1"))
+        .when(v === 3, encode(
+          concat(lit("<meta charset=\"iso-8859-1\">café #"),
+            col("doc_id").cast("string")), "ISO-8859-1"))
+        .when(v === 4, lit(Array(0xC3, 0x28).map(_.toByte)))
+        .otherwise(encode(coalesce(col("text"), lit("")), "UTF-16"))
+      val declared = when(v === 2, lit("ISO-8859-1"))
+        .otherwise(lit(null).cast("string"))
+      val rows = docs.select(col("doc_id").as("id"),
+          payload.as("payload"), declared.as("declared"))
+        .as(org.apache.spark.sql.Encoders
+          .product[graft.operators.HtmlBytes.HtmlBytesRow])
+      graft.operators.HtmlBytes.decodeHtmlBytes(rows).toDF()
+        .select(col("id").as("doc_id"), col("ok"), col("charset"),
+          col("charset_source"),
+          length(col("html")).cast("long").as("n_chars"),
+          md5(col("html")).as("html_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_robots_rules" -> ((s, dir) =>
       // robots.txt parsing (RFC 9309 group semantics): the normalized
       // (agent x rule) table a frontier screens against. Per-host
@@ -5538,6 +5571,28 @@ object SparkEntry {
                   FROM ucanon)
             GROUP BY canon_url HAVING count(*) > 1
             ORDER BY canon_url""",
+
+      "crawl_decode_bytes" ->
+        s"""SELECT doc_id,
+              (doc_id % 6 <> 4) AS ok,
+              CASE CAST(doc_id % 6 AS INT)
+                WHEN 2 THEN 'ISO-8859-1' WHEN 3 THEN 'ISO-8859-1'
+                WHEN 5 THEN 'UTF-16BE' ELSE 'UTF-8' END AS charset,
+              CASE CAST(doc_id % 6 AS INT)
+                WHEN 1 THEN 'bom' WHEN 2 THEN 'declared'
+                WHEN 3 THEN 'meta' WHEN 5 THEN 'bom'
+                ELSE 'default' END AS charset_source,
+              CASE CAST(doc_id % 6 AS INT)
+                WHEN 2 THEN CAST(length('café résumé #' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+                WHEN 3 THEN CAST(length('<meta charset="iso-8859-1">café #' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+                WHEN 4 THEN NULL
+                ELSE CAST(length(coalesce(text, '')) AS BIGINT) END AS n_chars,
+              CASE CAST(doc_id % 6 AS INT)
+                WHEN 2 THEN md5('café résumé #' || CAST(doc_id AS VARCHAR))
+                WHEN 3 THEN md5('<meta charset="iso-8859-1">café #' || CAST(doc_id AS VARCHAR))
+                WHEN 4 THEN NULL
+                ELSE md5(coalesce(text, '')) END AS html_fp
+            FROM documents ORDER BY doc_id""",
 
       "crawl_robots_rules" ->
         s"""WITH $RobotsRulesCte

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.HtmlBytes.{DecodedHtml, HtmlBytesRow}
+
+/** [[HtmlBytes.decodeHtmlBytes]] — the byte-level crawl ingest
+  * boundary: BOM / declared / meta-sniff / default resolution, strict
+  * decode with quarantine, and the handoff to [[TextOps.htmlToText]]. */
+class HtmlBytesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: (Long, Array[Byte], String)*): Map[Long, DecodedHtml] =
+    HtmlBytes.decodeHtmlBytes(
+      rows.toSeq.toDF("id", "payload", "declared").as[HtmlBytesRow])
+      .collect().map(d => d.id -> d).toMap
+
+  test("resolution ladder: bom > declared > meta > default") {
+    val utf8 = "<p>café</p>".getBytes(StandardCharsets.UTF_8)
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ utf8
+    val latin = "<p>café</p>".getBytes(StandardCharsets.ISO_8859_1)
+    val metaLatin = "<meta charset='iso-8859-1'><p>café</p>"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val utf16 = "<p>café</p>".getBytes(StandardCharsets.UTF_16) // BE BOM
+    val got = run(
+      (0L, utf8, null),            // default UTF-8
+      (1L, bom8, "ISO-8859-1"),    // BOM beats a (wrong) declared
+      (2L, latin, "ISO-8859-1"),   // declared
+      (3L, metaLatin, null),       // HTML5 prescan
+      (4L, utf16, null))           // UTF-16 BOM
+    assert(got(0L) == DecodedHtml(0L, true, "UTF-8", "default",
+      "<p>café</p>", null))
+    assert(got(1L) == DecodedHtml(1L, true, "UTF-8", "bom",
+      "<p>café</p>", null))
+    assert(got(2L) == DecodedHtml(2L, true, "ISO-8859-1", "declared",
+      "<p>café</p>", null))
+    assert(got(3L) == DecodedHtml(3L, true, "ISO-8859-1", "meta",
+      "<meta charset='iso-8859-1'><p>café</p>", null))
+    assert(got(4L).ok && got(4L).charset_source == "bom" &&
+      got(4L).charset == "UTF-16BE" && got(4L).html == "<p>café</p>")
+  }
+
+  test("quarantine: garbage bytes yield one flagged row, not a job failure") {
+    val bad = Array(0xC3, 0x28).map(_.toByte) // invalid UTF-8 pair
+    val good = "<p>ok</p>".getBytes(StandardCharsets.UTF_8)
+    val got = run((1L, bad, null), (2L, good, null))
+    assert(!got(1L).ok && got(1L).html == null && got(1L).error != null)
+    assert(got(1L).charset == "UTF-8" && got(1L).charset_source == "default")
+    assert(got(2L).ok && got(2L).html == "<p>ok</p>")
+    // empty and null payloads decode to empty strings, never quarantine
+    val edge = run((3L, Array.empty[Byte], null), (4L, null, "UTF-8"))
+    assert(edge(3L).ok && edge(3L).html == "")
+    assert(edge(4L).ok && edge(4L).html == "")
+  }
+
+  test("bogus declared charset falls through instead of failing") {
+    val metaLatin = "<meta charset=\"iso-8859-1\">café"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val plain = "plain".getBytes(StandardCharsets.UTF_8)
+    val got = run(
+      (1L, metaLatin, "totally-bogus!!"), // illegal name -> meta sniff
+      (2L, plain, "not-a-charset"))       // unknown -> default
+    assert(got(1L) == DecodedHtml(1L, true, "ISO-8859-1", "meta",
+      "<meta charset=\"iso-8859-1\">café", null))
+    assert(got(2L) == DecodedHtml(2L, true, "UTF-8", "default",
+      "plain", null))
+  }
+
+  test("meta sniff respects the byte limit and http-equiv form") {
+    val pad = ("<!-- " + ("x" * 1200) + " -->").getBytes(StandardCharsets.US_ASCII)
+    val lateMeta = pad ++ "<meta charset='utf-8'>done"
+      .getBytes(StandardCharsets.US_ASCII)
+    val httpEquiv = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\">café")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val got = run((1L, lateMeta, null), (2L, httpEquiv, null))
+    // the meta sits past the 1024-byte prescan window -> default
+    assert(got(1L).charset_source == "default")
+    assert(got(2L) == DecodedHtml(2L, true, "ISO-8859-1", "meta",
+      "<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=ISO-8859-1\">café", null))
+  }
+
+  test("htmlToText consumes the decoded output unchanged (boundary handoff)") {
+    val page = "<html><head><meta charset='iso-8859-1'><title>T</title>" +
+      "</head><body><p>café &amp; crème</p></body></html>"
+    val bytes = page.getBytes(StandardCharsets.ISO_8859_1)
+    val decoded = HtmlBytes.decodeHtmlBytes(
+      Seq((7L, bytes, null: String)).toDF("id", "payload", "declared")
+        .as[HtmlBytesRow])
+      .filter(col("ok"))
+    val txt = decoded.select(TextOps.htmlToText(col("html")).as("t"))
+      .as[String].head()
+    assert(txt == "T café & crème")
+  }
+}
