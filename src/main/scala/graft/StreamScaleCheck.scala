@@ -360,6 +360,66 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /** Rate-scaled [[graft.streaming.StreamingLineDedup]]: `mult × 500`
+    * docs per batch, each two counted lines — a unique body line plus
+    * ONE corpus-wide boilerplate line recurring every batch (so it
+    * crosses maxDf in batch 0 and stays hot/live forever) — plus a
+    * short separator that must bypass state. Verdicts are EXACT per
+    * batch: every unique line keeps, every short line keeps, the
+    * boilerplate keeps only its first `maxDf` sighting docs ever;
+    * the probe verifies the counts (a latency number for wrong
+    * verdicts is worthless). State must plateau at (unique keys in
+    * horizon) + 1 and latency stay flat in batch index. */
+  private def runLineDedup(spark: SparkSession, mult: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = mult * 500
+    val batches = 14
+    val maxDf = 2
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val v = graft.streaming.StreamingLineDedup.verdicts(
+      input.toDF().toDF("doc_id", "event_time", "text"),
+      maxDf = maxDf, delay = "1 second", horizonMs = 5000L)
+    val counts = Seq.newBuilder[(Long, Long)] // (kept, dropped)
+    val q = v.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssc-ld-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        val r = b.toDF().agg(count(lit(1)),
+          sum(when(col("keep"), 1L).otherwise(0L))).head()
+        if (r.getLong(0) > 0)
+          counts += ((r.getLong(1), r.getLong(0) - r.getLong(1)))
+        ()
+      }.start()
+    try {
+      var id = 0L
+      for (b <- 0 until batches) {
+        val ts = new Timestamp((b + 1) * 1000L)
+        val data = (0 until perBatch).map { p =>
+          id += 1
+          (id, ts, s"unique body line $b-$p with enough chars\n--\n" +
+            "subscribe to our newsletter boilerplate today")
+        }
+        input.addData(data: _*)
+        q.processAllAvailable()
+      }
+      report("linededup", mult, progressLines(q))
+      val got = counts.result()
+      // per batch: perBatch unique keeps + perBatch short keeps +
+      // boiler keeps (maxDf docs, batch 0 only); drops = the rest of
+      // the boilerplate sightings
+      require(got.size == batches, s"batches: ${got.size}")
+      require(got.head ==
+        ((2L * perBatch + maxDf, perBatch.toLong - maxDf)),
+        s"batch 0 drifted at ${mult}x: ${got.head}")
+      require(got.tail.forall(_ == ((2L * perBatch, perBatch.toLong))),
+        s"line screen drifted at ${mult}x: ${got.tail.distinct}")
+      println(s"STREAMSCALE linededup rate=${mult}x VERIFIED " +
+        s"batches=${got.size} kept=${got.map(_._1).sum} " +
+        s"dropped=${got.map(_._2).sum}")
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -372,7 +432,7 @@ object StreamScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val want: Set[String] =
       if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve",
-        "curation", "urlseen")
+        "curation", "urlseen", "linededup")
       else args.toSet
 
     // the serving model trains ONCE (the train/serve boundary the
@@ -413,6 +473,7 @@ object StreamScaleCheck {
       if (want("bpeserve")) runBpeServe(spark, mult, bpeModel)
       if (want("curation")) runCuration(spark, mult, bpeModel)
       if (want("urlseen")) runUrlSeen(spark, mult)
+      if (want("linededup")) runLineDedup(spark, mult)
     }
     spark.stop()
   }

@@ -2440,18 +2440,20 @@ object TextOps {
    * sort in reassembly is per-doc inside the aggregate (`array_sort`
    * over that doc's lines), never data-sized.
    *
-   * Skew discipline (see [[lineDedupHotKeys]]): short
-   * lines — including the trimmed-EMPTY key, at crawl scale the most
-   * massive single-key group in the corpus — are routed AROUND the
-   * verdict join entirely (filter + unionByName; they can never match
-   * `hot`, whose keys are all >= `minLineChars`, so this is a pure
-   * plan change). The hot side is the AGGREGATED boilerplate set
-   * (bounded by repeated-line cardinality, not corpus size — lines
-   * only enter it past `maxDf` distinct docs), so it broadcasts and
-   * the line side never shuffles for its verdict: no join plan can
-   * serialize a partition on a skewed line key. Pinned in
-   * PlanAssertionsSpec; hot-side cardinality measured in the 100x
-   * probe (measurements/).
+   * Skew discipline (the r11 verdict's one scale question): the hot
+   * side is the AGGREGATED boilerplate set (bounded by repeated-line
+   * cardinality, not corpus size — keys only enter it past `maxDf`
+   * distinct docs; see [[lineDedupHotKeys]], whose cardinality the
+   * 100x probe measures), and the verdict join BROADCASTS it, so the
+   * line side never partitions on the line key at all: the massive
+   * trimmed-empty/`--` keys meet nothing but a hash-table miss, and
+   * no plan can serialize a partition on a skewed key. The hint is
+   * deliberate — a pathological corpus whose hot set outgrows the
+   * broadcast limit must fail LOUDLY (driver OOM) rather than fall
+   * back to a sort-merge join that quietly puts every blank line in
+   * one partition. Short keys need no routing: every hot key is
+   * >= `minLineChars`, so they cannot match. Pinned in
+   * PlanAssertionsSpec.
    */
   /** `(doc_id, pos, line, key)` — one row per newline-split line with
     * its trimmed dedup key. Shared by [[lineDedup]] and
@@ -2480,13 +2482,13 @@ object TextOps {
   def lineDedup(docs: DataFrame, maxDf: Int = 2,
                 minLineChars: Int = 10): DataFrame = {
     val lines = explodedLines(docs)
-    val eligible = lines.filter(length(col("key")) >= minLineChars)
-    val exempt = lines.filter(length(col("key")) < minLineChars)
-      .withColumn("__hot", lit(null).cast("boolean"))
     val hot = lineDedupHotKeys(docs, maxDf, minLineChars)
       .select(col("key"), lit(true).as("__hot"))
-    eligible.join(broadcast(hot), Seq("key"), "left_outer")
-      .unionByName(exempt)
+    // short lines cannot match (every hot key is >= minLineChars), so
+    // one broadcast left join IS the routing: the line side never
+    // repartitions on the line key, and the skewed blank-line key
+    // meets nothing but a hash-table miss
+    lines.join(broadcast(hot), Seq("key"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("__hot").isNull, 1L).otherwise(0L))

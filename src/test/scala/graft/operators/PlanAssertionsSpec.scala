@@ -716,20 +716,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("line dedup: broadcast verdict join, short lines routed around it, nothing quadratic") {
+  test("line dedup: broadcast verdict join — the line side never partitions on the key") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.lineDedup(docs))
     // explode feeds a partial-agged key groupBy (distinct keys on the
     // wire), then the hot set — aggregated boilerplate, bounded by
     // repeated-line cardinality — BROADCASTS for the verdict join
     // (r11 verdict #2: the line side must never shuffle on the line
-    // key, where the trimmed-empty key would serialize a partition),
-    // short lines bypass via union, and reassembly is doc-keyed
+    // key, where the trimmed-empty key would serialize a partition);
+    // reassembly is doc-keyed
     assert(p.contains("Generate"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("Union"), p)
     // the only key-keyed exchanges are the df-count aggregate's two
     // phases ((key, doc_id) distinct + key rollup); the verdict join
     // adds no single-key exchange of the LINE side
