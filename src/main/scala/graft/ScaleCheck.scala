@@ -603,6 +603,48 @@ object ScaleCheck {
             length(col("clean_text")).cast("long").as("n_chars_clean"))
         TextOps.shardAssign(gated, carry = Seq("n_chars_clean"))
       }),
+      "pipeline_frontier_manifest" -> (() => {
+        // the COMPLETE ingest chain on the replicated corpus: robots
+        // admit (20 fixture hosts -> per-host URL groups grow with
+        // the corpus, the popular-host shape) -> canonical dedup ->
+        // strict byte decode with the corrupt third quarantined ->
+        // block lines -> line dedup -> gate -> shards. Same fixtures
+        // as the registered flagship, so the probe measures the
+        // production plan's selectivity
+        import graft.operators.{HtmlBytes, Robots}
+        val idx = Robots.robotsHostIndex(
+          Robots.robotsRules(graft.SparkEntry.synthRobots(docs)),
+          "graftbot")
+        val admitted = Robots.robotsAllowed(
+            graft.SparkEntry.synthFrontierUrls(docs), idx)
+          .filter(col("allowed")).select(col("doc_id"), col("url"))
+        val surv = admitted
+          .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val pages = graft.SparkEntry.synthCrawlHtml(docs)
+          .join(surv, Seq("doc_id"), "left_semi")
+        val pv = pmod(col("doc_id"), lit(3L))
+        val payload = when(pv === 0, encode(col("html"), "UTF-8"))
+          .when(pv === 1, concat(
+            lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
+            encode(col("html"), "UTF-8")))
+          .otherwise(lit(Array(0xC3, 0x28).map(_.toByte)))
+        val decoded = HtmlBytes.decodeHtmlBytes(
+            pages.select(col("doc_id").as("id"), payload.as("payload"),
+              lit(null).cast("string").as("declared"))
+            .as(org.apache.spark.sql.Encoders
+              .product[HtmlBytes.HtmlBytesRow])).toDF()
+          .filter(col("ok"))
+          .select(col("id").as("doc_id"), col("html"))
+        val lines = decoded.select(col("doc_id"),
+          TextOps.htmlToLines(col("html")).as("text"))
+        val gated = TextOps.lineDedup(lines)
+          .filter(col("n_lines_kept") >= 2 &&
+            length(col("clean_text")) >= 20)
+          .select(col("doc_id"),
+            length(col("clean_text")).cast("long").as("n_chars_clean"))
+        TextOps.shardAssign(gated, carry = Seq("n_chars_clean"))
+      }),
       "pipeline_curation_manifest" -> (() => {
         val capped = docs.join(
           TextOps.domainCap(docs, perSource = 50).select(col("doc_id")),

@@ -106,7 +106,7 @@ object SparkEntry {
     * unique long contact line — so `htmlToLines` yields real LINES and
     * `lineDedup` has real cross-doc boilerplate to drop. Oracle twin:
     * the `cdocs` CTE. */
-  private def synthCrawlHtml(docs: DataFrame): DataFrame = {
+  private[graft] def synthCrawlHtml(docs: DataFrame): DataFrame = {
     val enc = replace(replace(replace(coalesce(col("text"), lit("")),
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
       lit(">"), lit("&gt;"))
@@ -196,7 +196,7 @@ object SparkEntry {
   /** Deterministic per-host robots.txt over the 20 fixture hosts
     * (`site<h>.com`, h = doc_id%20), variant by h%4. Oracle twin: the
     * `rdocs` CTE. */
-  private def synthRobots(docs: DataFrame): DataFrame =
+  private[graft] def synthRobots(docs: DataFrame): DataFrame =
     docs.select(pmod(col("doc_id"), lit(20L)).as("h")).distinct()
       .select(concat(lit("site"), col("h").cast("string"), lit(".com"))
           .as("host"),
@@ -222,6 +222,40 @@ object SparkEntry {
         .when(pmod(col("doc_id"), lit(8L)) === 5, lit("/api/ok"))
         .when(pmod(col("doc_id"), lit(8L)) === 6, lit("/api/internal/x"))
         .otherwise(lit("/index.html?ref=1"))).as("url"))
+
+  /** Deterministic FRONTIER URLs for the ingest flagship —
+    * scale-honest (one group k per 4 docs, so survivors grow with the
+    * corpus): host `site<k%20>.com` (the robots fixture hosts), path
+    * prefix by k%8 over the robots-relevant ladder, a non-tracking
+    * `id=<k>` param making each group's resource unique, and four
+    * per-doc variants of which v1 is a CANONICAL DUP of v0 (case,
+    * default :443, tracking param, param order) while v2/v3 are
+    * distinct resources — 4 urls → 3 canonical keys per group.
+    * Oracle twin: the `furl*` CTEs. */
+  private[graft] def synthFrontierUrls(docs: DataFrame): DataFrame = {
+    val k = expr("CAST(doc_id div 4 AS BIGINT)")
+    val hs = pmod(k, lit(20L)).cast("string")
+    val ks = k.cast("string")
+    val pclass = pmod(k, lit(8L))
+    val prefix = when(pclass === 0, lit("/private/x"))
+      .when(pclass === 1, lit("/private/pub/y"))
+      .when(pclass === 2, lit("/tmp/a"))
+      .when(pclass === 3, lit("/tmp/ok"))
+      .when(pclass === 4, lit("/data.json"))
+      .when(pclass === 5, lit("/api/ok"))
+      .when(pclass === 6, lit("/api/internal/x"))
+      .otherwise(lit("/index.html"))
+    val v = pmod(col("doc_id"), lit(4L))
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("https://site"), hs, lit(".com"),
+          prefix, lit("?id="), ks, lit("&a=1")))
+        .when(v === 1, concat(lit("HTTPS://SITE"), hs, lit(".COM:443"),
+          prefix, lit("?utm_source=f&a=1&id="), ks))
+        .when(v === 2, concat(lit("https://site"), hs, lit(".com"),
+          prefix, lit("?b=2&id="), ks))
+        .otherwise(concat(lit("https://site"), hs, lit(".com"),
+          prefix, lit("?c=3&id="), ks)).as("url"))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
@@ -983,6 +1017,51 @@ object SparkEntry {
           length(col("html")).cast("long").as("n_chars"),
           md5(col("html")).as("html_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_frontier_manifest" -> ((s, dir) => {
+      // FLAGSHIP (ingest): the COMPLETE crawl-ingest chain as one
+      // plan — robots politeness admit (exact-agent group selection,
+      // longest-match) → URL-canonical dedup (min-id survivor) →
+      // byte-level fetch decode with quarantine (garbage payloads
+      // drop, BOM variants round-trip) → block-line extraction →
+      // cross-doc line dedup (boilerplate drop) → quality gate →
+      // deterministic shard manifest. Every stage is the registered
+      // operator, composed; every stage is oracle-replayed
+      val docs = t(s, dir, "documents")
+      val idx = graft.operators.Robots.robotsHostIndex(
+        graft.operators.Robots.robotsRules(synthRobots(docs)), "graftbot")
+      val admitted = graft.operators.Robots
+        .robotsAllowed(synthFrontierUrls(docs), idx)
+        .filter(col("allowed")).select(col("doc_id"), col("url"))
+      val surv = admitted
+        .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val pages = synthCrawlHtml(docs).join(surv, Seq("doc_id"), "left_semi")
+      // the byte edge: fetched payloads arrive plain/BOM'd/corrupt
+      // (doc_id%3); strict decode quarantines the corrupt third out
+      val pv = pmod(col("doc_id"), lit(3L))
+      val payload = when(pv === 0, encode(col("html"), "UTF-8"))
+        .when(pv === 1, concat(
+          lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
+          encode(col("html"), "UTF-8")))
+        .otherwise(lit(Array(0xC3, 0x28).map(_.toByte)))
+      val decoded = graft.operators.HtmlBytes.decodeHtmlBytes(
+          pages.select(col("doc_id").as("id"), payload.as("payload"),
+            lit(null).cast("string").as("declared"))
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.operators.HtmlBytes.HtmlBytesRow])).toDF()
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("html"))
+      val lines = decoded.select(col("doc_id"),
+        TextOps.htmlToLines(col("html")).as("text"))
+      val gated = TextOps.lineDedup(lines)
+        .filter(col("n_lines_kept") >= 2 &&
+          length(col("clean_text")) >= 20)
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"),
+          md5(col("clean_text")).as("clean_fp"))
+      TextOps.shardAssign(gated, carry = Seq("n_chars_clean", "clean_fp"))
     }),
 
     "crawl_robots_rules" -> ((s, dir) =>
@@ -2324,6 +2403,30 @@ object SparkEntry {
          JOIN (SELECT host, group_id, CAST(ln AS BIGINT) AS rule_ord,
                  field AS directive, value FROM rgrp WHERE NOT is_ua) r
            ON a.host = r.host AND a.group_id = r.group_id)"""
+
+  /** Shared CTE body (no `WITH` prefix; requires `rulestab` from
+    * [[RobotsRulesCte]]) replaying
+    * [[graft.operators.Robots.robotsHostIndex]]'s agent selection for
+    * `graftbot` and the LIKE-pattern translation. Ends with relations
+    * `rmine` (selected rows) and `rpath(host, value, is_allow,
+    * like_pat)`. */
+  private lazy val RobotsSelectCte: String =
+    s"""rmine AS (SELECT * FROM (
+           SELECT *, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host) AS hx
+           FROM rulestab)
+         WHERE (hx = 1 AND agent = 'graftbot') OR (hx = 0 AND agent = '*')),
+       rpath AS (SELECT host, value,
+           (directive = 'allow') AS is_allow,
+           CASE WHEN ends_with(value, '$$') THEN body ELSE body || '%' END AS like_pat
+         FROM (SELECT host, directive, value,
+                 replace(replace(replace(replace(
+                   CASE WHEN ends_with(value, '$$')
+                        THEN substr(value, 1, length(value) - 1)
+                        ELSE value END,
+                   '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS body
+               FROM rmine
+               WHERE directive IN ('allow', 'disallow') AND value <> ''))"""
 
   def oracleSql: Map[String, String] = {
     // regex constants carrying single quotes (attribute-quoting
@@ -5572,6 +5675,111 @@ object SparkEntry {
             GROUP BY canon_url HAVING count(*) > 1
             ORDER BY canon_url""",
 
+      "pipeline_frontier_manifest" ->
+        s"""WITH $RobotsRulesCte,
+            $RobotsSelectCte,
+            furls AS (SELECT doc_id, doc_id // 4 AS k FROM documents),
+            furl2 AS (SELECT doc_id, k,
+                CASE CAST(k % 8 AS INT)
+                  WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
+                  WHEN 2 THEN '/tmp/a' WHEN 3 THEN '/tmp/ok'
+                  WHEN 4 THEN '/data.json' WHEN 5 THEN '/api/ok'
+                  WHEN 6 THEN '/api/internal/x' ELSE '/index.html'
+                END AS pfx,
+                CAST(k % 20 AS VARCHAR) AS hs, CAST(k AS VARCHAR) AS ks
+              FROM furls),
+            furl3 AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'https://site' || hs || '.com' || pfx || '?id=' || ks || '&a=1'
+                WHEN 1 THEN 'HTTPS://SITE' || hs || '.COM:443' || pfx || '?utm_source=f&a=1&id=' || ks
+                WHEN 2 THEN 'https://site' || hs || '.com' || pfx || '?b=2&id=' || ks
+                ELSE 'https://site' || hs || '.com' || pfx || '?c=3&id=' || ks
+              END AS url FROM furl2),
+            fparts AS (SELECT doc_id, url,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                CASE WHEN p = '' THEN '/' ELSE p END AS path
+              FROM (SELECT doc_id, url,
+                      regexp_replace(regexp_replace(regexp_replace(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '(?s)#.*', ''), '^[^/?]*', '') AS p
+                    FROM furl3)),
+            fcand AS (SELECT u.doc_id, r.is_allow,
+                row_number() OVER (PARTITION BY u.doc_id
+                  ORDER BY length(r.value) DESC, r.is_allow DESC, r.value) AS rn
+              FROM fparts u JOIN rpath r
+                ON u.host = r.host AND u.path LIKE r.like_pat ESCAPE '\\'),
+            fadm AS (SELECT u.doc_id, u.url FROM fparts u
+              LEFT JOIN (SELECT doc_id, is_allow FROM fcand WHERE rn = 1) b
+                ON u.doc_id = b.doc_id
+              WHERE coalesce(b.is_allow, TRUE)),
+            fu1 AS (SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '(?s)#.*\\z', '') AS nofrag
+              FROM fadm),
+            fu2 AS (SELECT doc_id, scheme,
+                lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS auth,
+                regexp_replace(nofrag, '^[^/?]*', '') AS rest FROM fu1),
+            fu3 AS (SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80\\z', '')
+                     WHEN scheme = 'https' THEN regexp_replace(auth, ':443\\z', '')
+                     ELSE auth END AS host,
+                regexp_replace(regexp_replace(rest, '(?s)\\?.*\\z', ''), '/+\\z', '') AS path,
+                regexp_extract(rest, '(?s)\\?(.*)\\z', 1) AS query FROM fu2),
+            fcanon AS (SELECT doc_id, scheme || '://' || host || path ||
+                CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+              FROM (SELECT doc_id, scheme, host, path,
+                      list_sort(list_filter(string_split(query, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
+                    FROM fu3)),
+            fsurv AS (SELECT min(doc_id) AS doc_id FROM fcanon GROUP BY canon_url),
+            fdocs AS (SELECT d.doc_id,
+                 '<html><head><title>Doc ' || CAST(d.doc_id AS VARCHAR)
+                 || '</title><style> p { margin: 0; } </style></head><body>'
+                 || '<!-- nav --><div class="nav"><a href="/home">Home</a></div>'
+                 || '<script>track(1 < 2);</script><p>'
+                 || replace(replace(replace(coalesce(d.text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')
+                 || '</p><p>All rights reserved worldwide legal notice.</p>'
+                 || CASE WHEN d.doc_id % 3 = 0 THEN '<p>Subscribe to our newsletter today please.</p>'
+                    ELSE '<p>Contact office number ' || CAST(d.doc_id AS VARCHAR) || ' direct line.</p>' END
+                 || '</body></html>' AS html
+               FROM documents d JOIN fsurv s ON d.doc_id = s.doc_id
+               WHERE d.doc_id % 3 <> 2),
+            flt AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(regexp_replace(html,
+                           '${TextOps.HtmlScriptBlock}', '', 'g'),
+                           '${TextOps.HtmlStyleBlock}', '', 'g'),
+                           '${TextOps.HtmlComment}', '', 'g'),
+                         '${TextOps.HtmlBlockTag}', chr(10), 'g'),
+                         '${TextOps.HtmlTag}', ' ', 'g'),
+                       '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),
+                       '&amp;','&'),
+                     '${TextOps.HSpaceRun}', ' ', 'g'),
+                   ' *\\n *', chr(10), 'g'), '\\n+', chr(10), 'g'), '^\\n+|\\n+$$', '', 'g') AS txt
+               FROM fdocs),
+            fll AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM flt),
+            flines AS (SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM fll),
+            fkeyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM flines),
+            fhot AS (SELECT key FROM fkeyed WHERE length(key) >= 10
+                     GROUP BY key HAVING count(DISTINCT doc_id) > 2),
+            fj AS (SELECT kk.doc_id, kk.pos, kk.line, (h.key IS NOT NULL) AS is_hot
+                   FROM fkeyed kk LEFT JOIN fhot h ON kk.key = h.key),
+            fcleaned AS (SELECT doc_id,
+                CAST(count(*) FILTER (WHERE NOT is_hot) AS BIGINT) AS n_lines_kept,
+                coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '') AS clean_text
+              FROM fj GROUP BY doc_id),
+            fgated AS (SELECT doc_id,
+                CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+                md5(clean_text) AS clean_fp
+              FROM fcleaned WHERE n_lines_kept >= 2 AND length(clean_text) >= 20),
+            fh AS (SELECT *, ${h60("doc_id::VARCHAR || ':graft'")} AS hh FROM fgated)
+            SELECT doc_id, n_chars_clean, clean_fp,
+               CAST(hh % 8 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM fh ORDER BY shard, pos""",
+
       "crawl_decode_bytes" ->
         s"""SELECT doc_id,
               (doc_id % 6 <> 4) AS ok,
@@ -5619,22 +5827,7 @@ object SparkEntry {
                         '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
                         '(?s)#.*', ''), '^[^/?]*', '') AS p
                     FROM rurls)),
-            rmine AS (SELECT * FROM (
-                SELECT *, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY host) AS hx
-                FROM rulestab)
-              WHERE (hx = 1 AND agent = 'graftbot') OR (hx = 0 AND agent = '*')),
-            rpath AS (SELECT host, value,
-                (directive = 'allow') AS is_allow,
-                CASE WHEN ends_with(value, '$$') THEN body ELSE body || '%' END AS like_pat
-              FROM (SELECT host, directive, value,
-                      replace(replace(replace(replace(
-                        CASE WHEN ends_with(value, '$$')
-                             THEN substr(value, 1, length(value) - 1)
-                             ELSE value END,
-                        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS body
-                    FROM rmine
-                    WHERE directive IN ('allow', 'disallow') AND value <> '')),
+            $RobotsSelectCte,
             rdelay AS (SELECT host, max(TRY_CAST(value AS BIGINT)) AS crawl_delay
               FROM rmine WHERE directive = 'crawl-delay' GROUP BY host),
             cand AS (SELECT u.doc_id, r.value AS pattern, r.is_allow,

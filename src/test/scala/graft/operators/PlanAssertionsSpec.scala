@@ -746,6 +746,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("ingest flagship: keyed shuffles only, in-plan byte edge, shard-keyed window") {
+    val p = plan(graft.SparkEntry.queries("pipeline_frontier_manifest")(
+      spark, sfDir))
+    // robots admit join + canonical-survivor semi-join + decode
+    // (typed mapPartitions, IN-plan — the byte edge is not a
+    // side-channel) + line-df broadcast join + doc reassembly + shard
+    // window — every stage keyed or broadcast; no cartesian anywhere.
+    // Windows exist only in the robots PARSE (host-keyed — a robots
+    // file's lines, never corpus-sized) and the shard manifest; none
+    // may be global or doc-keyed
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    assert(winSpecs.forall(l => l.contains("host#") || l.contains("shard")),
+      winSpecs.mkString("\n"))
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Robots
+
+/** [[StreamingHostPacer]] — crawl-delay as a minimum event-time gap
+  * between admitted fetches per host, composed with the robots admit
+  * filter in one query. */
+class StreamingHostPacerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset base: an event at literal epoch 0 collides with the
+  // stream's initial watermark and is dropped as late
+  private def ts(ms: Long): Timestamp = new Timestamp(1000000L + ms)
+
+  private val robotsTxt =
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n"
+
+  private def idx = Robots.robotsHostIndex(
+    Robots.robotsRules(Seq(("slow.com", robotsTxt))
+      .toDF("host", "robots_txt")),
+    "graftbot")
+
+  private def run(batches: Seq[Seq[(Long, Timestamp, String)]],
+                  politeFirst: Boolean = false)
+      : Seq[(Long, Boolean, Long)] = {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val urls = input.toDF().toDF("doc_id", "event_time", "url")
+    val src = if (politeFirst)
+      Robots.robotsAllowed(urls, idx).filter(col("allowed"))
+        .select(col("doc_id"), col("event_time"), col("url"))
+    else urls
+    val rows = mutable.Buffer[(Long, Boolean, Long)]()
+    val q = StreamingHostPacer.paced(src, idx,
+        delay = "1 second", horizonMs = 3600000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("pacer-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        rows ++= b.toDF().select("docId", "admit", "wait_ms")
+          .as[(Long, Boolean, Long)](
+            org.apache.spark.sql.Encoders.product[(Long, Boolean, Long)])
+          .collect()
+        ()
+      }.start()
+    try {
+      batches.foreach { rs => input.addData(rs: _*); q.processAllAvailable() }
+    } finally q.stop()
+    rows.toSeq.sortBy(_._1)
+  }
+
+  test("crawl-delay is a minimum event-time gap; deferrals carry their wait") {
+    // delay 2 s; arrivals at 0, 1, 2, 3, 4.5 s
+    val got = run(Seq(Seq(
+      (1L, ts(0), "https://slow.com/a"),
+      (2L, ts(1000), "https://slow.com/b"),
+      (3L, ts(2000), "https://slow.com/c"),
+      (4L, ts(3000), "https://slow.com/d"),
+      (5L, ts(4500), "https://slow.com/e"))))
+    // admit 0s; 1s deferred (1000 ms left); admit 2s; 3s deferred;
+    // 4.5s admitted (gap 2.5s from the 2s admit)
+    assert(got == Seq((1L, true, 0L), (2L, false, 1000L),
+      (3L, true, 0L), (4L, false, 1000L), (5L, true, 0L)))
+  }
+
+  test("verdicts independent of the batch split; unknown hosts admit freely") {
+    def ev(i: Long, ms: Long) = (i, ts(ms), "https://slow.com/p" + i)
+    val one = run(Seq(Seq(ev(1, 0), ev(2, 1000), ev(3, 2000))))
+    val split = run(Seq(Seq(ev(1, 0)), Seq(ev(2, 1000)), Seq(ev(3, 2000))))
+    assert(one == split)
+    val free = run(Seq(Seq(
+      (1L, ts(0), "https://nodelay.example/a"),
+      (2L, ts(1), "https://nodelay.example/b"))))
+    assert(free.forall(r => r._2 && r._3 == 0L))
+  }
+
+  test("hosts pace independently; deferrals do not advance the mark") {
+    val got = run(Seq(Seq(
+      (1L, ts(0), "https://slow.com/a"),
+      (2L, ts(0), "https://other.example/x"),
+      (3L, ts(1000), "https://slow.com/b"), // deferred
+      (4L, ts(1999), "https://slow.com/c"), // still vs t=0 mark
+      (5L, ts(2000), "https://slow.com/d")))) // admits exactly at gap
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, true), (2L, true),
+      (3L, false), (4L, false), (5L, true)))
+    assert(got.find(_._1 == 4L).get._3 == 1L) // 2000 - 1999
+  }
+
+  test("composes with the robots admit filter in one query (disallowed never pace)") {
+    val got = run(Seq(Seq(
+      (1L, ts(0), "https://slow.com/private/x"), // blocked by robots
+      (2L, ts(0), "https://slow.com/ok"),
+      (3L, ts(1000), "https://slow.com/ok2"))), politeFirst = true)
+    // doc 1 never reaches the pacer; doc 2 admits and holds the mark
+    // doc 1's fetch would otherwise have consumed
+    assert(got.map(_._1) == Seq(2L, 3L))
+    assert(got == Seq((2L, true, 0L), (3L, false, 1000L)))
+  }
+}
