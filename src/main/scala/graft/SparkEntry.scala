@@ -986,6 +986,25 @@ object SparkEntry {
         .filter(col("n_docs") > 1)
         .orderBy(col("canon_url"))),
 
+    "dedup_canonical_identity" -> ((s, dir) => {
+      // crawl dedup on the PUBLISHER'S declared identity: pages
+      // carrying rel=canonical group on that target (normalized),
+      // pages without one group on their fetched URL's canonical key
+      // — one hash-groupBy, the cheapest dedup shape, now keyed the
+      // way production crawl pipelines actually key it
+      val docs = t(s, dir, "documents")
+      val pages = synthMetaHtml(docs).join(synthUrl(docs), Seq("doc_id"))
+      pages
+        .groupBy(TextOps.canonicalIdentity(col("url"), col("html"))
+          .as("identity_key"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("survivor_id"),
+          sum(when(nullif(TextOps.htmlCanonicalHref(col("html")),
+            lit("")).isNotNull, 1L).otherwise(0L)).as("n_declared"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("identity_key"))
+    }),
+
     "crawl_decode_bytes" -> ((s, dir) => {
       // the byte-level ingest edge, oracle-gated analytically: six
       // payload variants (plain/BOM UTF-8, declared Latin-1, meta-
@@ -5779,6 +5798,56 @@ object SparkEntry {
                CAST(hh % 8 AS INT) AS shard,
                CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
             FROM fh ORDER BY shard, pos""",
+
+      "dedup_canonical_identity" ->
+        s"""WITH $UrlCanonCte,
+            cmdocs AS (SELECT doc_id,
+                 CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN '<link rel="canonical" href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '">'
+                    WHEN 1 THEN '<link href="https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '" rel="canonical">'
+                    WHEN 2 THEN '<link rel=''canonical'' href=''https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '''>'
+                    WHEN 3 THEN '<link rel=canonical href=https://example.com/canon/' || CAST(doc_id % 7 AS VARCHAR) || '>'
+                    ELSE '' END AS linkhtml
+               FROM documents),
+            chref AS (SELECT doc_id,
+                 trim(coalesce(
+                   nullif(regexp_extract(ctag, '${sq(TextOps.AttrHrefDq)}', 1), ''),
+                   nullif(regexp_extract(ctag, '${sq(TextOps.AttrHrefSq)}', 1), ''),
+                   regexp_extract(ctag, '${sq(TextOps.AttrHrefUq)}', 1))) AS canonical_href
+               FROM (SELECT doc_id,
+                       regexp_extract(linkhtml, '${sq(TextOps.HtmlCanonicalTag)}') AS ctag
+                     FROM cmdocs)),
+            craw AS (SELECT u.doc_id,
+                 CASE WHEN m.canonical_href <> '' THEN m.canonical_href
+                      ELSE u.url END AS raw_url,
+                 (m.canonical_href <> '') AS declared
+               FROM udocs u JOIN chref m ON u.doc_id = m.doc_id),
+            ci1 AS (SELECT doc_id, declared,
+                lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '(?s)#.*\\z', '') AS nofrag
+              FROM craw),
+            ci2 AS (SELECT doc_id, declared, scheme,
+                lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS auth,
+                regexp_replace(nofrag, '^[^/?]*', '') AS rest FROM ci1),
+            ci3 AS (SELECT doc_id, declared, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80\\z', '')
+                     WHEN scheme = 'https' THEN regexp_replace(auth, ':443\\z', '')
+                     ELSE auth END AS host,
+                regexp_replace(regexp_replace(rest, '(?s)\\?.*\\z', ''), '/+\\z', '') AS path,
+                regexp_extract(rest, '(?s)\\?(.*)\\z', 1) AS query FROM ci2),
+            cikey AS (SELECT doc_id, declared,
+                scheme || '://' || host || path ||
+                CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS identity_key
+              FROM (SELECT doc_id, declared, scheme, host, path,
+                      list_sort(list_filter(string_split(query, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
+                    FROM ci3))
+            SELECT identity_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS survivor_id,
+                   CAST(count(*) FILTER (WHERE declared) AS BIGINT) AS n_declared
+            FROM cikey
+            GROUP BY identity_key HAVING count(*) > 1
+            ORDER BY identity_key""",
 
       "crawl_decode_bytes" ->
         s"""SELECT doc_id,

@@ -2560,6 +2560,20 @@ object TextOps {
       regexp_extract(tag, AttrHrefUq, 1)))
   }
 
+  /**
+   * The CANONICAL IDENTITY key a crawl dedup actually groups on: the
+   * publisher's declared `rel=canonical` target when the page carries
+   * one (the declared identity beats the fetched URL — print pages,
+   * mirrors, session-tracked variants all point at one target), else
+   * the fetched URL; either way normalized through [[urlCanonical]]
+   * (a declared href is as messy as any URL in the wild). Pure
+   * single-row expression work — the one downstream groupBy is the
+   * only shuffle.
+   */
+  def canonicalIdentity(url: Column, html: Column): Column =
+    urlCanonical(coalesce(
+      nullif(htmlCanonicalHref(html), lit("")), coalesce(url, lit(""))))
+
   /** Query params stripped during canonicalization: tracking noise
     * that splits otherwise-identical URLs into distinct keys. Matches
     * the whole param (`name` or `name=...`). Anchored with `\z`

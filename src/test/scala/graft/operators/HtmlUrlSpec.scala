@@ -171,6 +171,24 @@ class HtmlUrlSpec extends SparkSpec {
       == ("noarchive", ""))
   }
 
+  test("canonicalIdentity: declared rel=canonical beats the fetched URL, both normalized") {
+    def key(url: String, html: String): String =
+      Seq((url, html)).toDF("url", "html")
+        .select(TextOps.canonicalIdentity(col("url"), col("html")).as("k"))
+        .as[String].head()
+    // declared target wins — and is itself canonicalized (messy href)
+    assert(key("http://m.site.com/article?sid=99",
+      "<link rel=\"canonical\" href=\"HTTP://Site.COM:80/article/?utm_source=amp\">")
+      == "http://site.com/article")
+    // no declaration: the fetched URL's canonical key
+    assert(key("HTTP://Site.COM:80/article/?utm_source=x", "<p>no head</p>")
+      == "http://site.com/article")
+    // the two cases above land on the SAME identity — the point
+    // unquoted declaration still counts (r11 advisory path)
+    assert(key("https://x.com/a", "<link rel=canonical href=https://y.com/b>")
+      == "https://y.com/b")
+  }
+
   // ---- urlCanonical ----
 
   test("urlCanonical: case, default port, fragment, tracking, param order") {
