@@ -420,6 +420,67 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /** Rate-scaled [[graft.streaming.StreamingHostPacer]]: `mult × 100`
+    * hosts, each with `Crawl-delay: 2` from a REAL parsed robots
+    * index, 5 arrivals per host per batch at 1 s event-time spacing
+    * (batch b covers seconds [5b, 5b+5)). The admit pattern is EXACT
+    * and alternates by parity — batch 0 admits at +0/+2/+4 (3 per
+    * host), the carried last-admit mark then makes odd batches admit
+    * 2 and even batches 3 — so the probe VERIFIES verdicts per batch
+    * at both rates. State must plateau at exactly the live-host count
+    * and latency stay flat in batch index. */
+  private def runPacer(spark: SparkSession, mult: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hosts = mult * 100
+    val batches = 12
+    val idx = graft.operators.Robots.robotsHostIndex(
+      graft.operators.Robots.robotsRules(
+        spark.range(hosts).select(
+          concat(lit("slow"), col("id").cast("string"), lit(".com"))
+            .as("host"),
+          lit("User-agent: *\nCrawl-delay: 2\n").as("robots_txt"))),
+      "graftbot").localCheckpoint(true)
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val paced = graft.streaming.StreamingHostPacer.paced(
+      input.toDF().toDF("doc_id", "event_time", "url"), idx,
+      delay = "1 second", horizonMs = 60000L)
+    val counts = Seq.newBuilder[(Long, Long)] // (admits, defers)
+    val q = paced.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssc-pace-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        val r = b.toDF().agg(count(lit(1)),
+          sum(when(col("admit"), 1L).otherwise(0L))).head()
+        if (r.getLong(0) > 0)
+          counts += ((r.getLong(1), r.getLong(0) - r.getLong(1)))
+        ()
+      }.start()
+    try {
+      var id = 0L
+      for (b <- 0 until batches) {
+        val data = for (h <- 0 until hosts; j <- 0 until 5) yield {
+          id += 1
+          (id, new Timestamp(1000000L + (b * 5 + j) * 1000L),
+            s"https://slow$h.com/p/$b/$j")
+        }
+        input.addData(data: _*)
+        q.processAllAvailable()
+      }
+      report("pacer", mult, progressLines(q))
+      val got = counts.result()
+      require(got.size == batches, s"batches: ${got.size}")
+      got.zipWithIndex.foreach { case ((adm, dfr), i) =>
+        val expAdm = if (i == 0 || i % 2 == 0) 3L * hosts else 2L * hosts
+        require(adm == expAdm && adm + dfr == 5L * hosts,
+          s"pacer drifted at ${mult}x batch $i: admits=$adm defers=$dfr")
+      }
+      println(s"STREAMSCALE pacer rate=${mult}x VERIFIED " +
+        s"batches=${got.size} admits=${got.map(_._1).sum} " +
+        s"defers=${got.map(_._2).sum}")
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -432,7 +493,7 @@ object StreamScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val want: Set[String] =
       if (args.isEmpty) Set("neardup", "gapmon", "extract", "bpeserve",
-        "curation", "urlseen", "linededup")
+        "curation", "urlseen", "linededup", "pacer")
       else args.toSet
 
     // the serving model trains ONCE (the train/serve boundary the
@@ -474,6 +535,7 @@ object StreamScaleCheck {
       if (want("curation")) runCuration(spark, mult, bpeModel)
       if (want("urlseen")) runUrlSeen(spark, mult)
       if (want("linededup")) runLineDedup(spark, mult)
+      if (want("pacer")) runPacer(spark, mult)
     }
     spark.stop()
   }

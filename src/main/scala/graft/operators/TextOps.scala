@@ -2522,15 +2522,18 @@ object TextOps {
     "(?is)<link[ \\t\\n\\r](?:[^>]*[ \\t\\n\\r])?rel=[\"']?canonical[\"']?" +
       "(?:[ \\t\\n\\r/][^>]*)?>"
   /** `content=` value inside an already-extracted tag, one pattern
-    * per quoting style (coalesced dq → sq → unquoted). */
-  val AttrContentDq: String = "(?is)content=\"([^\"]*)\""
-  val AttrContentSq: String = "(?is)content='([^']*)'"
+    * per quoting style (coalesced dq → sq → unquoted). The leading
+    * boundary class (whitespace or a closing quote) keeps a
+    * `data-content=` attribute from feeding the value — the attribute
+    * NAME needs a left edge just like the tag markers do. */
+  val AttrContentDq: String = "(?is)[ \\t\\n\\r\"']content=\"([^\"]*)\""
+  val AttrContentSq: String = "(?is)[ \\t\\n\\r\"']content='([^']*)'"
   val AttrContentUq: String =
-    "(?is)content=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
-  val AttrHrefDq: String = "(?is)href=\"([^\"]*)\""
-  val AttrHrefSq: String = "(?is)href='([^']*)'"
+    "(?is)[ \\t\\n\\r\"']content=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
+  val AttrHrefDq: String = "(?is)[ \\t\\n\\r\"']href=\"([^\"]*)\""
+  val AttrHrefSq: String = "(?is)[ \\t\\n\\r\"']href='([^']*)'"
   val AttrHrefUq: String =
-    "(?is)href=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
+    "(?is)[ \\t\\n\\r\"']href=([^\"'> \\t\\n\\r][^> \\t\\n\\r]*)"
 
   /** Page title text, whitespace-collapsed and trimmed ("" if none). */
   def htmlTitle(html: Column): Column =

@@ -169,6 +169,12 @@ class HtmlUrlSpec extends SparkSpec {
     // unquoted value ends at whitespace; a second attribute never leaks in
     assert(meta("<meta name=robots content=noarchive id=x>")
       == ("noarchive", ""))
+    // attribute-name left edge: data-content=/data-href= never feed
+    // the value (the attr marker needs a boundary, like the tag's)
+    assert(meta("<meta name=robots data-content=nofollow content=all>" +
+      "<link rel=canonical data-href=https://evil.example/x " +
+      "href=https://e.com/good>")
+      == ("all", "https://e.com/good"))
   }
 
   test("canonicalIdentity: declared rel=canonical beats the fetched URL, both normalized") {

@@ -746,6 +746,33 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("robots queries: host-keyed everything — no cartesian, no corpus-sized window") {
+    for (q <- Seq("crawl_robots_rules", "crawl_robots_allowed")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sfDir))
+      // parse windows ride (host, ln) over a robots FILE's lines;
+      // agent selection windows ride host; the admit decision is a
+      // host-keyed join + array expressions — nothing data-sized
+      // sorts or windows, nothing cross-joins
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      val winSpecs = p.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(winSpecs.nonEmpty, s"$q:\n$p")
+      assert(winSpecs.forall(_.contains("host#")),
+        s"$q:\n" + winSpecs.mkString("\n"))
+    }
+  }
+
+  test("canonical-identity dedup: one partial-agged groupBy, no join, no window") {
+    val p = plan(graft.SparkEntry.queries("dedup_canonical_identity")(
+      spark, sfDir))
+    // key derivation is a narrow map over the page join; the dedup
+    // itself is ONE hash-groupBy with map-side partials — the wire
+    // carries identity keys, never pages
+    assert("hashpartitioning".r.findAllIn(p).size <= 2, p) // key agg + output range
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("ingest flagship: keyed shuffles only, in-plan byte edge, shard-keyed window") {
     val p = plan(graft.SparkEntry.queries("pipeline_frontier_manifest")(
       spark, sfDir))
