@@ -172,6 +172,7 @@ object SparkEntry {
     * `ELSE` case): no robots.txt at all — unrestricted host. */
   private val RobotsTxt0: String =
     "# robots fixture: two groups\n" +
+    "Sitemap: https://cdn.example.com/maps/root.xml\n" +
     "User-Agent: *\n" +
     "Disallow: /private/\n" +
     "Allow: /private/pub/\n" +
@@ -1004,6 +1005,13 @@ object SparkEntry {
         .filter(col("n_docs") > 1)
         .orderBy(col("identity_key"))
     }),
+
+    "crawl_robots_sitemaps" -> ((s, dir) =>
+      // Sitemap pointers: group-independent robots metadata (they may
+      // appear anywhere in the file) — the frontier's seed list
+      graft.operators.Robots.robotsSitemaps(
+          synthRobots(t(s, dir, "documents")))
+        .orderBy(col("host"), col("ln"))),
 
     "crawl_decode_bytes" -> ((s, dir) => {
       // the byte-level ingest edge, oracle-gated analytically: six
@@ -5870,6 +5878,13 @@ object SparkEntry {
                 WHEN 4 THEN NULL
                 ELSE md5(coalesce(text, '')) END AS html_fp
             FROM documents ORDER BY doc_id""",
+
+      "crawl_robots_sitemaps" ->
+        s"""WITH $RobotsRulesCte
+            SELECT host, value AS sitemap_url, CAST(ln AS BIGINT) AS ln
+            FROM rfield
+            WHERE field = 'sitemap' AND value <> ''
+            ORDER BY host, ln""",
 
       "crawl_robots_rules" ->
         s"""WITH $RobotsRulesCte

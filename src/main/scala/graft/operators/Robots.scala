@@ -54,10 +54,11 @@ object Robots {
    * `crawl-delay` (value preserved verbatim — empty disallow stays,
    * the DECISION side is what treats it as match-nothing).
    */
-  def robotsRules(robots: DataFrame, hostCol: String = "host",
-                  txtCol: String = "robots_txt"): DataFrame = {
-    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
-    val lines = robots.select(col(hostCol).as("host"),
+  /** The comment-stripped `(host, ln, field, value)` line table every
+    * robots consumer starts from. */
+  private def parsedLines(robots: DataFrame, hostCol: String,
+                          txtCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"),
         posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
           .as(Seq("ln", "raw")))
       .withColumn("clean", trim(regexp_replace(col("raw"), "#.*", "")))
@@ -65,6 +66,11 @@ object Robots {
         "^([A-Za-z][A-Za-z-]*)[ \\t]*:", 1)))
       .withColumn("value", trim(regexp_extract(col("clean"),
         "^[A-Za-z][A-Za-z-]*[ \\t]*:(.*)", 1)))
+
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val lines = parsedLines(robots, hostCol, txtCol)
       .filter(col("field").isin("user-agent", "allow", "disallow",
         "crawl-delay"))
     val grouped = lines
@@ -88,6 +94,19 @@ object Robots {
       .select(col("host"), col("group_id"), col("agent"),
         col("directive"), col("value"), col("rule_ord"))
   }
+
+  /** `Sitemap:` pointers — the discovery metadata robots.txt carries
+    * OUTSIDE the rule model (RFC 9309 / sitemaps.org: sitemap lines
+    * are independent of groups and may appear anywhere, so they skip
+    * group assignment entirely). Output one row per pointer:
+    * `(host, sitemap_url, ln)` — the seed list a crawl frontier joins
+    * against its [[robotsAllowed]]-admitted fetch queue. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
+                     txtCol: String = "robots_txt"): DataFrame =
+    parsedLines(robots, hostCol, txtCol)
+      .filter(col("field") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap_url"),
+        col("ln").cast("long").as("ln"))
 
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit

@@ -41,6 +41,22 @@ class RobotsSpec extends SparkSpec {
     assert(got.filter(_._3 == "otherbot").map(r => (r._4, r._5)) == gb)
   }
 
+  test("robotsSitemaps: group-independent, any position, comments stripped") {
+    val t = "Sitemap: https://a.com/top.xml # seed\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a.com/mid.xml\nSitemap:\n"
+    val got = Robots.robotsSitemaps(
+        Seq(("a.com", t)).toDF("host", "robots_txt"))
+      .orderBy($"ln").select($"sitemap_url").as[String].collect().toSeq
+    // both positions survive (before and inside a group), the comment
+    // strips, the empty value drops — and the RULES table is
+    // unaffected by the interleaved sitemap lines
+    assert(got == Seq("https://a.com/top.xml", "https://a.com/mid.xml"))
+    val rules = Robots.robotsRules(Seq(("a.com", t)).toDF("host", "robots_txt"))
+      .select($"directive", $"value").as[(String, String)].collect().toSeq
+    assert(rules == Seq(("disallow", "/x")))
+  }
+
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
     val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
     val got = rules(t = t).orderBy($"rule_ord")
