@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
  *    pattern decides, and on a length tie `Allow` wins;
  *  - an EMPTY `Disallow:` value matches nothing (allow-all);
  *  - field names are case-insensitive, `#` starts a comment, unknown
- *    fields (`Sitemap`, …) are ignored.
+ *    fields are ignored by the RULE model (`Sitemap:` pointers are
+ *    group-independent metadata and surface via [[robotsSitemaps]]).
  *
  * There is no reference anchor (the reference delegates storage to
  * PostgreSQL and has no crawl surface); this completes the r11 crawl
@@ -47,13 +48,6 @@ import org.apache.spark.sql.functions._
  */
 object Robots {
 
-  /**
-   * Parse `(host, robots_txt)` rows into the normalized RULES table:
-   * one row per (agent in group) × (rule in group), with the original
-   * line number as `rule_ord`. Directives kept: `allow`, `disallow`,
-   * `crawl-delay` (value preserved verbatim — empty disallow stays,
-   * the DECISION side is what treats it as match-nothing).
-   */
   /** The comment-stripped `(host, ln, field, value)` line table every
     * robots consumer starts from. */
   private def parsedLines(robots: DataFrame, hostCol: String,
@@ -67,6 +61,13 @@ object Robots {
       .withColumn("value", trim(regexp_extract(col("clean"),
         "^[A-Za-z][A-Za-z-]*[ \\t]*:(.*)", 1)))
 
+  /**
+   * Parse `(host, robots_txt)` rows into the normalized RULES table:
+   * one row per (agent in group) × (rule in group), with the original
+   * line number as `rule_ord`. Directives kept: `allow`, `disallow`,
+   * `crawl-delay` (value preserved verbatim — empty disallow stays,
+   * the DECISION side is what treats it as match-nothing).
+   */
   def robotsRules(robots: DataFrame, hostCol: String = "host",
                   txtCol: String = "robots_txt"): DataFrame = {
     val w = Window.partitionBy(col("host")).orderBy(col("ln"))
