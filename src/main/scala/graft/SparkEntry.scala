@@ -258,6 +258,25 @@ object SparkEntry {
           prefix, lit("?c=3&id="), ks)).as("url"))
   }
 
+  /** Deterministic sitemap urlset DOCUMENTS, one per doc: three
+    * `<url>` entries with entity-escaped query params (`&amp;`),
+    * padded `<loc>` bodies (trim must fire) and lastmod present on
+    * alternating (doc_id+j) parity. Oracle twin: the `smdocs` CTE. */
+  private def synthSitemapXml(docs: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(20L)).cast("string")
+    def seg(j: Int) = concat(
+      lit("\n<url>\n  <loc> https://site"), h, lit(".com/page/"),
+      col("doc_id").cast("string"), lit(s"/$j?a=1&amp;b=2 </loc>"),
+      when(pmod(col("doc_id") + j, lit(2L)) === 0,
+        lit(s"\n  <lastmod>2026-0${j + 1}-15</lastmod>"))
+        .otherwise(lit("")),
+      lit("\n</url>"))
+    docs.select(col("doc_id"), concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      seg(0), seg(1), seg(2), lit("\n</urlset>")).as("xml"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -1012,6 +1031,15 @@ object SparkEntry {
       graft.operators.Robots.robotsSitemaps(
           synthRobots(t(s, dir, "documents")))
         .orderBy(col("host"), col("ln"))),
+
+    "crawl_sitemap_entries" -> ((s, dir) =>
+      // parse fetched sitemap documents into seed rows: one per <url>
+      // block, loc entity-decoded and trimmed, lastmod optional —
+      // pure narrow map between the robots pointers and the frontier
+      graft.operators.Robots.sitemapEntries(
+          synthSitemapXml(t(s, dir, "documents")))
+        .select(col("doc_id"), col("pos"), col("loc"), col("lastmod"))
+        .orderBy(col("doc_id"), col("pos"))),
 
     "crawl_decode_bytes" -> ((s, dir) => {
       // the byte-level ingest edge, oracle-gated analytically: six
@@ -5878,6 +5906,37 @@ object SparkEntry {
                 WHEN 4 THEN NULL
                 ELSE md5(coalesce(text, '')) END AS html_fp
             FROM documents ORDER BY doc_id""",
+
+      "crawl_sitemap_entries" ->
+        s"""WITH smdocs AS (SELECT doc_id,
+                '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                || chr(10) || '<url>' || chr(10) || '  <loc> https://site'
+                || CAST(doc_id % 20 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR)
+                || '/0?a=1&amp;b=2 </loc>'
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '  <lastmod>2026-01-15</lastmod>' ELSE '' END
+                || chr(10) || '</url>'
+                || chr(10) || '<url>' || chr(10) || '  <loc> https://site'
+                || CAST(doc_id % 20 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR)
+                || '/1?a=1&amp;b=2 </loc>'
+                || CASE WHEN (doc_id + 1) % 2 = 0 THEN chr(10) || '  <lastmod>2026-02-15</lastmod>' ELSE '' END
+                || chr(10) || '</url>'
+                || chr(10) || '<url>' || chr(10) || '  <loc> https://site'
+                || CAST(doc_id % 20 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR)
+                || '/2?a=1&amp;b=2 </loc>'
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '  <lastmod>2026-03-15</lastmod>' ELSE '' END
+                || chr(10) || '</url>' || chr(10) || '</urlset>' AS xml
+              FROM documents),
+            sblocks AS (SELECT doc_id, unnest(range(len(bs))) AS pos, unnest(bs) AS b
+              FROM (SELECT doc_id,
+                      regexp_extract_all(xml, '${graft.operators.Robots.SitemapUrlBlock}') AS bs
+                    FROM smdocs))
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              replace(replace(replace(replace(replace(replace(
+                trim(regexp_extract(b, '${graft.operators.Robots.SitemapLoc}', 1)),
+                '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS loc,
+              trim(regexp_extract(b, '${graft.operators.Robots.SitemapLastmod}', 1)) AS lastmod
+            FROM sblocks ORDER BY doc_id, pos""",
 
       "crawl_robots_sitemaps" ->
         s"""WITH $RobotsRulesCte

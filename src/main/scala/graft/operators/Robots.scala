@@ -109,6 +109,37 @@ object Robots {
       .select(col("host"), col("value").as("sitemap_url"),
         col("ln").cast("long").as("ln"))
 
+  /** A sitemaps.org `<url>` entry block (naive-DOM regex subset —
+    * the [[TextOps.htmlToText]] contract: no namespace resolution, a
+    * literal `>` in content ends the tag early). */
+  val SitemapUrlBlock: String = "(?is)<url[ \\t\\n\\r]*>.*?</url[ \\t\\n\\r]*>"
+  val SitemapLoc: String = "(?is)<loc[^>]*>(.*?)</loc"
+  val SitemapLastmod: String = "(?is)<lastmod[^>]*>(.*?)</lastmod"
+
+  /**
+   * Parse fetched sitemap DOCUMENTS (urlset form) into one row per
+   * `<url>` entry — the stage between [[robotsSitemaps]]' pointers
+   * and the frontier: `loc` is the seed URL (XML-entity-decoded, the
+   * same five escapes HTML carries, `&amp;` last), `lastmod` the
+   * recrawl hint ("" when absent). Keeps every input column and adds
+   * `pos, loc, lastmod`. Sitemap INDEX files (`<sitemap>` blocks) are
+   * out of contract — callers recurse on pointers, the engine parses
+   * leaf urlsets. Pure narrow map (one `regexp_extract_all` + a
+   * per-block explode), scan-bound at any corpus size.
+   */
+  def sitemapEntries(sitemaps: DataFrame,
+                     xmlCol: String = "xml"): DataFrame =
+    sitemaps
+      .select(col("*"), posexplode(regexp_extract_all(
+          coalesce(col(xmlCol), lit("")), lit(SitemapUrlBlock), lit(0)))
+        .as(Seq("pos", "__block")))
+      .withColumn("loc", TextOps.decodeBasicEntities(
+        trim(regexp_extract(col("__block"), SitemapLoc, 1))))
+      .withColumn("lastmod",
+        trim(regexp_extract(col("__block"), SitemapLastmod, 1)))
+      .withColumn("pos", col("pos").cast("long"))
+      .drop("__block")
+
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
     * trailing `%` (anchored at path end). */

@@ -2367,17 +2367,23 @@ object TextOps {
    * subset both engines replay); numeric entities beyond `&#39;` pass
    * through verbatim.
    */
+  /** The six-entity decode the encode side emits — `&lt; &gt; &quot;
+    * &#39; &nbsp;` first and `&amp;` LAST (decoding `&amp;lt;` must
+    * yield the literal text `&lt;`, not `<`). Shared by
+    * [[htmlToText]], [[htmlToLines]] and sitemap `<loc>` decoding —
+    * XML escapes the same five. */
+  def decodeBasicEntities(c: Column): Column =
+    replace(replace(replace(replace(replace(replace(c,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(
       coalesce(html, lit("")),
       HtmlScriptBlock, ""), HtmlStyleBlock, ""), HtmlComment, "")
     val noTags = regexp_replace(noBlocks, HtmlTag, " ")
-    val decoded = replace(replace(replace(replace(replace(noTags,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&nbsp;"), lit(" "))
-    trim(regexp_replace(replace(decoded, lit("&amp;"), lit("&")),
-      SpaceRun, " "))
+    trim(regexp_replace(decodeBasicEntities(noTags), SpaceRun, " "))
   }
 
   /** Anchor-tag count — with [[htmlToText]] length it gives the
@@ -2409,12 +2415,8 @@ object TextOps {
       HtmlScriptBlock, ""), HtmlStyleBlock, ""), HtmlComment, "")
     val lined = regexp_replace(
       regexp_replace(noBlocks, HtmlBlockTag, "\n"), HtmlTag, " ")
-    val decoded = replace(replace(replace(replace(replace(lined,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&nbsp;"), lit(" "))
     val spaced = regexp_replace(
-      replace(decoded, lit("&amp;"), lit("&")), HSpaceRun, " ")
+      decodeBasicEntities(lined), HSpaceRun, " ")
     regexp_replace(regexp_replace(regexp_replace(spaced,
       " *\\n *", "\n"), "\\n+", "\n"), "^\\n+|\\n+$", "")
   }

@@ -57,6 +57,24 @@ class RobotsSpec extends SparkSpec {
     assert(rules == Seq(("disallow", "/x")))
   }
 
+  test("sitemapEntries: blocks in order, loc trimmed + decoded, lastmod optional") {
+    val xml = "<?xml version=\"1.0\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>" +
+      "<lastmod>2026-01-01</lastmod></url>\n" +
+      "<url>\n  <loc>https://a.com/q</loc>\n</url>\n</urlset>"
+    val got = Robots.sitemapEntries(Seq((7L, xml)).toDF("doc_id", "xml"))
+      .orderBy($"pos").select($"pos", $"loc", $"lastmod")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((0L, "https://a.com/p?x=1&y=2", "2026-01-01"),
+      (1L, "https://a.com/q", "")))
+    // index files (<sitemap> blocks) and null xml yield no entries
+    val idx = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    assert(Robots.sitemapEntries(
+      Seq((1L, idx), (2L, null: String)).toDF("doc_id", "xml")).count() == 0L)
+  }
+
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
     val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
     val got = rules(t = t).orderBy($"rule_ord")
