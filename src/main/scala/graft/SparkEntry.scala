@@ -277,6 +277,27 @@ object SparkEntry {
       seg(0), seg(1), seg(2), lit("\n</urlset>")).as("xml"))
   }
 
+  /** Deterministic sitemap INDEX documents, one per doc: two
+    * `<sitemap>` pointer entries at child URLs
+    * `https://site{h}.com/sm/{doc_id}/{j}.xml?p=1&q=2` (entity-escaped
+    * in the XML, padded `<loc>` bodies so trim must fire), lastmod on
+    * (doc_id+j) parity. Oracle twin: analytic (the expected rows are
+    * derived directly, not regex-replayed). */
+  private def synthSitemapIndexXml(docs: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(20L)).cast("string")
+    def ptr(j: Int) = concat(
+      lit("\n<sitemap>\n  <loc> https://site"), h, lit(".com/sm/"),
+      col("doc_id").cast("string"), lit(s"/$j.xml?p=1&amp;q=2 </loc>"),
+      when(pmod(col("doc_id") + j, lit(2L)) === 0,
+        lit(s"\n  <lastmod>2026-0${j + 1}-10</lastmod>"))
+        .otherwise(lit("")),
+      lit("\n</sitemap>"))
+    docs.select(col("doc_id"), concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      ptr(0), ptr(1), lit("\n</sitemapindex>")).as("xml"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extraction pipeline — range scan, table-group filter, commit-ts
     * enrichment (broadcast), pipe-format rendering. */
@@ -1041,6 +1062,67 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"), col("loc"), col("lastmod"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    "crawl_sitemap_index" -> ((s, dir) =>
+      // parse <sitemapindex> documents — the POINTER form large sites
+      // serve at the robots pointer (r12 verdict item 2): one row per
+      // <sitemap> block, child_url entity-decoded and trimmed,
+      // lastmod optional. Pure narrow map, scan-bound
+      graft.operators.Robots.sitemapIndexEntries(
+          synthSitemapIndexXml(t(s, dir, "documents")))
+        .select(col("doc_id"), col("pos"), col("child_url"),
+          col("lastmod"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    "crawl_sitemap_resolve" -> ((s, dir) => {
+      // the full discovery recursion, CLOSED BY A JOIN (no iteration
+      // in the engine): a MIXED level-0 store — small sites (doc_id%3
+      // == 2) point robots straight at a urlset, the rest serve an
+      // index — branches on sitemapKind in one sitemapParse pass;
+      // index pointers then equi-join the child-document store and the
+      // leaves parse in a second narrow map. Output: every seed URL
+      // with the depth it was discovered at. Each level is scan +
+      // one equi-join — the shape that stays linear on a
+      // million-sitemap host
+      val docs = t(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(20L)).cast("string")
+      val direct = docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+        .select(col("doc_id"), concat(
+          lit("<urlset>\n<url>\n  <loc> https://site"), h,
+          lit(".com/solo/"), col("doc_id").cast("string"),
+          lit("?x=1&amp;y=2 </loc>\n</url>\n</urlset>")).as("xml"))
+      val store0 = direct.unionByName(
+        synthSitemapIndexXml(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)))
+      val parsed0 = graft.operators.Robots.sitemapParse(store0)
+      val seeds0 = parsed0.filter(col("is_seed"))
+        .select(col("doc_id"), lit(0L).as("depth"),
+          col("loc").as("seed_url"), col("lastmod"))
+      val pointers = parsed0.filter(!col("is_seed"))
+        .select(col("doc_id"), col("loc").as("sm_url"))
+      // the child store: one leaf urlset per pointer target, keyed by
+      // the DECODED pointer URL (what a fetcher would request)
+      val hl = pmod(col("ldoc"), lit(20L)).cast("string")
+      val leaves = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
+        .select(col("doc_id").as("ldoc"),
+          explode(array(lit(0L), lit(1L))).as("j"))
+        .select(
+          concat(lit("https://site"), hl, lit(".com/sm/"),
+            col("ldoc").cast("string"), lit("/"), col("j").cast("string"),
+            lit(".xml?p=1&q=2")).as("url"),
+          concat(lit("<urlset>\n<url>\n  <loc>https://site"), hl,
+            lit(".com/p/"), col("ldoc").cast("string"), lit("/"),
+            col("j").cast("string"), lit("?a=1&amp;b=2</loc>"),
+            when(pmod(col("ldoc") + col("j"), lit(2L)) === 0,
+              lit("\n  <lastmod>2026-05-05</lastmod>"))
+              .otherwise(lit("")),
+            lit("\n</url>\n</urlset>")).as("xml"))
+      val seeds1 = graft.operators.Robots.sitemapEntries(
+          pointers.join(leaves, pointers("sm_url") === leaves("url")))
+        .select(col("doc_id"), lit(1L).as("depth"),
+          col("loc").as("seed_url"), col("lastmod"))
+      seeds0.unionByName(seeds1)
+        .orderBy(col("doc_id"), col("depth"), col("seed_url"))
+    }),
+
     "crawl_decode_bytes" -> ((s, dir) => {
       // the byte-level ingest edge, oracle-gated analytically: six
       // payload variants (plain/BOM UTF-8, declared Latin-1, meta-
@@ -1071,6 +1153,111 @@ object SparkEntry {
           col("charset_source"),
           length(col("html")).cast("long").as("n_chars"),
           md5(col("html")).as("html_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "crawl_schedule" -> ((s, dir) => {
+      // the discovery loop CLOSED (r12 verdict item 4): sitemap
+      // lastmod + robots crawl-delay + a 50-fetch host budget → a
+      // deterministic per-URL fetch plan. Agent "newsbot" selects the
+      // STAR groups, so variant-0 hosts carry their Crawl-delay 2 and
+      // the rest floor at minGapSec — all-integer lattice math.
+      // StreamingHostPacer consumes this plan admit-clean (spec)
+      val docs = t(s, dir, "documents")
+      val seeds = graft.operators.Robots.sitemapEntries(
+          synthSitemapXml(docs))
+        .select(col("loc"), col("lastmod"))
+      val idx = graft.operators.Robots.robotsHostIndex(
+        graft.operators.Robots.robotsRules(synthRobots(docs)), "newsbot")
+      graft.operators.Robots.fetchSchedule(seeds, idx,
+          budgetPerCycle = 50)
+        .select(col("host"), col("loc").as("url"), col("lastmod"),
+          col("gap_sec"), col("rank").as("seq"), col("cycle"),
+          col("fetch_offset_sec"))
+        .orderBy(col("host"), col("seq"))
+    }),
+
+    "crawl_warc_records" -> ((s, dir) => {
+      // WARC record boundaries (r12 verdict item 3), oracle-gated
+      // analytically: each doc becomes a two-record WARC file — a
+      // response (fixed HTTP header + the doc text as body) and a
+      // metadata record — with every 7th file's second record
+      // declaring a Content-Length that overruns the file, so the
+      // quarantine leg is ON the gated path. Pure payload-local map
+      val docs = t(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(20L)).cast("string")
+      val httpHdr = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+      val block0 = concat(lit(httpHdr), coalesce(col("text"), lit("")))
+      val len0 = length(encode(block0, "UTF-8")) // octets, not chars
+      val block1 = concat(lit("fetch-ms "),
+        pmod(col("doc_id"), lit(997L)).cast("string"))
+      val badLen1 = when(pmod(col("doc_id"), lit(7L)) === 3,
+        length(block1) + 9).otherwise(length(block1))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: https://site"), h, lit(".com/p/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-06-01T00:00:00Z\r\nContent-Length: "),
+        len0.cast("string"), lit("\r\n\r\n"), block0, lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "),
+        badLen1.cast("string"), lit("\r\n\r\n"), block1, lit("\r\n\r\n"))
+      val files = docs.select(col("doc_id").as("id"),
+          encode(warc, "UTF-8").as("payload"))
+        .as(org.apache.spark.sql.Encoders
+          .product[graft.operators.Warc.WarcFileRow])
+      graft.operators.Warc.warcRecords(files).toDF()
+        .select(col("id").as("doc_id"),
+          col("rec_ord").cast("long").as("rec_ord"), col("ok"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          length(col("block")).cast("long").as("block_len"),
+          md5(col("block")).as("block_fp"))
+        .orderBy(col("doc_id"), col("rec_ord"))
+    }),
+
+    "crawl_warc_http" -> ((s, dir) => {
+      // the full WARC → HTTP split → charset-sniff handoff in ONE
+      // plan: response bodies arrive UTF-8-declared, Latin-1-declared
+      // (bytes that are NOT valid UTF-8 — the declared charset must
+      // actually be honored), or corrupt (declared utf-8, garbage
+      // bytes — decodeHtmlBytes quarantines). Binary-concat file
+      // construction because a Latin-1 body cannot ride inside a
+      // UTF-8-encoded whole-file string
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(3L))
+      val body = when(v === 0,
+          encode(coalesce(col("text"), lit("")), "UTF-8"))
+        .when(v === 1, encode(concat(lit("café résumé #"),
+          col("doc_id").cast("string")), "ISO-8859-1"))
+        .otherwise(lit(Array(0xC3, 0x28).map(_.toByte)))
+      val cs = when(v === 1, lit("ISO-8859-1")).otherwise(lit("utf-8"))
+      val http = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+          "UTF-8"),
+        encode(cs, "UTF-8"), encode(lit("\r\n\r\n"), "UTF-8"), body)
+      val warc = concat(
+        encode(concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: https://site"),
+          pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/w/"),
+          col("doc_id").cast("string"), lit("\r\nContent-Length: "),
+          length(http).cast("string"), lit("\r\n\r\n")), "UTF-8"),
+        http, encode(lit("\r\n\r\n"), "UTF-8"))
+      val files = docs.select(col("doc_id").as("id"),
+          warc.as("payload"))
+        .as(org.apache.spark.sql.Encoders
+          .product[graft.operators.Warc.WarcFileRow])
+      val resp = graft.operators.Warc.httpResponses(
+        graft.operators.Warc.warcRecords(files)).toDF()
+      val decoded = graft.operators.HtmlBytes.decodeHtmlBytes(
+        resp.select(col("id"), col("body").as("payload"),
+            col("declared_charset").as("declared"))
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.operators.HtmlBytes.HtmlBytesRow])).toDF()
+      resp.select(col("id").as("doc_id"), col("status"),
+          col("content_type"), col("declared_charset"))
+        .join(decoded.select(col("id").as("doc_id"), col("ok"),
+          col("charset"), length(col("html")).cast("long").as("n_chars"),
+          md5(col("html")).as("text_fp")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1963,13 +2150,13 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
-    // Learned-KMeans IVF: rows+schema oracle-gated against the exact
-    // top-k (same 20x5 output shape); the HASH is ungated BY DESIGN —
-    // the learned coarse quantizer's recall gap (measured 0.5-0.7
-    // recall@5 at nprobe=4/16 on this near-uniform synthetic corpus)
-    // is precisely the approximation the operator trades for pruning,
-    // and no SQL oracle can replay a learned model. Determinism
-    // (seeded init) and a recall floor are spec-pinned
+    // Learned-KMeans IVF: OFFICIALLY rows-only in the driver gate
+    // (r12 verdict item 8 — no oracleSql entry) because the learned
+    // coarse quantizer's recall gap (measured 0.5-0.7 recall@5 at
+    // nprobe=4/16 on this near-uniform synthetic corpus) is precisely
+    // the approximation the operator trades for pruning, and no SQL
+    // oracle can replay a learned model. Determinism (seeded init), a
+    // recall floor, and the exact output schema are spec-pinned
     // (IvfLearnedSpec); the deterministic twin sim_ivf_det_topk
     // hash-gates the probe-pruning shape itself.
     "sim_ivf_topk" -> ((s, dir) => {
@@ -2381,11 +2568,11 @@ object SparkEntry {
   // sketch family (simhash/minhash/LSH/rolling fingerprints/stub
   // features) hashes through h60 — the first 15 md5 hex digits as a
   // 60-bit long — precisely so these queries are recomputable from
-  // DuckDB builtins and fully hash-verified. The one remaining
-  // partial gate is sim_ivf_topk: its coarse quantizer is learned
-  // (KMeans), which no SQL oracle can replay — rows+schema verify
-  // against the exact top-k; the hash records the recall gap by
-  // design (see the query's registration comment).
+  // DuckDB builtins and fully hash-verified. The one query with no
+  // oracle entry is sim_ivf_topk: its coarse quantizer is learned
+  // (KMeans), which no SQL oracle can replay — officially rows-only
+  // since r13, schema + recall floor spec-pinned (see the query's
+  // registration comment).
   /** Shared CTE body (no `WITH` prefix — composable into larger
     * chains) for the URL queries: synthesize the four crawl variants
     * (twin of [[synthUrl]]), then replay [[TextOps.urlCanonical]]
@@ -4931,28 +5118,15 @@ object SparkEntry {
             FROM fa JOIN ba ON fa.b_id = ba.b_id AND ba.a_best = fa.a_id
             ORDER BY fa.a_id""",
 
-      // DELIBERATE PARTIAL GATE (r5 verdict item 7): rows+schema
-      // verify against the EXACT top-k — same 20 queries x 5 rows,
-      // same columns — while the hash records the learned quantizer's
-      // recall gap. A hash mismatch here is expected and by design;
-      // rows/schema flipping false is a real defect. The exact side's
-      // recall_ppm is definitionally 1000000 (r6 verdict item 4); the
-      // Spark side carries ITS measured recall@5, so the schema gate
-      // pins the audit column and the hash gap is the recall gap.
-      "sim_ivf_topk" ->
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
-                       FROM embeddings WHERE vec_id < 20),
-                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS n
-                       FROM embeddings),
-                 s AS (SELECT query_id, neighbor_id, $cos AS sim
-                       FROM q CROSS JOIN c WHERE neighbor_id != query_id)
-            SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim,
-                   CAST(1000000 AS BIGINT) AS recall_ppm FROM (
-              SELECT query_id, neighbor_id, sim,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
-              FROM s) WHERE rank <= 5
-            ORDER BY query_id, rank""",
+      // sim_ivf_topk has NO oracle entry BY DECISION (r12 verdict
+      // item 8, closing the r5 partial gate): its coarse quantizer is
+      // learned (seeded KMeans), which no SQL oracle can replay, so
+      // the driver records the official rows-only check instead of a
+      // permanent hash-MISMATCH footnote. The schema is pinned in
+      // IvfLearnedSpec (the typecheck leg), the recall floor is
+      // spec-pinned with the measured recall_ppm riding on every
+      // output row, and the deterministic twin sim_ivf_det_topk
+      // hash-gates the probe-pruning shape end to end.
 
       "sim_filtered_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
@@ -5937,6 +6111,114 @@ object SparkEntry {
                 '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS loc,
               trim(regexp_extract(b, '${graft.operators.Robots.SitemapLastmod}', 1)) AS lastmod
             FROM sblocks ORDER BY doc_id, pos""",
+
+      "crawl_schedule" ->
+        s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+            seeds AS (SELECT
+                'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(j AS VARCHAR) || '?a=1&b=2' AS url,
+                CASE WHEN (doc_id + j) % 2 = 0
+                  THEN '2026-0' || CAST(j + 1 AS VARCHAR) || '-15'
+                  ELSE '' END AS lastmod,
+                CASE WHEN (doc_id % 20) % 4 = 0 THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS gap_sec
+              FROM documents CROSS JOIN js),
+            ranked AS (SELECT host, url, lastmod, gap_sec,
+                CAST(row_number() OVER (PARTITION BY host
+                  ORDER BY lastmod DESC, url ASC) - 1 AS BIGINT) AS seq
+              FROM seeds)
+            SELECT host, url, lastmod, gap_sec, seq,
+              seq // CAST(50 AS BIGINT) AS cycle,
+              seq * gap_sec AS fetch_offset_sec
+            FROM ranked ORDER BY host, seq""",
+
+      "crawl_warc_records" ->
+        s"""WITH hdr AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                || 'Content-Type: text/html; charset=utf-8'
+                || chr(13) || chr(10) || chr(13) || chr(10) AS s),
+            r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_ord,
+                true AS ok, 'response' AS warc_type,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+                  || CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(octet_length(encode(s || coalesce(text, ''))) AS BIGINT)
+                  AS content_length,
+                CAST(octet_length(encode(s || coalesce(text, ''))) AS BIGINT)
+                  AS block_len,
+                md5(s || coalesce(text, '')) AS block_fp
+              FROM documents CROSS JOIN hdr),
+            r1g AS (SELECT doc_id, CAST(1 AS BIGINT) AS rec_ord,
+                true AS ok, 'metadata' AS warc_type, '' AS target_uri,
+                CAST(length('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR))
+                  AS BIGINT) AS content_length,
+                CAST(length('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR))
+                  AS BIGINT) AS block_len,
+                md5('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR)) AS block_fp
+              FROM documents WHERE doc_id % 7 <> 3),
+            r1b AS (SELECT doc_id, CAST(1 AS BIGINT) AS rec_ord,
+                false AS ok, CAST(NULL AS VARCHAR) AS warc_type,
+                CAST(NULL AS VARCHAR) AS target_uri,
+                CAST(-1 AS BIGINT) AS content_length,
+                CAST(NULL AS BIGINT) AS block_len,
+                CAST(NULL AS VARCHAR) AS block_fp
+              FROM documents WHERE doc_id % 7 = 3)
+            SELECT * FROM (SELECT * FROM r0 UNION ALL
+              SELECT * FROM r1g UNION ALL SELECT * FROM r1b)
+            ORDER BY doc_id, rec_ord""",
+
+      "crawl_warc_http" ->
+        s"""SELECT doc_id, 200 AS status,
+              'text/html; charset=' || CASE WHEN doc_id % 3 = 1
+                THEN 'ISO-8859-1' ELSE 'utf-8' END AS content_type,
+              CASE WHEN doc_id % 3 = 1 THEN 'ISO-8859-1' ELSE 'utf-8' END
+                AS declared_charset,
+              doc_id % 3 <> 2 AS ok,
+              CASE WHEN doc_id % 3 = 1 THEN 'ISO-8859-1' ELSE 'UTF-8' END
+                AS charset,
+              CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN CAST(length(coalesce(text, '')) AS BIGINT)
+                WHEN 1 THEN CAST(length('café résumé #'
+                  || CAST(doc_id AS VARCHAR)) AS BIGINT)
+                ELSE NULL END AS n_chars,
+              CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN md5(coalesce(text, ''))
+                WHEN 1 THEN md5('café résumé #' || CAST(doc_id AS VARCHAR))
+                ELSE NULL END AS text_fp
+            FROM documents ORDER BY doc_id""",
+
+      // ANALYTIC oracles (the crawl_decode_bytes discipline): the
+      // expected pointer/seed rows are derived directly from the
+      // deterministic synth parameters — an independent derivation,
+      // strictly stronger than replaying the engine's own regexes.
+      "crawl_sitemap_index" ->
+        s"""WITH js AS (SELECT unnest([0, 1]) AS j)
+            SELECT doc_id, CAST(j AS BIGINT) AS pos,
+              'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/sm/'
+                || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+                || '.xml?p=1&q=2' AS child_url,
+              CASE WHEN (doc_id + j) % 2 = 0
+                THEN '2026-0' || CAST(j + 1 AS VARCHAR) || '-10'
+                ELSE '' END AS lastmod
+            FROM documents CROSS JOIN js
+            ORDER BY doc_id, pos""",
+
+      "crawl_sitemap_resolve" ->
+        s"""WITH js AS (SELECT unnest([0, 1]) AS j),
+            s0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS depth,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/solo/'
+                  || CAST(doc_id AS VARCHAR) || '?x=1&y=2' AS seed_url,
+                '' AS lastmod
+              FROM documents WHERE doc_id % 3 = 2),
+            s1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS depth,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+                  || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+                  || '?a=1&b=2' AS seed_url,
+                CASE WHEN (doc_id + j) % 2 = 0 THEN '2026-05-05'
+                  ELSE '' END AS lastmod
+              FROM documents CROSS JOIN js WHERE doc_id % 3 <> 2)
+            SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+            ORDER BY doc_id, depth, seed_url""",
 
       "crawl_robots_sitemaps" ->
         s"""WITH $RobotsRulesCte

@@ -14,9 +14,10 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
  * consume unchanged.
  *
  * Charset resolution order (the standard sniff ladder):
- *  1. BOM — UTF-8 `EF BB BF`, UTF-16LE `FF FE`, UTF-16BE `FE FF` —
- *     is decisive and stripped from the content (`charset_source =
- *     "bom"`);
+ *  1. BOM — UTF-8 `EF BB BF`, UTF-32LE `FF FE 00 00` / UTF-32BE
+ *     `00 00 FE FF` (checked before the 2-byte marks they alias),
+ *     UTF-16LE `FF FE`, UTF-16BE `FE FF` — is decisive and stripped
+ *     from the content (`charset_source = "bom"`);
  *  2. the transport-declared charset, when present and known to the
  *     JVM ("declared"); an unknown/illegal declared name falls
  *     through rather than failing — a bogus `Content-Type` must not
@@ -59,6 +60,16 @@ object HtmlBytes {
     if (p.length >= 3 && p(0) == 0xEF.toByte && p(1) == 0xBB.toByte &&
         p(2) == 0xBF.toByte)
       ("UTF-8", "bom", 3)
+    // UTF-32 BOMs BEFORE UTF-16: FF FE 00 00 is a 4-byte UTF-32LE BOM
+    // whose first two bytes alias the UTF-16LE BOM — matching 16LE
+    // first would decode NUL-interleaved mojibake with ok=true, the
+    // exact dedup-poisoning case the strict ladder exists to stop.
+    else if (p.length >= 4 && p(0) == 0xFF.toByte && p(1) == 0xFE.toByte &&
+        p(2) == 0x00.toByte && p(3) == 0x00.toByte)
+      ("UTF-32LE", "bom", 4)
+    else if (p.length >= 4 && p(0) == 0x00.toByte && p(1) == 0x00.toByte &&
+        p(2) == 0xFE.toByte && p(3) == 0xFF.toByte)
+      ("UTF-32BE", "bom", 4)
     else if (p.length >= 2 && p(0) == 0xFF.toByte && p(1) == 0xFE.toByte)
       ("UTF-16LE", "bom", 2)
     else if (p.length >= 2 && p(0) == 0xFE.toByte && p(1) == 0xFF.toByte)

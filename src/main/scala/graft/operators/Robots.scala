@@ -113,8 +113,19 @@ object Robots {
     * the [[TextOps.htmlToText]] contract: no namespace resolution, a
     * literal `>` in content ends the tag early). */
   val SitemapUrlBlock: String = "(?is)<url[ \\t\\n\\r]*>.*?</url[ \\t\\n\\r]*>"
+  /** A sitemaps.org `<sitemap>` entry block inside a `<sitemapindex>`
+    * document — the POINTER form large sites serve almost exclusively
+    * (r12 verdict item 2): `<loc>` names a CHILD sitemap, not a page. */
+  val SitemapIndexBlock: String =
+    "(?is)<sitemap[ \\t\\n\\r]*>.*?</sitemap[ \\t\\n\\r]*>"
   val SitemapLoc: String = "(?is)<loc[^>]*>(.*?)</loc"
   val SitemapLastmod: String = "(?is)<lastmod[^>]*>(.*?)</lastmod"
+  /** First root-ish element name — `<urlset` vs `<sitemapindex`.
+    * `<sitemapindex` is tested as a whole token so it never prefixes
+    * into `<sitemap` (the entry tag), and the entry tag never matches
+    * the root probe because the probe anchors on the FIRST of either
+    * name in the document (the root precedes its entries). */
+  val SitemapRoot: String = "(?is)<[ \\t\\n\\r]*(sitemapindex|urlset)[ \\t\\n\\r>]"
 
   /**
    * Parse fetched sitemap DOCUMENTS (urlset form) into one row per
@@ -122,10 +133,11 @@ object Robots {
    * and the frontier: `loc` is the seed URL (XML-entity-decoded, the
    * same five escapes HTML carries, `&amp;` last), `lastmod` the
    * recrawl hint ("" when absent). Keeps every input column and adds
-   * `pos, loc, lastmod`. Sitemap INDEX files (`<sitemap>` blocks) are
-   * out of contract — callers recurse on pointers, the engine parses
-   * leaf urlsets. Pure narrow map (one `regexp_extract_all` + a
-   * per-block explode), scan-bound at any corpus size.
+   * `pos, loc, lastmod`. Sitemap INDEX files route through
+   * [[sitemapIndexEntries]] (or the unified [[sitemapParse]]) — use
+   * [[sitemapKind]] to branch. Pure narrow map (one
+   * `regexp_extract_all` + a per-block explode), scan-bound at any
+   * corpus size.
    */
   def sitemapEntries(sitemaps: DataFrame,
                      xmlCol: String = "xml"): DataFrame =
@@ -139,6 +151,118 @@ object Robots {
         trim(regexp_extract(col("__block"), SitemapLastmod, 1)))
       .withColumn("pos", col("pos").cast("long"))
       .drop("__block")
+
+  /** `urlset` | `index` | `unknown` — which sitemaps.org document
+    * form a fetched payload is. The disambiguator in front of
+    * [[sitemapEntries]] vs [[sitemapIndexEntries]]: large sites serve
+    * INDEX files at the robots pointer and leaf urlsets one fetch
+    * deeper, so a frontier must branch on this before parsing. */
+  def sitemapKind(xml: Column): Column = {
+    val root = lower(regexp_extract(coalesce(xml, lit("")),
+      SitemapRoot, 1))
+    when(root === "sitemapindex", lit("index"))
+      .when(root === "urlset", lit("urlset"))
+      .otherwise(lit("unknown"))
+  }
+
+  /**
+   * Parse sitemap INDEX documents (`<sitemapindex>` form) into one
+   * row per `<sitemap>` pointer: `child_url` (entity-decoded,
+   * trimmed) names a CHILD sitemap to fetch, `lastmod` is its staleness
+   * hint ("" when absent). Keeps every input column and adds
+   * `pos, child_url, lastmod`. The recursion itself is CLOSED BY A
+   * JOIN, not iteration inside the engine: pointers join the fetched-
+   * document store on `child_url`, the children feed [[sitemapKind]]
+   * again, and a frontier loops fetch→parse→join one level per crawl
+   * cycle — each level a pure narrow map plus one equi-join, which is
+   * what keeps a million-sitemap host scan-bound. Same naive-DOM
+   * contract as [[sitemapEntries]].
+   */
+  def sitemapIndexEntries(sitemaps: DataFrame,
+                          xmlCol: String = "xml"): DataFrame =
+    sitemaps
+      .select(col("*"), posexplode(regexp_extract_all(
+          coalesce(col(xmlCol), lit("")), lit(SitemapIndexBlock), lit(0)))
+        .as(Seq("pos", "__block")))
+      .withColumn("child_url", TextOps.decodeBasicEntities(
+        trim(regexp_extract(col("__block"), SitemapLoc, 1))))
+      .withColumn("lastmod",
+        trim(regexp_extract(col("__block"), SitemapLastmod, 1)))
+      .withColumn("pos", col("pos").cast("long"))
+      .drop("__block")
+
+  /**
+   * Unified one-pass parse of a MIXED fetched-sitemap store: adds
+   * `kind` ([[sitemapKind]]) and explodes the matching block form —
+   * index pointers and urlset seeds in one plan, `is_seed`
+   * distinguishing them (`loc` is a page URL when true, a child
+   * sitemap URL when false). `unknown` documents yield zero rows
+   * (flag-don't-fail: the caller's anti-join against its input finds
+   * them). This is the operator a frontier runs EVERY cycle over
+   * whatever mix the last fetch wave returned.
+   */
+  def sitemapParse(sitemaps: DataFrame,
+                   xmlCol: String = "xml"): DataFrame = {
+    val x = coalesce(col(xmlCol), lit(""))
+    sitemaps
+      .withColumn("kind", sitemapKind(col(xmlCol)))
+      .select(col("*"), posexplode(
+          when(col("kind") === "index",
+            regexp_extract_all(x, lit(SitemapIndexBlock), lit(0)))
+          .when(col("kind") === "urlset",
+            regexp_extract_all(x, lit(SitemapUrlBlock), lit(0)))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "__block")))
+      .withColumn("loc", TextOps.decodeBasicEntities(
+        trim(regexp_extract(col("__block"), SitemapLoc, 1))))
+      .withColumn("lastmod",
+        trim(regexp_extract(col("__block"), SitemapLastmod, 1)))
+      .withColumn("is_seed", col("kind") === "urlset")
+      .withColumn("pos", col("pos").cast("long"))
+      .drop("__block")
+  }
+
+  /**
+   * Recrawl SCHEDULE — the query that closes the discovery loop
+   * (r12 verdict item 4): sitemap `lastmod` (freshness), robots
+   * `crawl_delay` (politeness) and a per-host fetch budget compose
+   * into a deterministic per-URL fetch plan. Within each host, URLs
+   * rank freshest-`lastmod`-first (absent lastmod last, URL ASC as
+   * the total tiebreak); the host fetches one URL per `gap_sec`
+   * (its crawl-delay, floored at `minGapSec`), so
+   * `fetch_offset_sec = rank * gap_sec` is the earliest polite fetch
+   * time, and `cycle = rank div budgetPerCycle` is which budget round
+   * the URL lands in. ALL-INTEGER lattice math + string ordering —
+   * every output cell is exactly oracle-replayable.
+   *
+   * Adds `host, gap_sec, rank, cycle, fetch_offset_sec` to the seed
+   * rows. [[graft.streaming.StreamingHostPacer]] consumes the plan:
+   * feeding `fetch_offset_sec` as event-time admits every row (the
+   * schedule respects the gap by construction — spec-pinned).
+   *
+   * Scale shape: one window per HOST. Politeness serializes a host's
+   * fetches by nature, so a per-host sequential rank is the minimal
+   * possible coordination; hosts schedule independently and in
+   * parallel. The hostIndex join is AQE-broadcastable (hosts ≪ URLs).
+   */
+  def fetchSchedule(seeds: DataFrame, hostIndex: DataFrame,
+                    budgetPerCycle: Int = 100, minGapSec: Long = 1L,
+                    urlCol: String = "loc",
+                    lastmodCol: String = "lastmod"): DataFrame = {
+    require(budgetPerCycle > 0, "budgetPerCycle must be positive")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(lastmodCol).desc, col(urlCol).asc)
+    seeds
+      .withColumn("host", urlHost(col(urlCol)))
+      .join(hostIndex.select(col("host"), col("crawl_delay")),
+        Seq("host"), "left_outer")
+      .withColumn("gap_sec",
+        greatest(coalesce(col("crawl_delay"), lit(0L)), lit(minGapSec)))
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("cycle", expr(s"rank div $budgetPerCycle"))
+      .withColumn("fetch_offset_sec", col("rank") * col("gap_sec"))
+      .drop("crawl_delay")
+  }
 
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
@@ -184,9 +308,14 @@ object Robots {
       // arank asc = allow wins ties, pattern last for determinism
       .groupBy(col("host"))
       .agg(array_sort(collect_set(col("r"))).as("rules"))
+    // try_cast, not cast: robots.txt is untrusted input and Spark 4's
+    // default ANSI mode would otherwise throw CAST_INVALID_INPUT on a
+    // `Crawl-delay: 0.5` anywhere in the corpus — the oracle's
+    // TRY_CAST returns NULL, and the flag-don't-fail contract says we
+    // must match it, not kill the job.
     val delays = mine.filter(col("directive") === "crawl-delay")
       .groupBy(col("host"))
-      .agg(max(col("value").cast("long")).as("crawl_delay"))
+      .agg(max(col("value").try_cast("long")).as("crawl_delay"))
     pathRules.join(delays, Seq("host"), "full_outer")
   }
 

@@ -25,7 +25,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * the state's own mark, stale re-check, clamped timeout — the same
  * discipline as the rest of the streaming family.
  *
- * State: ONE long (last admit) per host live in the horizon, evicted
+ * State: ONE long (last admit) per host live in the horizon (clamped
+ * per host to at least its own crawl-delay, so a 120 s delay outlives
+ * a 60 s horizon), evicted
  * by event-time timeout past the last sighting — memory tracks
  * active-host count, never frontier history. Hosts with no
  * crawl-delay (or absent from the index) admit unconditionally and
@@ -76,8 +78,15 @@ object StreamingHostPacer {
           } else {
             val ordered = rows.toSeq.sortBy(r =>
               (Math.floorDiv(r.ts.getTime, 1000L), r.ts.getNanos, r.docId))
+            // The retention horizon must cover the politeness gap: a
+            // host with Crawl-delay > horizonMs would otherwise have
+            // its last-admit mark evicted mid-gap and get admitted
+            // every horizonMs — the gap silently unenforced. delayMs
+            // rides on every row (static per host), so clamp here.
+            val effHorizonMs = math.max(horizonMs,
+              ordered.headOption.map(_.delayMs).getOrElse(0L))
             val stale = state.getOption.exists(
-              _.lastAdmitMs + horizonMs < state.getCurrentWatermarkMs())
+              _.lastAdmitMs + effHorizonMs < state.getCurrentWatermarkMs())
             var last = if (!state.exists || stale) Long.MinValue
                        else state.get.lastAdmitMs
             var maxTs = Long.MinValue
@@ -95,7 +104,7 @@ object StreamingHostPacer {
             }
             if (last != Long.MinValue) state.update(PaceState(last))
             state.setTimeoutTimestamp(math.max(
-              math.max(maxTs, last) + horizonMs,
+              math.max(maxTs, last) + effHorizonMs,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

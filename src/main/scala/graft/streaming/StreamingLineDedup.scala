@@ -95,19 +95,21 @@ object StreamingLineDedup {
             // batch, and eviction semantics must not depend on when
             // the callback happens to fire
             val out = Seq.newBuilder[LineVerdict]
-            var lastDoc = Long.MinValue
-            var seenAny = false
+            // once-per-doc counting via a per-invocation doc → df map
+            // (NOT adjacent-row comparison: a doc whose rows arrive in
+            // one batch under TWO timestamps sorts non-adjacent and
+            // would double-count). The map holds this batch's distinct
+            // docs for this key — bounded by batch content, not state.
+            val docDf = scala.collection.mutable.Map.empty[Long, Long]
             ordered.foreach { r =>
               val t = r.ts.getTime
               if (maxTs != Long.MinValue && t - maxTs > horizonMs) {
-                df = 0L; seenAny = false // horizon lapsed: fresh count
+                df = 0L; docDf.clear() // horizon lapsed: fresh count
               }
-              if (!seenAny || r.docId != lastDoc) {
-                df += 1L; lastDoc = r.docId; seenAny = true
-              }
+              val mine = docDf.getOrElseUpdate(r.docId, { df += 1L; df })
               maxTs = math.max(maxTs, t)
               out += LineVerdict(r.docId, r.ts, r.pos, r.line,
-                keep = df <= maxDf, line_df = df)
+                keep = mine <= maxDf, line_df = mine)
             }
             state.update(DfState(df, maxTs))
             state.setTimeoutTimestamp(math.max(maxTs + horizonMs,

@@ -41,11 +41,13 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("queries without an oracle are the known rows-only set") {
-    // sim_ivf_topk has an oracle (rows+schema gate); anything else
-    // missing one silently downgrades to a rows-only check — adding a
-    // query without an oracle must be a DELIBERATE entry here
+    // anything missing an oracle silently downgrades to a rows-only
+    // check — adding a query without one must be a DELIBERATE entry
+    // here. sim_ivf_topk: officially rows-only since r13 (r12 verdict
+    // item 8) — learned quantizer, schema + recall spec-pinned in
+    // IvfLearnedSpec.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty,
+    assert(noOracle == Set("sim_ivf_topk"),
       s"queries silently lacking a DuckDB oracle: $noOracle")
   }
 }

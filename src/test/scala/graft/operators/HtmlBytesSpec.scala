@@ -43,6 +43,29 @@ class HtmlBytesSpec extends SparkSpec {
       got(4L).charset == "UTF-16BE" && got(4L).html == "<p>café</p>")
   }
 
+  test("UTF-32 BOMs beat the 2-byte marks they alias (no NUL mojibake)") {
+    // r12 ADVICE: FF FE 00 00 starts with the UTF-16LE BOM — matching
+    // 16LE first would decode NUL-interleaved text with ok=true, the
+    // dedup-poisoning outcome the strict ladder exists to stop.
+    val text = "<p>café</p>"
+    val le32 = text.getBytes("UTF-32LE")
+    val be32 = text.getBytes("UTF-32BE")
+    val got = run(
+      (1L, Array(0xFF, 0xFE, 0x00, 0x00).map(_.toByte) ++ le32, null),
+      (2L, Array(0x00, 0x00, 0xFE, 0xFF).map(_.toByte) ++ be32, null),
+      // a plain UTF-16LE BOM (not followed by 00 00) still resolves LE
+      (3L, Array(0xFF, 0xFE).map(_.toByte) ++
+        text.getBytes(StandardCharsets.UTF_16LE), null))
+    assert(got(1L).ok && got(1L).charset == "UTF-32LE" &&
+      got(1L).charset_source == "bom" && got(1L).html == text,
+      s"UTF-32LE payload mis-decoded: ${got(1L)}")
+    assert(!got(1L).html.contains('\u0000'))
+    assert(got(2L).ok && got(2L).charset == "UTF-32BE" &&
+      got(2L).html == text)
+    assert(got(3L).ok && got(3L).charset == "UTF-16LE" &&
+      got(3L).html == text)
+  }
+
   test("quarantine: garbage bytes yield one flagged row, not a job failure") {
     val bad = Array(0xC3, 0x28).map(_.toByte) // invalid UTF-8 pair
     val good = "<p>ok</p>".getBytes(StandardCharsets.UTF_8)

@@ -98,4 +98,18 @@ class IvfLearnedSpec extends SparkSpec {
     assert(out.head >= 400000L && out.head <= 1000000L,
       s"recall_ppm=${out.head} outside [400000, 1000000]")
   }
+
+  test("sim_ivf_topk schema is pinned (the rows-only gate's type leg)") {
+    // r12 verdict item 8: the query is now OFFICIALLY rows-only in the
+    // driver gate (the learned quantizer can't be hash-replayed by any
+    // SQL oracle), which also drops it from typecheck.py's DESCRIBE
+    // parity — so the declared schema is pinned HERE instead. The
+    // hash-gated deterministic twin (sim_ivf_det_topk) carries the
+    // value-level verification of the probe-pruning shape.
+    val out = graft.SparkEntry.queries("sim_ivf_topk")(spark, dir)
+    assert(out.schema.map(f => (f.name, f.dataType.sql)) == Seq(
+      ("query_id", "BIGINT"), ("rank", "BIGINT"), ("neighbor_id", "BIGINT"),
+      ("sim", "DOUBLE"), ("recall_ppm", "BIGINT")),
+      s"sim_ivf_topk schema drifted: ${out.schema.treeString}")
+  }
 }

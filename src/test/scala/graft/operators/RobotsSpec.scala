@@ -75,6 +75,74 @@ class RobotsSpec extends SparkSpec {
       Seq((1L, idx), (2L, null: String)).toDF("doc_id", "xml")).count() == 0L)
   }
 
+  test("sitemapIndexEntries: pointers in order, nested entity decode, lastmod optional") {
+    val xml = "<?xml version=\"1.0\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "<sitemap>\n  <loc> https://a.com/sm/part1.xml?a=1&amp;b=&lt;2&gt; </loc>\n" +
+      "  <lastmod>2026-02-02</lastmod>\n</sitemap>\n" +
+      "<sitemap><loc>https://a.com/sm/part2.xml</loc></sitemap>\n" +
+      "</sitemapindex>"
+    val got = Robots.sitemapIndexEntries(Seq((3L, xml)).toDF("doc_id", "xml"))
+      .orderBy($"pos").select($"pos", $"child_url", $"lastmod")
+      .as[(Long, String, String)].collect().toSeq
+    // &amp; decoded LAST: &lt;/&gt; resolve first, no double-decode
+    assert(got == Seq((0L, "https://a.com/sm/part1.xml?a=1&b=<2>", "2026-02-02"),
+      (1L, "https://a.com/sm/part2.xml", "")))
+    // urlset documents and null xml yield no pointer rows
+    val leaf = "<urlset><url><loc>https://a.com/p</loc></url></urlset>"
+    assert(Robots.sitemapIndexEntries(
+      Seq((1L, leaf), (2L, null: String)).toDF("doc_id", "xml")).count() == 0L)
+  }
+
+  test("sitemapKind + sitemapParse: mixed store branches per document") {
+    val idx = "<?xml version=\"1.0\"?><sitemapindex>\n" +
+      "<sitemap><loc>https://a.com/sm/1.xml</loc></sitemap>\n" +
+      "<sitemap><loc>https://a.com/sm/2.xml</loc></sitemap></sitemapindex>"
+    val leaf = "<urlset>\n<url><loc>https://a.com/p1</loc>" +
+      "<lastmod>2026-03-03</lastmod></url></urlset>"
+    val junk = "<html><body>not a sitemap</body></html>"
+    val store = Seq((1L, idx), (2L, leaf), (3L, junk), (4L, null: String))
+      .toDF("doc_id", "xml")
+    val kinds = store.select($"doc_id", Robots.sitemapKind($"xml"))
+      .as[(Long, String)].collect().toMap
+    assert(kinds == Map(1L -> "index", 2L -> "urlset", 3L -> "unknown",
+      4L -> "unknown"))
+    val parsed = Robots.sitemapParse(store)
+      .select($"doc_id", $"kind", $"pos", $"loc", $"is_seed", $"lastmod")
+      .as[(Long, String, Long, String, Boolean, String)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(parsed == Seq(
+      (1L, "index", 0L, "https://a.com/sm/1.xml", false, ""),
+      (1L, "index", 1L, "https://a.com/sm/2.xml", false, ""),
+      (2L, "urlset", 0L, "https://a.com/p1", true, "2026-03-03")))
+    // unknown docs yield ZERO rows (flag-don't-fail: the caller's
+    // anti-join against its input store finds them)
+    assert(!parsed.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
+  test("fetchSchedule: freshest-first rank, budget cycles, gap floor") {
+    // agent "newsbot" has no exact group in the fixture → star group
+    // → a.com carries Crawl-delay 2; b.com is absent from the index
+    // → gap floors at minGapSec=1
+    val seeds = Seq(
+      ("https://a.com/x", ""), ("https://a.com/y", "2026-01-02"),
+      ("https://a.com/z", "2026-01-02"), ("https://b.com/only", ""))
+      .toDF("loc", "lastmod")
+    val idx = Robots.robotsHostIndex(rules(), "newsbot")
+    val got = Robots.fetchSchedule(seeds, idx, budgetPerCycle = 2)
+      .select($"host", $"loc", $"rank", $"cycle", $"gap_sec",
+        $"fetch_offset_sec")
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    // a.com: lastmod DESC (absent last), url ASC tiebreak; one fetch
+    // per 2 s; budget 2 → third URL lands in cycle 1
+    assert(got == Seq(
+      ("a.com", "https://a.com/y", 0L, 0L, 2L, 0L),
+      ("a.com", "https://a.com/z", 1L, 0L, 2L, 2L),
+      ("a.com", "https://a.com/x", 2L, 1L, 2L, 4L),
+      ("b.com", "https://b.com/only", 0L, 0L, 1L, 0L)))
+  }
+
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
     val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
     val got = rules(t = t).orderBy($"rule_ord")
@@ -150,6 +218,21 @@ class RobotsSpec extends SparkSpec {
     val d = decide(Seq("/a%b/x", "/aXb/x", "/c_d", "/cXd"), "x", t)
     assert(!d("/a%b/x")._1 && d("/aXb/x")._1)
     assert(!d("/c_d")._1 && d("/cXd")._1)
+  }
+
+  test("non-integer crawl-delay is NULL, never a CAST_INVALID_INPUT crash") {
+    // r12 ADVICE: robots.txt is untrusted — 'Crawl-delay: 0.5' in ANY
+    // file must not kill the job under Spark 4's default ANSI mode.
+    // try_cast matches the oracle's TRY_CAST: malformed → NULL; a
+    // second well-formed delay line still wins via max().
+    val t = "User-agent: *\nCrawl-delay: 0.5\nDisallow: /x/\n"
+    val idx = Robots.robotsHostIndex(rules(t = t), "graftbot")
+    val got = idx.select($"crawl_delay".isNull).as[Boolean].head()
+    assert(got, "fractional delay should be NULL, not crash or truncate")
+    val t2 = "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 3\n"
+    val d2 = Robots.robotsHostIndex(rules(t = t2), "graftbot")
+      .select($"crawl_delay").as[Long].head()
+    assert(d2 == 3L)
   }
 
   test("decision: query string participates in matching; fragment does not") {

@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Encoders
+
+import graft.SparkSpec
+import graft.operators.Warc.{HttpResponse, WarcFileRow, WarcRecord}
+
+/** [[Warc]] — WARC record boundaries from binary payloads with the
+  * [[HtmlBytes]] quarantine discipline, and the HTTP-response split
+  * that feeds [[HtmlBytes.decodeHtmlBytes]]. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(tpe: String, uri: String, block: Array[Byte],
+                  declaredLen: Long = -1L): Array[Byte] = {
+    val len = if (declaredLen >= 0) declaredLen else block.length.toLong
+    val uriLine = if (uri == null) "" else s"WARC-Target-URI: $uri\r\n"
+    (s"WARC/1.0\r\nWARC-Type: $tpe\r\n$uriLine" +
+      s"WARC-Date: 2026-06-01T00:00:00Z\r\nContent-Length: $len\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ block ++ "\r\n\r\n".getBytes
+  }
+
+  private def parse(files: (Long, Array[Byte])*): Seq[WarcRecord] =
+    Warc.warcRecords(files.toSeq.toDF("id", "payload").as[WarcFileRow])
+      .collect().toSeq.sortBy(r => (r.id, r.rec_ord))
+
+  test("two records round-trip: headers, ordinals, exact block bytes") {
+    val body = "<p>café</p>".getBytes(StandardCharsets.UTF_8)
+    val meta = "fetch-ms 12".getBytes(StandardCharsets.US_ASCII)
+    val file = rec("response", "https://a.com/p", body) ++
+      rec("metadata", null, meta)
+    val got = parse((1L, file))
+    assert(got.map(r => (r.rec_ord, r.ok, r.warc_type, r.target_uri,
+      r.content_length)) == Seq(
+      (0, true, "response", "https://a.com/p", body.length.toLong),
+      (1, true, "metadata", "", meta.length.toLong)))
+    assert(got(0).block.sameElements(body))
+    assert(got(1).block.sameElements(meta))
+    assert(got.forall(_.warc_version == "1.0"))
+    assert(got.forall(_.warc_date == "2026-06-01T00:00:00Z"))
+  }
+
+  test("quarantine: overrun length flags one row and stops THAT file only") {
+    val good = rec("response", "https://a.com/x", "ok body".getBytes)
+    val bad = rec("response", "https://a.com/y", "short".getBytes,
+      declaredLen = 500L) // declares 500 octets, has 5
+    val got = parse((1L, good ++ bad ++ good), (2L, good))
+    val f1 = got.filter(_.id == 1L)
+    // rec 0 parsed, rec 1 quarantined, the tail after the corrupt
+    // length is NOT parsed (boundaries untrustworthy)
+    assert(f1.map(r => (r.rec_ord, r.ok)) == Seq((0, true), (1, false)))
+    assert(f1(1).content_length == -1L && f1(1).error.contains("overruns"))
+    // the other file is untouched
+    assert(got.filter(_.id == 2L).map(_.ok) == Seq(true))
+  }
+
+  test("quarantine: bad magic / missing length / junk bytes flag, never throw") {
+    val noMagic = "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi".getBytes
+    val noLen = "WARC/1.0\r\nWARC-Type: metadata\r\n\r\nbody".getBytes
+    val junk = Array[Byte](0x13, 0x37, -1, -2)
+    val got = parse((1L, noMagic), (2L, noLen), (3L, junk),
+      (4L, Array.empty[Byte]), (5L, null))
+    assert(got.filter(_.id == 1L).map(_.error.startsWith("bad magic")) == Seq(true))
+    assert(got.filter(_.id == 2L).map(_.error) ==
+      Seq("missing or invalid Content-Length"))
+    assert(got.filter(_.id == 3L).map(_.ok) == Seq(false))
+    assert(got.count(r => r.id >= 4L) == 0) // empty files: zero rows
+  }
+
+  test("headers are case-insensitive; first occurrence wins; extra CRLFs ok") {
+    val file = ("WARC/1.0\r\ncontent-length: 4\r\nWARC-TYPE: response\r\n" +
+      "Content-Length: 999\r\n\r\nbody\r\n\r\n\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val got = parse((1L, file))
+    assert(got.map(r => (r.rec_ord, r.ok, r.warc_type, r.content_length))
+      == Seq((0, true, "response", 4L), (1, true, "metadata", 0L)))
+    assert(new String(got(0).block, StandardCharsets.UTF_8) == "body")
+  }
+
+  test("httpResponses: status + charset param, body feeds decodeHtmlBytes") {
+    val latin = "<p>café</p>".getBytes(StandardCharsets.ISO_8859_1)
+    val http = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII) ++ latin
+    val nonHttp = rec("metadata", null, "x".getBytes)
+    val file = rec("response", "https://a.com/p", http) ++ nonHttp
+    val resp = Warc.httpResponses(
+        Warc.warcRecords(Seq((1L, file)).toDF("id", "payload")
+          .as[WarcFileRow]))
+      .collect().toSeq
+    assert(resp.size == 1) // metadata records never reach the split
+    val r = resp.head
+    assert(r.ok && r.status == 200 &&
+      r.content_type == "text/html; charset=ISO-8859-1" &&
+      r.declared_charset == "ISO-8859-1")
+    assert(r.body.sameElements(latin))
+    // the handoff: body + declared charset through the sniff ladder
+    val decoded = HtmlBytes.decodeHtmlBytes(
+      Seq((1L, r.body, r.declared_charset)).toDF("id", "payload", "declared")
+        .as[HtmlBytes.HtmlBytesRow]).collect().head
+    assert(decoded.ok && decoded.charset == "ISO-8859-1" &&
+      decoded.html == "<p>café</p>")
+  }
+
+  test("httpResponses: malformed HTTP blocks flag, never throw") {
+    val noTerm = rec("response", "https://a.com/p", "no crlfcrlf".getBytes)
+    val badStatus = rec("response", "https://a.com/q",
+      "GARBAGE LINE\r\n\r\nbody".getBytes)
+    val resp = Warc.httpResponses(Warc.warcRecords(
+        Seq((1L, noTerm ++ badStatus)).toDF("id", "payload")
+          .as[WarcFileRow]))
+      .collect().toSeq.sortBy(_.rec_ord)
+    assert(resp.map(_.ok) == Seq(false, false))
+    assert(resp(0).error.contains("no HTTP header terminator"))
+    assert(resp(1).error.contains("bad status line"))
+  }
+}

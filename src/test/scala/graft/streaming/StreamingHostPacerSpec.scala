@@ -24,23 +24,28 @@ class StreamingHostPacerSpec extends SparkSpec {
   private val robotsTxt =
     "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n"
 
-  private def idx = Robots.robotsHostIndex(
-    Robots.robotsRules(Seq(("slow.com", robotsTxt))
+  private def mkIdx(txt: String) = Robots.robotsHostIndex(
+    Robots.robotsRules(Seq(("slow.com", txt))
       .toDF("host", "robots_txt")),
     "graftbot")
 
+  private def idx = mkIdx(robotsTxt)
+
   private def run(batches: Seq[Seq[(Long, Timestamp, String)]],
-                  politeFirst: Boolean = false)
+                  politeFirst: Boolean = false,
+                  horizonMs: Long = 3600000L,
+                  txt: String = robotsTxt)
       : Seq[(Long, Boolean, Long)] = {
+    val hostIdx = mkIdx(txt)
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val urls = input.toDF().toDF("doc_id", "event_time", "url")
     val src = if (politeFirst)
-      Robots.robotsAllowed(urls, idx).filter(col("allowed"))
+      Robots.robotsAllowed(urls, hostIdx).filter(col("allowed"))
         .select(col("doc_id"), col("event_time"), col("url"))
     else urls
     val rows = mutable.Buffer[(Long, Boolean, Long)]()
-    val q = StreamingHostPacer.paced(src, idx,
-        delay = "1 second", horizonMs = 3600000L)
+    val q = StreamingHostPacer.paced(src, hostIdx,
+        delay = "1 second", horizonMs = horizonMs)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("pacer-ck").toString)
@@ -103,5 +108,46 @@ class StreamingHostPacerSpec extends SparkSpec {
     // doc 1's fetch would otherwise have consumed
     assert(got.map(_._1) == Seq(2L, 3L))
     assert(got == Seq((2L, true, 0L), (3L, false, 1000L)))
+  }
+
+  test("a fetchSchedule plan admits clean through the pacer (loop closed)") {
+    // the recrawl schedule's fetch_offset_sec respects the host gap by
+    // construction — replaying it as event-time through the pacer must
+    // admit EVERY row (discovery → schedule → pace, end to end)
+    val seeds = Seq(
+      ("https://slow.com/a", "2026-01-01"),
+      ("https://slow.com/b", ""),
+      ("https://slow.com/c", "2026-02-01"),
+      ("https://slow.com/d", "2026-01-15")).toDF("loc", "lastmod")
+    val plan = Robots.fetchSchedule(seeds, idx, budgetPerCycle = 2)
+      .select(col("loc"), col("fetch_offset_sec"), col("rank"), col("cycle"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    // freshest lastmod first, absent last; delay 2 s per fetch
+    assert(plan.map(_._1) == Seq("https://slow.com/c",
+      "https://slow.com/d", "https://slow.com/a", "https://slow.com/b"))
+    assert(plan.map(_._2) == Seq(0L, 2L, 4L, 6L))
+    assert(plan.map(_._4) == Seq(0L, 0L, 1L, 1L))
+    val got = run(Seq(plan.map(p => (p._3, ts(p._2 * 1000L), p._1))))
+    assert(got.forall(_._2), s"scheduled fetch deferred by the pacer: $got")
+  }
+
+  test("crawl-delay larger than the horizon still enforces the full gap") {
+    // r12 ADVICE: delay 120 s vs horizon 60 s — the last-admit mark
+    // must NOT be evicted mid-gap (the effective horizon clamps to the
+    // host's own delay). Batch 2's other-host event pushes the
+    // watermark to ~79 s, past the raw horizon of the t=0 admit; the
+    // t=90 s fetch of slow.com is still 30 s inside the politeness gap
+    // and must defer, not slip through an evicted state.
+    val delayedTxt = "User-agent: *\nCrawl-delay: 120\n"
+    val got = run(Seq(
+        Seq((1L, ts(0), "https://slow.com/a")),
+        Seq((2L, ts(80000), "https://other.example/x")),
+        Seq((3L, ts(90000), "https://slow.com/b")),
+        Seq((4L, ts(121000), "https://slow.com/c"))),
+      horizonMs = 60000L, txt = delayedTxt)
+    assert(got.find(_._1 == 1L).get == ((1L, true, 0L)))
+    assert(got.find(_._1 == 3L).get == ((3L, false, 30000L)),
+      s"mid-gap fetch slipped through an evicted mark: $got")
+    assert(got.find(_._1 == 4L).get == ((4L, true, 0L))) // gap lapsed
   }
 }

@@ -103,4 +103,21 @@ class StreamingLineDedupSpec extends SparkSpec {
     val b = got.filter(_._2 == boiler)
     assert(b.size == 2 && b.forall(r => r._3 && r._4 == 1L))
   }
+
+  test("a doc arriving under two timestamps in one batch counts once") {
+    // r12 ADVICE: adjacent-row once-counting misses a doc whose rows
+    // sort non-adjacent — doc 1 appears at ts 10 AND ts 12, with doc 2
+    // in between at ts 11. Per-batch doc→df tracking must count doc 1
+    // exactly once and give both its occurrences the SAME verdict.
+    val got = run(Seq(Seq(
+      (1L, ts(10), s"$boiler\nunique alpha body line"),
+      (2L, ts(11), s"$boiler\nunique bravo body line"),
+      (1L, ts(12), s"$boiler\nunique charlie body line"))),
+      maxDf = 1)
+    val byDoc = got.filter(_._2 == boiler)
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._4)).toSet).toMap
+    assert(byDoc(1L) == Set((true, 1L)),
+      s"doc 1 double-counted or verdict-split: $byDoc")
+    assert(byDoc(2L) == Set((false, 2L)))
+  }
 }
