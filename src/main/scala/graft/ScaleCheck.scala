@@ -459,10 +459,64 @@ object ScaleCheck {
    * sublinear; doc probes run on SALTED copies so pair work scales
    * with the data, not with the replication artifact.
    */
+  /**
+   * The frontier flagship's chain truncated after stage `upTo` — the
+   * per-stage CPU attribution the r12 verdict asked for (item 5: the
+   * quiet-box probe showed CPU 7.44× for 5× data with linear shuffle
+   * and zero spill; whichever PREFIX first shows the superlinear cpu_r
+   * owns the term). Stages: 1 robots admit, 2 canonical dedup,
+   * 3 byte decode (quarantine), 4 block-line extraction, 5 line dedup
+   * + gate; the registered `pipeline_frontier_manifest` probe is the
+   * full chain (+ shard manifest). Each prefix is the EXACT production
+   * plan up to its cut — same fixtures, same selectivities.
+   */
+  private def frontierStage(docs: DataFrame, upTo: Int): DataFrame = {
+    import graft.operators.{HtmlBytes, Robots}
+    val idx = Robots.robotsHostIndex(
+      Robots.robotsRules(graft.SparkEntry.synthRobots(docs)), "graftbot")
+    val admitted = Robots.robotsAllowed(
+        graft.SparkEntry.synthFrontierUrls(docs), idx)
+      .filter(col("allowed")).select(col("doc_id"), col("url"))
+    if (upTo == 1) return admitted
+    val surv = admitted
+      .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    if (upTo == 2) return surv
+    val pages = graft.SparkEntry.synthCrawlHtml(docs)
+      .join(surv, Seq("doc_id"), "left_semi")
+    val pv = pmod(col("doc_id"), lit(3L))
+    val payload = when(pv === 0, encode(col("html"), "UTF-8"))
+      .when(pv === 1, concat(
+        lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
+        encode(col("html"), "UTF-8")))
+      .otherwise(lit(Array(0xC3, 0x28).map(_.toByte)))
+    val decoded = HtmlBytes.decodeHtmlBytes(
+        pages.select(col("doc_id").as("id"), payload.as("payload"),
+          lit(null).cast("string").as("declared"))
+        .as(org.apache.spark.sql.Encoders
+          .product[HtmlBytes.HtmlBytesRow])).toDF()
+      .filter(col("ok"))
+      .select(col("id").as("doc_id"), col("html"))
+    if (upTo == 3) return decoded
+    val lines = decoded.select(col("doc_id"),
+      TextOps.htmlToLines(col("html")).as("text"))
+    if (upTo == 4) return lines
+    TextOps.lineDedup(lines)
+      .filter(col("n_lines_kept") >= 2 &&
+        length(col("clean_text")) >= 20)
+      .select(col("doc_id"),
+        length(col("clean_text")).cast("long").as("n_chars_clean"))
+  }
+
   def heavyProbes(spark: SparkSession, docs: DataFrame, emb: DataFrame,
                   ev: DataFrame): Seq[(String, () => DataFrame)] = {
     import graft.operators.{CdcOps, Graph, Multimodal}
     Seq(
+      "frontier_s1_admit" -> (() => frontierStage(docs, 1)),
+      "frontier_s2_canon" -> (() => frontierStage(docs, 2)),
+      "frontier_s3_decode" -> (() => frontierStage(docs, 3)),
+      "frontier_s4_lines" -> (() => frontierStage(docs, 4)),
+      "frontier_s5_linededup" -> (() => frontierStage(docs, 5)),
       "graph_link_prediction" -> (() =>
         Graph.linkPrediction(
           Graph.topKNeighbors(
@@ -603,48 +657,17 @@ object ScaleCheck {
             length(col("clean_text")).cast("long").as("n_chars_clean"))
         TextOps.shardAssign(gated, carry = Seq("n_chars_clean"))
       }),
-      "pipeline_frontier_manifest" -> (() => {
+      "pipeline_frontier_manifest" -> (() =>
         // the COMPLETE ingest chain on the replicated corpus: robots
         // admit (20 fixture hosts -> per-host URL groups grow with
         // the corpus, the popular-host shape) -> canonical dedup ->
         // strict byte decode with the corrupt third quarantined ->
         // block lines -> line dedup -> gate -> shards. Same fixtures
         // as the registered flagship, so the probe measures the
-        // production plan's selectivity
-        import graft.operators.{HtmlBytes, Robots}
-        val idx = Robots.robotsHostIndex(
-          Robots.robotsRules(graft.SparkEntry.synthRobots(docs)),
-          "graftbot")
-        val admitted = Robots.robotsAllowed(
-            graft.SparkEntry.synthFrontierUrls(docs), idx)
-          .filter(col("allowed")).select(col("doc_id"), col("url"))
-        val surv = admitted
-          .groupBy(TextOps.urlCanonical(col("url")).as("canon_url"))
-          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-        val pages = graft.SparkEntry.synthCrawlHtml(docs)
-          .join(surv, Seq("doc_id"), "left_semi")
-        val pv = pmod(col("doc_id"), lit(3L))
-        val payload = when(pv === 0, encode(col("html"), "UTF-8"))
-          .when(pv === 1, concat(
-            lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
-            encode(col("html"), "UTF-8")))
-          .otherwise(lit(Array(0xC3, 0x28).map(_.toByte)))
-        val decoded = HtmlBytes.decodeHtmlBytes(
-            pages.select(col("doc_id").as("id"), payload.as("payload"),
-              lit(null).cast("string").as("declared"))
-            .as(org.apache.spark.sql.Encoders
-              .product[HtmlBytes.HtmlBytesRow])).toDF()
-          .filter(col("ok"))
-          .select(col("id").as("doc_id"), col("html"))
-        val lines = decoded.select(col("doc_id"),
-          TextOps.htmlToLines(col("html")).as("text"))
-        val gated = TextOps.lineDedup(lines)
-          .filter(col("n_lines_kept") >= 2 &&
-            length(col("clean_text")) >= 20)
-          .select(col("doc_id"),
-            length(col("clean_text")).cast("long").as("n_chars_clean"))
-        TextOps.shardAssign(gated, carry = Seq("n_chars_clean"))
-      }),
+        // production plan's selectivity; the frontier_s* prefixes
+        // above are ITS stages, for per-stage CPU attribution
+        TextOps.shardAssign(frontierStage(docs, 5),
+          carry = Seq("n_chars_clean"))),
       "pipeline_curation_manifest" -> (() => {
         val capped = docs.join(
           TextOps.domainCap(docs, perSource = 50).select(col("doc_id")),

@@ -301,6 +301,132 @@ object StreamScaleCheck {
     } finally q.stop()
   }
 
+  /**
+   * The RESTART path of the two-query crawl architecture at probe
+   * rate (r12 verdict item 7): the curation soak re-run from a FILE
+   * source with a mid-run kill — the stream dies inside a data batch
+   * AFTER its (idempotent, whole-batch-overwrite) output lands but
+   * BEFORE the batch commits, a new query resumes from the same
+   * checkpoint, and the per-data-batch (screened, kept, tokens)
+   * sequence must be IDENTICAL to an uncrashed CONTROL run over the
+   * same files — exactly-once measured as batch-identical token
+   * counts across the crash, at rate. `StreamingCurationSpec` pins
+   * the same contract at test scale; this is the 100× leg.
+   */
+  private def runCurationRestart(spark: SparkSession, mult: Int,
+      model: graft.operators.TextOps.BpeModel): Unit = {
+    import spark.implicits._
+    val perBatch = mult * 250
+    val batches = 12
+    def freshText(id: Long): String =
+      (0 until 12).map(j => s"t${id}x$j").mkString(" ")
+    def textAt(b: Int, p: Int): String = {
+      val id = b.toLong * perBatch + p + 1
+      // every 5th position from batch 1 on repeats the previous
+      // batch's FRESH neighbor — the same planted in-horizon dup as
+      // runCuration, but computed CLOSED-FORM so the corpus can be
+      // written up front for both runs
+      if (b > 0 && p % 5 == 0) freshText((b - 1).toLong * perBatch + p + 2)
+      else freshText(id)
+    }
+    val inDir = Files.createTempDirectory("ssc-cr-in").toString
+    val docstore = Files.createTempDirectory("ssc-cr-store").toString
+    for (b <- 0 until batches) {
+      val ts = new Timestamp((b + 1) * 1000L)
+      val rows = (0 until perBatch).map(p =>
+        (b.toLong * perBatch + p + 1, ts, textAt(b, p)))
+      rows.toDF("doc_id", "event_time", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(docstore)
+    }
+    val store = spark.read.parquet(docstore).localCheckpoint(true)
+
+    /** One soak over the 12 files; crashAtData < 0 = control. Returns
+      * the per-DATA-batch (screened, kept, tokens) sequence. */
+    def soak(tag: String, crashAtData: Int): Seq[(Long, Long, Long)] = {
+      val ckpt = Files.createTempDirectory(s"ssc-cr-ck-$tag").toString
+      val outDir = Files.createTempDirectory(s"ssc-cr-out-$tag").toString
+      val armed = new java.util.concurrent.atomic.AtomicInteger(crashAtData)
+      def startQuery() = {
+        val stream = spark.readStream
+          .schema("doc_id LONG, event_time TIMESTAMP, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        StreamingNearDup.ownership(stream, delay = "1 second",
+            horizonMs = 5000L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[_], id: Long) =>
+            val verdicts = StreamingNearDup.verdicts(b.toDF())
+            val nDocs = verdicts.count()
+            if (nDocs > 0) {
+              val fresh = verdicts.filter(!col("is_candidate"))
+                .select(col("doc_id"))
+              val kept = store.join(fresh, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("text"))
+              val enc = graft.operators.TextOps.bpeEncodeWith(kept, model)
+                .agg(count(lit(1)),
+                  coalesce(sum(col("n_tokens")), lit(0L))).head()
+              // idempotent sink: the whole batch dir overwrites, so a
+              // replay leaves the same bytes
+              Seq((id, nDocs, enc.getLong(0), enc.getLong(1)))
+                .toDF("batch", "screened", "kept", "tokens")
+                .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+              // the kill: output is on disk, the commit is NOT
+              if (armed.decrementAndGet() == 0)
+                throw new RuntimeException("injected mid-run crash")
+            }
+            ()
+          }.start()
+      }
+      var crashed = false
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 3) {
+        attempts += 1
+        val q = startQuery()
+        try { q.processAllAvailable(); q.stop(); done = true }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          require(e.toString.contains("injected mid-run crash") ||
+            Option(e.getCause).exists(c => Option(c.getMessage)
+              .exists(_.contains("injected mid-run crash"))), e.toString)
+          crashed = true
+          q.stop()
+        }
+      }
+      require(done, s"curation_restart($tag): query never finished")
+      require((crashAtData > 0) == crashed,
+        s"curation_restart($tag): crash armed=$crashAtData fired=$crashed")
+      spark.read.parquet(s"$outDir/batch=*")
+        .orderBy(col("batch"))
+        .select(col("screened"), col("kept"), col("tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+
+    val control = soak("control", -1)
+    val resumed = soak("crash", 7) // dies in the 7th data batch
+    // exactness (the runCuration invariants) on BOTH runs
+    for ((tag, got) <- Seq(("control", control), ("crash", resumed))) {
+      require(got.size == batches,
+        s"curation_restart($tag): ${got.size} data batches, want $batches")
+      val bad = got.zipWithIndex.filter { case ((_, kept, _), i) =>
+        kept != (if (i == 0) perBatch.toLong else perBatch * 4L / 5) }
+      require(bad.isEmpty, s"curation_restart($tag) drifted: $bad")
+    }
+    // THE claim: batch-identical counts — token sums included — across
+    // the kill/resume
+    require(control == resumed,
+      s"restart diverged from control:\n  control=$control\n  resumed=$resumed")
+    resumed.zipWithIndex.foreach { case ((n, kept, tok), i) =>
+      println(f"STREAMSCALE curation_restart rate=${mult}%3dx databatch=$i%2d " +
+        f"screened=$n%7d kept=$kept%7d tokens=$tok%9d" +
+        (if (i == 6) "  <- crash+replay" else ""))
+    }
+    println(s"STREAMSCALE curation_restart rate=${mult}x VERIFIED " +
+      s"batches=${resumed.size} tokensTotal=${resumed.map(_._3).sum} " +
+      s"control==resumed (crash in data batch 7, resumed from checkpoint)")
+  }
+
   /** Rate-scaled [[GapMonitor]]: `mult × 500` sequential offsets per
     * batch across 4 sources, every 100th offset arriving one batch
     * late (a fill), so the missing set stays busy but bounded —
@@ -536,6 +662,10 @@ object StreamScaleCheck {
       if (want("urlseen")) runUrlSeen(spark, mult)
       if (want("linededup")) runLineDedup(spark, mult)
       if (want("pacer")) runPacer(spark, mult)
+      // the restart soak is the 100x leg by contract (r12 verdict
+      // item 7) — the 20x pass skips it
+      if (want("curation_restart") && mult == 100)
+        runCurationRestart(spark, mult, bpeModel)
     }
     spark.stop()
   }

@@ -794,6 +794,25 @@ class PlanAssertionsSpec extends SparkSpec {
       winSpecs.mkString("\n"))
   }
 
+  test("graph flagship queries: registered plans pinned (the two >5 s rows)") {
+    // r12 verdict item 6: graph_link_prediction / graph_cooccur_kcore
+    // are the most expensive driver-bench queries; their driver-vs-
+    // local deltas were box drift (r13 quiet rep: 5.58 s / 4.83 s at
+    // steal 0.224, at local medians), so pin the REGISTERED plans —
+    // hub-capped wedge enumeration and the keyed k-core peel must
+    // never regress into a pair join or a global sort
+    for (q <- Seq("graph_link_prediction", "graph_cooccur_kcore")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      // one output ordering at most — no data-sized intermediate sort
+      assert("rangepartitioning".r.findAllIn(p).size <= 1, s"$q:\n$p")
+      // windows (degree caps / top-k) are node-keyed, never global
+      keyedWindowsOnly(df)
+    }
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
