@@ -1177,6 +1177,34 @@ object SparkEntry {
         .orderBy(col("host"), col("seq"))
     }),
 
+    "pipeline_recrawl_manifest" -> ((s, dir) => {
+      // FLAGSHIP (recrawl): the r13 discovery family composed as ONE
+      // plan — sitemap urlset parse (seeds + lastmod) → robots admit
+      // under agent "newsbot" (variant-1 hosts' star group is
+      // deny-all: a QUARTER of the hosts drop at the politeness
+      // screen) → per-host fetch schedule (freshest-first, crawl-delay
+      // gap, 50-fetch budget cycles) → per-(host, cycle) manifest.
+      // Every number integer, every stage the registered operator;
+      // the oracle derives the whole thing analytically
+      val docs = t(s, dir, "documents")
+      val seeds = graft.operators.Robots.sitemapEntries(
+          synthSitemapXml(docs))
+        .select(col("loc"), col("lastmod"))
+      val idx = graft.operators.Robots.robotsHostIndex(
+        graft.operators.Robots.robotsRules(synthRobots(docs)), "newsbot")
+      val admitted = graft.operators.Robots
+        .robotsAllowed(seeds, idx, urlCol = "loc")
+        .filter(col("allowed")).select(col("loc"), col("lastmod"))
+      graft.operators.Robots.fetchSchedule(admitted, idx,
+          budgetPerCycle = 50)
+        .groupBy(col("host"), col("cycle"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("fetch_offset_sec")).as("first_fetch_sec"),
+          max(col("fetch_offset_sec")).as("last_fetch_sec"),
+          max(col("gap_sec")).as("gap_sec"))
+        .orderBy(col("host"), col("cycle"))
+    }),
+
     "crawl_warc_records" -> ((s, dir) => {
       // WARC record boundaries (r12 verdict item 3), oracle-gated
       // analytically: each doc becomes a two-record WARC file — a
@@ -1206,6 +1234,62 @@ object SparkEntry {
           encode(warc, "UTF-8").as("payload"))
         .as(org.apache.spark.sql.Encoders
           .product[graft.operators.Warc.WarcFileRow])
+      graft.operators.Warc.warcRecords(files).toDF()
+        .select(col("id").as("doc_id"),
+          col("rec_ord").cast("long").as("rec_ord"), col("ok"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          length(col("block")).cast("long").as("block_len"),
+          md5(col("block")).as("block_fp"))
+        .orderBy(col("doc_id"), col("rec_ord"))
+    }),
+
+    "crawl_warc_gz" -> ((s, dir) => {
+      // the Common Crawl wire shape: `.warc.gz` payloads — even docs
+      // as ONE gzip member over the whole file, odd docs as one
+      // member PER RECORD concatenated (the range-readable layout);
+      // every 7th file's gzip stream is truncated and must quarantine
+      // as one flagged row. Inflation is payload-local (JDK
+      // multi-member GZIPInputStream); the parse downstream is
+      // byte-identical to crawl_warc_records' plain path
+      val docs = t(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(20L)).cast("string")
+      val httpHdr = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+      val block0 = concat(lit(httpHdr), coalesce(col("text"), lit("")))
+      val len0 = length(encode(block0, "UTF-8"))
+      val block1 = concat(lit("fetch-ms "),
+        pmod(col("doc_id"), lit(997L)).cast("string"))
+      val rec0 = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: https://site"), h, lit(".com/p/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-06-01T00:00:00Z\r\nContent-Length: "),
+        len0.cast("string"), lit("\r\n\r\n"), block0, lit("\r\n\r\n"))
+      val rec1 = concat(
+        lit("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "),
+        length(block1).cast("string"), lit("\r\n\r\n"), block1,
+        lit("\r\n\r\n"))
+      val enc5 = org.apache.spark.sql.Encoders
+        .product[(Long, Array[Byte], Array[Byte], Long, Boolean)]
+      val rows = docs.select(col("doc_id"),
+          encode(rec0, "UTF-8").as("r0"), encode(rec1, "UTF-8").as("r1"),
+          pmod(col("doc_id"), lit(2L)).as("mode"),
+          (pmod(col("doc_id"), lit(7L)) === 3).as("corrupt"))
+        .as(enc5)
+      val files = rows.mapPartitions { it =>
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        it.map { case (id, r0, r1, mode, corrupt) =>
+          val payload =
+            if (mode == 0L) gz(r0 ++ r1) else gz(r0) ++ gz(r1)
+          graft.operators.Warc.WarcFileRow(id,
+            if (corrupt) payload.dropRight(5) else payload)
+        }
+      }(org.apache.spark.sql.Encoders
+        .product[graft.operators.Warc.WarcFileRow])
       graft.operators.Warc.warcRecords(files).toDF()
         .select(col("id").as("doc_id"),
           col("rec_ord").cast("long").as("rec_ord"), col("ok"),
@@ -6134,6 +6218,32 @@ object SparkEntry {
               seq * gap_sec AS fetch_offset_sec
             FROM ranked ORDER BY host, seq""",
 
+      "pipeline_recrawl_manifest" ->
+        s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+            seeds AS (SELECT
+                'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(j AS VARCHAR) || '?a=1&b=2' AS url,
+                CASE WHEN (doc_id + j) % 2 = 0
+                  THEN '2026-0' || CAST(j + 1 AS VARCHAR) || '-15'
+                  ELSE '' END AS lastmod,
+                CASE WHEN (doc_id % 20) % 4 = 0 THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS gap_sec
+              FROM documents CROSS JOIN js
+              WHERE (doc_id % 20) % 4 <> 1),
+            ranked AS (SELECT host, gap_sec,
+                CAST(row_number() OVER (PARTITION BY host
+                  ORDER BY lastmod DESC, url ASC) - 1 AS BIGINT) AS seq
+              FROM seeds)
+            SELECT host, seq // CAST(50 AS BIGINT) AS cycle,
+              count(*) AS n_urls,
+              min(seq * gap_sec) AS first_fetch_sec,
+              max(seq * gap_sec) AS last_fetch_sec,
+              max(gap_sec) AS gap_sec
+            FROM ranked GROUP BY host, seq // CAST(50 AS BIGINT)
+            ORDER BY host, cycle""",
+
       "crawl_warc_records" ->
         s"""WITH hdr AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10)
                 || 'Content-Type: text/html; charset=utf-8'
@@ -6165,6 +6275,39 @@ object SparkEntry {
               FROM documents WHERE doc_id % 7 = 3)
             SELECT * FROM (SELECT * FROM r0 UNION ALL
               SELECT * FROM r1g UNION ALL SELECT * FROM r1b)
+            ORDER BY doc_id, rec_ord""",
+
+      "crawl_warc_gz" ->
+        s"""WITH hdr AS (SELECT 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                || 'Content-Type: text/html; charset=utf-8'
+                || chr(13) || chr(10) || chr(13) || chr(10) AS s),
+            r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_ord,
+                true AS ok, 'response' AS warc_type,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+                  || CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(octet_length(encode(s || coalesce(text, ''))) AS BIGINT)
+                  AS content_length,
+                CAST(octet_length(encode(s || coalesce(text, ''))) AS BIGINT)
+                  AS block_len,
+                md5(s || coalesce(text, '')) AS block_fp
+              FROM documents CROSS JOIN hdr WHERE doc_id % 7 <> 3),
+            r1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS rec_ord,
+                true AS ok, 'metadata' AS warc_type, '' AS target_uri,
+                CAST(length('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR))
+                  AS BIGINT) AS content_length,
+                CAST(length('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR))
+                  AS BIGINT) AS block_len,
+                md5('fetch-ms ' || CAST(doc_id % 997 AS VARCHAR)) AS block_fp
+              FROM documents WHERE doc_id % 7 <> 3),
+            bad AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_ord,
+                false AS ok, CAST(NULL AS VARCHAR) AS warc_type,
+                CAST(NULL AS VARCHAR) AS target_uri,
+                CAST(-1 AS BIGINT) AS content_length,
+                CAST(NULL AS BIGINT) AS block_len,
+                CAST(NULL AS VARCHAR) AS block_fp
+              FROM documents WHERE doc_id % 7 = 3)
+            SELECT * FROM (SELECT * FROM r0 UNION ALL
+              SELECT * FROM r1 UNION ALL SELECT * FROM bad)
             ORDER BY doc_id, rec_ord""",
 
       "crawl_warc_http" ->

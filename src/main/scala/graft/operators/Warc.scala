@@ -73,14 +73,23 @@ object Warc {
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
       .decode(java.nio.ByteBuffer.wrap(b, from, until - from)).toString
 
-  /** Case-insensitive `Name: value` header map; first wins. */
-  private[operators] def headerMap(lines: Seq[String]): Map[String, String] =
-    lines.flatMap { ln =>
+  /** Unfold obs-fold continuations (a line starting with SP/HT
+    * continues the previous header's value — the WARC grammar allows
+    * folding) then build the case-insensitive `Name: value` map;
+    * first occurrence wins. */
+  private[operators] def headerMap(lines: Seq[String]): Map[String, String] = {
+    val unfolded = lines.foldLeft(List.empty[String]) { (acc, ln) =>
+      if (ln.nonEmpty && (ln.head == ' ' || ln.head == '\t') && acc.nonEmpty)
+        (acc.head + " " + ln.trim) :: acc.tail
+      else ln :: acc
+    }.reverse
+    unfolded.flatMap { ln =>
       val i = ln.indexOf(':')
       if (i <= 0) None
       else Some(ln.substring(0, i).trim.toLowerCase ->
         ln.substring(i + 1).trim)
     }.reverse.toMap // reverse so the FIRST occurrence wins the map
+  }
 
   /** Parse one file's bytes into records; on the first malformed
     * record emit a quarantine row and stop (boundaries past a corrupt
@@ -149,11 +158,78 @@ object Warc {
     out.result()
   }
 
+  /** Is this payload gzip (1F 8B magic)? */
+  private[operators] def isGzip(p: Array[Byte]): Boolean =
+    p != null && p.length >= 2 && p(0) == 0x1F.toByte && p(1) == 0x8B.toByte
+
+  /** Inflate a gzip payload INCLUDING concatenated members — the
+    * Common Crawl `.warc.gz` layout is one gzip member PER RECORD,
+    * back to back (so a range request can start at any member); the
+    * JDK's GZIPInputStream consumes successive members natively, which
+    * turns the member-per-record file into exactly the plain
+    * concatenated-records byte stream [[parseFile]] already parses. */
+  private[operators] def gunzipAll(p: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(p), 64 * 1024)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Gunzip-if-gzip, quarantining a corrupt stream as one flagged row
+    * (the whole file's boundaries are untrustworthy past bad bytes). */
+  private[operators] def parseMaybeGz(id: Long, payload: Array[Byte])
+      : Seq[WarcRecord] =
+    if (!isGzip(payload)) parseFile(id, payload)
+    else {
+      val inflated =
+        try Right(gunzipAll(payload))
+        catch { case e: Exception =>
+          Left(s"corrupt gzip: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getSimpleName)}")
+        }
+      inflated match {
+        case Right(b) => parseFile(id, b)
+        case Left(msg) => Seq(WarcRecord(id, 0, ok = false, null, null,
+          null, null, -1L, null, msg))
+      }
+    }
+
   /** The boundary operator: every WARC file → its record rows, with
-    * the [[HtmlBytes]] quarantine discipline on malformed input. */
+    * the [[HtmlBytes]] quarantine discipline on malformed input.
+    * Accepts plain AND gzipped payloads per row (the gzip magic
+    * decides) — `.warc.gz` member-per-record files inflate to the
+    * identical record stream. */
   def warcRecords(files: Dataset[WarcFileRow]): Dataset[WarcRecord] = {
     implicit val enc: Encoder[WarcRecord] = Encoders.product[WarcRecord]
-    files.mapPartitions(_.flatMap(f => parseFile(f.id, f.payload)))
+    files.mapPartitions(_.flatMap(f => parseMaybeGz(f.id, f.payload)))
+  }
+
+  /** FILE-SOURCE leg: read a directory of `.warc` / `.warc.gz` files
+    * through Spark's binaryFile source and parse every record,
+    * keeping the file path for provenance. `id` is the h60 of the
+    * path (first 15 md5 hex digits as a 60-bit long — the repo-wide
+    * sketch key convention), so downstream joins against
+    * record-keyed frames stay integer. Each file parses where its
+    * bytes land (narrow map over the scan, zero shuffle); at 100 TB
+    * the parallelism is the file count, which is exactly how WARC
+    * corpora are laid out for distributed readers. */
+  def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    implicit val enc: Encoder[(String, Array[Byte])] =
+      Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    implicit val outEnc: Encoder[(String, WarcRecord)] =
+      Encoders.tuple(Encoders.STRING, Encoders.product[WarcRecord])
+    files.as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(p.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val id = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        parseMaybeGz(id, bytes).map(r => (p, r))
+      })
+      .select(col("_1").as("path"), col("_2.*"))
   }
 
   private val CharsetParam =

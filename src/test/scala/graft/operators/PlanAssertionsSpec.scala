@@ -794,6 +794,22 @@ class PlanAssertionsSpec extends SparkSpec {
       winSpecs.mkString("\n"))
   }
 
+  test("recrawl flagship: host-keyed windows only, no cartesian, keyed aggs") {
+    val df = graft.SparkEntry.queries("pipeline_recrawl_manifest")(
+      spark, sfDir)
+    val p = plan(df)
+    // sitemap parse is a narrow map; the admit and gap joins are
+    // host-keyed (AQE-broadcastable index); the schedule window and
+    // the robots parse windows all partition by host; the manifest is
+    // one keyed aggregate — nothing corpus-global anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    keyedWindowsOnly(df)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("host#")),
+      winSpecs.mkString("\n"))
+  }
+
   test("graph flagship queries: registered plans pinned (the two >5 s rows)") {
     // r12 verdict item 6: graph_link_prediction / graph_cooccur_kcore
     // are the most expensive driver-bench queries; their driver-vs-

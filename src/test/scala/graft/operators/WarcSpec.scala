@@ -105,6 +105,66 @@ class WarcSpec extends SparkSpec {
       decoded.html == "<p>café</p>")
   }
 
+  test("folded header values unfold (obs-fold); folds never break parsing") {
+    val file = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/very\r\n\t/long/path\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val got = parse((1L, file))
+    assert(got.map(r => (r.ok, r.warc_type, r.target_uri,
+      r.content_length)) ==
+      Seq((true, "response", "https://a.com/very /long/path", 2L)))
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  test("gzip payloads: one member or member-per-record, identical records") {
+    val r0 = rec("response", "https://a.com/p", "<p>café</p>".getBytes(
+      StandardCharsets.UTF_8))
+    val r1 = rec("metadata", null, "fetch-ms 9".getBytes)
+    // block is Array[Byte] (reference equality) — compare a value view
+    def view(rs: Seq[WarcRecord]) = rs.map(r => (r.rec_ord, r.ok,
+      r.warc_type, r.target_uri, r.content_length, r.block.toSeq))
+    val plain = view(parse((1L, r0 ++ r1)))
+    val oneMember = view(parse((1L, gz(r0 ++ r1))))
+    val perRecord = view(parse((1L, gz(r0) ++ gz(r1)))) // Common Crawl layout
+    assert(plain.size == 2)
+    assert(oneMember == plain, "single-member gz diverged from plain")
+    assert(perRecord == plain, "member-per-record gz diverged from plain")
+  }
+
+  test("corrupt gzip quarantines as one flagged row; other files untouched") {
+    val r0 = rec("response", "https://a.com/p", "body text".getBytes)
+    val got = parse((1L, gz(r0).dropRight(5)), (2L, gz(r0)))
+    val bad = got.filter(_.id == 1L)
+    assert(bad.map(r => (r.rec_ord, r.ok)) == Seq((0, false)))
+    assert(bad.head.error.startsWith("corrupt gzip"), bad.head.error)
+    assert(got.filter(_.id == 2L).map(_.ok) == Seq(true))
+  }
+
+  test("readWarcFiles: binaryFile source over .warc and .warc.gz, path provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-src")
+    val r0 = rec("response", "https://a.com/x", "plain body".getBytes)
+    val r1 = rec("metadata", null, "m".getBytes)
+    java.nio.file.Files.write(dir.resolve("a.warc"), r0 ++ r1)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gz(r0) ++ gz(r1))
+    val got = Warc.readWarcFiles(spark, dir.toString)
+      .select($"path", $"rec_ord", $"ok", $"warc_type", $"content_length")
+      .as[(String, Int, Boolean, String, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got.size == 4 && got.forall(_._3))
+    val byFile = got.groupBy(_._1.split('/').last)
+    assert(byFile.keySet == Set("a.warc", "b.warc.gz"))
+    // both layouts parse to the same records, ids stable per path
+    for ((_, rows) <- byFile)
+      assert(rows.map(r => (r._2, r._4, r._5)) ==
+        Seq((0, "response", 10L), (1, "metadata", 1L)))
+  }
+
   test("httpResponses: malformed HTTP blocks flag, never throw") {
     val noTerm = rec("response", "https://a.com/p", "no crlfcrlf".getBytes)
     val badStatus = rec("response", "https://a.com/q",
