@@ -512,6 +512,82 @@ object ScaleCheck {
                   ev: DataFrame): Seq[(String, () => DataFrame)] = {
     import graft.operators.{CdcOps, Graph, Multimodal}
     Seq(
+      "crawl_warc_ingest" -> (() => {
+        // the WARC byte edge at corpus scale: every doc becomes a
+        // two-record `.warc.gz` file (member-per-record for odd ids,
+        // single-member for even — the crawl_warc_gz fixture) and
+        // parses back. Pure payload-local work (deflate + inflate +
+        // boundary scan, zero shuffle until the closing count); the
+        // probe pins linear CPU on the gzip round-trip
+        import graft.operators.Warc
+        val httpHdr = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n\r\n"
+        val block0 = concat(lit(httpHdr), coalesce(col("text"), lit("")))
+        val rec0 = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "),
+          length(encode(block0, "UTF-8")).cast("string"),
+          lit("\r\n\r\n"), block0, lit("\r\n\r\n"))
+        val block1 = concat(lit("fetch-ms "),
+          pmod(col("doc_id"), lit(997L)).cast("string"))
+        val rec1 = concat(
+          lit("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "),
+          length(block1).cast("string"), lit("\r\n\r\n"), block1,
+          lit("\r\n\r\n"))
+        val enc4 = org.apache.spark.sql.Encoders
+          .product[(Long, Array[Byte], Array[Byte], Long)]
+        val files = docs.select(col("doc_id"),
+            encode(rec0, "UTF-8").as("r0"), encode(rec1, "UTF-8").as("r1"),
+            pmod(col("doc_id"), lit(2L)).as("mode"))
+          .as(enc4)
+          .mapPartitions { it =>
+            def gz(b: Array[Byte]): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(b); g.close(); bos.toByteArray
+            }
+            it.map { case (id, r0, r1, mode) =>
+              Warc.WarcFileRow(id,
+                if (mode == 0L) gz(r0 ++ r1) else gz(r0) ++ gz(r1))
+            }
+          }(org.apache.spark.sql.Encoders.product[Warc.WarcFileRow])
+        Warc.warcRecords(files).toDF()
+          .groupBy(col("warc_type"), col("ok"))
+          .agg(count(lit(1)).as("n"), sum(col("content_length")).as("bytes"))
+      }),
+      "crawl_sitemap_resolve" -> (() => {
+        // the discovery recursion at corpus scale: index docs point at
+        // a doc-derived child store, pointers JOIN the store, leaves
+        // parse — two narrow regex maps + ONE string-keyed equi-join;
+        // the probe pins that the join (the only shuffle) stays linear
+        import graft.operators.Robots
+        val h = pmod(col("doc_id"), lit(20L)).cast("string")
+        def ptr(j: Int) = concat(
+          lit("\n<sitemap>\n  <loc> https://site"), h, lit(".com/sm/"),
+          col("doc_id").cast("string"), lit(s"/$j.xml?p=1&amp;q=2 </loc>"),
+          lit("\n</sitemap>"))
+        val index = docs.select(col("doc_id"), concat(
+          lit("<sitemapindex>"), ptr(0), ptr(1),
+          lit("\n</sitemapindex>")).as("xml"))
+        val pointers = Robots.sitemapParse(index)
+          .filter(!col("is_seed"))
+          .select(col("doc_id"), col("loc").as("sm_url"))
+        val hl = pmod(col("ldoc"), lit(20L)).cast("string")
+        val leaves = docs
+          .select(col("doc_id").as("ldoc"),
+            explode(array(lit(0L), lit(1L))).as("j"))
+          .select(
+            concat(lit("https://site"), hl, lit(".com/sm/"),
+              col("ldoc").cast("string"), lit("/"),
+              col("j").cast("string"), lit(".xml?p=1&q=2")).as("url"),
+            concat(lit("<urlset>\n<url>\n  <loc>https://site"), hl,
+              lit(".com/p/"), col("ldoc").cast("string"), lit("/"),
+              col("j").cast("string"),
+              lit("?a=1&amp;b=2</loc>\n</url>\n</urlset>")).as("xml"))
+        Robots.sitemapEntries(
+            pointers.join(leaves, pointers("sm_url") === leaves("url")))
+          .groupBy(col("doc_id") % 20L)
+          .agg(count(lit(1)).as("n_seeds"))
+      }),
       "frontier_s1_admit" -> (() => frontierStage(docs, 1)),
       "frontier_s2_canon" -> (() => frontierStage(docs, 2)),
       "frontier_s3_decode" -> (() => frontierStage(docs, 3)),
