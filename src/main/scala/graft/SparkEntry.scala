@@ -1177,6 +1177,47 @@ object SparkEntry {
         .orderBy(col("host"), col("seq"))
     }),
 
+    "crawl_sitemap_gz" -> ((s, dir) => {
+      // sitemaps arrive as BYTES, and `.xml.gz` is the common wire
+      // form (sitemaps.org allows gzip): even docs gzip their urlset
+      // payload (every doc ≡4 mod 18 truncated — transport
+      // corruption), odd docs stay plain. decodeHtmlBytes inflates
+      // before the charset ladder; good docs parse to seed entries,
+      // corrupt ones surface as ONE flagged row each
+      val docs = t(s, dir, "documents")
+      val enc4 = org.apache.spark.sql.Encoders
+        .product[(Long, Array[Byte], Boolean, Boolean)]
+      val rows = synthSitemapXml(docs)
+        .select(col("doc_id"), encode(col("xml"), "UTF-8").as("b"),
+          (pmod(col("doc_id"), lit(2L)) === 0).as("gz"),
+          (pmod(col("doc_id"), lit(18L)) === 4).as("corrupt"))
+        .as(enc4)
+        .mapPartitions { it =>
+          def gzip(b: Array[Byte]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(b); g.close(); bos.toByteArray
+          }
+          it.map { case (id, b, gz, corrupt) =>
+            val p = if (!gz) b
+                    else if (corrupt) gzip(b).dropRight(5) else gzip(b)
+            graft.operators.HtmlBytes.HtmlBytesRow(id, p, null)
+          }
+        }(org.apache.spark.sql.Encoders
+          .product[graft.operators.HtmlBytes.HtmlBytesRow])
+      val decoded = graft.operators.HtmlBytes.decodeHtmlBytes(rows).toDF()
+      val good = graft.operators.Robots.sitemapEntries(
+          decoded.filter(col("ok"))
+            .select(col("id").as("doc_id"), col("html")),
+          xmlCol = "html")
+        .select(col("doc_id"), lit(true).as("ok"), col("pos"),
+          col("loc"), col("lastmod"))
+      val bad = decoded.filter(!col("ok"))
+        .select(col("id").as("doc_id"), lit(false).as("ok"),
+          lit(-1L).as("pos"), lit("").as("loc"), lit("").as("lastmod"))
+      good.unionByName(bad).orderBy(col("doc_id"), col("pos"))
+    }),
+
     "pipeline_recrawl_manifest" -> ((s, dir) => {
       // FLAGSHIP (recrawl): the r13 discovery family composed as ONE
       // plan — sitemap urlset parse (seeds + lastmod) → robots admit
@@ -6217,6 +6258,22 @@ object SparkEntry {
               seq // CAST(50 AS BIGINT) AS cycle,
               seq * gap_sec AS fetch_offset_sec
             FROM ranked ORDER BY host, seq""",
+
+      "crawl_sitemap_gz" ->
+        s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+            good AS (SELECT doc_id, true AS ok, CAST(j AS BIGINT) AS pos,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(j AS VARCHAR) || '?a=1&b=2' AS loc,
+                CASE WHEN (doc_id + j) % 2 = 0
+                  THEN '2026-0' || CAST(j + 1 AS VARCHAR) || '-15'
+                  ELSE '' END AS lastmod
+              FROM documents CROSS JOIN js WHERE doc_id % 18 <> 4),
+            bad AS (SELECT doc_id, false AS ok, CAST(-1 AS BIGINT) AS pos,
+                '' AS loc, '' AS lastmod
+              FROM documents WHERE doc_id % 18 = 4)
+            SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+            ORDER BY doc_id, pos""",
 
       "pipeline_recrawl_manifest" ->
         s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),

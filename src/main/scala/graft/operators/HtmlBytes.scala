@@ -13,6 +13,10 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
  * the string rows [[TextOps.htmlToText]] / [[TextOps.htmlToLines]]
  * consume unchanged.
  *
+ * Transport-gzipped payloads (Content-Encoding: gzip bodies, `.xml.gz`
+ * sitemaps — the 1F 8B magic decides) inflate BEFORE the ladder;
+ * corrupt streams quarantine with `charset_source = "gzip"`.
+ *
  * Charset resolution order (the standard sniff ladder):
  *  1. BOM — UTF-8 `EF BB BF`, UTF-32LE `FF FE 00 00` / UTF-32BE
  *     `00 00 FE FF` (checked before the 2-byte marks they alias),
@@ -93,9 +97,23 @@ object HtmlBytes {
     }
   }
 
-  private[operators] def decodeOne(r: HtmlBytesRow,
-                                   sniffLimit: Int): DecodedHtml = {
-    val p = if (r.payload == null) Array.empty[Byte] else r.payload
+  private[operators] def decodeOne(r: HtmlBytesRow, sniffLimit: Int,
+                                   gunzip: Boolean = true): DecodedHtml = {
+    val p0 = if (r.payload == null) Array.empty[Byte] else r.payload
+    // transport-level gzip (Content-Encoding: gzip bodies, `.xml.gz`
+    // sitemaps) inflates BEFORE the charset ladder — a BOM or meta
+    // prescan is meaningless over deflate bytes. Multi-member streams
+    // inflate whole (Warc.gunzipAll); a corrupt stream quarantines
+    // with charset_source = "gzip" so the audit sink can tell a
+    // transport corruption from an encoding lie.
+    val p: Array[Byte] =
+      if (!gunzip || !Warc.isGzip(p0)) p0
+      else try Warc.gunzipAll(p0)
+      catch { case e: Exception =>
+        return DecodedHtml(r.id, ok = false, null, "gzip", null,
+          s"corrupt gzip: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getSimpleName)}")
+      }
     val (name, src, off) = resolveCharset(p, r.declared, sniffLimit)
     try {
       val dec = Charset.forName(name).newDecoder()
@@ -114,10 +132,13 @@ object HtmlBytes {
   /** The boundary operator: decode every payload, keep good rows,
     * FLAG bad ones — downstream splits on `ok` (good rows feed
     * [[TextOps.htmlToText]] unchanged; quarantine rows route to the
-    * audit sink with their error strings). */
+    * audit sink with their error strings). `gunzip = true` (default)
+    * inflates transport-gzipped payloads (the 1F 8B magic decides)
+    * before the charset ladder. */
   def decodeHtmlBytes(rows: Dataset[HtmlBytesRow],
-                      sniffLimit: Int = 1024): Dataset[DecodedHtml] = {
+                      sniffLimit: Int = 1024,
+                      gunzip: Boolean = true): Dataset[DecodedHtml] = {
     implicit val enc: Encoder[DecodedHtml] = Encoders.product[DecodedHtml]
-    rows.mapPartitions(_.map(decodeOne(_, sniffLimit)))
+    rows.mapPartitions(_.map(decodeOne(_, sniffLimit, gunzip)))
   }
 }

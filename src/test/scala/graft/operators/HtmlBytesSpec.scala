@@ -79,6 +79,36 @@ class HtmlBytesSpec extends SparkSpec {
     assert(edge(4L).ok && edge(4L).html == "")
   }
 
+  test("transport gzip inflates before the ladder; corrupt gz quarantines") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val latinMeta = "<meta charset='iso-8859-1'><p>café</p>"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "<p>café</p>".getBytes(StandardCharsets.UTF_8)
+    val got = run(
+      (1L, gz(latinMeta), null),          // meta sniff sees INFLATED bytes
+      (2L, gz(bom8), null),               // BOM inside the gz resolves
+      (3L, gz(bom8).dropRight(5), null),  // truncated stream
+      (4L, latinMeta, "ISO-8859-1"))      // plain passthrough unchanged
+    assert(got(1L) == DecodedHtml(1L, true, "ISO-8859-1", "meta",
+      "<meta charset='iso-8859-1'><p>café</p>", null))
+    assert(got(2L) == DecodedHtml(2L, true, "UTF-8", "bom",
+      "<p>café</p>", null))
+    assert(!got(3L).ok && got(3L).charset_source == "gzip" &&
+      got(3L).error.startsWith("corrupt gzip"), got(3L).toString)
+    assert(got(4L).ok && got(4L).charset_source == "declared")
+    // gunzip = false treats the gz bytes as content (strict decode
+    // rejects the binary) — the opt-out stays available
+    val raw = HtmlBytes.decodeHtmlBytes(
+      Seq((9L, gz(bom8), null: String)).toDF("id", "payload", "declared")
+        .as[HtmlBytesRow], gunzip = false).collect().head
+    assert(!raw.ok && raw.charset_source != "gzip")
+  }
+
   test("bogus declared charset falls through instead of failing") {
     val metaLatin = "<meta charset=\"iso-8859-1\">café"
       .getBytes(StandardCharsets.ISO_8859_1)

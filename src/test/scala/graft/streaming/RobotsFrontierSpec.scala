@@ -99,4 +99,33 @@ class RobotsFrontierSpec extends SparkSpec {
     assert(batchVerdicts == Map(1L -> false, 2L -> true,
       3L -> true, 4L -> true))
   }
+
+  test("sitemapParse runs inside a streaming plan (stateless narrow map)") {
+    // a fetch wave returns a MIX of index and urlset documents on a
+    // live stream; the unified parse branches per document with no
+    // state and no aggregation — frontier recursion stays a
+    // stream-side map plus a (batch) join against the fetched store
+    val input = MemoryStream[(Long, String)](spark)
+    val rows = mutable.Buffer[(Long, String, String, Boolean)]()
+    val q = Robots.sitemapParse(input.toDF().toDF("doc_id", "xml"))
+      .select($"doc_id", $"kind", $"loc", $"is_seed")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("smparse-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+        rows ++= b.toDF().as[(Long, String, String, Boolean)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(
+        (1L, "<sitemapindex><sitemap><loc>https://a.com/sm/1.xml</loc>" +
+          "</sitemap></sitemapindex>"),
+        (2L, "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"),
+        (3L, "<html>junk</html>"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows.sortBy(_._1).toSeq == Seq(
+      (1L, "index", "https://a.com/sm/1.xml", false),
+      (2L, "urlset", "https://a.com/p1", true)))
+  }
 }
