@@ -1177,6 +1177,32 @@ object SparkEntry {
         .orderBy(col("host"), col("seq"))
     }),
 
+    "crawl_mime_sniff" -> ((s, dir) => {
+      // the binary ROUTER at the ingest edge: nine payload classes by
+      // magic number (image/container/compressed/markup/unknown),
+      // classified by a pure Column expression inside the scan — no
+      // UDF pass, no shuffle. Oracle: analytic (the synth decides the
+      // class; the engine must read it back off the bytes)
+      val docs = t(s, dir, "documents")
+      val txt = encode(coalesce(col("text"), lit("")), "UTF-8")
+      def magic(bs: Int*) = lit(bs.map(_.toByte).toArray)
+      val v = pmod(col("doc_id"), lit(9L))
+      val payload = when(v === 0, concat(magic(0xFF, 0xD8, 0xFF), txt))
+        .when(v === 1, concat(
+          magic(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), txt))
+        .when(v === 2, concat(encode(lit("%PDF-1.7\n"), "UTF-8"), txt))
+        .when(v === 3, concat(magic(0x1F, 0x8B, 0x08), txt))
+        .when(v === 4, concat(encode(lit("GIF89a"), "UTF-8"), txt))
+        .when(v === 5, concat(magic(0x50, 0x4B, 0x03, 0x04), txt))
+        .when(v === 6, concat(
+          magic(0x00, 0x00, 0x00, 0x18, 0x66, 0x74, 0x79, 0x70), txt))
+        .when(v === 7, concat(encode(lit(" \t\n<html><p>"), "UTF-8"), txt))
+        .otherwise(concat(encode(lit("z"), "UTF-8"), txt))
+      docs.select(col("doc_id"),
+          graft.operators.HtmlBytes.mimeSniff(payload).as("mime"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_sitemap_gz" -> ((s, dir) => {
       // sitemaps arrive as BYTES, and `.xml.gz` is the common wire
       // form (sitemaps.org allows gzip): even docs gzip their urlset
@@ -6258,6 +6284,14 @@ object SparkEntry {
               seq // CAST(50 AS BIGINT) AS cycle,
               seq * gap_sec AS fetch_offset_sec
             FROM ranked ORDER BY host, seq""",
+
+      "crawl_mime_sniff" ->
+        s"""SELECT doc_id, CASE CAST(doc_id % 9 AS INT)
+              WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'pdf'
+              WHEN 3 THEN 'gzip' WHEN 4 THEN 'gif' WHEN 5 THEN 'zip'
+              WHEN 6 THEN 'mp4' WHEN 7 THEN 'markup'
+              ELSE 'unknown' END AS mime
+            FROM documents ORDER BY doc_id""",
 
       "crawl_sitemap_gz" ->
         s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),

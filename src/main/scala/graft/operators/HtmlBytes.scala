@@ -129,6 +129,40 @@ object HtmlBytes {
     }
   }
 
+  /** Magic-number MIME class of a binary payload — the ROUTER in
+    * front of the decode edges: `gzip` → inflate first, `markup` →
+    * [[decodeHtmlBytes]], image/container types →
+    * [[Multimodal.decodeImagesBatched]] / the sidecar contract,
+    * `unknown` → quarantine-or-archive. Detected classes: gzip, pdf,
+    * jpeg, png, gif, zip, riff (wav/avi), ogg, mp4 (ftyp at offset
+    * 4), markup (optional-whitespace `<`), unknown. Pure Column
+    * expression over byte prefixes (hex + substring — whole-stage
+    * codegen, no UDF, no mapPartitions), so it rides INSIDE any scan
+    * at zero extra pass and an oracle can replay it from SQL
+    * builtins. Container-probing beyond the magic (e.g. WHICH codec a
+    * RIFF wraps) stays at the sidecar boundary by decision. */
+  def mimeSniff(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, _}
+    val p = fnCoalesce(payload, lit(Array.empty[Byte]))
+    val h4 = hex(substring(p, 1, 4)) // Spark hex() is uppercase
+    val head = decode(substring(p, 1, 64), "ISO-8859-1")
+    when(substring(h4, 1, 4) === "1F8B", "gzip")
+      .when(h4 === "25504446", "pdf")           // %PDF
+      .when(substring(h4, 1, 6) === "FFD8FF", "jpeg")
+      .when(h4 === "89504E47", "png")
+      .when(h4 === "47494638", "gif")           // GIF8
+      .when(h4 === "504B0304", "zip")           // PK..
+      .when(h4 === "52494646", "riff")          // RIFF (wav/avi)
+      .when(h4 === "4F676753", "ogg")           // OggS
+      .when(hex(substring(p, 5, 4)) === "66747970", "mp4") // ....ftyp
+      // markup: optional UTF-8 BOM (EF BB BF reads "ï»¿" through the
+      // Latin-1 probe view), optional whitespace, then `<`
+      .when(regexp_extract(head,
+        "^(ï»¿)?[ \\t\\r\\n]*(.)", 2) === "<", "markup")
+      .otherwise("unknown")
+  }
+
   /** The boundary operator: decode every payload, keep good rows,
     * FLAG bad ones — downstream splits on `ok` (good rows feed
     * [[TextOps.htmlToText]] unchanged; quarantine rows route to the

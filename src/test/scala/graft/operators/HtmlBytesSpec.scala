@@ -109,6 +109,35 @@ class HtmlBytesSpec extends SparkSpec {
     assert(!raw.ok && raw.charset_source != "gzip")
   }
 
+  test("mimeSniff routes by magic: containers, markup (BOM'd too), unknown") {
+    def sniff(payloads: (Long, Array[Byte])*): Map[Long, String] =
+      payloads.toSeq.toDF("id", "p")
+        .select(col("id"), HtmlBytes.mimeSniff(col("p")).as("m"))
+        .as[(Long, String)].collect().toMap
+    val got = sniff(
+      1L -> (Array(0xFF, 0xD8, 0xFF).map(_.toByte) ++ "x".getBytes),
+      2L -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+      3L -> "%PDF-1.4".getBytes,
+      4L -> Array(0x1F, 0x8B, 0x08).map(_.toByte),
+      5L -> "GIF89a;".getBytes,
+      6L -> Array(0x50, 0x4B, 0x03, 0x04).map(_.toByte),
+      7L -> ("RIFF....WAVE".getBytes),
+      8L -> (Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes),
+      9L -> "  \t\n<html>".getBytes,
+      10L -> (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+        "<?xml version=\"1.0\"?><urlset/>".getBytes),
+      11L -> "plain prose".getBytes,
+      12L -> Array.empty[Byte],
+      13L -> null)
+    assert(got == Map(1L -> "jpeg", 2L -> "png", 3L -> "pdf",
+      4L -> "gzip", 5L -> "gif", 6L -> "zip", 7L -> "riff",
+      8L -> "mp4", 9L -> "markup", 10L -> "markup", 11L -> "unknown",
+      12L -> "unknown", 13L -> "unknown"))
+    // short payloads never throw: a 2-byte file is just unknown/gzip
+    assert(sniff(20L -> Array[Byte](0x25))(20L) == "unknown")
+    assert(sniff(21L -> Array(0x1F, 0x8B).map(_.toByte))(21L) == "gzip")
+  }
+
   test("bogus declared charset falls through instead of failing") {
     val metaLatin = "<meta charset=\"iso-8859-1\">café"
       .getBytes(StandardCharsets.ISO_8859_1)
