@@ -994,6 +994,26 @@ object SparkEntry {
           md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
 
+    "text_line_quality" -> ((s, dir) => {
+      // C4 line rules (terminal punctuation + >=5 words + no
+      // "javascript"), doc-local — the screen BEFORE cross-doc line
+      // dedup; page flags (curly braces, lorem ipsum) injected on
+      // doc_id%5 / %7 so both legs sit on the gated path
+      val docsM = synthMultiline(t(s, dir, "documents"))
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            lit("\nfunction() { var x = 1; }")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            lit("\nLorem ipsum dolor sit amet consectetur."))
+            .otherwise(lit(""))))
+      TextOps.lineQuality(docsM)
+        .select(col("doc_id"), col("n_lines_kept"),
+          col("n_lines_dropped"), col("has_curly"), col("has_lorem"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_crawl_manifest" -> ((s, dir) => {
       // FLAGSHIP (crawl): the batch crawl-curation pipeline as ONE
       // plan — URL-canonical dedup (min-id survivor per key) → HTML →
@@ -5945,6 +5965,32 @@ object SparkEntry {
                CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS BIGINT) AS n_chars_clean,
                md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_hot), '')) AS clean_fp
             FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_line_quality" ->
+        s"""WITH ldocs AS (SELECT doc_id,
+                 coalesce(text,'') || chr(10) || 'All rights reserved worldwide legal notice.' ||
+                 CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter today please.'
+                      ELSE chr(10) || 'Contact office number ' || CAST(doc_id AS VARCHAR) || ' direct line.' END ||
+                 chr(10) || '--' ||
+                 chr(10) || 'Promo code ' || CAST(doc_id % 250 AS VARCHAR) || ' applies.' ||
+                 CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'function() { var x = 1; }' ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur.' ELSE '' END AS text
+               FROM documents),
+            ll AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ldocs),
+            lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM ll),
+            v AS (SELECT doc_id, pos, line,
+                 (regexp_matches(trim(line), '[.!?"]\\z')
+                  AND len(regexp_extract_all(lower(line), '[a-z]+')) >= 5
+                  AND NOT contains(lower(line), 'javascript')) AS keep
+               FROM lines)
+            SELECT doc_id,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped,
+               bool_or(contains(line, '{')) AS has_curly,
+               bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+               CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS BIGINT) AS n_chars_clean,
+               md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_fp
+            FROM v GROUP BY doc_id ORDER BY doc_id""",
 
       "text_html_meta" ->
         s"""WITH mdocs AS (SELECT doc_id,

@@ -2505,6 +2505,43 @@ object TextOps {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /**
+   * C4 LINE-level quality rule (the public C4 recipe, Raffel et al.
+   * 2020 §2.2 — distinct from the corpus-keyed [[lineDedup]] and the
+   * doc-level [[qualityScore]]): a line KEEPS iff, trimmed, it ends
+   * in a terminal punctuation mark (`.` `!` `?` or a closing double
+   * quote), carries at least `minWords` word tokens, and does not
+   * mention "javascript" (case-insensitive) — the menu/boilerplate
+   * screen that runs BEFORE cross-doc dedup, purely doc-local.
+   * Page-level flags ride along: `has_curly` (the `{` code smell)
+   * and `has_lorem` ("lorem ipsum") mark docs the C4 recipe drops
+   * whole — emitted as flags, the caller decides (flag-don't-drop).
+   * Per doc: kept/dropped counts, both flags, and the reassembled
+   * `clean_text` in line order. Pure string column math — one
+   * explode + one keyed aggregate, zero joins, scan-bound; fully
+   * oracle-replayable.
+   */
+  def lineQuality(docs: DataFrame, minWords: Int = 5): DataFrame = {
+    val lines = explodedLines(docs)
+    // \z (end of TEXT in both engines), not $ — the repo-wide anchor
+    // convention (Java $ tolerates a trailing newline, RE2 $ does not)
+    val keep = col("key").rlike("[.!?\"]\\z") &&
+      (size(wordTokens(col("line"))) >= minWords) &&
+      !lower(col("line")).contains("javascript")
+    lines
+      .withColumn("__keep", keep)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_dropped"),
+        bool_or(col("line").contains("{")).as("has_curly"),
+        bool_or(lower(col("line")).contains("lorem ipsum")).as("has_lorem"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** `<title>` body (dot-all for multi-line titles). */
   val HtmlTitleBody: String = "(?is)<title[^>]*>(.*?)</title"
   // Meta/link attribute extraction is TWO-STEP: (1) grab the whole

@@ -78,4 +78,34 @@ class LineDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 1L, 0L, ""), (2L, 1L, 0L, "only doc line content")))
   }
+
+  test("lineQuality: C4 line rules — terminal punct, word floor, js; page flags") {
+    val text = Seq(
+      "This sentence has enough words and ends well.", // keep
+      "Short line.",                                   // < 5 words
+      "this line has plenty of words but no ending",   // no terminal punct
+      "Does a question mark count as terminal here?",  // keep
+      "Enable javascript to view this site please.",   // js mention
+      "He said \"the quote ends the line here.\"",     // keep (closing ")
+      "   Trailing spaces still count as terminal.  ", // keep (trimmed)
+      "").mkString("\n")
+    val got = TextOps.lineQuality(Seq((1L, text)).toDF("doc_id", "text"))
+      .select($"n_lines_kept", $"n_lines_dropped", $"has_curly",
+        $"has_lorem", $"clean_text")
+      .as[(Long, Long, Boolean, Boolean, String)].head()
+    assert(got._1 == 4L && got._2 == 4L, got.toString)
+    assert(!got._3 && !got._4)
+    assert(got._5.linesIterator.size == 4 &&
+      got._5.startsWith("This sentence") &&
+      got._5.contains("question mark") && got._5.contains("the quote"))
+    // page flags fire on any line, kept or dropped; flag-don't-drop
+    val flagged = TextOps.lineQuality(Seq(
+        (2L, "Good first sentence stays in the output here.\n" +
+          "var f = function() { return 1; }\n" +
+          "Lorem ipsum dolor sit amet consectetur adipiscing."))
+      .toDF("doc_id", "text"))
+      .select($"n_lines_kept", $"has_curly", $"has_lorem")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(flagged == ((2L, true, true)))
+  }
 }
