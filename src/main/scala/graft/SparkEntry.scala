@@ -1197,6 +1197,29 @@ object SparkEntry {
         .orderBy(col("host"), col("seq"))
     }),
 
+    "crawl_redirects" -> ((s, dir) => {
+      // HTTP redirect-chain resolution: five fetch classes — terminal
+      // 200, one-hop 301, two-hop chain, self-loop 302, dangling
+      // target — resolved by bounded keyed joins (no recursion, no
+      // driver loop over rows). Every outcome class on the gated path
+      val docs = t(s, dir, "documents")
+      def u(id: org.apache.spark.sql.Column) = concat(lit("https://r"),
+        pmod(id, lit(20L)).cast("string"), lit(".example/u/"),
+        id.cast("string"))
+      val v = pmod(col("doc_id"), lit(5L))
+      val fetches = docs.select(u(col("doc_id")).as("url"),
+        when(v === 0, lit(200)).when(v === 3, lit(302))
+          .otherwise(lit(301)).as("status"),
+        when(v === 1 || v === 2, u(col("doc_id") - 1))
+          .when(v === 3, u(col("doc_id")))
+          .when(v === 4, u(col("doc_id") + 1000000L))
+          .otherwise(lit(null).cast("string")).as("location"))
+      graft.operators.Robots.resolveRedirects(fetches)
+        .select(col("url"), col("final_url"), col("n_hops"),
+          col("final_status"), col("outcome"))
+        .orderBy(col("url"))
+    }),
+
     "crawl_mime_sniff" -> ((s, dir) => {
       // the binary ROUTER at the ingest edge: nine payload classes by
       // magic number (image/container/compressed/markup/unknown),
@@ -6330,6 +6353,29 @@ object SparkEntry {
               seq // CAST(50 AS BIGINT) AS cycle,
               seq * gap_sec AS fetch_offset_sec
             FROM ranked ORDER BY host, seq""",
+
+      "crawl_redirects" ->
+        s"""WITH u AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v,
+                'https://r' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example/u/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT url,
+              CASE v WHEN 0 THEN url
+                WHEN 1 THEN 'https://r' || CAST((doc_id - 1) % 20 AS VARCHAR)
+                  || '.example/u/' || CAST(doc_id - 1 AS VARCHAR)
+                WHEN 2 THEN 'https://r' || CAST((doc_id - 2) % 20 AS VARCHAR)
+                  || '.example/u/' || CAST(doc_id - 2 AS VARCHAR)
+                WHEN 3 THEN url
+                ELSE 'https://r' || CAST((doc_id + 1000000) % 20 AS VARCHAR)
+                  || '.example/u/' || CAST(doc_id + 1000000 AS VARCHAR)
+                END AS final_url,
+              CAST(CASE v WHEN 0 THEN 0 WHEN 2 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_hops,
+              CASE v WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 200
+                WHEN 3 THEN 302 ELSE NULL END AS final_status,
+              CASE v WHEN 3 THEN 'loop' WHEN 4 THEN 'dangling'
+                ELSE 'ok' END AS outcome
+            FROM u ORDER BY url""",
 
       "crawl_mime_sniff" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 9 AS INT)

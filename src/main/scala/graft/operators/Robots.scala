@@ -264,6 +264,69 @@ object Robots {
       .drop("crawl_delay")
   }
 
+  /**
+   * HTTP redirect-chain resolution over a fetched `(url, status,
+   * location)` table: follow 3xx `Location` targets up to `maxHops`,
+   * classifying every start URL as `ok` (reached a non-3xx terminal),
+   * `loop` (the next target already appears on this chain's path —
+   * the self-redirect and A→B→A cases), `dangling` (the target was
+   * never fetched), or `too_many` (still redirecting past the hop
+   * budget — what curl's --max-redirs surfaces). Output keeps every
+   * start URL and adds `final_url`, `n_hops`, `final_status` (null
+   * for dangling) and `outcome`.
+   *
+   * Spark-first shape: the chain walk is `maxHops` KEYED left joins
+   * over a shrinking pending set (resolved rows exit the loop) with
+   * the visited path carried as an array column (`array_contains` is
+   * the loop check) — no driver-side iteration over rows, no
+   * recursion in the engine; hop count is a fixed small constant by
+   * HTTP convention, so the plan depth is bounded. A redirect that
+   * hops HOSTS re-enters politeness downstream: resolve first, then
+   * [[robotsAllowed]] on the final URLs.
+   */
+  def resolveRedirects(fetches: DataFrame, maxHops: Int = 5,
+                       urlCol: String = "url", statusCol: String = "status",
+                       locationCol: String = "location"): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val f = fetches.select(col(urlCol).as("__u"),
+      col(statusCol).as("__s"), col(locationCol).as("__l"))
+    def redirecting(s: Column, l: Column): Column =
+      s.between(300, 399) && l.isNotNull && l =!= ""
+    var state = f.select(col("__u").as("url"), col("__u").as("final_url"),
+      array(col("__u")).as("__path"), lit(0L).as("n_hops"),
+      col("__s").as("final_status"),
+      when(redirecting(col("__s"), col("__l")),
+        lit(null).cast("string")).otherwise(lit("ok")).as("outcome"),
+      when(redirecting(col("__s"), col("__l")), col("__l"))
+        .otherwise(lit(null)).as("__nxt"))
+    for (_ <- 1 to maxHops) {
+      val donePart = state.filter(col("outcome").isNotNull)
+      val stepped = state.filter(col("outcome").isNull)
+        .join(f.select(col("__u").as("__tu"), col("__s").as("__ts"),
+          col("__l").as("__tl")), col("__nxt") === col("__tu"),
+          "left_outer")
+        .select(col("url"), col("__nxt").as("final_url"),
+          concat(col("__path"), array(col("__nxt"))).as("__path"),
+          (col("n_hops") + 1L).as("n_hops"),
+          when(array_contains(col("__path"), col("__nxt")),
+              col("final_status")) // loop: keep the redirecting status
+            .otherwise(col("__ts")).as("final_status"),
+          when(array_contains(col("__path"), col("__nxt")), lit("loop"))
+            .when(col("__tu").isNull, lit("dangling"))
+            .when(!redirecting(col("__ts"), col("__tl")), lit("ok"))
+            .otherwise(lit(null).cast("string")).as("outcome"),
+          when(array_contains(col("__path"), col("__nxt")) ||
+              col("__tu").isNull, lit(null))
+            .when(redirecting(col("__ts"), col("__tl")), col("__tl"))
+            .otherwise(lit(null)).as("__nxt"))
+      state = donePart.unionByName(stepped)
+    }
+    state
+      .withColumn("outcome",
+        coalesce(col("outcome"), lit("too_many")))
+      .drop("__path", "__nxt")
+  }
+
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
     * trailing `%` (anchored at path end). */

@@ -143,6 +143,32 @@ class RobotsSpec extends SparkSpec {
       ("b.com", "https://b.com/only", 0L, 0L, 1L, 0L)))
   }
 
+  test("resolveRedirects: ok / loop / dangling / too_many, bounded hops") {
+    val f = Seq(
+      ("a", 301, "b"), ("b", 302, "c"), ("c", 200, null),
+      ("x", 301, "y"), ("y", 301, "x"), // A -> B -> A
+      ("d", 301, "ghost"),              // target never fetched
+      ("t0", 301, "t1"), ("t1", 301, "t2"), ("t2", 301, "t3"),
+      ("t3", 301, "t4"), ("t4", 200, null))
+      .toDF("url", "status", "location")
+    val got = Robots.resolveRedirects(f, maxHops = 3)
+      .select($"url", $"final_url", $"n_hops", $"final_status", $"outcome")
+      .as[(String, String, Long, Option[Int], String)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got("a") == (("c", 2L, Some(200), "ok")))
+    assert(got("b") == (("c", 1L, Some(200), "ok")))
+    assert(got("c") == (("c", 0L, Some(200), "ok")))
+    // the loop flags when the chain REVISITS a node; the status kept
+    // is the last redirecting node's
+    assert(got("x") == (("x", 2L, Some(301), "loop")))
+    assert(got("y") == (("y", 2L, Some(301), "loop")))
+    assert(got("d") == (("ghost", 1L, None, "dangling")))
+    // hop budget: t0 is 4 redirects deep — still redirecting at 3
+    assert(got("t0") == (("t3", 3L, Some(301), "too_many")))
+    assert(got("t1") == (("t4", 3L, Some(200), "ok")))
+    assert(got("t2") == (("t4", 2L, Some(200), "ok")))
+  }
+
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
     val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
     val got = rules(t = t).orderBy($"rule_ord")
