@@ -512,6 +512,27 @@ object ScaleCheck {
                   ev: DataFrame): Seq[(String, () => DataFrame)] = {
     import graft.operators.{CdcOps, Graph, Multimodal}
     Seq(
+      "crawl_redirects" -> (() => {
+        // the bounded chain walk at corpus scale: 5 keyed joins over a
+        // pending set that SHRINKS each hop (4/5 of rows resolve by
+        // hop 2) — the probe pins that join bytes track the pending
+        // set, not the corpus × hops
+        import graft.operators.Robots
+        def u(id: org.apache.spark.sql.Column) = concat(lit("https://r"),
+          pmod(id, lit(20L)).cast("string"), lit(".example/u/"),
+          id.cast("string"))
+        val v = pmod(col("doc_id"), lit(5L))
+        val fetches = docs.select(u(col("doc_id")).as("url"),
+          when(v === 0, lit(200)).when(v === 3, lit(302))
+            .otherwise(lit(301)).as("status"),
+          when(v === 1 || v === 2, u(col("doc_id") - 1))
+            .when(v === 3, u(col("doc_id")))
+            .when(v === 4, u(col("doc_id") + 1000000L))
+            .otherwise(lit(null).cast("string")).as("location"))
+        Robots.resolveRedirects(fetches)
+          .groupBy(col("outcome")).agg(count(lit(1)).as("n"),
+            sum(col("n_hops")).as("hops"))
+      }),
       "crawl_warc_ingest" -> (() => {
         // the WARC byte edge at corpus scale: every doc becomes a
         // two-record `.warc.gz` file (member-per-record for odd ids,
