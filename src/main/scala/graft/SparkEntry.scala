@@ -1220,6 +1220,27 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "crawl_retry_policy" -> ((s, dir) => {
+      // the fetch loop's LAST leg: status → ok/redirect/retry/drop
+      // with Retry-After honored over the capped exponential backoff
+      // (base 10 s, cap 300 s, 3 attempts). Eight status classes ×
+      // four attempt values, all-integer — pure narrow map
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(8L))
+      val fetches = docs.select(col("doc_id"),
+        when(v === 0, lit(200)).when(v === 1, lit(301))
+          .when(v === 2, lit(404)).when(v === 3, lit(410))
+          .when(v === 4, lit(429)).when(v === 5, lit(429))
+          .when(v === 6, lit(503)).otherwise(lit(500)).as("status"),
+        pmod(col("doc_id"), lit(4L)).as("attempt"),
+        when(v === 4, pmod(col("doc_id"), lit(60L)))
+          .otherwise(lit(null).cast("long")).as("retry_after"))
+      graft.operators.Robots.retryPolicy(fetches)
+        .select(col("doc_id"), col("status"), col("attempt"),
+          col("action"), col("next_fetch_sec"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_mime_sniff" -> ((s, dir) => {
       // the binary ROUTER at the ingest edge: nine payload classes by
       // magic number (image/container/compressed/markup/unknown),
@@ -6376,6 +6397,25 @@ object SparkEntry {
               CASE v WHEN 3 THEN 'loop' WHEN 4 THEN 'dangling'
                 ELSE 'ok' END AS outcome
             FROM u ORDER BY url""",
+
+      "crawl_retry_policy" ->
+        s"""WITH f AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS v,
+                doc_id % 4 AS attempt FROM documents)
+            SELECT doc_id,
+              CASE v WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+                WHEN 3 THEN 410 WHEN 4 THEN 429 WHEN 5 THEN 429
+                WHEN 6 THEN 503 ELSE 500 END AS status,
+              attempt,
+              CASE WHEN v = 0 THEN 'ok' WHEN v = 1 THEN 'redirect'
+                WHEN v IN (2, 3) THEN 'drop'
+                WHEN v IN (4, 5) THEN 'retry'
+                WHEN attempt < 3 THEN 'retry' ELSE 'drop' END AS action,
+              CASE WHEN v = 4 THEN doc_id % 60
+                WHEN v = 5 THEN least(10 * (1 << attempt), 300)
+                WHEN v IN (6, 7) AND attempt < 3
+                  THEN least(10 * (1 << attempt), 300)
+                ELSE NULL END AS next_fetch_sec
+            FROM f ORDER BY doc_id""",
 
       "crawl_mime_sniff" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 9 AS INT)

@@ -327,6 +327,50 @@ object Robots {
       .drop("__path", "__nxt")
   }
 
+  /**
+   * Fetch RETRY policy — the last leg of the fetch loop
+   * ([[fetchSchedule]] decides WHEN, [[resolveRedirects]] follows
+   * 3xx, this decides WHAT NEXT from the status): per fetched row,
+   * an `action` (`ok` | `redirect` | `retry` | `drop`) and, for
+   * retries, the earliest `next_fetch_sec` —
+   *
+   *  - 2xx → `ok`; 3xx → `redirect` (the chain walker's job);
+   *  - 429 → `retry`; a present `Retry-After` seconds value is
+   *    honored over the computed backoff on EVERY retry (RFC 9110
+   *    §10.2.3 allows it on 503 as well as 429);
+   *  - 5xx → `retry` with exponential backoff `baseSec × 2^attempt`
+   *    capped at `capSec`, until `attempt ≥ maxAttempts` → `drop`
+   *    (a host that 503s forever must not hold frontier memory);
+   *  - every other status (4xx client errors, 1xx oddities) → `drop`.
+   *
+   * ALL-INTEGER lattice (shift, min) — exactly oracle-replayable.
+   * Pure narrow map over the fetch log: no shuffle, composes with
+   * the schedule join in the same plan. Adds `action`,
+   * `next_fetch_sec` (null unless retry).
+   */
+  def retryPolicy(fetches: DataFrame, baseSec: Long = 10L,
+                  capSec: Long = 300L, maxAttempts: Int = 3,
+                  statusCol: String = "status",
+                  attemptCol: String = "attempt",
+                  retryAfterCol: String = "retry_after"): DataFrame = {
+    val s = col(statusCol)
+    val a = col(attemptCol)
+    // call_function: the Scala shiftleft() helper only takes literal
+    // bit counts; the SQL function form shifts by a column
+    val backoff = least(lit(baseSec) *
+      call_function("shiftleft", lit(1L), a.cast("int")), lit(capSec))
+    val action = when(s.between(200, 299), "ok")
+      .when(s.between(300, 399), "redirect")
+      .when(s === 429, "retry")
+      .when(s.between(500, 599) && a < maxAttempts, "retry")
+      .otherwise("drop")
+    fetches
+      .withColumn("action", action)
+      .withColumn("next_fetch_sec",
+        when(action === "retry", coalesce(col(retryAfterCol), backoff))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
     * trailing `%` (anchored at path end). */

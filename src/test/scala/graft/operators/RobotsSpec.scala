@@ -169,6 +169,36 @@ class RobotsSpec extends SparkSpec {
     assert(got("t2") == (("t4", 2L, Some(200), "ok")))
   }
 
+  test("retryPolicy: Retry-After beats backoff; 5xx drops past the budget") {
+    val f = Seq(
+      (1L, 200, 0L, null.asInstanceOf[java.lang.Long]),
+      (2L, 302, 1L, null.asInstanceOf[java.lang.Long]),
+      (3L, 404, 0L, null.asInstanceOf[java.lang.Long]),
+      (4L, 429, 2L, java.lang.Long.valueOf(7L)), // Retry-After wins
+      (5L, 429, 2L, null.asInstanceOf[java.lang.Long]), // backoff 40
+      (6L, 503, 0L, null.asInstanceOf[java.lang.Long]), // backoff 10
+      (7L, 503, 6L, null.asInstanceOf[java.lang.Long]), // >= maxAttempts
+      (8L, 500, 2L, null.asInstanceOf[java.lang.Long]), // backoff 40
+      (9L, 503, 2L, java.lang.Long.valueOf(9L))) // Retry-After on 503 too
+      .toDF("doc_id", "status", "attempt", "retry_after")
+    val got = Robots.retryPolicy(f)
+      .select($"doc_id", $"action", $"next_fetch_sec")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (("ok", None)), 2L -> (("redirect", None)),
+      3L -> (("drop", None)), 4L -> (("retry", Some(7L))),
+      5L -> (("retry", Some(40L))), 6L -> (("retry", Some(10L))),
+      7L -> (("drop", None)), 8L -> (("retry", Some(40L))),
+      9L -> (("retry", Some(9L)))))
+    // the cap binds: attempt 31 would otherwise shift past the cap
+    val capped = Robots.retryPolicy(
+        Seq((1L, 429, 8L, null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "status", "attempt", "retry_after"))
+      .select($"next_fetch_sec").as[Long].head()
+    assert(capped == 300L)
+  }
+
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
     val t = "Disallow: /orphan/\nUser-agent: *\nDisallow:\nAllow: /x"
     val got = rules(t = t).orderBy($"rule_ord")
