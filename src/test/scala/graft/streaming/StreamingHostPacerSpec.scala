@@ -131,6 +131,28 @@ class StreamingHostPacerSpec extends SparkSpec {
     assert(got.forall(_._2), s"scheduled fetch deferred by the pacer: $got")
   }
 
+  test("retryPolicy output re-enters pacing: backoff and crawl-delay both hold") {
+    // a 503 retry on slow.com (delay 2 s): retryPolicy says wait
+    // next_fetch_sec (backoff 10 s at attempt 0); replaying the fetch
+    // at original_ts + backoff through the pacer must ADMIT (10 s >
+    // 2 s gap), while an impatient client retrying after only 1 s is
+    // deferred by the politeness gap even though ITS backoff said go
+    val policy = Robots.retryPolicy(Seq(
+        (1L, 503, 0L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "status", "attempt", "retry_after"))
+      .select(col("next_fetch_sec")).as[Long].head()
+    assert(policy == 10L)
+    val got = run(Seq(Seq(
+      (1L, ts(0), "https://slow.com/a"),                 // first fetch
+      (2L, ts(1000), "https://slow.com/a"),              // impatient retry
+      (3L, ts(policy * 1000L), "https://slow.com/a"))))  // policy retry
+    assert(got.find(_._1 == 1L).get._2)
+    assert(!got.find(_._1 == 2L).get._2,
+      "politeness must still defer a too-early retry")
+    assert(got.find(_._1 == 3L).get._2,
+      "the backoff-scheduled retry must admit")
+  }
+
   test("crawl-delay larger than the horizon still enforces the full gap") {
     // r12 ADVICE: delay 120 s vs horizon 60 s — the last-admit mark
     // must NOT be evicted mid-gap (the effective horizon clamps to the
