@@ -275,6 +275,10 @@ object Robots {
    * start URL and adds `final_url`, `n_hops`, `final_status` (null
    * for dangling) and `outcome`.
    *
+   * Input contract: ONE row per url — a fetch log with retries must
+   * first reduce to the latest attempt per url (duplicate keys would
+   * multiply chains at every hop, a silent row explosion).
+   *
    * Spark-first shape: the chain walk is `maxHops` KEYED left joins
    * over a shrinking pending set (resolved rows exit the loop) with
    * the visited path carried as an array column (`array_contains` is
@@ -354,7 +358,10 @@ object Robots {
                   attemptCol: String = "attempt",
                   retryAfterCol: String = "retry_after"): DataFrame = {
     val s = col(statusCol)
-    val a = col(attemptCol)
+    // a null attempt is a FIRST attempt — untrusted fetch logs carry
+    // nulls, and null < maxAttempts is null (which would silently
+    // route a retryable 503 into the otherwise-'drop' branch)
+    val a = coalesce(col(attemptCol), lit(0L))
     // call_function: the Scala shiftleft() helper only takes literal
     // bit counts; the SQL function form shifts by a column
     val backoff = least(lit(baseSec) *

@@ -197,6 +197,15 @@ class RobotsSpec extends SparkSpec {
           .toDF("doc_id", "status", "attempt", "retry_after"))
       .select($"next_fetch_sec").as[Long].head()
     assert(capped == 300L)
+    // a NULL attempt is a first attempt: 503 retries at base backoff
+    // instead of silently dropping through a null comparison
+    val nullAttempt = Robots.retryPolicy(
+        Seq((1L, 503, null.asInstanceOf[java.lang.Long],
+          null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "status", "attempt", "retry_after"))
+      .select($"action", $"next_fetch_sec")
+      .as[(String, Option[Long])].head()
+    assert(nullAttempt == (("retry", Some(10L))))
   }
 
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
