@@ -33,14 +33,23 @@ object BenchProfile {
     try spark.range(1000000).selectExpr("sum(id)").write
       .mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-    for (name <- names) {
-      val fn = SparkEntry.queries(name)
+    def time(label: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"PROFILE $name%-28s ${ts.map(t => f"$t%8.3f").mkString(" ")}")
+      println(f"PROFILE $label%-28s ${ts.map(t => f"$t%8.3f").mkString(" ")}")
+    }
+    for (name <- names) {
+      time(name, SparkEntry.queries(name))
+      // fixture/operator split (r13 verdict item 8): print the
+      // fixture-construction-only twin right under its parent so a
+      // bench mover self-attributes
+      SparkEntry.profileVariants.get(s"${name}__fixture")
+        .foreach(time(s"${name}__fixture", _))
     }
     spark.stop()
   }

@@ -47,6 +47,12 @@ object HtmlBytes {
 
   final case class HtmlBytesRow(id: Long, payload: Array[Byte],
                                 declared: String)
+
+  /** Inflated-size cap for one transport-gzipped DOCUMENT (64 MiB) —
+    * a single HTML page past this is a decompression bomb, not
+    * content (r13 ADVICE: untrusted crawl bytes must cost at most one
+    * quarantine row). */
+  val DefaultMaxInflatedBytes: Long = 64L * 1024 * 1024
   final case class DecodedHtml(id: Long, ok: Boolean, charset: String,
                                charset_source: String, html: String,
                                error: String)
@@ -98,21 +104,29 @@ object HtmlBytes {
   }
 
   private[operators] def decodeOne(r: HtmlBytesRow, sniffLimit: Int,
-                                   gunzip: Boolean = true): DecodedHtml = {
+                                   gunzip: Boolean = true,
+                                   maxInflatedBytes: Long =
+                                     DefaultMaxInflatedBytes): DecodedHtml = {
     val p0 = if (r.payload == null) Array.empty[Byte] else r.payload
     // transport-level gzip (Content-Encoding: gzip bodies, `.xml.gz`
     // sitemaps) inflates BEFORE the charset ladder — a BOM or meta
-    // prescan is meaningless over deflate bytes. Multi-member streams
-    // inflate whole (Warc.gunzipAll); a corrupt stream quarantines
-    // with charset_source = "gzip" so the audit sink can tell a
-    // transport corruption from an encoding lie.
+    // prescan is meaningless over deflate bytes. Inflation is a
+    // BOUNDED stream copy (Warc.gunzipBounded): a decompression bomb
+    // quarantines at the cap ("gzip too large") instead of OOMing the
+    // executor; a corrupt stream quarantines with charset_source =
+    // "gzip" so the audit sink can tell a transport corruption from
+    // an encoding lie.
     val p: Array[Byte] =
       if (!gunzip || !Warc.isGzip(p0)) p0
-      else try Warc.gunzipAll(p0)
-      catch { case e: Exception =>
-        return DecodedHtml(r.id, ok = false, null, "gzip", null,
-          s"corrupt gzip: ${Option(e.getMessage)
-            .getOrElse(e.getClass.getSimpleName)}")
+      else try Warc.gunzipBounded(p0, maxInflatedBytes)
+      catch {
+        case e: Warc.SizeCapExceeded =>
+          return DecodedHtml(r.id, ok = false, null, "gzip", null,
+            e.getMessage)
+        case e: Exception =>
+          return DecodedHtml(r.id, ok = false, null, "gzip", null,
+            s"corrupt gzip: ${Option(e.getMessage)
+              .getOrElse(e.getClass.getSimpleName)}")
       }
     val (name, src, off) = resolveCharset(p, r.declared, sniffLimit)
     try {
@@ -168,11 +182,14 @@ object HtmlBytes {
     * [[TextOps.htmlToText]] unchanged; quarantine rows route to the
     * audit sink with their error strings). `gunzip = true` (default)
     * inflates transport-gzipped payloads (the 1F 8B magic decides)
-    * before the charset ladder. */
+    * before the charset ladder, bounded at `maxInflatedBytes`. */
   def decodeHtmlBytes(rows: Dataset[HtmlBytesRow],
                       sniffLimit: Int = 1024,
-                      gunzip: Boolean = true): Dataset[DecodedHtml] = {
+                      gunzip: Boolean = true,
+                      maxInflatedBytes: Long = DefaultMaxInflatedBytes)
+      : Dataset[DecodedHtml] = {
     implicit val enc: Encoder[DecodedHtml] = Encoders.product[DecodedHtml]
-    rows.mapPartitions(_.map(decodeOne(_, sniffLimit, gunzip)))
+    rows.mapPartitions(_.map(
+      decodeOne(_, sniffLimit, gunzip, maxInflatedBytes)))
   }
 }

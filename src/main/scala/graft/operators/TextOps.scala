@@ -2118,6 +2118,212 @@ object TextOps {
   }
 
   /**
+   * Hashed n-gram features — the fastText/DCLM representation (r13
+   * verdict item 6; public recipe per Joulin et al. 2016 §2 and the
+   * DCLM baseline filter): unigrams plus adjacent-pair bigrams of
+   * [[wordTokens]], each hashed to `h60(gram) mod nBuckets`. The
+   * hashing trick bounds the feature space at `nBuckets` REGARDLESS
+   * of corpus vocabulary — a raw vocabulary is hapax-dominated and
+   * grows with the corpus (the [[nbTrain]] `minCount` discussion),
+   * but the hashed model is a fixed-length weight vector, driver-
+   * holdable like the BPE merge table at any corpus size. Returns
+   * `(doc_id, bucket, m)` occurrence counts — one exploded keyed
+   * aggregate, the [[nbScore]] scale shape.
+   */
+  def hashedGramCounts(docs: DataFrame,
+                       nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val wt = wordTokens(col("text"))
+    val bigrams = when(size(wt) >= 2,
+      zip_with(slice(wt, lit(1), size(wt) - 1),
+        slice(wt, lit(2), size(wt) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+        explode(concat(wt, bigrams)).as("gram"))
+      .select(col("doc_id"),
+        pmod(graft.functions.functions.h60(col("gram")),
+          lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("m"))
+  }
+
+  /**
+   * DETERMINISTIC hashed-ngram quality model — the exactly-replayable
+   * twin of [[trainQualityLr]] (the `sim_kmeans_assign` playbook: the
+   * learned float variant gets a spec-pinned accuracy floor, the
+   * integer-lattice variant gets the hash gate): a LINEAR classifier
+   * over [[hashedGramCounts]] whose per-bucket weight is the
+   * floor-bit Naive-Bayes log-odds — `w(b) = bits_drop(b) −
+   * bits_keep(b)` on the [[nbClassifier]] lattice (Laplace-smoothed,
+   * `floor(log₂)` via `length(bin(x))−1`, no floating `log` ever
+   * runs) — and whose intercept is the prior-bits difference. NB
+   * log-odds IS a valid linear weight assignment (what fastText
+   * converges toward on count features), so the model scores as
+   * `w0 + Σ m_b·w(b)`, predict keep iff the score is positive.
+   *
+   * Labels distill [[filterKeep]]; the h60-under-`trainPct` half
+   * (salt `qhsplit`) trains. Output: one row per bucket
+   * `(bucket, c_keep, c_drop, w)` — DENSE over all `nBuckets` (an
+   * unseen bucket's weight is the smoothing floor, not 0), so the
+   * table is exactly the fixed-length weight vector, broadcast-sized
+   * by construction.
+   */
+  def hashedQualityWeights(docs: DataFrame, nBuckets: Int = 4096,
+                           trainPct: Int = 50): DataFrame = {
+    val train = docs
+      .filter(samplePredicate(col("doc_id"), trainPct, "qhsplit"))
+    val labeled = train.select(col("doc_id"),
+      filterKeep(col("text")).as("label_keep"))
+    val cnt = hashedGramCounts(train, nBuckets)
+      .join(labeled, Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("label_keep"), col("m")).otherwise(lit(0L)))
+          .as("c_keep"),
+        sum(when(col("label_keep"), lit(0L)).otherwise(col("m")))
+          .as("c_drop"))
+    val tot = cnt.agg(
+      coalesce(sum(col("c_keep")), lit(0L)).as("n_keep_toks"),
+      coalesce(sum(col("c_drop")), lit(0L)).as("n_drop_toks"),
+      count(lit(1)).as("v"))
+    docs.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+      .join(cnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_keep", "c_drop"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_keep"), col("c_drop"),
+        (floorBits("(n_drop_toks + v) div (c_drop + 1)")
+          - floorBits("(n_keep_toks + v) div (c_keep + 1)")).as("w"))
+  }
+
+  /** The intercept of [[hashedQualityWeights]]' model: prior bits
+    * difference `priorDrop − priorKeep` as a single-row frame
+    * `(w0, n_train, n_keep_docs)`. */
+  def hashedQualityPrior(docs: DataFrame,
+                         trainPct: Int = 50): DataFrame =
+    docs.filter(samplePredicate(col("doc_id"), trainPct, "qhsplit"))
+      .select(filterKeep(col("text")).as("label_keep"))
+      .agg(count(lit(1)).as("n_train"),
+        coalesce(sum(when(col("label_keep"), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("n_keep_docs"))
+      .select(
+        (floorBits("(n_train + 2) div (n_train - n_keep_docs + 1)")
+          - floorBits("(n_train + 2) div (n_keep_docs + 1)")).as("w0"),
+        col("n_train"), col("n_keep_docs"))
+
+  /**
+   * Score documents under the deterministic hashed model:
+   * `score = w0 + Σ m_b·w(b)` over the doc's buckets, predict keep
+   * iff positive. One exploded aggregate + a broadcast join against
+   * the `nBuckets`-row weight vector + a single-row intercept
+   * crossJoin — gram-free documents score prior-only via the left
+   * join's 0-fill. Every cell integer, exactly oracle-replayable.
+   */
+  def hashedQualityScore(docs: DataFrame, weights: DataFrame,
+                         prior: DataFrame,
+                         nBuckets: Int = 4096): DataFrame = {
+    val scored = hashedGramCounts(docs, nBuckets)
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(col("m") * col("w")).as("dot"))
+    docs.select(col("doc_id"), filterKeep(col("text")).as("label_keep"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "dot"))
+      .crossJoin(broadcast(prior.select(col("w0"))))
+      .select(col("doc_id"), col("label_keep"), col("n_grams"),
+        (col("w0") + col("dot")).as("score"))
+      .withColumn("predicted_keep", col("score") > 0L)
+  }
+
+  /**
+   * LEARNED quality classifier — logistic regression over
+   * [[hashedGramCounts]] features, the public fastText/DCLM training
+   * recipe run in-engine: BATCH gradient descent with the weight
+   * vector as DRIVER state (the BPE-trainer pattern — driver memory
+   * is `nBuckets + 1` doubles, model-sized, never corpus-sized).
+   * Batch gradients are order-independent SUMS over the training
+   * half, so the result is deterministic across partitionings and
+   * retries — but the arithmetic is floating (sigmoid), so this
+   * variant is rows-only at the oracle gate; its accuracy floor and
+   * its agreement with the integer twin are spec-pinned
+   * (QualityClassifierSpec), the `sim_ivf_topk` discipline.
+   *
+   * Features are per-doc NORMALIZED counts (`m / Σm`, fastText's
+   * mean-of-embeddings shape) so scores stay in sigmoid's useful
+   * range regardless of document length. Per epoch: one broadcast
+   * join + two keyed aggregates over a cached feature frame; the
+   * gradient collect is `nBuckets`-sized.
+   *
+   * Returns `(w0, w)` — intercept and dense weight vector.
+   */
+  def trainQualityLr(docs: DataFrame, nBuckets: Int = 4096,
+                     trainPct: Int = 50, epochs: Int = 10,
+                     lr: Double = 2.0): (Double, Array[Double]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val train = docs
+      .filter(samplePredicate(col("doc_id"), trainPct, "qhsplit"))
+    val labeled = train.select(col("doc_id"),
+      filterKeep(col("text")).cast("double").as("y"))
+    val raw = hashedGramCounts(train, nBuckets)
+    val totals = raw.groupBy(col("doc_id")).agg(sum(col("m")).as("tm"))
+    val staged = raw.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        (col("m").cast("double") / col("tm")).as("x"))
+      .join(labeled, Seq("doc_id"))
+      .persist()
+    val nTrain = math.max(labeled.count(), 1L).toDouble
+    var w0 = 0.0
+    val w = new Array[Double](nBuckets)
+    for (_ <- 1 to epochs) {
+      val wDf = broadcast(w.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "wgt"))
+      val resid = staged.join(wDf, Seq("bucket"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg((lit(w0) + sum(col("x") * col("wgt"))).as("s"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s")))
+            - col("y")).as("r"))
+      val g0 = resid.agg(coalesce(sum(col("r")), lit(0.0)))
+        .head().getDouble(0)
+      val grad = staged.join(resid, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("x") * col("r")).as("g"))
+        .collect() // nBuckets-sized: the model, not the corpus
+      w0 -= lr * g0 / nTrain
+      for (row <- grad)
+        w(row.getLong(0).toInt) -= lr * row.getDouble(1) / nTrain
+    }
+    staged.unpersist()
+    (w0, w)
+  }
+
+  /** Score documents under a LEARNED `(w0, w)` model (same feature
+    * normalization as [[trainQualityLr]]); `score_ppm` is the margin
+    * in integer ppm for a stable rows-only output edge. */
+  def scoreQualityLr(docs: DataFrame, w0: Double, w: Array[Double],
+                     nBuckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "wgt"))
+    val raw = hashedGramCounts(docs, nBuckets)
+    val totals = raw.groupBy(col("doc_id")).agg(sum(col("m")).as("tm"))
+    val scored = raw.join(totals, Seq("doc_id"))
+      .join(wDf, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m").cast("double") / col("tm") * col("wgt"))
+        .as("dot"))
+    docs.select(col("doc_id"), filterKeep(col("text")).as("label_keep"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("dot"))
+      .select(col("doc_id"), col("label_keep"),
+        round((lit(w0) + col("dot")) * 1e6).cast("long")
+          .as("score_ppm"))
+      .withColumn("predicted_keep", col("score_ppm") > 0L)
+  }
+
+  /**
    * Operating curve of [[nbClassifier]]: confusion counts and exact
    * integer-ppm precision/recall at every decision threshold θ on the
    * floor-bit margin (`bits_drop − bits_keep`; the default verdict is
@@ -2506,13 +2712,20 @@ object TextOps {
   }
 
   /**
-   * C4 LINE-level quality rule (the public C4 recipe, Raffel et al.
-   * 2020 §2.2 — distinct from the corpus-keyed [[lineDedup]] and the
-   * doc-level [[qualityScore]]): a line KEEPS iff, trimmed, it ends
-   * in a terminal punctuation mark (`.` `!` `?` or a closing double
-   * quote), carries at least `minWords` word tokens, and does not
-   * mention "javascript" (case-insensitive) — the menu/boilerplate
-   * screen that runs BEFORE cross-doc dedup, purely doc-local.
+   * C4-STYLE line-level quality rule (after Raffel et al. 2020 §2.2,
+   * with deliberate deviations — r13 ADVICE; distinct from the
+   * corpus-keyed [[lineDedup]] and the doc-level [[qualityScore]]):
+   * a line KEEPS iff, trimmed, it ends in a terminal punctuation
+   * mark (`.` `!` `?` or a closing double quote), carries at least
+   * `minWords` word tokens, and does not mention "javascript"
+   * (case-insensitive) — the menu/boilerplate screen that runs
+   * BEFORE cross-doc dedup, purely doc-local. Deviations from the
+   * paper, stated: the default `minWords = 5` is STRICTER than the
+   * paper's 3-word line floor; "words" here are [[wordTokens]]
+   * (alphabetic `[a-z]+` runs), so numbers and punctuated tokens
+   * don't count toward the floor; and the paper's page-level
+   * 5-sentence floor is not this operator's job (compose it from
+   * `n_lines_kept` downstream, as pipeline_quality_gate does).
    * Page-level flags ride along: `has_curly` (the `{` code smell)
    * and `has_lorem` ("lorem ipsum") mark docs the C4 recipe drops
    * whole — emitted as flags, the caller decides (flag-don't-drop).

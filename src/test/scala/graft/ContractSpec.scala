@@ -45,9 +45,13 @@ class ContractSpec extends AnyFunSuite {
     // check — adding a query without one must be a DELIBERATE entry
     // here. sim_ivf_topk: officially rows-only since r13 (r12 verdict
     // item 8) — learned quantizer, schema + recall spec-pinned in
-    // IvfLearnedSpec.
+    // IvfLearnedSpec. text_quality_learned: rows-only since r14 (r13
+    // verdict item 6) — logistic regression, floating sigmoid; its
+    // accuracy floor and agreement with the integer-lattice twin
+    // (text_quality_hashed, hash-gated) are pinned in
+    // QualityClassifierSpec.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("sim_ivf_topk"),
+    assert(noOracle == Set("sim_ivf_topk", "text_quality_learned"),
       s"queries silently lacking a DuckDB oracle: $noOracle")
   }
 }

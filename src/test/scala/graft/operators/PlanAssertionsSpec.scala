@@ -829,6 +829,58 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("sitemapResolve: exactly maxDepth store joins, nothing cartesian") {
+    // r13 verdict item 7: the nested-index walk is CLOSED BY JOINS —
+    // maxDepth=2 in the registered query means exactly two
+    // string-keyed equi-joins against the child store (the fixture
+    // itself is join-free unions), never a cartesian and never a
+    // recursion
+    val df = graft.SparkEntry.queries("crawl_sitemap_nested")(
+      spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // two LOGICAL store joins; the plan TREE re-embeds them once per
+    // downstream union branch (levels 0..2 emit six branches carrying
+    // 0+1+1+2+2+2 = 8 join nodes — runtime reuses the exchanges), so
+    // the pin is the ceiling plus every join being loc-keyed equi
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.size <= 8,
+      s"join tree grew past the maxDepth=2 embedding bound:\n$p")
+    assert(joinLines.forall(_.contains("loc#")),
+      "a store join is not loc-keyed:\n" + joinLines.mkString("\n"))
+  }
+
+  test("revisit classification: ONE url-keyed equi-join, no window") {
+    // r13 verdict item 5: stored-validators × fetch-wave is a single
+    // keyed join plus narrow expressions — the stream-static-join
+    // safe shape
+    val df = graft.SparkEntry.queries("crawl_revisit")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected one url-keyed join, got $joins:\n$p")
+  }
+
+  test("quality-gate flagship: model joins broadcast, no cartesian") {
+    // r13 verdict item 6: the 1024-row weight vector and the
+    // single-row intercept broadcast; decile offsets broadcast; the
+    // only data-sized shuffles are the gram aggregate, the gate
+    // aggregate and the manifest — nothing cross-joins data-sized
+    // frames (single-row totals ride broadcast nested loops by
+    // design, so only CartesianProduct is banned)
+    val df = graft.SparkEntry.queries("pipeline_quality_gate")(
+      spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))

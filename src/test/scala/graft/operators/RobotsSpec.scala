@@ -143,6 +143,23 @@ class RobotsSpec extends SparkSpec {
       ("b.com", "https://b.com/only", 0L, 0L, 1L, 0L)))
   }
 
+  test("fetchSchedule: mixed W3C lastmod forms rank by INSTANT, not string") {
+    // r13 ADVICE: '2026-01-02T06:00:00+12:00' is 2026-01-01T18:00 UTC
+    // — OLDER than plain '2026-01-02' despite sorting lexicographically
+    // after it; an unparseable value ranks last, with the absent ones
+    val seeds = Seq(
+      ("https://a.com/offset", "2026-01-02T06:00:00+12:00"),
+      ("https://a.com/plain", "2026-01-02"),
+      ("https://a.com/junk", "not-a-date"),
+      ("https://a.com/full", "2026-01-02T12:00:00Z"))
+      .toDF("loc", "lastmod")
+    val idx = Robots.robotsHostIndex(rules(), "newsbot")
+    val got = Robots.fetchSchedule(seeds, idx)
+      .orderBy($"rank").select($"loc").as[String].collect().toSeq
+    assert(got == Seq("https://a.com/full", "https://a.com/plain",
+      "https://a.com/offset", "https://a.com/junk"))
+  }
+
   test("resolveRedirects: ok / loop / dangling / too_many, bounded hops") {
     val f = Seq(
       ("a", 301, "b"), ("b", 302, "c"), ("c", 200, null),
@@ -169,7 +186,56 @@ class RobotsSpec extends SparkSpec {
     assert(got("t2") == (("t4", 2L, Some(200), "ok")))
   }
 
-  test("retryPolicy: Retry-After beats backoff; 5xx drops past the budget") {
+  test("resolveUrl: RFC 3986 branches and dot-segment normalization") {
+    val cases = Seq(
+      // absolute passes through (fragment dropped)
+      ("https://a.com/u/1", "https://b.com/x#frag", "https://b.com/x"),
+      // protocol-relative takes the base scheme
+      ("https://a.com/u/1", "//b.com/x", "https://b.com/x"),
+      // root-relative takes scheme+authority, dot segments removed
+      ("https://a.com/u/1?q=2", "/a/b/../c", "https://a.com/a/c"),
+      // relative merges onto the base directory (§5.2.3)
+      ("https://a.com/u/1", "x/y", "https://a.com/u/x/y"),
+      // ../ pins: pops never pass the root; trailing ../ keeps slash
+      ("https://a.com/u/v/1", "../2?k=1", "https://a.com/u/2?k=1"),
+      ("https://a.com/u/1", "../../../x", "https://a.com/x"),
+      ("https://a.com/u/v/w", "..", "https://a.com/u/"),
+      ("https://a.com/u/1", "./x/./y", "https://a.com/u/x/y"),
+      // query-only replaces the base query
+      ("https://a.com/u/1?old=1", "?new=2", "https://a.com/u/1?new=2"),
+      // empty ref is the base
+      ("https://a.com/u/1", "", "https://a.com/u/1"),
+      // a non-absolute base cannot anchor: ref passes through raw
+      ("not-a-url", "x/y", "x/y"))
+    val got = cases.zipWithIndex
+      .map { case ((b, r, _), i) => (i, b, r) }
+      .toDF("i", "base", "ref")
+      .select($"i", Robots.resolveUrl($"base", $"ref").as("out"))
+      .as[(Int, String)].collect().toMap
+    for (((b, r, want), i) <- cases.zipWithIndex)
+      assert(got(i) == want, s"resolve($b, $r)")
+  }
+
+  test("resolveRedirects: relative Location targets chain-join (r13 item 3)") {
+    val f = Seq(
+      ("https://a.com/u/1", 301, "x/../2"),        // dot-segment hop
+      ("https://a.com/u/2", 302, "/u/3"),          // root-relative hop
+      ("https://a.com/u/3", 301, "//b.com/t"),     // protocol-relative
+      ("https://b.com/t", 200, null),
+      ("https://a.com/u/9", 301, "/ghost/9"))      // unfetched target
+      .toDF("url", "status", "location")
+    val got = Robots.resolveRedirects(f)
+      .select($"url", $"final_url", $"n_hops", $"outcome")
+      .as[(String, String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("https://a.com/u/1") ==
+      (("https://b.com/t", 3L, "ok")))
+    assert(got("https://a.com/u/2") == (("https://b.com/t", 2L, "ok")))
+    assert(got("https://a.com/u/9") ==
+      (("https://a.com/ghost/9", 1L, "dangling")))
+  }
+
+  test("retryPolicy: Retry-After beats backoff; 429 and 5xx drop past the budget") {
     val f = Seq(
       (1L, 200, 0L, null.asInstanceOf[java.lang.Long]),
       (2L, 302, 1L, null.asInstanceOf[java.lang.Long]),
@@ -179,7 +245,11 @@ class RobotsSpec extends SparkSpec {
       (6L, 503, 0L, null.asInstanceOf[java.lang.Long]), // backoff 10
       (7L, 503, 6L, null.asInstanceOf[java.lang.Long]), // >= maxAttempts
       (8L, 500, 2L, null.asInstanceOf[java.lang.Long]), // backoff 40
-      (9L, 503, 2L, java.lang.Long.valueOf(9L))) // Retry-After on 503 too
+      (9L, 503, 2L, java.lang.Long.valueOf(9L)), // Retry-After on 503 too
+      // r13 verdict item 4: a 429-forever host drops at the SAME
+      // budget as a 503-forever one — even with Retry-After present
+      (10L, 429, 3L, null.asInstanceOf[java.lang.Long]),
+      (11L, 429, 3L, java.lang.Long.valueOf(7L)))
       .toDF("doc_id", "status", "attempt", "retry_after")
     val got = Robots.retryPolicy(f)
       .select($"doc_id", $"action", $"next_fetch_sec")
@@ -190,13 +260,24 @@ class RobotsSpec extends SparkSpec {
       3L -> (("drop", None)), 4L -> (("retry", Some(7L))),
       5L -> (("retry", Some(40L))), 6L -> (("retry", Some(10L))),
       7L -> (("drop", None)), 8L -> (("retry", Some(40L))),
-      9L -> (("retry", Some(9L)))))
-    // the cap binds: attempt 31 would otherwise shift past the cap
+      9L -> (("retry", Some(9L))),
+      10L -> (("drop", None)), 11L -> (("drop", None))))
+    // the cap binds under a wider budget: attempt 8 shifts past it
     val capped = Robots.retryPolicy(
         Seq((1L, 429, 8L, null.asInstanceOf[java.lang.Long]))
-          .toDF("doc_id", "status", "attempt", "retry_after"))
+          .toDF("doc_id", "status", "attempt", "retry_after"),
+        maxAttempts = 10)
       .select($"next_fetch_sec").as[Long].head()
     assert(capped == 300L)
+    // shift clamp (r13 ADVICE): an untrusted attempt value far past
+    // any budget must never compute a negative backoff — here a
+    // wide-open budget still yields the saturated cap, not 1L<<63
+    val huge = Robots.retryPolicy(
+        Seq((1L, 503, 61L, null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "status", "attempt", "retry_after"),
+        maxAttempts = 62)
+      .select($"next_fetch_sec").as[Long].head()
+    assert(huge == 300L)
     // a NULL attempt is a first attempt: 503 retries at base backoff
     // instead of silently dropping through a null comparison
     val nullAttempt = Robots.retryPolicy(
@@ -206,6 +287,68 @@ class RobotsSpec extends SparkSpec {
       .select($"action", $"next_fetch_sec")
       .as[(String, Option[Long])].head()
     assert(nullAttempt == (("retry", Some(10L))))
+  }
+
+  test("revisitClassify: 304/digest/changed/new/error; unchanged deprioritized") {
+    val stored = Seq(
+      ("https://a.com/1", "d1"), ("https://a.com/2", "d2"),
+      ("https://a.com/3", "d3"), ("https://a.com/4", "d4"))
+      .toDF("url", "digest")
+    val fetched = Seq(
+      ("https://a.com/1", 304, null.asInstanceOf[String]), // validated
+      ("https://a.com/2", 200, "d2"),   // identical payload → revisit
+      ("https://a.com/3", 200, "d3x"),  // changed
+      ("https://a.com/4", 500, "x"),    // error → retry policy's job
+      ("https://a.com/9", 200, "d9"),   // never stored → new
+      ("https://a.com/8", 304, null.asInstanceOf[String])) // anomaly
+      .toDF("url", "status", "digest")
+    val got = Robots.revisitClassify(fetched, stored)
+      .select($"url", $"verdict", $"is_revisit", $"next_priority")
+      .as[(String, String, Boolean, Long)].collect()
+      .map(r => r._1.split('/').last -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "1" -> (("unchanged_304", true, 0L)),
+      "2" -> (("unchanged_digest", true, 0L)),
+      "3" -> (("changed", false, 2L)),
+      "4" -> (("error", false, 1L)),
+      "9" -> (("new", false, 2L)),
+      "8" -> (("error", false, 1L))))
+  }
+
+  test("sitemapResolve: nested index chains, dangling pointers, depth budget") {
+    val roots = Seq((1L,
+      "<sitemapindex><sitemap><loc>https://a.com/m.xml</loc></sitemap>" +
+        "<sitemap><loc>https://a.com/gone.xml</loc></sitemap>" +
+        "</sitemapindex>"))
+      .toDF("doc_id", "xml")
+    val store = Seq(
+      ("https://a.com/m.xml",
+        "<sitemapindex><sitemap><loc>https://a.com/l.xml</loc></sitemap>" +
+          "<sitemap><loc>https://a.com/m2.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      ("https://a.com/l.xml",
+        "<urlset><url><loc>https://a.com/p1</loc>" +
+          "<lastmod>2026-01-01</lastmod></url></urlset>"),
+      // m2 is ANOTHER index — still unresolved at maxDepth=2
+      ("https://a.com/m2.xml",
+        "<sitemapindex><sitemap><loc>https://a.com/l2.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+      .toDF("url", "xml")
+    val got = Robots.sitemapResolve(roots, store, maxDepth = 2)
+      .select($"doc_id", $"depth", $"loc", $"kind")
+      .as[(Long, Long, String, String)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq(
+      (1L, 0L, "https://a.com/gone.xml", "dangling"),
+      (1L, 2L, "https://a.com/l2.xml", "too_deep"),
+      (1L, 2L, "https://a.com/p1", "seed")))
+    // a urlset handed straight in seeds at depth 0
+    val flat = Robots.sitemapResolve(
+        Seq((2L, "<urlset><url><loc>https://b.com/x</loc></url></urlset>"))
+          .toDF("doc_id", "xml"),
+        store, maxDepth = 2)
+      .select($"depth", $"loc", $"kind").as[(Long, String, String)]
+      .collect().toSeq
+    assert(flat == Seq((0L, "https://b.com/x", "seed")))
   }
 
   test("robotsRules: rules before any User-agent are ignored; empty values survive") {
