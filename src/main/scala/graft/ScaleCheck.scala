@@ -512,6 +512,40 @@ object ScaleCheck {
                   ev: DataFrame): Seq[(String, () => DataFrame)] = {
     import graft.operators.{CdcOps, Graph, Multimodal}
     Seq(
+      "text_quality_hashed" -> (() => {
+        // train + score of the hashed-ngram classifier (r14): the
+        // model is a FIXED 1024-row weight vector regardless of
+        // corpus size (the hashing trick), so the probe pins that the
+        // only data-sized work is the exploded gram aggregate — the
+        // score-side model join must broadcast at every scale
+        val w = TextOps.hashedQualityWeights(docs, nBuckets = 1024)
+        val p = TextOps.hashedQualityPrior(docs)
+        TextOps.hashedQualityScore(docs, w, p, nBuckets = 1024)
+          .groupBy(col("predicted_keep"))
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
+      }),
+      "crawl_revisit" -> (() => {
+        // stored-validators × fetch-wave classification (r14): ONE
+        // url-keyed equi-join + narrow expressions — join bytes must
+        // track the corpus linearly, nothing quadratic anywhere
+        import graft.operators.Robots
+        val u = concat(lit("https://s"),
+          pmod(col("doc_id"), lit(97L)).cast("string"), lit(".com/rv/"),
+          col("doc_id").cast("string"))
+        val stored = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3)
+          .select(u.as("url"),
+            md5(coalesce(col("text"), lit(""))).as("digest"))
+        val sv = pmod(col("doc_id"), lit(5L))
+        val fetched = docs.select(u.as("url"),
+          when(sv === 0, lit(304)).when(sv === 1, lit(503))
+            .otherwise(lit(200)).as("status"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+              md5(coalesce(col("text"), lit(""))))
+            .otherwise(md5(concat(coalesce(col("text"), lit("")),
+              lit("~v2")))).as("digest"))
+        Robots.revisitClassify(fetched, stored)
+          .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      }),
       "crawl_redirects" -> (() => {
         // the bounded chain walk at corpus scale: 5 keyed joins over a
         // pending set that SHRINKS each hop (4/5 of rows resolve by

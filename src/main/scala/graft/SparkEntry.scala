@@ -1593,6 +1593,66 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "crawl_revisit_records" -> ((s, dir) => {
+      // the STORAGE side of the revisit cycle: unchanged captures
+      // render as zero-payload WARC revisit records (ISO 28500
+      // §6.7.2) — header math is pure Column strings, and the output
+      // round-trips through warcRecords (spec). Same fixture as
+      // crawl_revisit; only the is_revisit rows render
+      val docs = t(s, dir, "documents")
+      val u = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/rv/"),
+        col("doc_id").cast("string"))
+      val stored = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3)
+        .select(u.as("url"),
+          md5(coalesce(col("text"), lit(""))).as("digest"))
+      val sv = pmod(col("doc_id"), lit(5L))
+      val fetched = docs.select(col("doc_id"), u.as("url"),
+        when(sv === 0, lit(304)).when(sv === 1, lit(503))
+          .otherwise(lit(200)).as("status"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+            md5(coalesce(col("text"), lit(""))))
+          .otherwise(md5(concat(coalesce(col("text"), lit("")),
+            lit("~v2")))).as("digest"))
+      val rec = graft.operators.Warc.revisitHeader(
+        col("url"), lit("2026-08-01T00:00:00Z"), col("url"),
+        lit("2026-06-01T00:00:00Z"),
+        concat(lit("md5:"), col("prev_digest")))
+      graft.operators.Robots.revisitClassify(fetched, stored)
+        .filter(col("is_revisit"))
+        .select(col("doc_id"), col("verdict"),
+          length(rec).cast("long").as("rec_len"),
+          md5(rec).as("rec_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "crawl_conditional_fetch" -> ((s, dir) => {
+      // the leg between schedule and revisit (completes the r13-item-5
+      // cycle): stored validators → RFC 9110 conditional headers.
+      // Four legs: ETag only, Last-Modified only, both (both headers
+      // sent — servers must prefer If-None-Match), never stored
+      // (unconditional). One url-keyed join, all-string lattice
+      val docs = t(s, dir, "documents")
+      val u = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/rv/"),
+        col("doc_id").cast("string"))
+      val sv = pmod(col("doc_id"), lit(4L))
+      val stored = docs.filter(sv =!= 3)
+        .select(u.as("url"),
+          when(sv =!= 1, concat(lit("\"v"),
+            pmod(col("doc_id"), lit(1000L)).cast("string"), lit("\"")))
+            .otherwise(lit("")).as("etag"),
+          when(sv =!= 0, concat(lit("Mon, 0"),
+            (pmod(col("doc_id"), lit(7L)) + 1).cast("string"),
+            lit(" Jun 2026 00:00:00 GMT")))
+            .otherwise(lit("")).as("last_modified"))
+      val schedule = docs.select(col("doc_id"), u.as("url"))
+      graft.operators.Robots.conditionalFetchPlan(schedule, stored)
+        .select(col("doc_id"), col("url"), col("if_none_match"),
+          col("if_modified_since"), col("conditional"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_sitemap_nested" -> ((s, dir) => {
       // bounded MULTI-LEVEL sitemap resolution (r13 verdict item 7):
       // index→index→urlset closed in ONE sitemapResolve call — root
@@ -6948,6 +7008,49 @@ object SparkEntry {
                 WHEN verdict = 'error' THEN 1 ELSE 0 END AS BIGINT)
                 AS next_priority
             FROM v ORDER BY doc_id""",
+
+      "crawl_revisit_records" ->
+        s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+            f AS (SELECT doc_id,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/rv/' || CAST(doc_id AS VARCHAR) AS url,
+                md5(coalesce(text, '')) AS prev_digest,
+                CASE WHEN doc_id % 4 = 3 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN 'unchanged_304'
+                  WHEN doc_id % 5 <> 1 AND doc_id % 3 = 0
+                    THEN 'unchanged_digest'
+                  ELSE NULL END AS verdict
+              FROM documents),
+            r AS (SELECT doc_id, verdict,
+                'WARC/1.1' || nl || 'WARC-Type: revisit' || nl
+                || 'WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest' || nl
+                || 'WARC-Target-URI: ' || url || nl
+                || 'WARC-Date: 2026-08-01T00:00:00Z' || nl
+                || 'WARC-Refers-To-Target-URI: ' || url || nl
+                || 'WARC-Refers-To-Date: 2026-06-01T00:00:00Z' || nl
+                || 'WARC-Payload-Digest: md5:' || prev_digest || nl
+                || 'Content-Length: 0' || nl || nl AS rec
+              FROM f, c WHERE verdict IS NOT NULL)
+            SELECT doc_id, verdict,
+              CAST(length(rec) AS BIGINT) AS rec_len,
+              md5(rec) AS rec_fp
+            FROM r ORDER BY doc_id""",
+
+      "crawl_conditional_fetch" ->
+        s"""WITH f AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS sv,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/rv/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT doc_id, url,
+              CASE WHEN sv IN (0, 2) THEN '"v'
+                || CAST(doc_id % 1000 AS VARCHAR) || '"'
+                ELSE NULL END AS if_none_match,
+              CASE WHEN sv IN (1, 2) THEN 'Mon, 0'
+                || CAST(doc_id % 7 + 1 AS VARCHAR)
+                || ' Jun 2026 00:00:00 GMT'
+                ELSE NULL END AS if_modified_since,
+              sv <> 3 AS conditional
+            FROM f ORDER BY doc_id""",
 
       "crawl_sitemap_nested" ->
         s"""WITH js AS (SELECT unnest([0, 1]) AS j),

@@ -590,6 +590,38 @@ object Robots {
       .drop("__stored")
   }
 
+  /**
+   * Conditional-request PLAN — the leg between [[fetchSchedule]]
+   * (WHEN to refetch) and [[revisitClassify]] (WHAT CHANGED): each
+   * scheduled URL joins its stored validators and emits the
+   * conditional headers a fetcher sends (RFC 9110 §13.1):
+   * `if_none_match` from the stored ETag, `if_modified_since` from
+   * the stored Last-Modified (both when both exist — §13.1.2 servers
+   * MUST prefer If-None-Match), `conditional` when either is
+   * present. A URL with no stored validators fetches unconditionally
+   * (`conditional = false`, null headers) — the `new` leg of the
+   * revisit cycle. Same scale shape as [[revisitClassify]]: one
+   * url-keyed equi-join + narrow expressions, stream-static safe.
+   */
+  def conditionalFetchPlan(schedule: DataFrame, stored: DataFrame,
+                           urlCol: String = "url",
+                           etagCol: String = "etag",
+                           lastModifiedCol: String = "last_modified")
+      : DataFrame = {
+    val st = stored.select(col(urlCol).as("__cu"),
+      col(etagCol).as("__etag"),
+      col(lastModifiedCol).as("__lastmod"))
+    schedule.join(st, schedule(urlCol) === col("__cu"), "left_outer")
+      .withColumn("if_none_match",
+        when(col("__etag") =!= "", col("__etag")))
+      .withColumn("if_modified_since",
+        when(col("__lastmod") =!= "", col("__lastmod")))
+      .withColumn("conditional",
+        col("if_none_match").isNotNull ||
+          col("if_modified_since").isNotNull)
+      .drop("__cu", "__etag", "__lastmod")
+  }
+
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
     * trailing `%` (anchored at path end). */

@@ -315,6 +315,28 @@ class RobotsSpec extends SparkSpec {
       "8" -> (("error", false, 1L))))
   }
 
+  test("conditionalFetchPlan: validators become RFC 9110 headers") {
+    val stored = Seq(
+      ("https://a.com/1", "\"e1\"", ""),
+      ("https://a.com/2", "", "Mon, 01 Jun 2026 00:00:00 GMT"),
+      ("https://a.com/3", "\"e3\"", "Tue, 02 Jun 2026 00:00:00 GMT"))
+      .toDF("url", "etag", "last_modified")
+    val sched = Seq("https://a.com/1", "https://a.com/2",
+      "https://a.com/3", "https://a.com/9").toDF("url")
+    val got = Robots.conditionalFetchPlan(sched, stored)
+      .select($"url", $"if_none_match", $"if_modified_since",
+        $"conditional")
+      .as[(String, Option[String], Option[String], Boolean)]
+      .collect().map(r => r._1.split('/').last -> (r._2, r._3, r._4))
+      .toMap
+    assert(got == Map(
+      "1" -> ((Some("\"e1\""), None, true)),
+      "2" -> ((None, Some("Mon, 01 Jun 2026 00:00:00 GMT"), true)),
+      "3" -> ((Some("\"e3\""),
+        Some("Tue, 02 Jun 2026 00:00:00 GMT"), true)),
+      "9" -> ((None, None, false)))) // never stored → unconditional
+  }
+
   test("sitemapResolve: nested index chains, dangling pointers, depth budget") {
     val roots = Seq((1L,
       "<sitemapindex><sitemap><loc>https://a.com/m.xml</loc></sitemap>" +

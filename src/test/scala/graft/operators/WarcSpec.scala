@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.operators.Warc.{HttpResponse, WarcFileRow, WarcRecord}
@@ -178,6 +179,20 @@ class WarcSpec extends SparkSpec {
           .as[WarcFileRow], maxBlockBytes = 1024L)
       .collect().toSeq.sortBy(_.rec_ord)
     assert(gotGz.map(r => (r.rec_ord, r.ok)) == Seq((0, false), (1, true)))
+  }
+
+  test("revisitHeader renders a valid zero-payload record that round-trips") {
+    val df = Seq(("https://a.com/p", "md5:abc123"))
+      .toDF("url", "digest")
+      .select(encode(Warc.revisitHeader($"url",
+        lit("2026-08-01T00:00:00Z"), $"url",
+        lit("2026-06-01T00:00:00Z"), $"digest"), "UTF-8").as("payload"))
+      .select(lit(1L).as("id"), $"payload")
+    val got = Warc.warcRecords(df.as[WarcFileRow]).collect().toSeq
+    assert(got.map(r => (r.ok, r.warc_type, r.target_uri,
+      r.content_length)) ==
+      Seq((true, "revisit", "https://a.com/p", 0L)))
+    assert(got.head.warc_version == "1.1")
   }
 
   test("readWarcFilesStream: streaming source matches binaryFile source") {
