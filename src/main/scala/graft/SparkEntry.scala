@@ -1911,10 +1911,14 @@ object SparkEntry {
       // sigmoid arithmetic; accuracy floor + integer-twin agreement
       // spec-pinned in QualityClassifierSpec, the sim_ivf_topk
       // discipline): logistic regression over the same hashed
-      // features, batch GD with the weight vector as driver state
+      // features, batch GD with the weight vector as driver state.
+      // epochs = 3 at the gate (each epoch is a full-corpus pass:
+      // broadcast join + two keyed aggregates — the registered cost
+      // is the TRAINER'S, linear in epochs; the accuracy-floor spec
+      // trains 8 on its synthetic corpus)
       val docs = t(s, dir, "documents")
       val (w0, wv) = TextOps.trainQualityLr(docs, nBuckets = 1024,
-        epochs = 5)
+        epochs = 3)
       TextOps.scoreQualityLr(
           docs.filter(!TextOps.samplePredicate(col("doc_id"), 50,
             "qhsplit")), w0, wv, nBuckets = 1024)
