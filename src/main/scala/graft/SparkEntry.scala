@@ -24,6 +24,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     ChangeLogSource.table(s, dir, name)
 
+  /** Shared fixture for the revisit pair (`crawl_revisit` /
+    * `crawl_revisit_records`): (fetched wave, stored validators) over
+    * the same url lattice — every 4th doc never stored, status by
+    * doc_id%5 (304 / 503 / 200), digest unchanged on doc_id%3==0.
+    * ONE definition so a lattice tweak can't desynchronize the two
+    * oracles. */
+  private def revisitFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val u = concat(lit("https://site"),
+      pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/rv/"),
+      col("doc_id").cast("string"))
+    val stored = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3)
+      .select(u.as("url"),
+        md5(coalesce(col("text"), lit(""))).as("digest"))
+    val sv = pmod(col("doc_id"), lit(5L))
+    val fetched = docs.select(col("doc_id"), u.as("url"),
+      when(sv === 0, lit(304)).when(sv === 1, lit(503))
+        .otherwise(lit(200)).as("status"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+          md5(coalesce(col("text"), lit(""))))
+        .otherwise(md5(concat(coalesce(col("text"), lit("")),
+          lit("~v2")))).as("digest"))
+    (fetched, stored)
+  }
+
   /** Every 5th document with every 50th re-planted under a shifted
     * id — deterministic exact near-dups so the wide (30-bit band)
     * pHash queries verify actual pairs at any SF. The 1/5 subset
@@ -1572,21 +1598,7 @@ object SparkEntry {
       // digest-identical 200 (store a pointer, not bytes), changed
       // 200, never-stored new URL, error. ONE url-keyed join + narrow
       // expressions; digest comparison exactly oracle-replayable
-      val docs = t(s, dir, "documents")
-      val u = concat(lit("https://site"),
-        pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/rv/"),
-        col("doc_id").cast("string"))
-      val stored = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3)
-        .select(u.as("url"),
-          md5(coalesce(col("text"), lit(""))).as("digest"))
-      val sv = pmod(col("doc_id"), lit(5L))
-      val fetched = docs.select(col("doc_id"), u.as("url"),
-        when(sv === 0, lit(304)).when(sv === 1, lit(503))
-          .otherwise(lit(200)).as("status"),
-        when(pmod(col("doc_id"), lit(3L)) === 0,
-            md5(coalesce(col("text"), lit(""))))
-          .otherwise(md5(concat(coalesce(col("text"), lit("")),
-            lit("~v2")))).as("digest"))
+      val (fetched, stored) = revisitFixture(s, dir)
       graft.operators.Robots.revisitClassify(fetched, stored)
         .select(col("doc_id"), col("status"), col("verdict"),
           col("is_revisit"), col("next_priority"))
@@ -1598,22 +1610,9 @@ object SparkEntry {
       // render as zero-payload WARC revisit records (ISO 28500
       // §6.7.2) — header math is pure Column strings, and the output
       // round-trips through warcRecords (spec). Same fixture as
-      // crawl_revisit; only the is_revisit rows render
-      val docs = t(s, dir, "documents")
-      val u = concat(lit("https://site"),
-        pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/rv/"),
-        col("doc_id").cast("string"))
-      val stored = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3)
-        .select(u.as("url"),
-          md5(coalesce(col("text"), lit(""))).as("digest"))
-      val sv = pmod(col("doc_id"), lit(5L))
-      val fetched = docs.select(col("doc_id"), u.as("url"),
-        when(sv === 0, lit(304)).when(sv === 1, lit(503))
-          .otherwise(lit(200)).as("status"),
-        when(pmod(col("doc_id"), lit(3L)) === 0,
-            md5(coalesce(col("text"), lit(""))))
-          .otherwise(md5(concat(coalesce(col("text"), lit("")),
-            lit("~v2")))).as("digest"))
+      // crawl_revisit (shared via revisitFixture); only the
+      // is_revisit rows render
+      val (fetched, stored) = revisitFixture(s, dir)
       val rec = graft.operators.Warc.revisitHeader(
         col("url"), lit("2026-08-01T00:00:00Z"), col("url"),
         lit("2026-06-01T00:00:00Z"),

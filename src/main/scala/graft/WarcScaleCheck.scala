@@ -29,10 +29,12 @@ object WarcScaleCheck {
                         inflatedBytes: Long): Long = {
     val out = new GZIPOutputStream(
       java.nio.file.Files.newOutputStream(path), 1 << 16)
-    val bodyUnit = ("All work and no play makes a crawl corpus dull. " +
-      "0123456789 abcdefghijklmnopqrstuvwxyz.\n" * 100)
+    // parens are load-bearing: * binds tighter than +, so without
+    // them only the second literal repeats (~28 KiB records)
+    val bodyUnit = (("All work and no play makes a crawl corpus dull. " +
+      "0123456789 abcdefghijklmnopqrstuvwxyz.\n") * 100)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    // ~64 KiB body per record
+    // ~62 KiB body per record
     val body = Array.fill(7)(bodyUnit).flatten
     var written = 0L
     var n = 0L

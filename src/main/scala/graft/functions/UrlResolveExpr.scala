@@ -85,8 +85,12 @@ object UrlResolve {
     if (r.startsWith("/")) prefix + removeDotSegments(refPath) + refQuery
     else if (r.startsWith("?")) prefix + bPath + r
     else {
+      // RFC 3986 §5.2.3: a base with an authority and an EMPTY path
+      // merges as "/" + ref (a query-only base like "https://a.com?q"
+      // has bPath "" — without the floor the host and ref glue into
+      // "a.compage.html")
       val cut = bPath.lastIndexOf('/')
-      val dir = if (cut < 0) bPath else bPath.substring(0, cut + 1)
+      val dir = if (cut < 0) "/" else bPath.substring(0, cut + 1)
       prefix + removeDotSegments(dir + refPath) + refQuery
     }
   }

@@ -477,10 +477,12 @@ object Robots {
                   attemptCol: String = "attempt",
                   retryAfterCol: String = "retry_after"): DataFrame = {
     val s = col(statusCol)
-    // a null attempt is a FIRST attempt — untrusted fetch logs carry
-    // nulls, and null < maxAttempts is null (which would silently
-    // route a retryable 503 into the otherwise-'drop' branch)
-    val a = coalesce(col(attemptCol), lit(0L))
+    // a null or negative attempt is a FIRST attempt — untrusted fetch
+    // logs carry both, null < maxAttempts is null (which would
+    // silently route a retryable 503 into the otherwise-'drop'
+    // branch), and a negative shift count wraps mod 64 into a 2^62
+    // overflow backoff
+    val a = greatest(coalesce(col(attemptCol), lit(0L)), lit(0L))
     // call_function: the Scala shiftleft() helper only takes literal
     // bit counts; the SQL function form shifts by a column
     val backoff = least(lit(baseSec) *

@@ -118,19 +118,33 @@ object Warc {
     * continues the previous header's value — the WARC grammar allows
     * folding) then build the case-insensitive `Name: value` map;
     * first occurrence wins. */
-  private[operators] def headerMap(lines: Seq[String]): Map[String, String] = {
-    val unfolded = lines.foldLeft(List.empty[String]) { (acc, ln) =>
+  private def unfoldLines(lines: Seq[String]): Seq[String] =
+    lines.foldLeft(List.empty[String]) { (acc, ln) =>
       if (ln.nonEmpty && (ln.head == ' ' || ln.head == '\t') && acc.nonEmpty)
         (acc.head + " " + ln.trim) :: acc.tail
       else ln :: acc
     }.reverse
-    unfolded.flatMap { ln =>
+
+  private[operators] def headerMap(lines: Seq[String]): Map[String, String] =
+    unfoldLines(lines).flatMap { ln =>
       val i = ln.indexOf(':')
       if (i <= 0) None
       else Some(ln.substring(0, i).trim.toLowerCase ->
         ln.substring(i + 1).trim)
     }.reverse.toMap // reverse so the FIRST occurrence wins the map
-  }
+
+  /** ALL values of a repeated header, in wire order — RFC 9110 §5.3
+    * makes repeated field lines equivalent to one comma-joined list,
+    * so a final-coding check must see every occurrence, not the
+    * map's first-wins pick. */
+  private[operators] def headerValues(lines: Seq[String],
+                                      name: String): Seq[String] =
+    unfoldLines(lines).flatMap { ln =>
+      val i = ln.indexOf(':')
+      if (i > 0 && ln.substring(0, i).trim.equalsIgnoreCase(name))
+        Some(ln.substring(i + 1).trim)
+      else None
+    }
 
   /**
    * The streaming record parser: one WARC file's byte STREAM → its
@@ -299,26 +313,35 @@ object Warc {
   private[operators] def parseMaybeGz(id: Long, payload: Array[Byte],
       maxBlockBytes: Long = DefaultMaxBlockBytes): Iterator[WarcRecord] = {
     val p = if (payload == null) Array.empty[Byte] else payload
-    if (!isGzip(p))
-      new WarcRecordIterator(id, new ByteArrayInputStream(p),
-        maxBlockBytes, "read error")
-    else
-      // the BufferedInputStream over the inflater is load-bearing:
-      // the header scan reads single bytes, and an unbuffered
-      // InflaterInputStream.read() is one JNI inflate call PLUS a
-      // temp allocation PER BYTE (measured 4x the whole operator's
-      // CPU at the 100x probe scale before buffering)
-      try new WarcRecordIterator(id,
-        new BufferedInputStream(
-          new GZIPInputStream(new ByteArrayInputStream(p), 64 * 1024),
-          64 * 1024),
-        maxBlockBytes, "corrupt gzip")
-      catch { case e: IOException =>
-        Iterator.single(WarcRecord(id, 0, ok = false, null, null, null,
-          null, -1L, null, s"corrupt gzip: ${Option(e.getMessage)
-            .getOrElse(e.getClass.getSimpleName)}"))
-      }
+    recordsFromStream(id, new ByteArrayInputStream(p), isGzip(p),
+      maxBlockBytes)._1
   }
+
+  /** The one copy of the stream ladder shared by the byte-array and
+    * PortableDataStream paths: wrap `in` per the gzip flag and return
+    * (record iterator, OUTERMOST stream — what a caller must close to
+    * end the Inflater's native buffers). The BufferedInputStream over
+    * the inflater is load-bearing: the header scan reads single
+    * bytes, and an unbuffered InflaterInputStream.read() is one JNI
+    * inflate call PLUS a temp allocation PER BYTE (measured 4x the
+    * whole operator's CPU at the 100x probe scale before buffering).
+    * A gzip header flaw at open quarantines as one row. */
+  private def recordsFromStream(id: Long, in: java.io.InputStream,
+      gz: Boolean, maxBlockBytes: Long)
+      : (Iterator[WarcRecord], java.io.InputStream) =
+    if (!gz)
+      (new WarcRecordIterator(id, in, maxBlockBytes, "read error"), in)
+    else
+      try {
+        val top = new BufferedInputStream(
+          new GZIPInputStream(in, 64 * 1024), 64 * 1024)
+        (new WarcRecordIterator(id, top, maxBlockBytes, "corrupt gzip"),
+          top)
+      } catch { case e: IOException =>
+        (Iterator.single(WarcRecord(id, 0, ok = false, null, null, null,
+          null, -1L, null, s"corrupt gzip: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getSimpleName)}")), in)
+      }
 
   /** The boundary operator: every WARC file → its record rows, with
     * the [[HtmlBytes]] quarantine discipline on malformed input.
@@ -384,33 +407,23 @@ object Warc {
       .flatMap { case (p, pds) =>
         val id = pathId(p)
         val raw = new BufferedInputStream(pds.open(), 64 * 1024)
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            try raw.close() catch { case _: IOException => () }
-          })
         raw.mark(2)
         val b0 = raw.read(); val b1 = raw.read()
         raw.reset()
         val gz = b0 == 0x1F && b1 == 0x8B
-        val it: Iterator[WarcRecord] =
-          if (!gz) new WarcRecordIterator(id, raw, maxBlockBytes,
-            "read error")
-          else
-            // buffered over the inflater — see parseMaybeGz
-            try new WarcRecordIterator(id,
-              new BufferedInputStream(
-                new GZIPInputStream(raw, 64 * 1024), 64 * 1024),
-              maxBlockBytes, "corrupt gzip")
-            catch { case e: IOException =>
-              Iterator.single(WarcRecord(id, 0, ok = false, null, null,
-                null, null, -1L, null,
-                s"corrupt gzip: ${Option(e.getMessage)
-                  .getOrElse(e.getClass.getSimpleName)}"))
-            }
+        // `top` is the OUTERMOST stream: closing only `raw` on a gzip
+        // file leaves the GZIPInputStream's Inflater native buffers
+        // un-ended until GC — off-heap creep over thousands of files
+        // per task
+        val (it, top) = recordsFromStream(id, raw, gz, maxBlockBytes)
+        def closeTop(): Unit =
+          try top.close() catch { case _: IOException => () }
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeTop()))
         new Iterator[(String, WarcRecord)] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) try raw.close() catch { case _: IOException => () }
+            if (!h) closeTop()
             h
           }
           override def next(): (String, WarcRecord) = (p, it.next())
@@ -436,7 +449,11 @@ object Warc {
    * stringify discipline — codegen'd, no UDF); the output is itself
    * a valid zero-length WARC record, so it round-trips through
    * [[warcRecords]] (spec-pinned). `payloadDigest` arrives labelled
-   * (`algo:value` per the spec's digest format).
+   * (`algo:value` per the spec's digest format). Interpolated values
+   * come from UNTRUSTED crawl logs: raw CR/LF inside a URI would
+   * inject forged header lines or a premature block terminator into
+   * the rendered record, so they're stripped before concatenation
+   * (a legitimate URI carries them only %-encoded).
    */
   def revisitHeader(targetUri: org.apache.spark.sql.Column,
                     warcDate: org.apache.spark.sql.Column,
@@ -444,14 +461,16 @@ object Warc {
                     refersToDate: org.apache.spark.sql.Column,
                     payloadDigest: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{concat, lit}
+    import org.apache.spark.sql.functions.{concat, lit, regexp_replace}
+    def clean(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "[\\r\\n]", "")
     concat(
       lit("WARC/1.1\r\nWARC-Type: revisit\r\nWARC-Profile: " +
-        RevisitProfileUri + "\r\nWARC-Target-URI: "), targetUri,
-      lit("\r\nWARC-Date: "), warcDate,
-      lit("\r\nWARC-Refers-To-Target-URI: "), refersToUri,
-      lit("\r\nWARC-Refers-To-Date: "), refersToDate,
-      lit("\r\nWARC-Payload-Digest: "), payloadDigest,
+        RevisitProfileUri + "\r\nWARC-Target-URI: "), clean(targetUri),
+      lit("\r\nWARC-Date: "), clean(warcDate),
+      lit("\r\nWARC-Refers-To-Target-URI: "), clean(refersToUri),
+      lit("\r\nWARC-Refers-To-Date: "), clean(refersToDate),
+      lit("\r\nWARC-Payload-Digest: "), clean(payloadDigest),
       lit("\r\nContent-Length: 0\r\n\r\n"))
   }
 
@@ -528,9 +547,12 @@ object Warc {
             val cs = CharsetParam.findFirstMatchIn(ct)
               .map(_.group(1)).orNull
             val status = m.group(1).toInt
-            val chunked = h.get("transfer-encoding").exists(
-              _.split(",").map(_.trim.toLowerCase).lastOption
-                .contains("chunked"))
+            // repeated Transfer-Encoding lines concatenate in wire
+            // order (RFC 9110 §5.3): "gzip" then "chunked" on two
+            // lines is chunked-final just like "gzip, chunked"
+            val chunked = headerValues(lines.tail, "transfer-encoding")
+              .flatMap(_.split(",").map(_.trim.toLowerCase))
+              .filter(_.nonEmpty).lastOption.contains("chunked")
             if (!chunked) {
               val body =
                 java.util.Arrays.copyOfRange(b, hdrEnd + 4, b.length)

@@ -203,6 +203,11 @@ class RobotsSpec extends SparkSpec {
       ("https://a.com/u/1", "./x/./y", "https://a.com/u/x/y"),
       // query-only replaces the base query
       ("https://a.com/u/1?old=1", "?new=2", "https://a.com/u/1?new=2"),
+      // §5.2.3: authority + EMPTY path merges as "/" + ref — both the
+      // bare-host base and the query-only base (whose path-and-query
+      // starts at '?', leaving an empty path to merge onto)
+      ("https://a.com", "page.html", "https://a.com/page.html"),
+      ("https://a.com?q=1", "page.html", "https://a.com/page.html"),
       // empty ref is the base
       ("https://a.com/u/1", "", "https://a.com/u/1"),
       // a non-absolute base cannot anchor: ref passes through raw
@@ -287,6 +292,16 @@ class RobotsSpec extends SparkSpec {
       .select($"action", $"next_fetch_sec")
       .as[(String, Option[Long])].head()
     assert(nullAttempt == (("retry", Some(10L))))
+    // a NEGATIVE attempt (untrusted log) is also a first attempt:
+    // without the floor, shiftleft(1L, -2) wraps mod 64 into 1L<<62
+    // and the backoff overflows negative
+    val negAttempt = Robots.retryPolicy(
+        Seq((1L, 503, java.lang.Long.valueOf(-2L),
+          null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "status", "attempt", "retry_after"))
+      .select($"action", $"next_fetch_sec")
+      .as[(String, Option[Long])].head()
+    assert(negAttempt == (("retry", Some(10L))))
   }
 
   test("revisitClassify: 304/digest/changed/new/error; unchanged deprioritized") {

@@ -193,6 +193,21 @@ class WarcSpec extends SparkSpec {
       r.content_length)) ==
       Seq((true, "revisit", "https://a.com/p", 0L)))
     assert(got.head.warc_version == "1.1")
+    // untrusted values are CR/LF-stripped before concatenation: a
+    // URI carrying raw CRLF must not inject forged header lines or a
+    // premature terminator — still ONE valid record
+    val hostile = Seq(("https://a.com/x\r\nContent-Length: 999",
+        "md5:abc\rdef"))
+      .toDF("url", "digest")
+      .select(encode(Warc.revisitHeader($"url",
+        lit("2026-08-01T00:00:00Z"), $"url",
+        lit("2026-06-01T00:00:00Z"), $"digest"), "UTF-8").as("payload"))
+      .select(lit(2L).as("id"), $"payload")
+    val h = Warc.warcRecords(hostile.as[WarcFileRow]).collect().toSeq
+    assert(h.map(r => (r.ok, r.warc_type, r.target_uri,
+      r.content_length)) ==
+      Seq((true, "revisit",
+        "https://a.com/xContent-Length: 999", 0L)))
   }
 
   test("readWarcFilesStream: streaming source matches binaryFile source") {
@@ -284,6 +299,19 @@ class WarcSpec extends SparkSpec {
         Seq((9L, notFinal)).toDF("id", "payload").as[WarcFileRow]))
       .collect().head
     assert(r2.ok && new String(r2.body) == "raw")
+    // REPEATED Transfer-Encoding field lines concatenate in wire
+    // order (RFC 9110 §5.3): "gzip" then "chunked" on separate lines
+    // is chunked-final even though headerMap's first-occurrence pick
+    // would see only "gzip"
+    val twoLines = rec("response", "https://a.com/t",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: gzip\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n").getBytes ++
+        "5\r\nhello\r\n0\r\n\r\n".getBytes)
+    val r3 = Warc.httpResponses(Warc.warcRecords(
+        Seq((10L, twoLines)).toDF("id", "payload").as[WarcFileRow]))
+      .collect().head
+    assert(r3.ok && new String(r3.body) == "hello")
   }
 
   test("readWarcFiles: binaryFile source over .warc and .warc.gz, path provenance") {
