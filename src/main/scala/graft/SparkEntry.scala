@@ -50,6 +50,24 @@ object SparkEntry {
     (fetched, stored)
   }
 
+  /** Shared fixture for the archive family (`crawl_cdx_index` /
+    * `crawl_cdx_fetch_plan` / `pipeline_archive_manifest`): every
+    * document rendered as a full WARC response record, 20 capture
+    * files keyed by doc_id%20. Oracle twin: the `arecs` CTE. */
+  private def cdxRendered(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val u = concat(lit("https://site"),
+      pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/ar/"),
+      col("doc_id").cast("string"))
+    val hdr = lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=utf-8\r\n\r\n")
+    docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(20L)).as("file_id"), u.as("url"),
+        coalesce(col("text"), lit("")).as("body"))
+      .withColumn("record", graft.operators.Warc.responseRecord(
+        col("url"), lit("2026-08-01T00:00:00Z"), hdr, col("body")))
+  }
+
   /** Every 5th document with every 50th re-planted under a shifted
     * id — deterministic exact near-dups so the wide (30-bit band)
     * pHash queries verify actual pairs at any SF. The 1/5 subset
@@ -1430,6 +1448,26 @@ object SparkEntry {
         .orderBy(col("host"), col("cycle"))
     }),
 
+    "pipeline_archive_manifest" -> ((s, dir) => {
+      // FLAGSHIP (storage): the archive WRITE path as one plan —
+      // every capture rendered as a WARC response record, sprayed
+      // across 8 parallel writers by h60(url) (one host's pages
+      // spread evenly), each writer rolling 64 KiB segments
+      // (Archive.packSegments: a record never splits) → per-segment
+      // manifest. The shape a 100 TB archive writer runs: narrow
+      // render, ONE window per writer, one groupBy
+      val rendered = cdxRendered(s, dir).withColumn("writer",
+        pmod(graft.functions.functions.h60(col("url")), lit(8L)))
+      graft.operators.Archive
+        .packSegments(rendered, targetBytes = 64L * 1024)
+        .groupBy(col("writer"), col("seg_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("length")).as("seg_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("writer"), col("seg_id"))
+    }),
+
     "crawl_warc_records" -> ((s, dir) => {
       // WARC record boundaries (r12 verdict item 3), oracle-gated
       // analytically: each doc becomes a two-record WARC file — a
@@ -1650,6 +1688,47 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("if_none_match"),
           col("if_modified_since"), col("conditional"))
         .orderBy(col("doc_id"))
+    }),
+
+    "crawl_surt_keys" -> ((s, dir) =>
+      // SURT urlkey — the sort key of every public CDX index (IIPC /
+      // Common Crawl): host labels reversed so one domain's captures
+      // sort contiguous. Pure narrow projection over the same synth
+      // variants the canonical-url family uses (case, default and
+      // non-default ports, tracking params, fragments)
+      synthUrl(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"),
+          graft.operators.Archive.surtKey(col("url")).as("urlkey"))
+        .orderBy(col("doc_id"))),
+
+    "crawl_cdx_index" -> ((s, dir) =>
+      // the ARCHIVE index: every capture rendered as a full WARC
+      // response record (ISO 28500 §6.3 — byte-exact Content-Length,
+      // payload digest), then the CDX row a range reader needs:
+      // (urlkey, offset, length) with offset = byte sum of earlier
+      // records in the file. ONE window per capture file
+      graft.operators.Archive.cdxIndex(cdxRendered(s, dir))
+        .select(col("doc_id"), col("file_id"), col("urlkey"),
+          col("offset"), col("length"),
+          md5(col("record")).as("rec_fp"))
+        .orderBy(col("doc_id"))),
+
+    "crawl_cdx_fetch_plan" -> ((s, dir) => {
+      // the READ side: a wanted subset (every 3rd capture) against
+      // the CDX index → per-file coalesced byte ranges (merge when
+      // the gap is ≤ 1 KiB — request count vs wasted bytes; at this
+      // fixture's record sizes skipping two unwanted captures lands on
+      // BOTH sides of the threshold, so merges AND splits gate). Semi-
+      // join + the interval-merge window, nothing global
+      val idx = graft.operators.Archive.cdxIndex(cdxRendered(s, dir))
+      val wanted = cdxRendered(s, dir)
+        .filter(pmod(col("doc_id"), lit(3L)) === 0)
+        .select(graft.operators.Archive.surtKey(col("url"))
+          .as("urlkey"))
+      graft.operators.Archive.rangePlan(idx, wanted, gapBytes = 1024L)
+        .select(col("file_id"), col("range_id"), col("range_start"),
+          col("range_end"), col("n_records"), col("record_bytes"))
+        .orderBy(col("file_id"), col("range_start"))
     }),
 
     "crawl_sitemap_nested" -> ((s, dir) => {
@@ -3128,6 +3207,35 @@ object SparkEntry {
              list_sort(list_filter(string_split(query, '&'),
                x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
            FROM ur)"""
+
+  /** Shared CTE body (no `WITH` prefix) for the archive family:
+    * render each document's WARC response record (twin of
+    * [[cdxRendered]] + [[graft.operators.Warc.responseRecord]]) and
+    * its CDX byte offsets. Ends with relation
+    * `aidx(doc_id, file_id, url, urlkey, offset, length, record)`.
+    * `strlen` is DuckDB's UTF-8 BYTE length of a VARCHAR — the twin
+    * of Spark's `length(encode(..., 'UTF-8'))`. */
+  private val ArchiveCte: String =
+    s"""anl AS (SELECT chr(13) || chr(10) AS nl),
+       arecs AS (SELECT doc_id, doc_id % 20 AS file_id,
+           'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/ar/' || CAST(doc_id AS VARCHAR) AS url,
+           'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html; charset=utf-8' || nl || nl || coalesce(text, '') AS block,
+           coalesce(text, '') AS body
+         FROM documents, anl),
+       arend AS (SELECT doc_id, file_id, url,
+           'WARC/1.1' || nl || 'WARC-Type: response' || nl
+           || 'WARC-Target-URI: ' || url || nl
+           || 'WARC-Date: 2026-08-01T00:00:00Z' || nl
+           || 'Content-Type: application/http;msgtype=response' || nl
+           || 'WARC-Payload-Digest: md5:' || md5(body) || nl
+           || 'Content-Length: ' || CAST(strlen(block) AS VARCHAR) || nl || nl
+           || block || nl || nl AS record
+         FROM arecs, anl),
+       aidx AS (SELECT doc_id, file_id, url,
+           'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/ar/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           CAST(COALESCE(SUM(strlen(record)) OVER (PARTITION BY file_id ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+           CAST(strlen(record) AS BIGINT) AS length, record
+         FROM arend)"""
 
   /** Shared CTE body (no `WITH` prefix) replaying
     * [[graft.operators.Robots.robotsRules]] over the [[synthRobots]]
@@ -7054,6 +7162,80 @@ object SparkEntry {
                 ELSE NULL END AS if_modified_since,
               sv <> 3 AS conditional
             FROM f ORDER BY doc_id""",
+
+      "crawl_surt_keys" ->
+        s"""WITH $UrlCanonCte,
+            surt AS (SELECT doc_id, url,
+                regexp_extract(host, '(:[0-9]+)\\z', 1) AS portsuf,
+                regexp_replace(regexp_replace(host, ':[0-9]+\\z', ''),
+                  '^www\\.', '') AS h,
+                lower(path) AS lpath,
+                list_sort(list_filter(string_split(lower(query), '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '${TextOps.UrlTrackingParam}'))) AS ps
+              FROM ur)
+            SELECT doc_id, url,
+              array_to_string(list_reverse(string_split(h, '.')), ',')
+                || portsuf || ')' || lpath
+                || CASE WHEN len(ps) > 0
+                     THEN '?' || array_to_string(ps, '&')
+                     ELSE '' END AS urlkey
+            FROM surt ORDER BY doc_id""",
+
+      "crawl_cdx_index" ->
+        s"""WITH $ArchiveCte
+            SELECT doc_id, file_id, urlkey, "offset", length,
+              md5(record) AS rec_fp
+            FROM aidx ORDER BY doc_id""",
+
+      "crawl_cdx_fetch_plan" ->
+        s"""WITH $ArchiveCte,
+            ahit AS (SELECT file_id, "offset", length FROM aidx
+              WHERE urlkey IN (SELECT urlkey FROM aidx
+                WHERE doc_id % 3 = 0)),
+            aflag AS (SELECT file_id, "offset", length,
+                CASE WHEN MAX("offset" + length) OVER
+                    (PARTITION BY file_id ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR "offset" > MAX("offset" + length) OVER
+                    (PARTITION BY file_id ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    + 1024
+                  THEN 1 ELSE 0 END AS new_range
+              FROM ahit),
+            agrp AS (SELECT file_id, "offset", length,
+                CAST(SUM(new_range) OVER
+                  (PARTITION BY file_id ORDER BY "offset"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS range_id
+              FROM aflag)
+            SELECT file_id, range_id,
+              MIN("offset") AS range_start,
+              MAX("offset" + length) AS range_end,
+              COUNT(*) AS n_records,
+              CAST(SUM(length) AS BIGINT) AS record_bytes
+            FROM agrp GROUP BY file_id, range_id
+            ORDER BY file_id, range_start""",
+
+      "pipeline_archive_manifest" ->
+        s"""WITH $ArchiveCte,
+            awr AS (SELECT doc_id,
+                ('0x' || substr(md5(url), 1, 15))::BIGINT % 8
+                  AS writer,
+                length FROM aidx),
+            apack AS (SELECT doc_id, writer, length,
+                CAST(COALESCE(SUM(length) OVER
+                  (PARTITION BY writer ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS bytes_before
+              FROM awr)
+            SELECT writer, bytes_before // 65536 AS seg_id,
+              COUNT(*) AS n_records,
+              CAST(SUM(length) AS BIGINT) AS seg_bytes,
+              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM apack GROUP BY writer, seg_id
+            ORDER BY writer, seg_id""",
 
       "crawl_sitemap_nested" ->
         s"""WITH js AS (SELECT unnest([0, 1]) AS j),

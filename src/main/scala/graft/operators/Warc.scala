@@ -474,6 +474,38 @@ object Warc {
       lit("\r\nContent-Length: 0\r\n\r\n"))
   }
 
+  /**
+   * Full WARC `response` record rendering — the normal-capture twin
+   * of [[revisitHeader]] (ISO 28500 §6.3): block = HTTP header +
+   * body, `Content-Length` the block's UTF-8 BYTE count (what a CDX
+   * offset reader needs — char count would desync on any non-ASCII
+   * byte), payload digest over the BODY only (the HTTP payload, per
+   * the spec) in the repo's md5-hex convention so the oracle
+   * replays it. Same CR/LF discipline on untrusted values as
+   * [[revisitHeader]]; the output round-trips through
+   * [[warcRecords]] (spec-pinned) and feeds [[Archive.cdxIndex]].
+   */
+  def responseRecord(targetUri: org.apache.spark.sql.Column,
+                     warcDate: org.apache.spark.sql.Column,
+                     httpHeader: org.apache.spark.sql.Column,
+                     body: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, encode, length, lit,
+      md5, regexp_replace}
+    def clean(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "[\\r\\n]", "")
+    val block = concat(httpHeader, body)
+    concat(
+      lit("WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+      clean(targetUri),
+      lit("\r\nWARC-Date: "), clean(warcDate),
+      lit("\r\nContent-Type: application/http;msgtype=response"),
+      lit("\r\nWARC-Payload-Digest: md5:"), md5(encode(body, "UTF-8")),
+      lit("\r\nContent-Length: "),
+      length(encode(block, "UTF-8")).cast("string"),
+      lit("\r\n\r\n"), block, lit("\r\n\r\n"))
+  }
+
   private val CharsetParam =
     "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9._:-]+)".r
   private val StatusLine = "(?i)HTTP/[0-9.]+\\s+(\\d{3})".r
