@@ -546,6 +546,34 @@ object ScaleCheck {
         Robots.revisitClassify(fetched, stored)
           .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       }),
+      "crawl_cdx_plan" -> (() => {
+        // the archive layer end to end at corpus scale (r14): render
+        // response records → CDX offsets → wanted semi-join →
+        // per-file interval merge. Files hold a FIXED ~50 records
+        // (doc_id/50 — file count scales with the corpus, the way a
+        // real archive lays out), so the per-file windows never grow
+        // with scale; the wanted set is corpus-sized, so AQE decides
+        // broadcast vs shuffle join. Pins: shuffle bytes linear, no
+        // spill, window partitions constant-size
+        import graft.operators.{Archive, Warc}
+        val u = concat(lit("https://a"),
+          pmod(col("doc_id"), lit(997L)).cast("string"),
+          lit(".com/ar/"), col("doc_id").cast("string"))
+        val rendered = docs.select(col("doc_id"),
+            (col("doc_id") / 50).cast("long").as("file_id"),
+            u.as("url"), coalesce(col("text"), lit("")).as("body"))
+          .withColumn("record", Warc.responseRecord(col("url"),
+            lit("2026-08-01T00:00:00Z"),
+            lit("HTTP/1.1 200 OK\r\n\r\n"), col("body")))
+        val idx = Archive.cdxIndex(rendered)
+        val wanted = rendered
+          .filter(pmod(col("doc_id"), lit(3L)) === 0)
+          .select(Archive.surtKey(col("url")).as("urlkey"))
+        Archive.rangePlan(idx, wanted, gapBytes = 1024L)
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_ranges"),
+            sum(col("record_bytes")).as("b"))
+      }),
       "crawl_redirects" -> (() => {
         // the bounded chain walk at corpus scale: 5 keyed joins over a
         // pending set that SHRINKS each hop (4/5 of rows resolve by

@@ -881,6 +881,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("archive family: file/writer-keyed windows, broadcast wanted set") {
+    // the CDX index's one window partitions by capture file, the
+    // segment packer's by writer — never corpus-global; the fetch
+    // plan's wanted set rides a BROADCAST semi-join and its two
+    // interval-merge windows share the file partitioning (one
+    // exchange, not two)
+    for (q <- Seq("crawl_cdx_index", "crawl_cdx_fetch_plan",
+        "pipeline_archive_manifest")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      keyedWindowsOnly(df)
+    }
+    val fp = plan(graft.SparkEntry.queries("crawl_cdx_fetch_plan")(
+      spark, sfDir))
+    assert(fp.contains("BroadcastHashJoin LeftSemi") ||
+      fp.contains("BroadcastHashJoin"), fp)
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
