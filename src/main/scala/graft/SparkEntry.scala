@@ -1731,6 +1731,67 @@ object SparkEntry {
         .orderBy(col("file_id"), col("range_start"))
     }),
 
+    "crawl_cache_policy" -> ((s, dir) => {
+      // RFC 9111 freshness over stored captures — the HTTP-caching
+      // leg of the recrawl schedule. Seven legs: no-store / no-cache
+      // / s-maxage-beats-max-age / max-age / Expires−Date / the
+      // §4.2.2 Last-Modified heuristic (behind a MALFORMED Expires:
+      // untrusted headers fall through, never crash) / default TTL.
+      // All-integer seconds; IMF-fixdate parsing weekday-stripped on
+      // both engines
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(7L))
+      val mm = lpad(pmod(col("doc_id"), lit(60L)).cast("string"),
+        2, "0")
+      val stored = docs.select(col("doc_id"),
+        concat(lit("https://site"),
+          pmod(col("doc_id"), lit(20L)).cast("string"), lit(".com/cp/"),
+          col("doc_id").cast("string")).as("url"),
+        when(v === 0, lit("no-store"))
+          .when(v === 1, lit("max-age=120"))
+          .when(v === 2, lit("public, s-maxage=300, max-age=60"))
+          .when(v === 6, lit("no-cache, must-revalidate"))
+          .otherwise(lit("")).as("cache_control"),
+        when(v === 3, concat(lit("Mon, 01 Jun 2026 06:"), mm,
+            lit(":00 GMT")))
+          .when(v === 4, lit("next thursday-ish")) // malformed
+          .otherwise(lit("")).as("expires"),
+        when(v === 3 || v === 4, lit("Mon, 01 Jun 2026 06:00:00 GMT"))
+          .otherwise(lit("")).as("date"),
+        when(v === 4, lit("Fri, 01 May 2026 06:00:00 GMT"))
+          .otherwise(lit("")).as("last_modified"),
+        (lit(1780200000L) + col("doc_id") * 37).as("stored_at_sec"))
+      graft.operators.Robots.cachePolicy(stored, nowSec = 1780300000L)
+        .select(col("doc_id"), col("url"), col("lifetime_sec"),
+          col("lifetime_source"), col("age_sec"), col("fresh"),
+          col("next_eligible_sec"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "crawl_robots_freshness" -> ((s, dir) => {
+      // RFC 9309 §2.4 robots cache freshness: the per-host verdict
+      // the admit index needs before every wave. Six legs: fresh /
+      // stale-pending-refetch / refreshed (2xx) / unrestricted (404
+      // discards cached rules) / unreachable within the 30-day grace
+      // (cached rules serve) / unreachable past it (expired)
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(6L))
+      val now = 1780300000L
+      val cached = docs.select(col("doc_id"),
+        concat(lit("site"), pmod(col("doc_id"), lit(20L)).cast("string"),
+          lit(".com")).as("host"),
+        when(v === 0, lit(now - 1000L))
+          .when(v === 5, lit(now - 4000000L))
+          .otherwise(lit(now - 100000L)).as("fetched_at_sec"),
+        when(v === 2, lit(200)).when(v === 3, lit(404))
+          .when(v === 4 || v === 5, lit(503))
+          .otherwise(lit(null).cast("int")).as("refetch_status"))
+      graft.operators.Robots.robotsFreshness(cached, nowSec = now)
+        .select(col("doc_id"), col("host"), col("age_sec"),
+          col("verdict"), col("usable_cached"), col("refetch"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_sitemap_nested" -> ((s, dir) => {
       // bounded MULTI-LEVEL sitemap resolution (r13 verdict item 7):
       // index→index→urlset closed in ONE sitemapResolve call — root
@@ -7217,6 +7278,81 @@ object SparkEntry {
               CAST(SUM(length) AS BIGINT) AS record_bytes
             FROM agrp GROUP BY file_id, range_id
             ORDER BY file_id, range_start""",
+
+      "crawl_cache_policy" ->
+        s"""WITH cp AS (SELECT doc_id,
+                CAST(doc_id % 7 AS INT) AS v,
+                lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS mm,
+                1780200000 + doc_id * 37 AS stored_at_sec
+              FROM documents),
+            cf AS (SELECT doc_id, v, stored_at_sec,
+                'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com/cp/' || CAST(doc_id AS VARCHAR) AS url,
+                CASE v WHEN 0 THEN 'no-store'
+                  WHEN 1 THEN 'max-age=120'
+                  WHEN 2 THEN 'public, s-maxage=300, max-age=60'
+                  WHEN 6 THEN 'no-cache, must-revalidate'
+                  ELSE '' END AS cc,
+                CASE v WHEN 3 THEN epoch(try_strptime(
+                    '01 Jun 2026 06:' || mm || ':00 GMT',
+                    '%d %b %Y %H:%M:%S GMT'))
+                  ELSE NULL END AS exp_sec,
+                CASE WHEN v IN (3, 4) THEN epoch(try_strptime(
+                    '01 Jun 2026 06:00:00 GMT',
+                    '%d %b %Y %H:%M:%S GMT'))
+                  ELSE NULL END AS date_sec,
+                CASE v WHEN 4 THEN epoch(try_strptime(
+                    '01 May 2026 06:00:00 GMT',
+                    '%d %b %Y %H:%M:%S GMT'))
+                  ELSE NULL END AS lm_sec
+              FROM cp),
+            cl AS (SELECT doc_id, url, v, stored_at_sec,
+                CASE WHEN v IN (0, 6) THEN 0
+                  WHEN v = 2 THEN 300
+                  WHEN v = 1 THEN 120
+                  WHEN v = 3 THEN CAST(greatest(exp_sec - date_sec, 0)
+                    AS BIGINT)
+                  WHEN v = 4 THEN CAST(greatest(
+                    (CAST(date_sec AS BIGINT) - CAST(lm_sec AS BIGINT))
+                      // 10, 0) AS BIGINT)
+                  ELSE 3600 END AS lifetime_sec,
+                CASE WHEN v IN (0, 6) THEN 'no_cache'
+                  WHEN v = 2 THEN 's_maxage' WHEN v = 1 THEN 'max_age'
+                  WHEN v = 3 THEN 'expires' WHEN v = 4 THEN 'heuristic'
+                  ELSE 'default' END AS lifetime_source,
+                1780300000 - stored_at_sec AS age_sec
+              FROM cf)
+            SELECT doc_id, url,
+              CAST(lifetime_sec AS BIGINT) AS lifetime_sec,
+              lifetime_source, CAST(age_sec AS BIGINT) AS age_sec,
+              age_sec < lifetime_sec AS fresh,
+              CAST(stored_at_sec + lifetime_sec AS BIGINT)
+                AS next_eligible_sec
+            FROM cl ORDER BY doc_id""",
+
+      "crawl_robots_freshness" ->
+        s"""WITH rf AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS v,
+                'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+                  AS host,
+                CASE WHEN doc_id % 6 = 0 THEN 1780300000 - 1000
+                  WHEN doc_id % 6 = 5 THEN 1780300000 - 4000000
+                  ELSE 1780300000 - 100000 END AS fetched_at_sec
+              FROM documents),
+            rv AS (SELECT doc_id, host,
+                1780300000 - fetched_at_sec AS age_sec,
+                CASE WHEN v = 0 THEN 'fresh'
+                  WHEN v IN (1) THEN 'stale'
+                  WHEN v = 2 THEN 'refreshed'
+                  WHEN v = 3 THEN 'unrestricted'
+                  WHEN v = 4 THEN 'stale_served'
+                  ELSE 'expired' END AS verdict
+              FROM rf)
+            SELECT doc_id, host, CAST(age_sec AS BIGINT) AS age_sec,
+              verdict,
+              verdict IN ('fresh', 'stale', 'stale_served')
+                AS usable_cached,
+              verdict <> 'fresh' AS refetch
+            FROM rv ORDER BY doc_id""",
 
       "pipeline_archive_manifest" ->
         s"""WITH $ArchiveCte,

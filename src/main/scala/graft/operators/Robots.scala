@@ -596,6 +596,134 @@ object Robots {
       .drop("__cu", "__etag", "__lastmod")
   }
 
+  /** HTTP-date → epoch seconds (IMF-fixdate, RFC 9110 §5.6.7). The
+    * weekday prefix is STRIPPED before parsing on both engines —
+    * strict weekday/date consistency checks differ between parsers,
+    * and the weekday carries no information. Malformed → null
+    * (try-parse: untrusted stored headers must not kill the plan).
+    * Oracle twin: `epoch(try_strptime(regexp_replace(x,
+    * '^[A-Za-z]+, ', ''), '%d %b %Y %H:%M:%S GMT'))`. */
+  def httpDateSec(c: Column): Column =
+    unix_timestamp(try_to_timestamp(
+      regexp_replace(coalesce(c, lit("")), "^[A-Za-z]+, ", ""),
+      lit("dd MMM yyyy HH:mm:ss 'GMT'")))
+
+  /**
+   * RFC 9111 freshness over stored captures — the HTTP-caching leg
+   * of the recrawl schedule: a page whose stored response is still
+   * FRESH by its own caching metadata is not worth refetching yet,
+   * and `next_eligible_sec` is exactly the deprioritization key the
+   * schedule composes. Lifetime resolution, most-authoritative
+   * first (§4.2.1, shared-cache reading):
+   *  - `no-store` / `no-cache` / `private` (a crawler cache is
+   *    shared) → lifetime 0 (source `no_cache`);
+   *  - `s-maxage=N` (shared caches prefer it, §5.2.2.10) then
+   *    `max-age=N` → N (source `s_maxage` / `max_age`);
+   *  - `Expires` − `Date` (both IMF-fixdate; a malformed or missing
+   *    leg falls through, and a malformed Expires alone means
+   *    "already expired" per §5.3 — represented by the fall-through
+   *    to the heuristic, never a crash) → source `expires`;
+   *  - the §4.2.2 heuristic: 10% of (`Date` − `Last-Modified`)
+   *    (source `heuristic`), else `defaultTtlSec` (source `default`).
+   * Outputs `lifetime_sec`, `lifetime_source`, `age_sec`, `fresh`,
+   * `next_eligible_sec`. Pure narrow Column math over the stored
+   * table — composes into the schedule join in the same plan.
+   */
+  def cachePolicy(stored: DataFrame, nowSec: Long,
+                  defaultTtlSec: Long = 3600L,
+                  urlCol: String = "url",
+                  cacheControlCol: String = "cache_control",
+                  expiresCol: String = "expires",
+                  dateCol: String = "date",
+                  lastModifiedCol: String = "last_modified",
+                  storedAtCol: String = "stored_at_sec"): DataFrame = {
+    val cc = lower(coalesce(col(cacheControlCol), lit("")))
+    val smax = try_cast_long(regexp_extract(cc, "s-maxage=([0-9]+)", 1))
+    val maxage = try_cast_long(regexp_extract(cc, "max-age=([0-9]+)", 1))
+    val expSec = httpDateSec(col(expiresCol))
+    val dateSec = httpDateSec(col(dateCol))
+    val lmSec = httpDateSec(col(lastModifiedCol))
+    // `private` (§5.2.2.7) forbids SHARED-cache reuse outright — a
+    // crawler cache is shared, so it rides the zero-lifetime leg
+    // with no-store/no-cache
+    val noCache = cc.contains("no-store") || cc.contains("no-cache") ||
+      cc.contains("private")
+    val lifetime =
+      when(noCache, lit(0L))
+        .when(smax.isNotNull, smax)
+        .when(maxage.isNotNull, maxage)
+        .when(expSec.isNotNull && dateSec.isNotNull,
+          greatest(expSec - dateSec, lit(0L)))
+        .when(dateSec.isNotNull && lmSec.isNotNull,
+          // integer tenth — Column `/` is DOUBLE division, and a
+          // double branch would poison the whole lattice's type
+          greatest(floor((dateSec - lmSec) / lit(10)).cast("long"),
+            lit(0L)))
+        .otherwise(lit(defaultTtlSec))
+    val source =
+      when(noCache, "no_cache")
+        .when(smax.isNotNull, "s_maxage")
+        .when(maxage.isNotNull, "max_age")
+        .when(expSec.isNotNull && dateSec.isNotNull, "expires")
+        .when(dateSec.isNotNull && lmSec.isNotNull, "heuristic")
+        .otherwise("default")
+    val age = lit(nowSec) - col(storedAtCol)
+    stored
+      .withColumn("lifetime_sec", lifetime)
+      .withColumn("lifetime_source", source)
+      .withColumn("age_sec", age)
+      .withColumn("fresh", age < col("lifetime_sec"))
+      .withColumn("next_eligible_sec",
+        col(storedAtCol) + col("lifetime_sec"))
+  }
+
+  private def try_cast_long(c: Column): Column =
+    when(c =!= "", c.cast("long"))
+
+  /**
+   * RFC 9309 §2.4 robots.txt cache freshness: rules MAY be cached up
+   * to 24 hours ("or longer if the cached version cannot be
+   * refreshed"), so the crawler's admit index needs a per-host
+   * verdict before every wave. Lattice over (cache age, refetch
+   * outcome):
+   *  - age ≤ `ttlSec` → `fresh` (cached rules bind; no refetch);
+   *  - past TTL, refetch not yet attempted (null status) → `stale`
+   *    (cached rules still bind, refetch goes on the schedule);
+   *  - refetch 2xx → `refreshed` (the NEW rules replace the cache);
+   *  - refetch 404 → `unrestricted` (§2.3.1.2: unavailable means no
+   *    restrictions — the cached rules are DISCARDED);
+   *  - refetch 5xx/429 (unreachable, §2.3.1.4): cached rules serve
+   *    through `staleGraceSec` → `stale_served`; past the grace →
+   *    `expired` (usable false — the caller decides between
+   *    conservative deny and give-up, the spec deliberately doesn't);
+   *  - any other refetch status → `stale_served`/`expired` by the
+   *    same grace split (conservative).
+   * Outputs `age_sec`, `verdict`, `usable_cached`, `refetch`. Pure
+   * narrow lattice — one row per host, no shuffle.
+   */
+  def robotsFreshness(cached: DataFrame, nowSec: Long,
+                      ttlSec: Long = 86400L,
+                      staleGraceSec: Long = 30L * 86400L,
+                      fetchedAtCol: String = "fetched_at_sec",
+                      refetchStatusCol: String = "refetch_status")
+      : DataFrame = {
+    val age = lit(nowSec) - col(fetchedAtCol)
+    val s = col(refetchStatusCol)
+    val verdict =
+      when(age <= ttlSec, "fresh")
+        .when(s.isNull, "stale")
+        .when(s.between(200, 299), "refreshed")
+        .when(s === 404, "unrestricted")
+        .when(age <= staleGraceSec, "stale_served")
+        .otherwise("expired")
+    cached
+      .withColumn("age_sec", age)
+      .withColumn("verdict", verdict)
+      .withColumn("usable_cached",
+        verdict.isin("fresh", "stale", "stale_served"))
+      .withColumn("refetch", verdict =!= "fresh")
+  }
+
   /** Robots pattern → SQL LIKE pattern (explicit `\` escape): `% _ \`
     * literal-escaped, `*` → `%`, trailing `$` drops the implicit
     * trailing `%` (anchored at path end). */

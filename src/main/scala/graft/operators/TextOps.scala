@@ -2278,18 +2278,24 @@ object TextOps {
     for (_ <- 1 to epochs) {
       val wDf = broadcast(w.toIndexedSeq.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "wgt"))
+      // persist the scored residuals (one row per train doc): both
+      // gradient reads consume them, and without the cache the
+      // broadcast-score pass — the epoch's dominant cost — runs
+      // TWICE per epoch
       val resid = staged.join(wDf, Seq("bucket"))
         .groupBy(col("doc_id"), col("y"))
         .agg((lit(w0) + sum(col("x") * col("wgt"))).as("s"))
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("s")))
             - col("y")).as("r"))
+        .persist()
       val g0 = resid.agg(coalesce(sum(col("r")), lit(0.0)))
         .head().getDouble(0)
       val grad = staged.join(resid, Seq("doc_id"))
         .groupBy(col("bucket"))
         .agg(sum(col("x") * col("r")).as("g"))
         .collect() // nBuckets-sized: the model, not the corpus
+      resid.unpersist()
       w0 -= lr * g0 / nTrain
       for (row <- grad)
         w(row.getLong(0).toInt) -= lr * row.getDouble(1) / nTrain

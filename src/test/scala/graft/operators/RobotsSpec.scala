@@ -489,4 +489,73 @@ class RobotsSpec extends SparkSpec {
     // fragment stripped before matching: path is /page, allowed
     assert(d.getOrElse("/page", (false, ""))._1)
   }
+
+  test("cachePolicy: RFC 9111 lifetime ladder and edge clamps") {
+    val now = 2000000L
+    def row(id: Long, cc: String, exp: String = "", date: String = "",
+            lm: String = "", at: Long = 1999000L) =
+      (id, s"https://a.com/$id", cc, exp, date, lm, at)
+    val stored = Seq(
+      row(1L, "no-store"),
+      row(2L, "private, max-age=999"),         // private kills reuse
+      row(3L, "s-maxage=300"),                 // s-maxage alone
+      row(4L, "max-age=2000"),                 // fresh: age 1000 < 2000
+      // Expires BEFORE Date clamps to 0, never negative
+      row(5L, "", "Mon, 01 Jun 2026 05:00:00 GMT",
+        "Mon, 01 Jun 2026 06:00:00 GMT"),
+      // malformed Expires + no Last-Modified → default, not crash
+      row(6L, "", "soon", "Mon, 01 Jun 2026 06:00:00 GMT"),
+      // heuristic: 10% of (Date − Last-Modified) = 10% of 1h
+      row(7L, "", "", "Mon, 01 Jun 2026 06:00:00 GMT",
+        "Mon, 01 Jun 2026 05:00:00 GMT"))
+      .toDF("doc_id", "url", "cache_control", "expires", "date",
+        "last_modified", "stored_at_sec")
+    val got = Robots.cachePolicy(stored, nowSec = now)
+      .select($"doc_id", $"lifetime_sec", $"lifetime_source", $"fresh",
+        $"next_eligible_sec")
+      .as[(Long, Long, String, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == ((0L, "no_cache", false, 1999000L)))
+    assert(got(2L) == ((0L, "no_cache", false, 1999000L)))
+    assert(got(3L) == ((300L, "s_maxage", false, 1999300L)))
+    assert(got(4L) == ((2000L, "max_age", true, 2001000L)))
+    assert(got(5L) == ((0L, "expires", false, 1999000L)))
+    assert(got(6L) == ((3600L, "default", true, 2002600L)))
+    assert(got(7L) == ((360L, "heuristic", false, 1999360L)))
+  }
+
+  test("robotsFreshness: TTL/grace boundaries and the refetch lattice") {
+    val now = 10000000L
+    val cached = Seq(
+      (1L, "a.com", now - 86400L, null.asInstanceOf[java.lang.Integer]),
+      (2L, "b.com", now - 86401L, null.asInstanceOf[java.lang.Integer]),
+      (3L, "c.com", now - 90000L, java.lang.Integer.valueOf(301)),
+      (4L, "d.com", now - 2592000L, java.lang.Integer.valueOf(503)),
+      (5L, "e.com", now - 2592001L, java.lang.Integer.valueOf(503)))
+      .toDF("doc_id", "host", "fetched_at_sec", "refetch_status")
+    val got = Robots.robotsFreshness(cached, nowSec = now)
+      .select($"doc_id", $"verdict", $"usable_cached", $"refetch")
+      .as[(Long, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // age == TTL is still fresh (≤); one second past is not
+    assert(got(1L) == (("fresh", true, false)))
+    assert(got(2L) == (("stale", true, true)))
+    // an unexpected refetch status (301) rides the conservative
+    // grace split, not the refreshed leg
+    assert(got(3L) == (("stale_served", true, true)))
+    // age == grace still serves; one second past expires
+    assert(got(4L) == (("stale_served", true, true)))
+    assert(got(5L) == (("expired", false, true)))
+  }
+
+  test("httpDateSec: weekday ignored, malformed null, epoch exact") {
+    val got = Seq(
+      ("Mon, 01 Jun 2026 07:30:00 GMT"),  // correct weekday
+      ("Xyz, 01 Jun 2026 07:30:00 GMT"),  // nonsense weekday: stripped
+      ("01 Jun 2026 07:30:00 GMT"),       // already bare
+      ("not a date"), ("")).toDF("d")
+      .select(Robots.httpDateSec($"d")).as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(1780299000L), Some(1780299000L),
+      Some(1780299000L), None, None))
+  }
 }
