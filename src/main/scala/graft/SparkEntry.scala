@@ -797,6 +797,30 @@ object SparkEntry {
       TextOps.knBigramCounts(t(s, dir, "documents"))
         .orderBy(col("c").desc, col("w1"), col("w2")).limit(100)),
 
+    "text_lm_heldout" -> ((s, dir) =>
+      // CCNet-style LM scoring (Wenzek et al. 2020): bigram LM on
+      // the reference half (h60 split, salt ccnet), held-out docs
+      // scored by integer mean surprisal — seen-bigram floor-log2,
+      // unigram backoff +4 bits, OOV flat 20. The perplexity-filter
+      // stage of a pretraining pipeline, oracle-exact
+      graft.operators.TextOps.lmScoreHeldout(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "pipeline_ccnet_buckets" -> ((s, dir) =>
+      // FLAGSHIP (LM filter): lmScoreHeldout → head/middle/tail at
+      // published-style ppm cutoffs (CCNet's contract: percentile
+      // cutoffs computed offline, passed in) → per-bucket manifest
+      graft.operators.TextOps.lmBuckets(
+          graft.operators.TextOps.lmScoreHeldout(
+            t(s, dir, "documents")),
+          headMaxPpm = 4400000L, tailMinPpm = 4470000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          min(col("mean_bits_ppm")).as("min_ppm"),
+          max(col("mean_bits_ppm")).as("max_ppm"))
+        .orderBy(col("bucket"))),
+
     "text_bigram_surprisal" -> ((s, dir) =>
       TextOps.bigramSurprisal(t(s, dir, "documents"))),
 
@@ -3269,6 +3293,50 @@ object SparkEntry {
                x -> x <> '' AND NOT regexp_matches(x, '${TextOps.UrlTrackingParam}'))) AS ps
            FROM ur)"""
 
+  /** Shared CTE body (no `WITH` prefix) replaying
+    * [[graft.operators.TextOps.lmScoreHeldout]]: h60 ccnet split,
+    * train-side bigram LM (counts + both marginals + total), held-out
+    * scoring with floor-log₂ bits, unigram backoff (+4) and OOV flat
+    * 20. Ends with relation
+    * `lmscore(doc_id, n_bigrams, sum_bits, mean_bits_ppm)`. */
+  private val LmHeldoutCte: String =
+    s"""lmt AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ccnet'),
+               1, 15))::BIGINT % 100 < 50 AS is_train,
+             regexp_extract_all(lower(coalesce(text, '')),
+               '[a-z]+') AS w
+           FROM documents),
+         lmbg AS (SELECT doc_id, is_train,
+             unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+           FROM lmt WHERE len(w) >= 2),
+         lmpd AS (SELECT doc_id, is_train, w1, w2, count(*) AS m
+           FROM lmbg GROUP BY 1, 2, 3, 4),
+         lmc AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c
+           FROM lmpd WHERE is_train GROUP BY 1, 2),
+         lml AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1
+           FROM lmc GROUP BY 1),
+         lmr AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c_w2
+           FROM lmc GROUP BY 1),
+         lmn AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM lmc),
+         lmh AS (SELECT p.doc_id, p.m,
+             coalesce(
+               CAST(length(bin(l.c_w1 // c.c)) - 1 AS BIGINT),
+               CAST(length(bin(n.n_total // r.c_w2)) - 1 + 4
+                 AS BIGINT),
+               20) AS bits
+           FROM lmpd p
+           LEFT JOIN lmc c USING (w1, w2)
+           LEFT JOIN lml l ON p.w1 = l.w1 AND c.c IS NOT NULL
+           LEFT JOIN lmr r ON p.w2 = r.w2
+           CROSS JOIN lmn n
+           WHERE NOT p.is_train),
+         lmscore AS (SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_bigrams,
+             CAST(sum(m * bits) AS BIGINT) AS sum_bits,
+             (CAST(sum(m * bits) AS BIGINT) * 1000000)
+               // CAST(sum(m) AS BIGINT) AS mean_bits_ppm
+           FROM lmh GROUP BY doc_id)"""
+
   /** Shared CTE body (no `WITH` prefix) for the archive family:
     * render each document's WARC response record (twin of
     * [[cdxRendered]] + [[graft.operators.Warc.responseRecord]]) and
@@ -4032,6 +4100,24 @@ object SparkEntry {
            SELECT w1, w2, c, c_w1, n1p_w1x, n1p_xw2
            FROM c JOIN l USING (w1) JOIN r USING (w2)
            ORDER BY c DESC, w1, w2 LIMIT 100""",
+
+      "text_lm_heldout" ->
+        s"""WITH $LmHeldoutCte
+           SELECT doc_id, n_bigrams, sum_bits, mean_bits_ppm
+           FROM lmscore ORDER BY doc_id""",
+
+      "pipeline_ccnet_buckets" ->
+        s"""WITH $LmHeldoutCte,
+            lmb AS (SELECT doc_id, n_bigrams, mean_bits_ppm,
+                CASE WHEN mean_bits_ppm < 4400000 THEN 'head'
+                  WHEN mean_bits_ppm >= 4470000 THEN 'tail'
+                  ELSE 'middle' END AS bucket
+              FROM lmscore)
+            SELECT bucket, COUNT(*) AS n_docs,
+              CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+              MIN(mean_bits_ppm) AS min_ppm,
+              MAX(mean_bits_ppm) AS max_ppm
+            FROM lmb GROUP BY bucket ORDER BY bucket""",
 
       "text_bigram_surprisal" ->
         """WITH t AS (SELECT doc_id,

@@ -1833,6 +1833,83 @@ object TextOps {
   }
 
   /**
+   * CCNet-style LM quality scoring (Wenzek et al. 2020, the public
+   * recipe behind CC-Net/RedPajama corpus filtering): train a bigram
+   * LM on a REFERENCE half of the corpus (CCNet uses Wikipedia; the
+   * deterministic h60 split stands in — the shape is identical),
+   * score every held-out document by mean surprisal, and let
+   * [[lmBuckets]] cut head/middle/tail. The lattice is INTEGER
+   * end-to-end (the repo's floor-log₂ device — `length(bin(x))−1`):
+   * a seen bigram costs ⌊log₂(c_w1/c)⌋ bits; an unseen bigram backs
+   * off to the train-side continuation unigram at
+   * ⌊log₂(N/c_w2)⌋ + `backoffBits`; an OOV word costs flat
+   * `oovBits`. Emitting exact integer bits instead of float
+   * perplexity keeps the oracle comparison engine-exact — the
+   * ranking CCNet needs survives the quantization (its buckets are
+   * coarse by design).
+   *
+   * Scale shape: ONE token-stream shuffle per side on the bigram key
+   * (map-side combined); the LM is a TYPE table (≪ tokens) joined
+   * keyed — AQE broadcasts it when small; the single-row total rides
+   * an explicit broadcast. No windows, no global sort.
+   */
+  def lmScoreHeldout(docs: DataFrame, trainPct: Int = 50,
+                     salt: String = "ccnet", backoffBits: Long = 4L,
+                     oovBits: Long = 20L): DataFrame = {
+    val toks = col("toks")
+    def docBigrams(d: DataFrame) = d
+      .select(col("doc_id"), wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), zip_with(
+        slice(toks, lit(1), greatest(size_(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size_(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val lmBg = docBigrams(
+        docs.filter(samplePredicate(col("doc_id"), trainPct, salt)))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c"))
+    val lmLeft = lmBg.groupBy(col("w1")).agg(sum(col("c")).as("c_w1"))
+    val lmSeen = lmBg.join(lmLeft, "w1")
+      .select(col("w1"), col("w2"),
+        (length(bin(expr("c_w1 div c"))) - 1).cast("long")
+          .as("bits_bg"))
+    val lmRight = lmBg.groupBy(col("w2")).agg(sum(col("c")).as("c_w2"))
+    val totalN = lmBg.agg(sum(col("c")).as("n_total"))
+    val lmUni = lmRight.crossJoin(broadcast(totalN))
+      .select(col("w2"),
+        (length(bin(expr("n_total div c_w2"))) - 1 + backoffBits)
+          .cast("long").as("bits_uni"))
+    docBigrams(
+        docs.filter(!samplePredicate(col("doc_id"), trainPct, salt)))
+      .join(lmSeen, Seq("w1", "w2"), "left_outer")
+      .join(lmUni, Seq("w2"), "left_outer")
+      .select(col("doc_id"), col("m"),
+        coalesce(col("bits_bg"), col("bits_uni"), lit(oovBits))
+          .as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("(sum_bits * 1000000) div n_bigrams").as("mean_bits_ppm"))
+  }
+
+  /** CCNet's head/middle/tail cut over [[lmScoreHeldout]] output.
+    * The thresholds are CALLER-PROVIDED integer ppm cutoffs — CCNet
+    * publishes per-language percentile cutoffs computed offline,
+    * exactly this contract; deriving them in-plan would need a
+    * global order statistic no 100 TB pass should pay for. */
+  def lmBuckets(scored: DataFrame, headMaxPpm: Long,
+                tailMinPpm: Long): DataFrame = {
+    require(headMaxPpm <= tailMinPpm, "head cutoff above tail cutoff")
+    scored.withColumn("bucket",
+      when(col("mean_bits_ppm") < headMaxPpm, "head")
+        .when(col("mean_bits_ppm") >= tailMinPpm, "tail")
+        .otherwise("middle"))
+  }
+
+  /**
    * PMI collocation mining — the `topN` word bigrams whose corpus
    * count most exceeds independence, PMI = log₂(N·c(ab)/(c(a)·c(b))):
    * the classic multi-word-expression extractor ("new york",

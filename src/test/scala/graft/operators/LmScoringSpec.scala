@@ -98,4 +98,42 @@ class LmScoringSpec extends SparkSpec {
       ("b", "a", 1L, 1L, 3L),
       ("a", "b", 2L, 0L, 1L)))
   }
+
+  // ---- lmScoreHeldout / lmBuckets (CCNet-style filter) ----
+
+  test("lmScoreHeldout: seen/backoff/OOV lattice, hand-computed") {
+    // h60(id:ccnet)%100: ids 4,5 train; ids 1,2 held (precomputed)
+    // train corpus (docs 4, 5): "a b a b" + "a c"
+    //   LM bigrams: c(a,b)=2, c(b,a)=1, c(a,c)=1; c_w1(a)=3, c_w1(b)=1
+    //   continuation: c_w2(b)=2, c_w2(a)=1, c_w2(c)=1; N=4
+    val docs = Seq(
+      (4L, "a b a b"), (5L, "a c"),              // train
+      (1L, "a b q c"),                            // held
+      (2L, "z z"))                                // held, all OOV
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScoreHeldout(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc1 bigrams: (a,b) seen -> floorlog2(3 div 2)=0;
+    //   (b,q): q unseen as w2 -> OOV flat 20;
+    //   (q,c): unseen bigram, c known as w2 -> floorlog2(4 div 1)+4=6
+    //   n=3, sum=26, mean ppm = 26*1e6 div 3 = 8666666
+    // doc2: (z,z) OOV -> 20; n=1, sum=20, mean 20e6
+    assert(got == Seq(
+      (1L, 3L, 26L, 8666666L),
+      (2L, 1L, 20L, 20000000L)))
+  }
+
+  test("lmBuckets: boundary ppm values land exactly") {
+    val scored = Seq(
+      (1L, 10L, 10L, 999999L), (2L, 10L, 10L, 1000000L),
+      (3L, 10L, 10L, 1999999L), (4L, 10L, 10L, 2000000L))
+      .toDF("doc_id", "n_bigrams", "sum_bits", "mean_bits_ppm")
+    val got = TextOps.lmBuckets(scored, 1000000L, 2000000L)
+      .select($"doc_id", $"bucket").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "head"), (2L, "middle"),
+      (3L, "middle"), (4L, "tail")))
+    intercept[IllegalArgumentException](
+      TextOps.lmBuckets(scored, 5L, 1L))
+  }
 }
