@@ -38,33 +38,24 @@ object Archive {
    * join just misses.
    */
   def surtKey(url: Column): Column = {
-    val u = coalesce(url, lit(""))
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val authority = lower(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val noPort = when(scheme === "http",
-        regexp_replace(authority, ":80\\z", ""))
-      .when(scheme === "https", regexp_replace(authority, ":443\\z", ""))
-      .otherwise(authority)
+    // the component extraction is [[TextOps.urlParts]] — ONE copy
+    // shared with urlCanonical, so CDX urlkeys can never drift from
+    // the canonical-url dedup keys
+    val p = TextOps.urlParts(url)
     // a surviving non-default port rides AFTER the reversed labels
     // (`com,example:8443)`) — splitting on '.' with the port attached
     // would glue it to the TLD label instead
-    val portSuf = regexp_extract(noPort, "(:\\d+)\\z", 1)
+    val portSuf = regexp_extract(p.host, "(:\\d+)\\z", 1)
     val host = regexp_replace(
-      regexp_replace(noPort, ":\\d+\\z", ""), "^www\\.", "")
-    val rest = lower(regexp_replace(
-      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
-      "(?s)#.*\\z", ""))
-    val path = regexp_replace(
-      regexp_replace(rest, "(?s)\\?.*\\z", ""), "/+\\z", "")
-    val query = regexp_extract(rest, "(?s)\\?(.*)\\z", 1)
-    val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(TextOps.UrlTrackingParam)))
-    when(authority === "", lower(u)).otherwise(concat(
-      array_join(reverse(split(host, "\\.")), ","), portSuf,
-      lit(")"), path,
-      when(size(params) > 0,
-        concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))))
+      regexp_replace(p.host, ":\\d+\\z", ""), "^www\\.", "")
+    val params = TextOps.sortedParams(lower(p.query))
+    when(p.scheme === "" || p.authority === "",
+        lower(coalesce(url, lit(""))))
+      .otherwise(concat(
+        array_join(reverse(split(host, "\\.")), ","), portSuf,
+        lit(")"), lower(p.path),
+        when(size(params) > 0,
+          concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))))
   }
 
   /**

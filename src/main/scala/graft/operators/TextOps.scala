@@ -2922,6 +2922,40 @@ object TextOps {
     * [[urlCanonical]] pattern below. */
   val UrlTrackingParam: String = "^(utm_[^=]*|fbclid|gclid|ref)(=(?s:.*))?\\z"
 
+  /** Shared URL component extraction — ONE copy of the scheme /
+    * authority / default-port / fragment / trailing-slash / query
+    * regexes consumed by [[urlCanonical]] and
+    * [[Archive.surtKey]] (and replayed by the `UrlCanonCte` oracle
+    * body): a fix here moves every consumer together, so CDX urlkeys
+    * can never drift from the canonical-url dedup keys. */
+  private[operators] final case class UrlParts(
+    scheme: Column, authority: Column, host: Column, path: Column,
+    query: Column)
+
+  private[operators] def urlParts(url: Column): UrlParts = {
+    val u = coalesce(url, lit(""))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noFrag = regexp_replace(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "(?s)#.*\\z", "")
+    val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(authority, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443\\z", ""))
+      .otherwise(authority)
+    val rest = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(
+      regexp_replace(rest, "(?s)\\?.*\\z", ""), "/+\\z", "")
+    val query = regexp_extract(rest, "(?s)\\?(.*)\\z", 1)
+    UrlParts(scheme, authority, host, path, query)
+  }
+
+  /** Non-empty query params, tracking class removed, byte-sorted —
+    * the shared param discipline of the canonical/surt keys. */
+  private[operators] def sortedParams(query: Column): Column =
+    array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(UrlTrackingParam)))
+
+
   /**
    * URL canonicalization for crawl-level dedup. Contract (absolute
    * http/https URLs): lowercase scheme and host (path/query case is
@@ -2941,22 +2975,9 @@ object TextOps {
    * (callers resolve against a base first).
    */
   def urlCanonical(url: Column): Column = {
-    val u = coalesce(url, lit(""))
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val noFrag = regexp_replace(
-      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "(?s)#.*\\z", "")
-    val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
-    val host = when(scheme === "http",
-        regexp_replace(authority, ":80\\z", ""))
-      .when(scheme === "https", regexp_replace(authority, ":443\\z", ""))
-      .otherwise(authority)
-    val rest = regexp_replace(noFrag, "^[^/?]*", "")
-    val path = regexp_replace(
-      regexp_replace(rest, "(?s)\\?.*\\z", ""), "/+\\z", "")
-    val query = regexp_extract(rest, "(?s)\\?(.*)\\z", 1)
-    val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(UrlTrackingParam)))
-    concat(scheme, lit("://"), host, path,
+    val p = urlParts(url)
+    val params = sortedParams(p.query)
+    concat(p.scheme, lit("://"), p.host, p.path,
       when(size(params) > 0,
         concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
   }

@@ -39,9 +39,16 @@ object StreamingArchive {
 
   /** Segment assignment over `(doc_id, tsCol, writerCol, lengthCol)`:
     * one output row per record. Append-mode stateful map; no state
-    * timeout (state is writer-count-bounded and must persist). */
+    * timeout (state is writer-count-bounded and must persist), and
+    * deliberately NO watermark — flatMapGroupsWithState never drops
+    * late rows and nothing here evicts, so a watermark would only
+    * suggest a lateness bound that does not exist. Event time is
+    * used for the family's deterministic (ts, doc_id) in-batch
+    * order; a record arriving in a later batch appends at the total
+    * as of ITS batch (the batch operator is the replay path when
+    * strict event-time order matters). */
   def pack(records: DataFrame, targetBytes: Long,
-           delay: String = "10 seconds", tsCol: String = "event_time",
+           tsCol: String = "event_time",
            writerCol: String = "writer", lengthCol: String = "length")
       : Dataset[SegAssign] = {
     implicit val rowEnc = Encoders.product[RecordRow]
@@ -50,7 +57,6 @@ object StreamingArchive {
     records.select(col("doc_id").as("docId"), col(tsCol).as("ts"),
         col(writerCol).cast("long").as("writer"),
         col(lengthCol).cast("long").as("length"))
-      .withWatermark("ts", delay)
       .as[RecordRow]
       .groupByKey(_.writer)(Encoders.scalaLong)
       .flatMapGroupsWithState[WriterTotal, SegAssign](

@@ -897,8 +897,9 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     val fp = plan(graft.SparkEntry.queries("crawl_cdx_fetch_plan")(
       spark, sfDir))
-    assert(fp.contains("BroadcastHashJoin LeftSemi") ||
-      fp.contains("BroadcastHashJoin"), fp)
+    // the wanted-set join must stay a SEMI join — an inner join here
+    // would duplicate index rows per wanted match
+    assert(fp.contains("LeftSemi"), fp)
   }
 
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {

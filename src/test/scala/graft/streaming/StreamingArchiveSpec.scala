@@ -36,7 +36,7 @@ class StreamingArchiveSpec extends SparkSpec {
     val rows = mutable.Buffer[(Long, Long, Long, Long)]()
     val q = StreamingArchive.pack(
         input.toDF().toDF("doc_id", "event_time", "writer", "length"),
-        targetBytes = target, delay = "1 second")
+        targetBytes = target)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("arch-ck").toString)
