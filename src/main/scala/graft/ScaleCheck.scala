@@ -546,6 +546,19 @@ object ScaleCheck {
         Robots.revisitClassify(fetched, stored)
           .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       }),
+      "text_lm_heldout" -> (() => {
+        // the CCNet LM filter at corpus scale (r14): train-side
+        // bigram LM + held-out scoring. The LM is a TYPE table —
+        // its growth is sub-linear in the corpus (vocabulary
+        // saturates), so the probe pins that the data-sized work is
+        // the two token-stream aggregates and the keyed score join,
+        // with the type-table joins shrinking relative to the corpus
+        TextOps.lmScoreHeldout(docs)
+          .groupBy((col("mean_bits_ppm") / 1000000L).cast("long")
+            .as("bits"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bigrams")).as("b"))
+      }),
       "crawl_cdx_plan" -> (() => {
         // the archive layer end to end at corpus scale (r14): render
         // response records → CDX offsets → wanted semi-join →
