@@ -902,6 +902,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(fp.contains("LeftSemi"), fp)
   }
 
+  test("lm filter: type-table joins, single-row total broadcast, no windows") {
+    // lmScoreHeldout's only data-sized work is the two token-stream
+    // aggregates; the LM joins are keyed (type tables), the corpus
+    // total is a 1-row broadcast (BNLJ is fine THERE and nowhere
+    // else), and nothing windows or cartesians
+    for (q <- Seq("text_lm_heldout", "pipeline_ccnet_buckets")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q:\n$p")
+    }
+  }
+
   test("nb classifier: vocab model broadcasts, totals broadcast, no cartesian") {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val p = plan(TextOps.nbClassifier(docs))
