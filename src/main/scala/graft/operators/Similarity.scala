@@ -752,18 +752,18 @@ object Similarity {
    * O(k · poolSize) per query BY CONSTRUCTION, independent of corpus
    * size.
    */
-  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                poolSize: Int = 24, lamNum: Long = 7L,
-                lamDen: Long = 10L): DataFrame = {
-    require(k >= 1 && poolSize >= k, s"mmrSelect k=$k pool=$poolSize")
-    require(lamNum > 0 && lamDen >= lamNum, s"λ=$lamNum/$lamDen")
+  /** Stage 1 of [[mmrSelect]]: the bounded relevance pool per query
+   *  (integer scores make the rank exact; id tie-break makes it
+   *  stable). Package-visible so the plan spec can pin the partial
+   *  TopKByScore shape — the greedy rounds checkpoint-truncate the
+   *  final plan, hiding this subtree from it. */
+  private[operators] def mmrPool(corpus: DataFrame, queries: DataFrame,
+                                 poolSize: Int): DataFrame = {
     def quant(e: Column): Column =
       transform(e, x => floor(x.cast("double") * lit(128.0)).cast("float"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       quant(col("embedding")).as("q_emb")))
-    // stage 1: bounded relevance pool per query (integer scores make
-    // the rank exact; id tie-break makes it stable)
-    val pool0 = corpus.select(col("vec_id").as("id"),
+    corpus.select(col("vec_id").as("id"),
         quant(col("embedding")).as("emb"))
       .crossJoin(q)
       .filter(col("id") =!= col("query_id"))
@@ -779,11 +779,24 @@ object Similarity {
       .join(q, "query_id")
       .select(col("query_id"), col("id"), col("emb"),
         dot(col("q_emb"), col("emb")).cast("long").as("rel"))
+  }
+
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                poolSize: Int = 24, lamNum: Long = 7L,
+                lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"mmrSelect k=$k pool=$poolSize")
+    require(lamNum > 0 && lamDen >= lamNum, s"λ=$lamNum/$lamDen")
+    val pool0 = mmrPool(corpus, queries, poolSize)
     // k greedy rounds, unrolled: cand carries the running
     // max-similarity-to-selected; each round is one per-query argmax
-    // aggregate + one broadcast pick join updating it
+    // aggregate + one broadcast pick join updating it. Each round
+    // reads cand TWICE (argmax + update join) and pick twice (emit +
+    // join build): lazy localCheckpoints keep the walk linear in k —
+    // without them the unmaterialized subtree doubles per round
+    // (2^k pool scans; 124 scans in the registered k=5 plan)
     var cand = pool0.withColumn("maxsim",
       lit(Long.MinValue).cast("long"))
+      .localCheckpoint(false)
     var picks: DataFrame = null
     for (r <- 1 to k) {
       val mmr = (lit(lamNum) * col("rel") -
@@ -796,6 +809,7 @@ object Similarity {
           struct(col("mmr"), (-col("id")).as("ni"))).as("p"))
         .select(col("query_id"), col("p.id").as("pick_id"),
           col("p.emb").as("pick_emb"))
+        .localCheckpoint(false)
       val tagged = pick.select(col("query_id"), col("pick_id"),
         lit(r).as("rank"))
       picks = if (picks == null) tagged else picks.unionByName(tagged)
@@ -805,6 +819,7 @@ object Similarity {
           .select(col("query_id"), col("id"), col("emb"), col("rel"),
             greatest(col("maxsim"),
               dot(col("emb"), col("pick_emb")).cast("long")).as("maxsim"))
+          .localCheckpoint(false)
     }
     picks.select(col("query_id"), col("rank"),
         col("pick_id").as("neighbor_id"))

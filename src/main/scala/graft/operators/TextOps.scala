@@ -1867,9 +1867,16 @@ object TextOps {
       .groupBy(col("doc_id"), col("bg.w1").as("w1"),
         col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("m"))
+    // the train-side bigram TYPE table is referenced FOUR times below
+    // (seen-bigram join, left-context counts, continuation unigrams,
+    // corpus total); a lazy localCheckpoint materializes it once at
+    // first action and every reference reads the same blocks — without
+    // it each reference re-tokenizes and re-aggregates the whole train
+    // half (4 parquet scans + 4 token-stream shuffles in the plan)
     val lmBg = docBigrams(
         docs.filter(samplePredicate(col("doc_id"), trainPct, salt)))
       .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c"))
+      .localCheckpoint(false)
     val lmLeft = lmBg.groupBy(col("w1")).agg(sum(col("c")).as("c_w1"))
     val lmSeen = lmBg.join(lmLeft, "w1")
       .select(col("w1"), col("w2"),
@@ -2210,13 +2217,21 @@ object TextOps {
   def hashedGramCounts(docs: DataFrame,
                        nBuckets: Int = 4096): DataFrame = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
-    val wt = wordTokens(col("text"))
+    // tokenize in a SEPARATE projection: the generator expression
+    // below references the token array five times (concat, size, two
+    // slices), GenerateExec does no subexpression elimination, and
+    // CollapseProject refuses to inline a non-cheap expression used
+    // more than once — so this split pins regexp_extract_all to ONE
+    // evaluation per row instead of five (the r2 expensive-expression
+    // rule, generator edition)
+    val wt = col("__toks")
     val bigrams = when(size(wt) >= 2,
       zip_with(slice(wt, lit(1), size(wt) - 1),
         slice(wt, lit(2), size(wt) - 1),
         (a, b) => concat(a, lit("_"), b)))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), wordTokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
         explode(concat(wt, bigrams)).as("gram"))
       .select(col("doc_id"),
         pmod(graft.functions.functions.h60(col("gram")),
@@ -2327,55 +2342,71 @@ object TextOps {
    *
    * Features are per-doc NORMALIZED counts (`m / Σm`, fastText's
    * mean-of-embeddings shape) so scores stay in sigmoid's useful
-   * range regardless of document length. Per epoch: one broadcast
-   * join + two keyed aggregates over a cached feature frame; the
-   * gradient collect is `nBuckets`-sized.
+   * range regardless of document length. The sparse feature vector is
+   * aggregated ONCE into a bucket-sorted per-doc array and cached (one
+   * row per train doc); each epoch is then a single narrow pass — the
+   * current weight vector rides in as ONE array literal, the per-doc
+   * score is an in-row array fold, and the gradient (all buckets plus
+   * the intercept as pseudo-bucket −1) comes back from ONE
+   * `nBuckets`-sized keyed aggregate. Per epoch: one job, one tiny
+   * shuffle, no joins — versus the previous shape's broadcast build +
+   * two shuffled aggregates + a residual cache per epoch (measured 3×
+   * the CPU at the bench scale factor).
    *
    * Returns `(w0, w)` — intercept and dense weight vector.
    */
   def trainQualityLr(docs: DataFrame, nBuckets: Int = 4096,
                      trainPct: Int = 50, epochs: Int = 10,
                      lr: Double = 2.0): (Double, Array[Double]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val train = docs
       .filter(samplePredicate(col("doc_id"), trainPct, "qhsplit"))
     val labeled = train.select(col("doc_id"),
       filterKeep(col("text")).cast("double").as("y"))
-    val raw = hashedGramCounts(train, nBuckets)
-    val totals = raw.groupBy(col("doc_id")).agg(sum(col("m")).as("tm"))
-    val staged = raw.join(totals, Seq("doc_id"))
-      .select(col("doc_id"), col("bucket"),
-        (col("m").cast("double") / col("tm")).as("x"))
+    // one row per train doc: label + bucket-sorted normalized sparse
+    // features (sorting fixes the in-row float fold order, so the
+    // trained model is independent of partitioning and retries)
+    val staged = hashedGramCounts(train, nBuckets)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("tm"),
+        sort_array(collect_list(struct(col("bucket"), col("m"))))
+          .as("bm"))
       .join(labeled, Seq("doc_id"))
+      .select(col("y"),
+        transform(col("bm"), f => struct(
+          f("bucket").cast("int").as("bucket"),
+          (f("m").cast("double") / col("tm")).as("x"))).as("fs"))
       .persist()
     val nTrain = math.max(labeled.count(), 1L).toDouble
     var w0 = 0.0
     val w = new Array[Double](nBuckets)
     for (_ <- 1 to epochs) {
-      val wDf = broadcast(w.toIndexedSeq.zipWithIndex
-        .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "wgt"))
-      // persist the scored residuals (one row per train doc): both
-      // gradient reads consume them, and without the cache the
-      // broadcast-score pass — the epoch's dominant cost — runs
-      // TWICE per epoch
-      val resid = staged.join(wDf, Seq("bucket"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg((lit(w0) + sum(col("x") * col("wgt"))).as("s"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("s")))
-            - col("y")).as("r"))
-        .persist()
-      val g0 = resid.agg(coalesce(sum(col("r")), lit(0.0)))
-        .head().getDouble(0)
-      val grad = staged.join(resid, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("x") * col("r")).as("g"))
-        .collect() // nBuckets-sized: the model, not the corpus
-      resid.unpersist()
-      w0 -= lr * g0 / nTrain
-      for (row <- grad)
-        w(row.getLong(0).toInt) -= lr * row.getDouble(1) / nTrain
+      // the model as a single array literal — broadcast-free (the
+      // plan ships nBuckets doubles, model-sized by construction)
+      val wLit = typedLit(w.toIndexedSeq)
+      // residual r materialized as its own projection so the sigmoid
+      // fold runs once per doc, never inside the per-element lambda
+      // below (the r2 expensive-expression-in-lambda rule)
+      val grad = staged
+        .select(col("fs"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(w0) +
+            aggregate(col("fs"), lit(0.0),
+              (acc, f) => acc + f("x") * element_at(wLit, f("bucket") + 1)))
+            )) - col("y")).as("r"))
+        // gradient rows for every doc bucket plus pseudo-bucket −1
+        // carrying the intercept residual: ONE pass, ONE keyed agg
+        .select(explode(concat(
+          array(struct(lit(-1).as("bucket"), col("r").as("gx"))),
+          transform(col("fs"), f => struct(
+            f("bucket").as("bucket"), (f("x") * col("r")).as("gx")))))
+          .as("e"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum(col("e.gx")).as("g"))
+        .collect() // nBuckets+1-sized: the model, not the corpus
+      for (row <- grad) {
+        val b = row.getInt(0)
+        if (b < 0) w0 -= lr * row.getDouble(1) / nTrain
+        else w(b) -= lr * row.getDouble(1) / nTrain
+      }
     }
     staged.unpersist()
     (w0, w)
@@ -2386,17 +2417,15 @@ object TextOps {
     * in integer ppm for a stable rows-only output edge. */
   def scoreQualityLr(docs: DataFrame, w0: Double, w: Array[Double],
                      nBuckets: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(w.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "wgt"))
-    val raw = hashedGramCounts(docs, nBuckets)
-    val totals = raw.groupBy(col("doc_id")).agg(sum(col("m")).as("tm"))
-    val scored = raw.join(totals, Seq("doc_id"))
-      .join(wDf, Seq("bucket"))
+    val wLit = typedLit(w.toIndexedSeq)
+    // dot = Σ(m/Σm)·w(b) = (Σ m·w(b)) / Σm — one doc-keyed aggregate,
+    // the weight vector riding as an array literal (no totals join, no
+    // weight-table broadcast; the gram frame is computed ONCE)
+    val scored = hashedGramCounts(docs, nBuckets)
       .groupBy(col("doc_id"))
-      .agg(sum(col("m").cast("double") / col("tm") * col("wgt"))
-        .as("dot"))
+      .agg((sum(col("m").cast("double") *
+          element_at(wLit, col("bucket").cast("int") + 1)) /
+        sum(col("m"))).as("dot"))
     docs.select(col("doc_id"), filterKeep(col("text")).as("label_keep"))
       .join(scored, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("dot"))

@@ -538,15 +538,25 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("mmr: pool selection aggregates partially; corpus never shuffles before it") {
     val emb = ChangeLogSource.table(spark, sfDir, "embeddings")
+    // stage 1 pool: bounded TopKByScore partial aggregation on the
+    // scan side of the exchange (bruteForceTopK's contract). Pinned on
+    // the pool subtree directly — the greedy rounds lazily checkpoint,
+    // which truncates this stage out of the final executedPlan.
+    val pp = plan(Similarity.mmrPool(emb, emb.filter(col("vec_id") < 2),
+      poolSize = 24))
+    assert(pp.contains("ObjectHashAggregate"), pp)
+    assert(pp.contains("partial_top_k") || pp.contains("partial_topkbyscore")
+      || pp.toLowerCase.contains("partial"), pp)
+    assert(!pp.contains("CartesianProduct"), pp)
+    // the greedy rounds are checkpoint-truncated: the final plan reads
+    // each round's materialized picks (k ExistingRDD leaves unioned),
+    // never re-deriving the pool — the 2^k subtree explosion is gone
     val p = plan(Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2),
       k = 3))
-    // stage 1 pool: bounded TopKByScore partial aggregation on the
-    // scan side of the exchange (bruteForceTopK's contract)
-    assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_top_k") || p.contains("partial_topkbyscore")
-      || p.toLowerCase.contains("partial"), p)
-    // the greedy rounds must never degenerate to a cartesian product
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ObjectHashAggregate"),
+      s"greedy rounds re-derive the pool instead of reading checkpoints:\n$p")
   }
 
   test("zoneMap is one keyed aggregate — no join, no window, no global sort") {
