@@ -248,17 +248,49 @@ object Graph {
    * One group-keyed size aggregate + anti-join, one group-keyed
    * self-join, one pair-keyed count — all keyed, nothing global.
    */
+  /** Stage 1 of [[cooccurrenceEdges]]: the distinct bipartite
+   *  relation with oversized groups anti-joined away. Package-visible
+   *  so the plan spec can pin the anti-join shape — the pair stage
+   *  checkpoint-truncates it out of the final plan. */
+  private[operators] def cappedGroupItems(
+      rel: DataFrame, group: org.apache.spark.sql.Column,
+      item: org.apache.spark.sql.Column,
+      maxGroupSize: Long): DataFrame = {
+    val gi = rel.select(group.as("g"), item.as("item")).distinct()
+      .localCheckpoint(false)
+    val big = gi.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxGroupSize).select(col("g"))
+    gi.join(big, Seq("g"), "left_anti")
+  }
+
   def cooccurrenceEdges(rel: DataFrame, group: org.apache.spark.sql.Column,
                         item: org.apache.spark.sql.Column,
                         minShared: Long = 2L,
                         maxGroupSize: Long = 1024L): DataFrame = {
     require(minShared >= 1L, s"minShared=$minShared")
     require(maxGroupSize >= 2L, s"maxGroupSize=$maxGroupSize")
-    val gi = rel.select(group.as("g"), item.as("item")).distinct()
-    val big = gi.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxGroupSize).select(col("g"))
-    val gis = gi.join(big, Seq("g"), "left_anti")
-    gis.as("x").join(gis.as("y"),
+    // the distinct (g,item) relation is referenced FOUR times (both
+    // self-join sides, each rebuilding the hot-group filter too) and
+    // exchange reuse does NOT fire across them (the sides pick up
+    // different pushed IsNotNull filters, breaking canonicalized
+    // equality — verified on the executed plan: 4 scans, 0 reuse).
+    // Two lazy checkpoints pin every stage to one evaluation: the
+    // distinct materializes once, the capped relation once, and the
+    // self-join reads the same blocks on both sides.
+    val gis = cappedGroupItems(rel, group, item, maxGroupSize)
+      .localCheckpoint(false)
+    // The self-join EXPLODES rows (up to maxGroupSize× the input), but
+    // AQE sizes partitions from PRE-join shuffle bytes — it happily
+    // coalesces a small capped relation to one partition and the whole
+    // Σ|g|² pair stream lands on one task (measured: 6.3M wedges in 1
+    // partition, 3.3 s single-core aggregation at the bench SF; the
+    // same misestimate spills at cluster scale). Pinning the stream
+    // side to hashpartitioning(g, numShufflePartitions) spreads the
+    // explosion; the count is the session conf, so it scales with the
+    // deployment, and an SMJ at real scale needs this exact
+    // partitioning anyway — the repartition adds no exchange there.
+    val n = rel.sparkSession.sessionState.conf.numShufflePartitions
+    gis.repartition(n, col("g")).as("x").join(gis.as("y"),
         col("x.g") === col("y.g") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("src"), col("y.item").as("dst"))
       .agg(count(lit(1)).as("shared"))
@@ -359,7 +391,14 @@ object Graph {
     val byStrength = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node"))
       .orderBy(col("shared").desc, col("nbr"))
-    dirs.withColumn("rn", row_number().over(byStrength))
+    // pin the window's parallelism to the configured baseline: the
+    // window needs hashpartitioning(node) anyway, and without the
+    // explicit count AQE coalesces the small-bytes edge list to one
+    // partition and the whole rank runs single-task (the
+    // cooccurrenceEdges pre-join-bytes trap, window edition)
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    dirs.repartition(nPart, col("node"))
+      .withColumn("rn", row_number().over(byStrength))
       .filter(col("rn") <= k)
       .select(least(col("node"), col("nbr")).as("src"),
         greatest(col("node"), col("nbr")).as("dst"))
@@ -418,7 +457,12 @@ object Graph {
         Seq("node"), "left_semi")
       .localCheckpoint()
     val adjC = if (small) broadcast(adjCk) else adjCk
-    val wedges = adjCk.as("x").join(adjC.as("y"),
+    // wedge enumeration explodes ≤ maxDeg× — spread the stream side
+    // before the explosion (AQE coalesces the checkpointed adjacency
+    // by its PRE-join bytes, see cooccurrenceEdges; same trap here)
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val wedges = adjCk.repartition(nPart, col("node")).as("x")
+      .join(adjC.as("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .select(col("x.nbr").as("node_a"), col("y.nbr").as("node_b"))
     val common = wedges.groupBy(col("node_a"), col("node_b"))
@@ -442,9 +486,17 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // e is read three times (degrees, orientation, the closing
+      // join) and deg three times (both rank sides + the final join):
+      // lazy checkpoints pin each to one evaluation — without them
+      // the distinct subtree re-derives per reference (the
+      // cooccurrenceEdges finding; exchange reuse does not fire
+      // across differently-filtered references)
+      .localCheckpoint(false)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(false)
     // orient: u = the (degree, id)-smaller endpoint of each edge
     val ranked = e
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
@@ -453,8 +505,14 @@ object Graph {
     val oriented = ranked.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
       when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-    // wedges at the low-order center; fanout bounded by orientation
-    val wedges = oriented.as("x").join(oriented.as("y"),
+      .localCheckpoint(false)
+    // wedges at the low-order center; fanout bounded by orientation.
+    // The self-join explodes ≤ orientation-bounded-degree× — spread
+    // the stream side before the explosion (the AQE pre-join-bytes
+    // coalescing trap, see cooccurrenceEdges)
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val wedges = oriented.repartition(nPart, col("u")).as("x")
+      .join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("w0"), col("x.v").as("w1"), col("y.v").as("w2"))
     val tri = wedges.join(e,

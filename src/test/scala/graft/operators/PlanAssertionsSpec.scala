@@ -599,12 +599,19 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("co-occurrence projection joins on the group key only") {
     val ev = ChangeLogSource.table(spark, sfDir, "events")
+    // hot-group exclusion rides an anti-join, not a count window —
+    // pinned on the capped-relation stage directly (the pair stage
+    // lazily checkpoints it, truncating it out of the final plan)
+    val ps = plan(Graph.cappedGroupItems(ev,
+      date_trunc("hour", col("ts")), col("user_id"), 1024L))
+    assert(ps.contains("LeftAnti"), ps)
+    assert(!ps.contains("Window"), ps)
     val p = plan(Graph.cooccurrenceEdges(ev,
       date_trunc("hour", col("ts")), col("user_id"), minShared = 2L))
     assert(!p.contains("CartesianProduct"), p)
-    // hot-group exclusion rides an anti-join, not a count window
-    assert(p.contains("LeftAnti"), p)
     assert(!p.contains("Window"), p)
+    // the self-join reads the SAME materialized blocks on both sides
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("ewma: the 8 lag terms share one user-keyed window — none global") {
