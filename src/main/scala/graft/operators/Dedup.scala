@@ -119,10 +119,17 @@ object Dedup {
    */
   def lshCandidatePairs(docs: DataFrame, perms: Int = 32, bands: Int = 8,
                         k: Int = 3): DataFrame = {
-    // Self-join with IDENTICAL child plans (alias only at the join) so
-    // ReuseExchange evaluates the bucket subtree once instead of twice.
-    val b = lshBuckets(docs, perms, bands, k)
-    b.as("x").join(b.as("y"),
+    // One evaluation of the bucket subtree: ReuseExchange is supposed
+    // to cover an identical-child self-join, but the sides pick up
+    // different pushed IsNotNull filters and canonicalized equality
+    // breaks (the cooccurrenceEdges finding) — a lazy checkpoint makes
+    // the sharing unconditional. The bucket self-join also explodes
+    // per collision bucket, so spread the stream side past AQE's
+    // pre-join-bytes coalescing.
+    val b = lshBuckets(docs, perms, bands, k).localCheckpoint(true)
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    b.repartition(nPart, col("band"), col("bucket")).as("x")
+      .join(b.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -204,9 +211,12 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, threshold: Double = 0.5,
                          perms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     // sorted once per document (not per candidate pair) so the exact
-    // verification is the linear sorted-merge kernel
+    // verification is the linear sorted-merge kernel; checkpointed so
+    // the doc_a and doc_b sides read one materialization instead of
+    // re-running normalize+shingle+sort twice
     val sh = shingleSets(docs, k)
       .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+      .localCheckpoint(true)
     val cands = lshCandidatePairs(docs, perms, bands, k)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -307,9 +317,16 @@ object Dedup {
     val sh = shingleSets(docs, k)
     // explode first, hash after: xxhash64 on the exploded column runs
     // inside whole-stage codegen, where hashing inside a transform()
-    // lambda would evaluate interpreted per element
+    // lambda would evaluate interpreted per element.
+    // The exploded digest stream is referenced four times below (the
+    // hot-gram count, the per-doc sizes, both self-join sides) and
+    // exchange reuse does not fire across them (different pushed
+    // filters — the cooccurrenceEdges finding; verified 8 scans /
+    // 0 reuse on the executed bench plan): lazy checkpoints pin the
+    // shingle+hash pipeline to ONE evaluation.
     val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("g"))
+      .localCheckpoint(true)
     // Stop-gram cap (same discipline as containmentPairs): a shingle
     // present in more than `maxDf` documents (boilerplate — "one of
     // the") is non-discriminative and alone contributes O(df²) join
@@ -324,8 +341,13 @@ object Dedup {
     val hot = ex0.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
     val ex = ex0.join(hot, Seq("g"), "left_anti")
+      .localCheckpoint(true)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = ex.as("a")
+    // the digest self-join explodes up to maxDf× — spread the stream
+    // side before the explosion (the AQE pre-join-bytes coalescing
+    // trap, see Graph.cooccurrenceEdges)
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val inter = ex.repartition(nPart, col("g")).as("a")
       .join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -417,6 +439,10 @@ object Dedup {
       .filter(col("rnk") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("g"), col("sz"), col("rnk"))
+      // both self-join sides read the prefix ranking — checkpoint so
+      // the df join + window run once, not twice (exchange reuse does
+      // not fire across the differently-filtered sides)
+      .localCheckpoint(true)
     // prefix-shingle collision + PPJoin length filter: J ≥ t forces
     // t·max(|a|,|b|) ≤ min(|a|,|b|) (J ≤ min/max), so size-mismatched
     // collisions die BEFORE the distinct — measured 409k → 310k
@@ -436,7 +462,11 @@ object Dedup {
     // joined or merged.
     val ubound = lit(1L) +
       least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk"))
-    prefix.as("a").join(prefix.as("b"),
+    // the prefix self-join explodes per-digest — spread the stream
+    // side before the explosion (the AQE pre-join-bytes trap, see
+    // Graph.cooccurrenceEdges)
+    val nPart = sh.sparkSession.sessionState.conf.numShufflePartitions
+    prefix.repartition(nPart, col("g")).as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * tNum <= col("b.sz") * tDen &&
           col("b.sz") * tNum <= col("a.sz") * tDen)
@@ -520,9 +550,14 @@ object Dedup {
     // not a count-over-window that would shuffle every exploded row.
     val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
+    // kept is read three times (sizes + both self-join sides): one
+    // materialization; and the fp self-join explodes up to maxDf× —
+    // spread the stream side (the AQE pre-join-bytes trap)
     val kept = ex.join(hot, Seq("fp"), "left_anti")
+      .localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    kept.as("a").join(kept.as("b"),
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    kept.repartition(nPart, col("fp")).as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))

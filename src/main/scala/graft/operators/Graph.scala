@@ -58,13 +58,21 @@ object Graph {
       s"damping=$dampNum/$dampDen must be in (0,1)")
     // non-positive weights are meaningless for rank mass and would
     // diverge the engines (W(u)=0: Spark's div yields null, DuckDB's
-    // // errors) — drop them at the source rather than mid-iteration
+    // // errors) — drop them at the source rather than mid-iteration.
+    // e / nodes / outw are loop-INVARIANT but referenced every
+    // unrolled round (e in each contrib join, nodes in each rank
+    // rebuild): checkpoint once so the (possibly expensive) edge
+    // derivation runs once, not once per reference — 28 scans in the
+    // registered transition-graph plan without this
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("w") > 0)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .select(col("src").as("osrc"), col("wout"))
+      .localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.select(col("node"), lit(scale).as("rank_q"))
     for (_ <- 1 to iters) {
@@ -106,12 +114,16 @@ object Graph {
     require(iters >= 1, s"iters=$iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping=$dampNum/$dampDen must be in (0,1)")
+    // loop-invariant frames checkpointed once — see [[pageRankInt]]
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("w") > 0)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .select(col("src").as("osrc"), col("wout"))
+      .localCheckpoint(true)
     val baseMass = scale * (dampDen - dampNum) / dampDen
     def seedBase: Column =
       when(col("node") === seed, lit(baseMass)).otherwise(lit(0L))
@@ -257,7 +269,7 @@ object Graph {
       item: org.apache.spark.sql.Column,
       maxGroupSize: Long): DataFrame = {
     val gi = rel.select(group.as("g"), item.as("item")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val big = gi.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxGroupSize).select(col("g"))
     gi.join(big, Seq("g"), "left_anti")
@@ -278,7 +290,7 @@ object Graph {
     // distinct materializes once, the capped relation once, and the
     // self-join reads the same blocks on both sides.
     val gis = cappedGroupItems(rel, group, item, maxGroupSize)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // The self-join EXPLODES rows (up to maxGroupSize× the input), but
     // AQE sizes partitions from PRE-join shuffle bytes — it happily
     // coalesces a small capped relation to one partition and the whole
@@ -492,11 +504,11 @@ object Graph {
       // the distinct subtree re-derives per reference (the
       // cooccurrenceEdges finding; exchange reuse does not fire
       // across differently-filtered references)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // orient: u = the (degree, id)-smaller endpoint of each edge
     val ranked = e
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
@@ -505,7 +517,7 @@ object Graph {
     val oriented = ranked.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
       when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // wedges at the low-order center; fanout bounded by orientation.
     // The self-join explodes ≤ orientation-bounded-degree× — spread
     // the stream side before the explosion (the AQE pre-join-bytes

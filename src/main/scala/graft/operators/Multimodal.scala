@@ -234,19 +234,52 @@ object Multimodal {
    * [[phashNearDupPairsAuto]]) so occupancy stays constant as the
    * corpus grows.
    */
+  /** The stop-bucket guard stage shared by every banded near-dup
+   *  path: hot buckets (occupancy > maxBucket) drop whole via a
+   *  broadcast-tiny anti-join — never a count-over-window shuffle.
+   *  Package-visible so the plan spec can pin the LeftAnti shape: the
+   *  pair stages checkpoint this frame, which truncates it out of
+   *  their final plans. */
+  private[operators] def cappedBands(banded: DataFrame,
+                                     maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
+    banded.join(hot, Seq("band", "bv"), "left_anti")
+  }
+
+  /** Spec hook: the capped banded-hash frame of [[phashNearDupPairs]]
+   *  BEFORE the checkpoints that hide its plan. */
+  private[operators] def phashCappedStage(
+      media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", bits: Int = 24, bands: Int = 4,
+      maxBucket: Int = 4096): DataFrame =
+    cappedBands(bandedPhash(media, idCol, payloadCol, bits, bands),
+      maxBucket)
+
   def phashNearDupPairs(media: DataFrame, idCol: String = "doc_id",
                         payloadCol: String = "payload", bits: Int = 24,
                         bands: Int = 4, maxDist: Int = 3,
                         maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 0, s"maxBucket=$maxBucket")
-    val banded = bandedPhash(media, idCol, payloadCol, bits, bands)
-    // stop-bucket guard as a hot-key anti-join (partial-agg groupBy,
-    // broadcast-tiny hot list) — no count-over-window shuffle
-    val hot = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
-    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
-    capped.as("x").join(capped.as("y"),
+    // the banded frame feeds the hot-list aggregate AND both self-join
+    // sides: exchange reuse covers that only at shuffle-join scale —
+    // when the sides ride broadcast joins (any bench-sized corpus)
+    // there is no exchange to reuse and the payload DECODE + hash
+    // re-runs per reference (measured: 14 mapPartitions decode nodes
+    // in the media-manifest plan). Checkpoint the hash table once —
+    // it is (id, band, bv, ph), the decode's whole point is that this
+    // is tiny next to the payload.
+    val capped = cappedBands(
+        bandedPhash(media, idCol, payloadCol, bits, bands)
+          .localCheckpoint(true), maxBucket)
+      .localCheckpoint(true)
+    // the bucket self-join explodes ≤ maxBucket× — spread the stream
+    // side past AQE's pre-join-bytes coalescing (the
+    // Graph.cooccurrenceEdges trap)
+    val nPart = media.sparkSession.sessionState.conf.numShufflePartitions
+    capped.repartition(nPart, col("band"), col("bv")).as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
@@ -426,16 +459,19 @@ object Multimodal {
                             maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 0, s"maxBucket=$maxBucket")
     val (_, _, nWords) = wideLayout(bits, bands)
-    val banded = bandedPhashWide(media, idCol, payloadCol, bits, bands)
-    val hot = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
-    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
+    // hash table checkpointed once, self-join spread before the
+    // explosion — see [[phashNearDupPairs]]
+    val capped = cappedBands(
+        bandedPhashWide(media, idCol, payloadCol, bits, bands)
+          .localCheckpoint(true), maxBucket)
+      .localCheckpoint(true)
     val hamming = (0 until nWords).map { w =>
       bit_count(element_at(col("x.phs"), w + 1)
         .bitwiseXOR(element_at(col("y.phs"), w + 1))).cast("long")
     }.reduce(_ + _)
-    capped.as("x").join(capped.as("y"),
+    val nPart = media.sparkSession.sessionState.conf.numShufflePartitions
+    capped.repartition(nPart, col("band"), col("bv")).as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
@@ -1168,15 +1204,19 @@ object Multimodal {
         }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
-    val hot = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket).select(col("band"), col("bv"))
-    val capped = banded.join(hot, Seq("band", "bv"), "left_anti")
+      // the input may be an expensive subquery (decoded-codec hash
+      // words) read by the hot list and both join sides: checkpoint
+      // once, and spread the self-join past AQE's pre-join-bytes
+      // coalescing — see [[phashNearDupPairs]]
+      .localCheckpoint(true)
+    val capped = cappedBands(banded, maxBucket).localCheckpoint(true)
     val hamming = (0 until nWords).map { w =>
       bit_count(element_at(col("x.phs"), w + 1)
         .bitwiseXOR(element_at(col("y.phs"), w + 1))).cast("long")
     }.reduce(_ + _)
-    capped.as("x").join(capped.as("y"),
+    val nPart = hashed.sparkSession.sessionState.conf.numShufflePartitions
+    capped.repartition(nPart, col("band"), col("bv")).as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),

@@ -267,7 +267,7 @@ object Robots {
       // every reference re-derives the whole chain prefix, doubling
       // the unmaterialized subtree per level (measured 30 scans /
       // 12.6 s CPU on the registered 3-level query)
-      val parsed = sitemapParse(frontier, xmlCol).localCheckpoint(false)
+      val parsed = sitemapParse(frontier, xmlCol).localCheckpoint(true)
       val seeds = shaped(parsed.filter(col("is_seed")), d, "seed")
       val ptrs = parsed.filter(!col("is_seed"))
       val level =
@@ -278,7 +278,7 @@ object Robots {
           val stepped = ptrs
             .select(carry.map(col) ++ Seq(col("loc"), col("lastmod")): _*)
             .join(storeKeyed, Seq("loc"), "left_outer")
-            .localCheckpoint(false)
+            .localCheckpoint(true)
           val dangling = shaped(
             stepped.filter(col("__child_xml").isNull), d, "dangling")
           frontier = stepped.filter(col("__child_xml").isNotNull)
@@ -418,7 +418,7 @@ object Robots {
       .withColumn("__r",
         when(redirecting(col("__s"), col("__l")),
           resolveUrl(col("__u"), col("__l"))))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // Shrinking PENDING set, resolved rows exit into an accumulator:
     // the naive `state = done ∪ stepped` re-references the whole state
     // twice per hop, doubling the unmaterialized subtree each round
@@ -433,7 +433,7 @@ object Robots {
         when(col("__r").isNotNull,
           lit(null).cast("string")).otherwise(lit("ok")).as("outcome"),
         col("__r").as("__nxt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var done: DataFrame = null
     for (_ <- 1 to maxHops) {
       val exited = pending.filter(col("outcome").isNotNull)
@@ -455,7 +455,7 @@ object Robots {
           when(array_contains(col("__path"), col("__nxt")) ||
               col("__tu").isNull, lit(null))
             .otherwise(col("__tr")).as("__nxt"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     done.unionByName(pending)
       .withColumn("outcome",

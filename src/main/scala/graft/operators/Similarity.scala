@@ -796,7 +796,7 @@ object Similarity {
     // (2^k pool scans; 124 scans in the registered k=5 plan)
     var cand = pool0.withColumn("maxsim",
       lit(Long.MinValue).cast("long"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var picks: DataFrame = null
     for (r <- 1 to k) {
       val mmr = (lit(lamNum) * col("rel") -
@@ -809,7 +809,7 @@ object Similarity {
           struct(col("mmr"), (-col("id")).as("ni"))).as("p"))
         .select(col("query_id"), col("p.id").as("pick_id"),
           col("p.emb").as("pick_emb"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val tagged = pick.select(col("query_id"), col("pick_id"),
         lit(r).as("rank"))
       picks = if (picks == null) tagged else picks.unionByName(tagged)
@@ -819,7 +819,7 @@ object Similarity {
           .select(col("query_id"), col("id"), col("emb"), col("rel"),
             greatest(col("maxsim"),
               dot(col("emb"), col("pick_emb")).cast("long")).as("maxsim"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
     }
     picks.select(col("query_id"), col("rank"),
         col("pick_id").as("neighbor_id"))
@@ -1061,7 +1061,7 @@ object Similarity {
       // merely CONSTRUCTING the frame — Explain, plan audits — no
       // longer executes the corpus scan as a side effect (unlike
       // every other operator builder, which is plan-only)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // init = the k LOWEST ids actually present (sparse or offset id
     // spaces included), matching "first k vectors by id" — a plain
     // vec_id < k filter would silently under-seed such corpora
@@ -1089,7 +1089,7 @@ object Similarity {
     // lazily, same reason as the lattice above
     // (checkpointFinal=false keeps the full lineage visible for plan
     // assertions)
-    if (checkpointFinal) a = a.localCheckpoint(false)
+    if (checkpointFinal) a = a.localCheckpoint(true)
     val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
     a.join(broadcast(sizes), "cluster")
       .select(col("vec_id"), col("cluster"), col("dist_q"), col("cluster_n"))

