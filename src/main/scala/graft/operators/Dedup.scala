@@ -119,17 +119,14 @@ object Dedup {
    */
   def lshCandidatePairs(docs: DataFrame, perms: Int = 32, bands: Int = 8,
                         k: Int = 3): DataFrame = {
-    // One evaluation of the bucket subtree: ReuseExchange is supposed
-    // to cover an identical-child self-join, but the sides pick up
-    // different pushed IsNotNull filters and canonicalized equality
-    // breaks (the cooccurrenceEdges finding) — a lazy checkpoint makes
-    // the sharing unconditional. The bucket self-join also explodes
-    // per collision bucket, so spread the stream side past AQE's
-    // pre-join-bytes coalescing.
-    val b = lshBuckets(docs, perms, bands, k).localCheckpoint(true)
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    b.repartition(nPart, col("band"), col("bucket")).as("x")
-      .join(b.as("y"),
+    // Self-join with IDENTICAL child plans (alias only at the join) so
+    // ReuseExchange evaluates the bucket subtree once instead of twice.
+    // (A checkpoint here was measured SLOWER end to end — the bucket
+    // table's materialization copy costs more than the reuse saves,
+    // and the construction-time job serializes consumers' stages:
+    // r14 A/B on the nearDuplicatePairs family, −25% after revert.)
+    val b = lshBuckets(docs, perms, bands, k)
+    b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -211,12 +208,12 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, threshold: Double = 0.5,
                          perms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     // sorted once per document (not per candidate pair) so the exact
-    // verification is the linear sorted-merge kernel; checkpointed so
-    // the doc_a and doc_b sides read one materialization instead of
-    // re-running normalize+shingle+sort twice
+    // verification is the linear sorted-merge kernel. NOT checkpointed:
+    // materializing the fat shingle arrays was measured slower than
+    // evaluating the narrow shingle scan twice (r14 A/B, same finding
+    // as the bucket table above) — the array copy IS the cost here.
     val sh = shingleSets(docs, k)
       .select(col("doc_id"), sort_array(col("sh")).as("sh"))
-      .localCheckpoint(true)
     val cands = lshCandidatePairs(docs, perms, bands, k)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
