@@ -282,8 +282,12 @@ object TextOps {
    */
   def qualityDeciles(docs: DataFrame, n: Int = 10,
                      rankBucket: Long = 1000000L): DataFrame = {
+    // (doc_id, quality, bkt) — three longs per doc, read by the count
+    // aggregate AND the final rank join: checkpoint so the
+    // regexp-heavy qualityScore runs once, not twice
     val q = qualityScore(docs).select(col("doc_id"), col("quality"))
       .withColumn("bkt", col("doc_id") - pmod(col("doc_id"), lit(rankBucket)))
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
     // per-(quality, bucket) counts -> cumulative start of each bucket
     // within its quality, plus each quality's global offset and the
