@@ -1443,6 +1443,11 @@ object TextOps {
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(window))))
           .as("fp"))
+      // every consumer reads this twice or more (the fp-df count plus
+      // the join/rollup sides), and each re-evaluation re-runs an md5
+      // per token position: checkpoint the (doc_id, i, fp) digest
+      // stream once — the ngramPairStats finding, span edition
+      .localCheckpoint(true)
   }
 
   /**
@@ -1573,9 +1578,15 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDf)
       .select(col("fp"))
-    val capped = spans.join(df, "fp")
-    val a = capped.select(col("fp"), col("doc_id").as("doc_a"),
-      col("i").cast("long").as("ia"))
+    // both self-join sides read the capped stream — checkpoint once;
+    // and the fp self-join explodes ≤ maxDf×, so spread the stream
+    // side past AQE's pre-join-bytes coalescing (the
+    // Graph.cooccurrenceEdges trap)
+    val capped = spans.join(df, "fp").localCheckpoint(true)
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = capped.repartition(nPart, col("fp"))
+      .select(col("fp"), col("doc_id").as("doc_a"),
+        col("i").cast("long").as("ia"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"),
       col("i").cast("long").as("ib"))
     val matched = a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
